@@ -1,0 +1,108 @@
+"""Aggregation lowering (SURVEY §2.4).
+
+Reference: ``AggregationPlan`` hash aggregation with one accumulator per
+(group, agg) and emit-on-empty for ungrouped aggregates
+(/root/reference/Sources/Kineo/SPARQL/MaterializedQueryPlan.swift:2183-2559).
+Spark gives us partial (map-side) + final aggregation, spill, and AQE for
+free — the reference has a single in-memory hash table.
+
+Design notes for scale & determinism:
+- group keys are canonical term-key strings (flat shuffle keys);
+  representative group terms travel via ``first()``.
+- ``AggSpec.exact=True`` routes SUM/AVG through DECIMAL(25,6)
+  accumulation: decimal addition is associative, so results are
+  independent of partitioning/merge order — required for hash-equality
+  against a single-threaded oracle and generally the right call on a
+  1000-executor cluster.
+- GROUP_CONCAT sorts collected values before joining: SPARQL leaves the
+  order implementation-defined, and a deterministic order is the only
+  scale-sane choice (matches the DuckDB oracle's ORDER BY form).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, functions as F
+
+from kineo_spark import algebra as A
+from kineo_spark.expr import compile_expr, is_numeric_term, num_term, str_term
+from kineo_spark.model import sort_key, term_key
+
+_DEC = "decimal(25,6)"
+
+
+def _agg_column(spec: A.AggSpec, value: Column | None) -> Column:
+    op = spec.op
+    if op == "COUNT*":
+        return num_term(F.count(F.lit(1)).cast("double"), F.lit("integer"))
+    assert value is not None
+    if op == "COUNT":
+        if spec.distinct:
+            return num_term(F.count_distinct(term_key(value)).cast("double"), F.lit("integer"))
+        return num_term(F.count(value).cast("double"), F.lit("integer"))
+    if op in ("SUM", "AVG"):
+        num = F.when(is_numeric_term(value), value["num"])
+        if spec.distinct:
+            num = F.when(is_numeric_term(value), value["num"])  # distinct handled below
+        if spec.exact:
+            acc = num.cast(_DEC)
+            if spec.distinct:
+                total = F.sum_distinct(acc).cast("double")
+                cnt = F.count_distinct(num)
+            else:
+                total = F.sum(acc).cast("double")
+                cnt = F.count(num)
+        else:
+            if spec.distinct:
+                total, cnt = F.sum_distinct(num), F.count_distinct(num)
+            else:
+                total, cnt = F.sum(num), F.count(num)
+        val = total if op == "SUM" else total / cnt
+        if op == "SUM":
+            # SUM of empty group = 0 (SPARQL), not NULL
+            val = F.coalesce(val, F.lit(0.0))
+        return num_term(val.cast("double"), F.lit("decimal" if spec.exact else "double"))
+    if op in ("MIN", "MAX"):
+        fn = F.min_by if op == "MIN" else F.max_by
+        return fn(value, sort_key(value))
+    if op == "SAMPLE":
+        return F.first(value, ignorenulls=True)
+    if op == "GROUP_CONCAT":
+        lex = value["lex"]
+        coll = F.collect_set(lex) if spec.distinct else F.collect_list(lex)
+        return str_term(F.concat_ws(spec.separator, F.array_sort(coll)))
+    raise ValueError(f"unknown aggregate {op}")
+
+
+def compile_aggregate(compiler, node: A.Aggregate, child) -> "Plan":
+    from kineo_spark.compiler import Plan, _env, _tmp
+
+    df = child.df
+    env = _env(df)
+
+    group_terms = {name: compile_expr(e, env) for name, e in zip(node.group_names, node.groups)}
+    key_cols = {name: _tmp(f"gk_{name}") for name in group_terms}
+
+    work = df.select(
+        *[c for c in df.columns if not c.startswith("__")],
+        *[term_key(t).alias(key_cols[n]) for n, t in group_terms.items()],
+        *[t.alias(f"__gt_{n}") for n, t in group_terms.items()],
+    )
+
+    aggs = []
+    for name in group_terms:
+        aggs.append(F.first(F.col(f"__gt_{name}")).alias(name))
+    for var, spec in node.aggs:
+        value = compile_expr(spec.expr, {v: work[v] for v in df.columns if not v.startswith("__")}) if spec.expr is not None else None
+        aggs.append(_agg_column(spec, value).alias(var))
+
+    if group_terms:
+        out = work.groupBy(*[F.col(k) for k in key_cols.values()]).agg(*aggs)
+        out = out.select(*list(group_terms), *[var for var, _ in node.aggs])
+    else:
+        # no GROUP BY: single global group; Spark's global agg emits one
+        # row on empty input — matching emitOnEmpty
+        # (MaterializedQueryPlan.swift:2461,2525-2537)
+        out = work.agg(*[a for a in aggs])
+        out = out.select(*[var for var, _ in node.aggs])
+    certain = frozenset()  # group keys may be NULL (errored group expr)
+    return Plan(out, certain)

@@ -1,0 +1,346 @@
+"""SPARQL algebra as Python dataclasses.
+
+Mirrors the reference algebra enumerated at
+/root/reference/Sources/Kineo/SPARQL/QueryRewriting.swift:295-320
+(plus ``.reduced`` from SPARQL/Query.swift:110):
+
+    unionIdentity | joinIdentity | table | quad | triple | bgp
+    | innerJoin | leftOuterJoin(expr) | filter(expr) | union
+    | namedGraph(node) | extend(expr,name) | minus | project(vars)
+    | distinct | reduced | service(url,silent) | slice(offset,limit)
+    | order([SortComparator]) | path(node,PropertyPath,node)
+    | aggregate(groups,aggs) | window(funcs) | subquery(Query)
+
+The compiler (compiler.py) lowers each node to a DataFrame; Catalyst
+then owns physical planning (join order/strategy, pushdown, codegen) —
+replacing the reference's QueryPlanner/cost model wholesale (SURVEY §4).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Optional, Union as U
+
+from kineo_spark.model import PyTerm
+
+# ---------------------------------------------------------------------------
+# Patterns
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class Var:
+    """Named variable; binding=False models non-binding vars ([] syntax)
+    (reference: Node.variable(_, binding:), SPARQL/Query.swift:42-63)."""
+
+    name: str
+    binding: bool = True
+
+
+Node = U[Var, PyTerm]
+
+
+@dataclass(frozen=True)
+class QuadPattern:
+    s: Node
+    p: Node
+    o: Node
+    g: Node  # graph position; compiler substitutes the active graph
+
+    def nodes(self):
+        return [("s", self.s), ("p", self.p), ("o", self.o), ("g", self.g)]
+
+    def variables(self) -> set[str]:
+        return {n.name for _, n in self.nodes() if isinstance(n, Var) and n.binding}
+
+
+@dataclass(frozen=True)
+class TriplePattern:
+    s: Node
+    p: Node
+    o: Node
+
+
+# ---------------------------------------------------------------------------
+# Property paths (SURVEY §2.8)
+# ---------------------------------------------------------------------------
+
+
+class Path:
+    pass
+
+
+@dataclass(frozen=True)
+class PLink(Path):
+    iri: PyTerm
+
+
+@dataclass(frozen=True)
+class PInv(Path):
+    path: Path
+
+
+@dataclass(frozen=True)
+class PSeq(Path):
+    lhs: Path
+    rhs: Path
+
+
+@dataclass(frozen=True)
+class PAlt(Path):
+    lhs: Path
+    rhs: Path
+
+
+@dataclass(frozen=True)
+class PNps(Path):
+    """Negated property set !(iri1|iri2|...)."""
+
+    iris: tuple[PyTerm, ...]
+
+
+@dataclass(frozen=True)
+class PPlus(Path):
+    path: Path
+
+
+@dataclass(frozen=True)
+class PStar(Path):
+    path: Path
+
+
+@dataclass(frozen=True)
+class PZeroOrOne(Path):
+    path: Path
+
+
+# ---------------------------------------------------------------------------
+# Algebra nodes
+# ---------------------------------------------------------------------------
+
+
+class Algebra:
+    pass
+
+
+@dataclass(frozen=True)
+class JoinIdentity(Algebra):
+    """Single empty solution (joinIdentity)."""
+
+
+@dataclass(frozen=True)
+class UnionIdentity(Algebra):
+    """Empty solution sequence (unionIdentity)."""
+
+
+@dataclass(frozen=True)
+class Table(Algebra):
+    """VALUES / inline data: rows of optional terms per variable."""
+
+    variables: tuple[str, ...]
+    rows: tuple[tuple[Optional[PyTerm], ...], ...]
+
+
+@dataclass(frozen=True)
+class Quad(Algebra):
+    pattern: QuadPattern
+
+
+@dataclass(frozen=True)
+class Triple(Algebra):
+    pattern: TriplePattern
+
+
+@dataclass(frozen=True)
+class BGP(Algebra):
+    patterns: tuple[TriplePattern, ...]
+
+
+@dataclass(frozen=True)
+class Join(Algebra):
+    lhs: Algebra
+    rhs: Algebra
+
+
+@dataclass(frozen=True)
+class LeftJoin(Algebra):
+    """OPTIONAL with an attached filter expression (compat semantics:
+    reference MaterializedQueryPlan.swift:444-484 DiffPlan +
+    QueryPlanner.swift:480-552)."""
+
+    lhs: Algebra
+    rhs: Algebra
+    expr: Optional["Expr"] = None
+
+
+@dataclass(frozen=True)
+class Minus(Algebra):
+    """SPARQL MINUS incl. the domain-disjointness rule
+    (MaterializedQueryPlan.swift:554-569)."""
+
+    lhs: Algebra
+    rhs: Algebra
+
+
+@dataclass(frozen=True)
+class SemiJoin(Algebra):
+    """FILTER EXISTS — decorrelated form (reference ExistsPlan,
+    MaterializedQueryPlan.swift:1617-1660)."""
+
+    lhs: Algebra
+    rhs: Algebra
+    anti: bool = False  # True → FILTER NOT EXISTS
+
+
+@dataclass(frozen=True)
+class Filter(Algebra):
+    child: Algebra
+    expr: "Expr"
+
+
+@dataclass(frozen=True)
+class Union(Algebra):
+    lhs: Algebra
+    rhs: Algebra
+
+
+@dataclass(frozen=True)
+class NamedGraph(Algebra):
+    """GRAPH <iri> { } or GRAPH ?g { }."""
+
+    graph: Node
+    child: Algebra
+
+
+@dataclass(frozen=True)
+class Extend(Algebra):
+    child: Algebra
+    expr: "Expr"
+    name: str
+
+
+@dataclass(frozen=True)
+class Project(Algebra):
+    child: Algebra
+    variables: tuple[str, ...]
+
+
+@dataclass(frozen=True)
+class Distinct(Algebra):
+    child: Algebra
+
+
+@dataclass(frozen=True)
+class Reduced(Algebra):
+    child: Algebra
+
+
+@dataclass(frozen=True)
+class Slice(Algebra):
+    child: Algebra
+    offset: int = 0
+    limit: Optional[int] = None
+
+
+@dataclass(frozen=True)
+class SortComparator:
+    expr: "Expr"
+    ascending: bool = True
+
+
+@dataclass(frozen=True)
+class Order(Algebra):
+    child: Algebra
+    comparators: tuple[SortComparator, ...]
+
+
+@dataclass(frozen=True)
+class PathPattern(Algebra):
+    subject: Node
+    path: Path
+    object: Node
+    graph: Optional[Node] = None
+
+
+@dataclass(frozen=True)
+class AggSpec:
+    """One aggregate: op ∈ COUNT, COUNT*, SUM, AVG, MIN, MAX, SAMPLE,
+    GROUP_CONCAT (reference AggregationPlan,
+    MaterializedQueryPlan.swift:2183-2559)."""
+
+    op: str
+    expr: Optional["Expr"] = None
+    distinct: bool = False
+    separator: str = " "
+    # exact=True routes SUM/AVG through DECIMAL(25,6) accumulation so the
+    # result is order-independent (needed for oracle hash-matching and a
+    # good idea on a 1000-executor cluster anyway).
+    exact: bool = False
+
+
+@dataclass(frozen=True)
+class Aggregate(Algebra):
+    child: Algebra
+    groups: tuple["Expr", ...]
+    group_names: tuple[str, ...]
+    aggs: tuple[tuple[str, AggSpec], ...]  # (result var, spec)
+
+
+@dataclass(frozen=True)
+class WindowSpec:
+    op: str  # RANK | DENSE_RANK | ROW_NUMBER | NTILE | agg ops
+    expr: Optional["Expr"] = None
+    n: Optional[int] = None  # for NTILE
+    partition: tuple["Expr", ...] = ()
+    order: tuple[SortComparator, ...] = ()
+    # frame: ROWS only, like the reference (RANGE throws unimplemented,
+    # MaterializedQueryPlan.swift:849-852). None = unbounded.
+    frame_start: Optional[int] = None  # negative = preceding
+    frame_end: Optional[int] = None
+
+
+@dataclass(frozen=True)
+class Window(Algebra):
+    child: Algebra
+    functions: tuple[tuple[str, WindowSpec], ...]
+
+
+@dataclass(frozen=True)
+class Service(Algebra):
+    endpoint: str
+    child: Algebra
+    silent: bool = False
+
+
+@dataclass(frozen=True)
+class Subquery(Algebra):
+    query: "SelectQuery"
+
+
+# Query forms -----------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class SelectQuery:
+    algebra: Algebra
+    variables: tuple[str, ...] = ()  # empty = SELECT *
+
+
+@dataclass(frozen=True)
+class AskQuery:
+    algebra: Algebra
+
+
+@dataclass(frozen=True)
+class ConstructQuery:
+    algebra: Algebra
+    template: tuple[TriplePattern, ...] = ()
+
+
+@dataclass(frozen=True)
+class DescribeQuery:
+    algebra: Algebra
+    nodes: tuple[Node, ...] = ()
+
+
+from kineo_spark.expr import Expr  # noqa: E402  (circular-safe: types only)

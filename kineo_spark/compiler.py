@@ -1,0 +1,334 @@
+"""Algebra → DataFrame compiler.
+
+Replaces the reference's two evaluation engines (SimpleQueryEvaluator,
+/root/reference/Sources/Kineo/QuadStore/SimpleQueryEvaluation.swift, and
+the planned engine QueryPlanner.swift → MaterializedQueryPlan.swift /
+IDQueryPlan.swift) with a single declarative lowering: each algebra node
+becomes DataFrame operations and Catalyst owns join ordering, join
+strategy (broadcast/SMJ/SHJ via AQE), predicate & projection pushdown,
+partial aggregation, top-k (TakeOrderedAndProject), codegen and spill —
+all things the reference's pull-iterator engine does not have (SURVEY §4).
+
+Binding representation: one term-struct column per SPARQL variable
+(NULL = unbound). Joins/grouping/dedup run on canonical string keys
+(model.term_key) to keep null semantics exact and shuffle keys flat.
+
+Compatibility-join semantics (SURVEY §7.3/§7.4):
+- A shared variable that is *certainly bound* on both sides compiles to a
+  strict equi-join (shuffle/broadcast-able — the 100 TB path). The
+  compiler tracks certainty per variable.
+- Otherwise the join condition is the SPARQL compatibility predicate
+  ``l.v IS NULL OR r.v IS NULL OR l.v = r.v`` with post-join
+  ``coalesce(l.v, r.v)`` — mirroring the reference's hashJoin
+  ``unboundTable`` handling (MaterializedQueryPlan.swift:289-361).
+- MINUS implements the domain-disjointness rule (rows sharing no bound
+  domain never cancel, MaterializedQueryPlan.swift:554-569).
+"""
+
+from __future__ import annotations
+
+import itertools
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F
+from pyspark.sql import types as T
+
+from kineo_spark import algebra as A
+from kineo_spark.expr import EExists, Expr, compile_expr, ebv
+from kineo_spark.model import PyTerm, TERM_SCHEMA, sort_key, term_key
+from kineo_spark.store import QuadStore
+
+_ids = itertools.count()
+
+
+def _tmp(prefix: str) -> str:
+    return f"__{prefix}_{next(_ids)}"
+
+
+@dataclass
+class Plan:
+    df: DataFrame
+    certain: frozenset[str]  # variables certainly bound (never NULL)
+
+    @property
+    def variables(self) -> list[str]:
+        return [c for c in self.df.columns if not c.startswith("__")]
+
+
+def _env(df: DataFrame) -> dict[str, Column]:
+    return {c: df[c] for c in df.columns if not c.startswith("__")}
+
+
+class Compiler:
+    def __init__(self, store: QuadStore, max_path_iterations: int = 64):
+        self.store = store
+        self.spark: SparkSession = store.spark
+        self.max_path_iterations = max_path_iterations
+
+    # -- public -----------------------------------------------------------
+    def compile(self, node: A.Algebra, graph: A.Node | None = None) -> Plan:
+        return self._c(node, graph)
+
+    # -- dispatch ---------------------------------------------------------
+    def _c(self, node: A.Algebra, g: A.Node | None) -> Plan:  # noqa: C901
+        if isinstance(node, A.Quad):
+            return self._scan(node.pattern)
+        if isinstance(node, A.Triple):
+            p = node.pattern
+            return self._scan(A.QuadPattern(p.s, p.p, p.o, self._active_graph(g)))
+        if isinstance(node, A.BGP):
+            plans = [
+                self._c(A.Triple(tp), g) for tp in node.patterns
+            ]
+            if not plans:
+                return self._join_identity()
+            out = plans[0]
+            for p in plans[1:]:
+                out = self._join(out, p)
+            return out
+        if isinstance(node, A.Join):
+            return self._join(self._c(node.lhs, g), self._c(node.rhs, g))
+        if isinstance(node, A.LeftJoin):
+            return self._left_join(self._c(node.lhs, g), self._c(node.rhs, g), node.expr)
+        if isinstance(node, A.Minus):
+            return self._minus(self._c(node.lhs, g), self._c(node.rhs, g))
+        if isinstance(node, A.SemiJoin):
+            return self._semi(self._c(node.lhs, g), self._c(node.rhs, g), node.anti)
+        if isinstance(node, A.Filter):
+            return self._filter(node, g)
+        if isinstance(node, A.Union):
+            return self._union(self._c(node.lhs, g), self._c(node.rhs, g))
+        if isinstance(node, A.NamedGraph):
+            return self._c(node.child, node.graph)
+        if isinstance(node, A.Extend):
+            child = self._c(node.child, g)
+            col = compile_expr(node.expr, _env(child.df))
+            return Plan(child.df.withColumn(node.name, col), child.certain)
+        if isinstance(node, A.Project):
+            child = self._c(node.child, g)
+            cols = [
+                (child.df[v] if v in child.df.columns else F.lit(None).cast(TERM_SCHEMA)).alias(v)
+                for v in node.variables
+            ]
+            return Plan(child.df.select(*cols), child.certain & set(node.variables))
+        if isinstance(node, (A.Distinct, A.Reduced)):
+            # REDUCED may drop any duplicates (spec); full dedup is a valid
+            # and scale-friendly implementation (ReducedPlan,
+            # MaterializedQueryPlan.swift:646-667).
+            child = self._c(node.child, g)
+            return Plan(self._distinct(child.df), child.certain)
+        if isinstance(node, A.Slice):
+            child = self._c(node.child, g)
+            df = child.df
+            if node.offset:
+                df = df.offset(node.offset)
+            if node.limit is not None:
+                df = df.limit(node.limit)
+            return Plan(df, child.certain)
+        if isinstance(node, A.Order):
+            child = self._c(node.child, g)
+            env = _env(child.df)
+            cols = []
+            for cmp in node.comparators:
+                k = sort_key(compile_expr(cmp.expr, env))
+                cols.append(k.asc() if cmp.ascending else k.desc())
+            return Plan(child.df.orderBy(*cols), child.certain)
+        if isinstance(node, A.Table):
+            return self._table(node)
+        if isinstance(node, A.JoinIdentity):
+            return self._join_identity()
+        if isinstance(node, A.UnionIdentity):
+            df = self.spark.createDataFrame([], T.StructType([]))
+            return Plan(df, frozenset())
+        if isinstance(node, A.Aggregate):
+            return self._aggregate(node, g)
+        if isinstance(node, A.Window):
+            return self._window(node, g)
+        if isinstance(node, A.Subquery):
+            from kineo_spark.forms import select_plan
+            return select_plan(self, node.query, g)
+        if isinstance(node, A.PathPattern):
+            from kineo_spark.paths import eval_path
+            return eval_path(self, node, node.graph or self._active_graph(g))
+        if isinstance(node, A.Service):
+            from kineo_spark.service import eval_service
+            return eval_service(self, node)
+        raise NotImplementedError(f"algebra node {type(node).__name__}")
+
+    # -- helpers ----------------------------------------------------------
+    def _active_graph(self, g: A.Node | None) -> A.Node:
+        if g is None:
+            return A.Var(_tmp("g"), binding=False)
+        return g
+
+    def _join_identity(self) -> Plan:
+        return Plan(self.spark.range(1).drop("id"), frozenset())
+
+    def _scan(self, pattern: A.QuadPattern) -> Plan:
+        df = self.store.scan(pattern)
+        return Plan(df, frozenset(pattern.variables()))
+
+    def _table(self, node: A.Table) -> Plan:
+        schema = T.StructType([T.StructField(v, TERM_SCHEMA) for v in node.variables])
+        rows = []
+        for row in node.rows:
+            rows.append(
+                tuple(
+                    None if t is None else (t.kind, t.lex, t.dt, t.lang, t.num)
+                    for t in row
+                )
+            )
+        df = self.spark.createDataFrame(rows, schema)
+        certain = frozenset(
+            v for i, v in enumerate(node.variables)
+            if all(row[i] is not None for row in node.rows)
+        )
+        return Plan(df, certain)
+
+    def _distinct(self, df: DataFrame) -> DataFrame:
+        vars_ = [c for c in df.columns if not c.startswith("__")]
+        if not vars_:
+            return df.limit(1)
+        keys = {v: _tmp("k") for v in vars_}
+        out = df.select(*vars_, *[term_key(df[v]).alias(k) for v, k in keys.items()])
+        return out.dropDuplicates(list(keys.values())).select(*vars_)
+
+    # -- joins ------------------------------------------------------------
+    def _prep_right(self, right: Plan) -> tuple[DataFrame, dict[str, str]]:
+        ren = {v: _tmp(f"r_{v}") for v in right.variables}
+        rdf = right.df.select(*[right.df[v].alias(n) for v, n in ren.items()])
+        return rdf, ren
+
+    def _join(self, left: Plan, right: Plan) -> Plan:
+        shared = [v for v in left.variables if v in right.variables]
+        rdf, ren = self._prep_right(right)
+        if not shared:
+            df = left.df.crossJoin(rdf)
+        else:
+            strict = all(v in left.certain and v in right.certain for v in shared)
+            cond = self._join_cond(left.df, rdf, ren, shared, strict)
+            df = left.df.join(rdf, cond, "inner")
+        df = self._merge(df, left, right, ren)
+        return Plan(df, left.certain | right.certain)
+
+    def _join_cond(
+        self, ldf: DataFrame, rdf: DataFrame, ren: dict[str, str],
+        shared: list[str], strict: bool,
+    ) -> Column:
+        conds = []
+        for vname in shared:
+            lk, rk = term_key(ldf[vname]), term_key(rdf[ren[vname]])
+            if strict:
+                conds.append(lk == rk)
+            else:
+                conds.append(lk.isNull() | rk.isNull() | (lk == rk))
+        out = conds[0]
+        for x in conds[1:]:
+            out = out & x
+        return out
+
+    def _merge(self, df: DataFrame, left: Plan, right: Plan, ren: dict[str, str]) -> DataFrame:
+        cols = []
+        for v in left.variables:
+            if v in ren:
+                cols.append(F.coalesce(df[v], df[ren[v]]).alias(v))
+            else:
+                cols.append(df[v])
+        for v in right.variables:
+            if v not in left.variables:
+                cols.append(df[ren[v]].alias(v))
+        return df.select(*cols)
+
+    def _left_join(self, left: Plan, right: Plan, expr: Expr | None) -> Plan:
+        """OPTIONAL: RHS row merges only when compatible AND the attached
+        filter passes over the *merged* row; otherwise the LHS row
+        survives with the RHS vars unbound (QueryPlanner.swift:480-552)."""
+        shared = [v for v in left.variables if v in right.variables]
+        rdf, ren = self._prep_right(right)
+        if shared:
+            strict = all(v in left.certain and v in right.certain for v in shared)
+            cond = self._join_cond(left.df, rdf, ren, shared, strict)
+        else:
+            cond = F.lit(True)
+        if expr is not None:
+            env = {}
+            for vname in left.variables:
+                if vname in ren:
+                    env[vname] = F.coalesce(left.df[vname], rdf[ren[vname]])
+                else:
+                    env[vname] = left.df[vname]
+            for vname in right.variables:
+                if vname not in env:
+                    env[vname] = rdf[ren[vname]]
+            cond = cond & ebv(compile_expr(expr, env)).eqNullSafe(F.lit(True))
+        df = left.df.join(rdf, cond, "left_outer")
+        df = self._merge(df, left, right, ren)
+        certain = left.certain  # RHS-only vars may be unbound
+        return Plan(df, certain)
+
+    def _minus(self, left: Plan, right: Plan) -> Plan:
+        shared = [v for v in left.variables if v in right.variables]
+        if not shared:
+            return left  # disjoint domains never cancel (:554-569)
+        rdf, ren = self._prep_right(right)
+        strict = all(v in left.certain and v in right.certain for v in shared)
+        if strict:
+            cond = self._join_cond(left.df, rdf, ren, shared, True)
+        else:
+            # ≥1 shared var bound on both sides AND all shared bound vars equal
+            compat, overlap = None, None
+            for vname in shared:
+                lk, rk = term_key(left.df[vname]), term_key(rdf[ren[vname]])
+                c = lk.isNull() | rk.isNull() | (lk == rk)
+                o = lk.isNotNull() & rk.isNotNull()
+                compat = c if compat is None else (compat & c)
+                overlap = o if overlap is None else (overlap | o)
+            cond = compat & overlap
+        return Plan(left.df.join(rdf, cond, "left_anti"), left.certain)
+
+    def _semi(self, left: Plan, right: Plan, anti: bool) -> Plan:
+        shared = [v for v in left.variables if v in right.variables]
+        rdf, ren = self._prep_right(right)
+        if shared:
+            strict = all(v in left.certain and v in right.certain for v in shared)
+            cond = self._join_cond(left.df, rdf, ren, shared, strict)
+        else:
+            cond = F.lit(True)
+        how = "left_anti" if anti else "left_semi"
+        return Plan(left.df.join(rdf, cond, how), left.certain)
+
+    def _union(self, left: Plan, right: Plan) -> Plan:
+        """SPARQL UNION = bag concatenation (UnionPlan,
+        MaterializedQueryPlan.swift:380-412); vars missing on one side are
+        unbound there."""
+        lv, rv = set(left.variables), set(right.variables)
+        ldf, rdf = left.df, right.df
+        for vname in rv - lv:
+            ldf = ldf.withColumn(vname, F.lit(None).cast(TERM_SCHEMA))
+        for vname in lv - rv:
+            rdf = rdf.withColumn(vname, F.lit(None).cast(TERM_SCHEMA))
+        ldf = ldf.select(*[c for c in ldf.columns if not c.startswith("__")])
+        rdf = rdf.select(*[c for c in rdf.columns if not c.startswith("__")])
+        df = ldf.unionByName(rdf)
+        return Plan(df, (left.certain & right.certain))
+
+    def _filter(self, node: A.Filter, g: A.Node | None) -> Plan:
+        # FILTER (NOT) EXISTS → semi/anti join (ExistsPlan decorrelation)
+        e = node.expr
+        if isinstance(e, EExists):
+            sub = self._c(e.algebra, g)
+            return self._semi(self._c(node.child, g), sub, e.anti)
+        child = self._c(node.child, g)
+        cond = ebv(compile_expr(e, _env(child.df)))
+        return Plan(child.df.filter(cond.eqNullSafe(F.lit(True))), child.certain)
+
+    # -- aggregation ------------------------------------------------------
+    def _aggregate(self, node: A.Aggregate, g: A.Node | None) -> Plan:
+        from kineo_spark.aggregates import compile_aggregate
+        child = self._c(node.child, g)
+        return compile_aggregate(self, node, child)
+
+    def _window(self, node: A.Window, g: A.Node | None) -> Plan:
+        from kineo_spark.windows import compile_window
+        child = self._c(node.child, g)
+        return compile_window(node, child)

@@ -1,0 +1,516 @@
+"""SPARQL expression AST → Spark Column compiler.
+
+Reference evaluator: /root/reference/Sources/Kineo/SPARQL/Expression.swift
+(28-876). Key semantics reproduced here (SURVEY §2.9, §7.4):
+
+- **Error-as-NULL convention**: every compiled expression yields a NULL
+  term struct where the reference would raise a query error; FILTER keeps
+  a row only when EBV(expr) is literally true (errors drop the row,
+  MaterializedQueryPlan.swift:427-439) and Extend/BIND leaves the
+  variable unbound on error (:501-513).
+- **EBV** (effective boolean value) with type errors
+  (Expression.swift:14-26).
+- **Numeric type promotion** for + - * / via resultType(for:withOperandType:)
+  (Expression.swift:538-564); integer ÷ integer → decimal.
+- **Value comparison** with type guards (sparqlCompare,
+  Expression.swift:903-957): numeric/temporal/boolean compare by value,
+  plain strings by codepoint, incomparable pairs → error (NULL).
+
+Everything compiles to built-in Column expressions (JVM, whole-stage
+codegen); there are NO Python UDFs in this module — the hot path stays
+vectorized at 100 TB.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Optional
+
+from pyspark.sql import Column, functions as F
+
+from kineo_spark.model import (
+    DT_IRI,
+    IRI_DT,
+    KIND_BLANK,
+    KIND_IRI,
+    KIND_LITERAL,
+    NUMERIC_DTS,
+    TEMPORAL_DTS,
+    PyTerm,
+    blank_col,
+    iri_col,
+    lit_bool_col,
+    term_key,
+    term_struct,
+)
+
+# ---------------------------------------------------------------------------
+# AST
+# ---------------------------------------------------------------------------
+
+
+class Expr:
+    # ergonomic builders --------------------------------------------------
+    def __and__(self, o): return ECall("&&", (self, _e(o)))
+    def __or__(self, o): return ECall("||", (self, _e(o)))
+    def __invert__(self): return ECall("!", (self,))
+    def __add__(self, o): return ECall("+", (self, _e(o)))
+    def __sub__(self, o): return ECall("-", (self, _e(o)))
+    def __mul__(self, o): return ECall("*", (self, _e(o)))
+    def __truediv__(self, o): return ECall("/", (self, _e(o)))
+    def __neg__(self): return ECall("NEG", (self,))
+    def __eq__(self, o): return ECall("=", (self, _e(o)))  # type: ignore[override]
+    def __ne__(self, o): return ECall("!=", (self, _e(o)))  # type: ignore[override]
+    def __lt__(self, o): return ECall("<", (self, _e(o)))
+    def __le__(self, o): return ECall("<=", (self, _e(o)))
+    def __gt__(self, o): return ECall(">", (self, _e(o)))
+    def __ge__(self, o): return ECall(">=", (self, _e(o)))
+    def __hash__(self):
+        return object.__hash__(self)
+
+
+def _e(x) -> "Expr":
+    if isinstance(x, Expr):
+        return x
+    if isinstance(x, PyTerm):
+        return EConst(x)
+    from kineo_spark.model import lit as mklit
+    return EConst(mklit(x))
+
+
+@dataclass(frozen=True, eq=False)
+class EVar(Expr):
+    name: str
+
+
+@dataclass(frozen=True, eq=False)
+class EConst(Expr):
+    term: PyTerm
+
+
+@dataclass(frozen=True, eq=False)
+class ECall(Expr):
+    op: str
+    args: tuple = ()
+    kwargs: tuple = ()  # ((key, value), ...) for e.g. CAST target
+
+
+@dataclass(frozen=True, eq=False)
+class EExists(Expr):
+    """EXISTS { pattern } — decorrelated by the compiler into a semi-join
+    (reference ExistsPlan, MaterializedQueryPlan.swift:1617-1660;
+    decorrelation QueryPlanner.swift:1047-1063). Only valid at the top
+    level of a FILTER (possibly under a single NOT)."""
+
+    algebra: object
+    anti: bool = False
+
+
+def v(name: str) -> EVar:
+    return EVar(name)
+
+
+def c(term) -> EConst:
+    return _e(term)  # type: ignore[return-value]
+
+
+def fn(op: str, *args, **kwargs) -> ECall:
+    return ECall(op, tuple(_e(a) for a in args), tuple(sorted(kwargs.items())))
+
+
+# ---------------------------------------------------------------------------
+# Term-column helpers
+# ---------------------------------------------------------------------------
+
+def _NULL_B() -> Column:
+    return F.lit(None).cast("boolean")
+
+
+def is_numeric_term(t: Column) -> Column:
+    return (t["kind"] == KIND_LITERAL) & t["dt"].isin(*NUMERIC_DTS) & t["num"].isNotNull()
+
+
+def is_temporal_term(t: Column) -> Column:
+    return (t["kind"] == KIND_LITERAL) & t["dt"].isin(*TEMPORAL_DTS)
+
+
+def is_string_lit(t: Column) -> Column:
+    """simple / xsd:string / language-tagged literal (argument-compat
+    domain of the string builtins, Expression.swift:303-316)."""
+    return (t["kind"] == KIND_LITERAL) & t["dt"].isin("string", "langString")
+
+
+def ebv(t: Column) -> Column:
+    """Effective boolean value; NULL = type error (Expression.swift:14-26)."""
+    return (
+        F.when(t.isNull(), _NULL_B())
+        .when(t["dt"] == "boolean", t["num"] != 0)
+        .when(
+            (t["kind"] == KIND_LITERAL) & t["dt"].isin(*NUMERIC_DTS),
+            F.coalesce((t["num"] != 0) & ~F.isnan(t["num"]), F.lit(False)),
+        )
+        .when(t["dt"].isin("string", "langString"), F.length(t["lex"]) > 0)
+        .otherwise(_NULL_B())
+    )
+
+
+def bool_term(b: Column) -> Column:
+    """Wrap a (nullable) boolean Column as an xsd:boolean term; NULL stays
+    NULL (error)."""
+    return lit_bool_col(b)
+
+
+def eq_terms(a: Column, b: Column) -> Column:
+    """SPARQL '=' value equality: numeric/temporal/boolean by value with
+    type promotion; everything else term identity (Expression.swift:903-957
+    value path + sameTerm fallback)."""
+    both_num = is_numeric_term(a) & is_numeric_term(b)
+    both_tmp = is_temporal_term(a) & is_temporal_term(b)
+    both_bool = (a["dt"] == "boolean") & (b["dt"] == "boolean")
+    return (
+        F.when(a.isNull() | b.isNull(), _NULL_B())
+        .when(both_num | both_tmp | both_bool, a["num"] == b["num"])
+        .otherwise(term_key(a) == term_key(b))
+    )
+
+
+def cmp_lt(a: Column, b: Column) -> Column:
+    """a < b under SPARQL ordering comparison; NULL on incomparable
+    operands (type error). IRIs/blanks are not <-comparable in filters."""
+    both_num = is_numeric_term(a) & is_numeric_term(b)
+    both_tmp = is_temporal_term(a) & is_temporal_term(b)
+    both_bool = (a["dt"] == "boolean") & (b["dt"] == "boolean")
+    both_str = is_string_lit(a) & is_string_lit(b)
+    return (
+        F.when(a.isNull() | b.isNull(), _NULL_B())
+        .when(both_num | both_tmp | both_bool, a["num"] < b["num"])
+        .when(both_str, a["lex"] < b["lex"])
+        .otherwise(_NULL_B())
+    )
+
+
+def _num_guard(t: Column) -> Column:
+    return F.when(is_numeric_term(t), t["num"])
+
+
+def _promote2(a: Column, b: Column) -> Column:
+    """Numeric result datatype token per promotion rules
+    (Expression.swift:538-564)."""
+    return (
+        F.when((a["dt"] == "double") | (b["dt"] == "double"), F.lit("double"))
+        .when((a["dt"] == "float") | (b["dt"] == "float"), F.lit("float"))
+        .when((a["dt"] == "decimal") | (b["dt"] == "decimal"), F.lit("decimal"))
+        .otherwise(F.lit("integer"))
+    )
+
+
+def num_term(value: Column, dt: Column) -> Column:
+    """Build a numeric literal term from a double value + dt-token column."""
+    lex = F.when(
+        dt.isin("integer", "int", "long"), value.cast("long").cast("string")
+    ).otherwise(value.cast("string"))
+    t = term_struct(F.lit(KIND_LITERAL).cast("tinyint"), lex, dt, F.lit(None).cast("string"), value)
+    return F.when(value.isNotNull() & ~F.isnan(value), t)
+
+
+def str_term(lex: Column, like: Optional[Column] = None) -> Column:
+    """String literal; if ``like`` given, preserve its lang/dt (UCASE etc.
+    keep the language tag, Expression.swift:318-430)."""
+    if like is not None:
+        dt = F.when(like["dt"].isin("string", "langString"), like["dt"]).otherwise(F.lit("string"))
+        lang = F.when(like["dt"] == "langString", like["lang"])
+    else:
+        dt = F.lit("string")
+        lang = F.lit(None).cast("string")
+    t = term_struct(F.lit(KIND_LITERAL).cast("tinyint"), lex, dt, lang, F.lit(None).cast("double"))
+    return F.when(lex.isNotNull(), t)
+
+
+# ---------------------------------------------------------------------------
+# Compiler
+# ---------------------------------------------------------------------------
+
+
+class ExprError(ValueError):
+    pass
+
+
+def compile_expr(e: Expr, env: dict[str, Column]) -> Column:
+    """Compile to a Column producing a term struct (NULL = error/unbound)."""
+    if isinstance(e, EVar):
+        col = env.get(e.name)
+        if col is None:
+            return F.lit(None).cast("struct<kind:tinyint,lex:string,dt:string,lang:string,num:double>")
+        return col
+    if isinstance(e, EConst):
+        return e.term.as_column()
+    if isinstance(e, EExists):
+        raise ExprError("EXISTS is only supported at the top level of FILTER")
+    assert isinstance(e, ECall)
+    return _compile_call(e, env)
+
+
+def _compile_call(e: ECall, env: dict[str, Column]) -> Column:  # noqa: C901
+    op = e.op
+    kw = dict(e.kwargs)
+    a = [compile_expr(x, env) for x in e.args]
+
+    # --- logical (Kleene 3-valued == SPARQL error semantics here) ---
+    if op == "&&":
+        return bool_term(ebv(a[0]) & ebv(a[1]))
+    if op == "||":
+        return bool_term(ebv(a[0]) | ebv(a[1]))
+    if op == "!":
+        return bool_term(~ebv(a[0]))
+    if op == "IF":
+        cond = ebv(a[0])
+        return F.when(cond, a[1]).when(~cond, a[2])
+    if op == "COALESCE":
+        return F.coalesce(*a)
+    if op == "IN":
+        cond = F.lit(False)
+        for x in a[1:]:
+            cond = cond | F.coalesce(eq_terms(a[0], x), F.lit(False))
+        return bool_term(F.when(a[0].isNull(), _NULL_B()).otherwise(cond))
+    if op == "NOT_IN":
+        inner = _compile_call(ECall("IN", e.args), env)
+        return bool_term(~ebv(inner))
+    if op == "BOUND":
+        return bool_term(a[0].isNotNull().cast("boolean"))
+
+    # --- comparison ---
+    if op == "=":
+        return bool_term(eq_terms(a[0], a[1]))
+    if op == "!=":
+        return bool_term(~eq_terms(a[0], a[1]))
+    if op == "<":
+        return bool_term(cmp_lt(a[0], a[1]))
+    if op == ">":
+        return bool_term(cmp_lt(a[1], a[0]))
+    if op == "<=":
+        return bool_term(~cmp_lt(a[1], a[0]))
+    if op == ">=":
+        return bool_term(~cmp_lt(a[0], a[1]))
+    if op == "SAMETERM":
+        return bool_term(
+            F.when(a[0].isNull() | a[1].isNull(), _NULL_B())
+            .otherwise(term_key(a[0]) == term_key(a[1]))
+        )
+
+    # --- arithmetic ---
+    if op in ("+", "-", "*", "/"):
+        x, y = _num_guard(a[0]), _num_guard(a[1])
+        val = {"+": x + y, "-": x - y, "*": x * y, "/": x / y}[op]
+        dt = _promote2(a[0], a[1])
+        if op == "/":
+            # integer ÷ integer → decimal (Expression.swift:538-564)
+            dt = F.when(dt == "integer", F.lit("decimal")).otherwise(dt)
+        return num_term(val.cast("double"), dt)
+    if op == "NEG":
+        return num_term(-_num_guard(a[0]), a[0]["dt"])
+    if op == "ABS":
+        return num_term(F.abs(_num_guard(a[0])), a[0]["dt"])
+    if op == "ROUND":
+        # xsd round-half-toward-+inf, not banker's (Expression.swift:432-455)
+        return num_term(F.floor(_num_guard(a[0]) + 0.5).cast("double"), a[0]["dt"])
+    if op == "CEIL":
+        return num_term(F.ceil(_num_guard(a[0])).cast("double"), a[0]["dt"])
+    if op == "FLOOR":
+        return num_term(F.floor(_num_guard(a[0])).cast("double"), a[0]["dt"])
+    if op == "RAND":
+        return num_term(F.rand(), F.lit("double"))
+
+    # --- strings ---
+    if op == "STR":
+        return str_term(F.when(a[0]["kind"] != KIND_BLANK, a[0]["lex"]))
+    if op == "STRLEN":
+        return num_term(
+            F.when(is_string_lit(a[0]), F.length(a[0]["lex"]).cast("double")),
+            F.lit("integer"),
+        )
+    if op == "UCASE":
+        return str_term(F.when(is_string_lit(a[0]), F.upper(a[0]["lex"])), like=a[0])
+    if op == "LCASE":
+        return str_term(F.when(is_string_lit(a[0]), F.lower(a[0]["lex"])), like=a[0])
+    if op == "CONCAT":
+        lex = F.concat(*[F.when(is_string_lit(x), x["lex"]) for x in a])
+        # all-same-language → keep it, else simple literal (:303-316)
+        lang = a[0]["lang"]
+        same = F.lit(True)
+        for x in a[1:]:
+            same = same & (x["lang"] == lang)
+        lang_out = F.when(same & lang.isNotNull(), lang)
+        t = term_struct(
+            F.lit(KIND_LITERAL).cast("tinyint"), lex,
+            F.when(lang_out.isNotNull(), F.lit("langString")).otherwise(F.lit("string")),
+            lang_out, F.lit(None).cast("double"),
+        )
+        return F.when(lex.isNotNull(), t)
+    if op == "CONTAINS":
+        return bool_term(F.when(is_string_lit(a[0]) & is_string_lit(a[1]),
+                                a[0]["lex"].contains(a[1]["lex"])))
+    if op == "STRSTARTS":
+        return bool_term(F.when(is_string_lit(a[0]) & is_string_lit(a[1]),
+                                a[0]["lex"].startswith(a[1]["lex"])))
+    if op == "STRENDS":
+        return bool_term(F.when(is_string_lit(a[0]) & is_string_lit(a[1]),
+                                a[0]["lex"].endswith(a[1]["lex"])))
+    if op == "SUBSTR":
+        start = _num_guard(a[1]).cast("int")
+        if len(a) > 2:
+            lex = F.substring(a[0]["lex"], start, _num_guard(a[2]).cast("int"))
+        else:
+            lex = F.substring(a[0]["lex"], start, F.lit(1 << 30))
+        return str_term(F.when(is_string_lit(a[0]), lex), like=a[0])
+    if op == "REPLACE":
+        lex = F.regexp_replace(a[0]["lex"], a[1]["lex"], a[2]["lex"])
+        return str_term(F.when(is_string_lit(a[0]), lex), like=a[0])
+    if op == "REGEX":
+        pat = a[1]["lex"]
+        if len(a) > 2:
+            pat = F.concat(F.lit("(?"), a[2]["lex"], F.lit(")"), pat)
+        return bool_term(F.when(is_string_lit(a[0]), a[0]["lex"].rlike(pat)))
+    if op in ("STRBEFORE", "STRAFTER"):
+        pos = F.instr(a[0]["lex"], a[1]["lex"])
+        if op == "STRBEFORE":
+            found = F.substring(a[0]["lex"], 1, pos - 1)
+        else:
+            found = F.substring(a[0]["lex"], pos + F.length(a[1]["lex"]), F.lit(1 << 30))
+        lex = F.when(pos > 0, found).otherwise(F.lit(""))
+        return str_term(F.when(is_string_lit(a[0]) & is_string_lit(a[1]), lex), like=a[0])
+    if op == "ENCODE_FOR_URI":
+        enc = F.replace(F.url_encode(a[0]["lex"]), F.lit("+"), F.lit("%20"))
+        return str_term(F.when(is_string_lit(a[0]), enc))
+    if op == "LANG":
+        return str_term(
+            F.when(a[0]["kind"] == KIND_LITERAL, F.coalesce(a[0]["lang"], F.lit("")))
+        )
+    if op == "LANGMATCHES":
+        lang, rng = F.lower(a[0]["lex"]), F.lower(a[1]["lex"])
+        m = F.when(rng == "*", F.length(lang) > 0).otherwise(
+            (lang == rng) | lang.startswith(F.concat(rng, F.lit("-")))
+        )
+        return bool_term(m)
+    if op == "DATATYPE":
+        tok = F.when(a[0]["kind"] == KIND_LITERAL, F.coalesce(a[0]["dt"], F.lit("string")))
+        mapping = F.create_map(*[F.lit(x) for kvs in DT_IRI.items() for x in kvs])
+        return iri_col(F.coalesce(mapping[tok], tok))
+
+    # --- constructors ---
+    if op == "IRI" or op == "URI":
+        base = kw.get("base", "")
+        lex = F.when(a[0]["kind"] == KIND_IRI, a[0]["lex"]).when(
+            is_string_lit(a[0]),
+            F.when(a[0]["lex"].rlike("^[A-Za-z][A-Za-z0-9+.-]*:"), a[0]["lex"])
+            .otherwise(F.concat(F.lit(base), a[0]["lex"])),
+        )
+        return iri_col(lex)
+    if op == "BNODE":
+        # fresh label per evaluation; BNODE(label) per-row coherence caveat
+        # documented (reference NextRowPlan, MaterializedQueryPlan.swift:517-537)
+        seed = a[0]["lex"] if a else F.lit("")
+        return blank_col(F.md5(F.concat(seed, F.expr("uuid()"))))
+    if op == "STRDT":
+        iri_str = a[1]["lex"]
+        tok = F.coalesce(
+            F.create_map(*[F.lit(x) for kvs in IRI_DT.items() for x in kvs])[iri_str],
+            iri_str,
+        )
+        t = term_struct(
+            F.lit(KIND_LITERAL).cast("tinyint"), a[0]["lex"], tok,
+            F.lit(None).cast("string"),
+            F.when(tok.isin(*NUMERIC_DTS), a[0]["lex"].cast("double")),
+        )
+        return F.when(is_string_lit(a[0]) & (a[1]["kind"] == KIND_IRI), t)
+    if op == "STRLANG":
+        t = term_struct(
+            F.lit(KIND_LITERAL).cast("tinyint"), a[0]["lex"], F.lit("langString"),
+            a[1]["lex"], F.lit(None).cast("double"),
+        )
+        return F.when(is_string_lit(a[0]) & is_string_lit(a[1]), t)
+    if op == "UUID":
+        return iri_col(F.concat(F.lit("urn:uuid:"), F.expr("uuid()")))
+    if op == "STRUUID":
+        return str_term(F.expr("uuid()"))
+
+    # --- term tests ---
+    if op == "ISIRI" or op == "ISURI":
+        return bool_term(F.when(a[0].isNotNull(), a[0]["kind"] == KIND_IRI))
+    if op == "ISBLANK":
+        return bool_term(F.when(a[0].isNotNull(), a[0]["kind"] == KIND_BLANK))
+    if op == "ISLITERAL":
+        return bool_term(F.when(a[0].isNotNull(), a[0]["kind"] == KIND_LITERAL))
+    if op == "ISNUMERIC":
+        return bool_term(F.when(a[0].isNotNull(), is_numeric_term(a[0])))
+
+    # --- casts (Expression.swift:602-748): lexical validation, error→NULL ---
+    if op == "CAST":
+        return _compile_cast(kw["to"], a[0])
+
+    # --- date/time (UTC calendar, Expression.swift:65-75,115-176) ---
+    if op == "NOW":
+        from kineo_spark.model import lit_datetime_col
+        return lit_datetime_col(F.current_timestamp())
+    if op in ("YEAR", "MONTH", "DAY", "HOURS", "MINUTES", "SECONDS"):
+        ts = F.timestamp_micros(F.when(is_temporal_term(a[0]), a[0]["num"]).cast("long"))
+        part = {
+            "YEAR": F.year, "MONTH": F.month, "DAY": F.dayofmonth,
+            "HOURS": F.hour, "MINUTES": F.minute,
+        }.get(op)
+        if op == "SECONDS":
+            val = (F.second(ts) + (F.unix_micros(ts) % 60_000_000 % 1_000_000) / 1e6).cast("double")
+            return num_term(val, F.lit("decimal"))
+        return num_term(part(ts).cast("double"), F.lit("integer"))
+    if op == "TZ":
+        tz = F.when(a[0]["lex"].endswith("Z"), F.lit("Z")).otherwise(
+            F.regexp_extract(a[0]["lex"], r"([+-]\d{2}:\d{2})$", 1)
+        )
+        return str_term(F.when(is_temporal_term(a[0]), tz))
+
+    # --- hashes (Expression.swift:57-63,207-238) ---
+    if op in ("MD5", "SHA1", "SHA256", "SHA384", "SHA512"):
+        h = {
+            "MD5": lambda x: F.md5(x),
+            "SHA1": lambda x: F.sha1(x),
+            "SHA256": lambda x: F.sha2(x, 256),
+            "SHA384": lambda x: F.sha2(x, 384),
+            "SHA512": lambda x: F.sha2(x, 512),
+        }[op](a[0]["lex"])
+        return str_term(F.when(is_string_lit(a[0]), h))
+
+    raise ExprError(f"unknown function {op}")
+
+
+def _compile_cast(to: str, t: Column) -> Column:
+    lex = t["lex"]
+    if to in ("integer", "int", "long"):
+        val = (
+            F.when(is_numeric_term(t), t["num"])
+            .when(t["dt"] == "boolean", t["num"])
+            .when(lex.rlike(r"^\s*[+-]?\d+\s*$"), lex.cast("double"))
+        )
+        iv = val.cast("long")
+        return F.when(iv.isNotNull(), num_term(iv.cast("double"), F.lit("integer")))
+    if to in ("double", "float", "decimal"):
+        val = (
+            F.when(is_numeric_term(t) | (t["dt"] == "boolean"), t["num"])
+            .when(lex.rlike(r"^\s*[+-]?(\d+\.?\d*|\.\d+)([eE][+-]?\d+)?\s*$"), lex.cast("double"))
+        )
+        return num_term(val, F.lit(to))
+    if to == "boolean":
+        b = (
+            F.when(t["dt"] == "boolean", t["num"] != 0)
+            .when(is_numeric_term(t), t["num"] != 0)
+            .when(lex.isin("true", "1"), F.lit(True))
+            .when(lex.isin("false", "0"), F.lit(False))
+        )
+        return bool_term(b)
+    if to == "string":
+        return str_term(F.when(t["kind"] != KIND_BLANK, lex))
+    if to in ("dateTime", "date"):
+        ts = F.when(is_temporal_term(t), F.timestamp_micros(t["num"].cast("long"))).otherwise(
+            F.to_timestamp(F.replace(lex, F.lit("T"), F.lit(" ")))
+        )
+        from kineo_spark.model import lit_date_col, lit_datetime_col
+        return lit_datetime_col(ts) if to == "dateTime" else lit_date_col(ts.cast("date"))
+    raise ExprError(f"unsupported cast target {to}")

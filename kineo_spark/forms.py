@@ -1,0 +1,87 @@
+"""Query forms: SELECT / ASK / CONSTRUCT / DESCRIBE (SURVEY §2.10).
+
+Reference: form dispatch in QueryPlanner.swift:1169-1202 and DESCRIBE in
+SimpleQueryEvaluation.swift:1305-1372.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from kineo_spark import algebra as A
+from kineo_spark.compiler import Compiler, Plan
+from kineo_spark.model import PyTerm, TERM_SCHEMA
+
+
+def select_plan(compiler: Compiler, q: A.SelectQuery, graph=None) -> Plan:
+    plan = compiler.compile(q.algebra, graph)
+    if not q.variables:
+        return plan
+    cols = [
+        (plan.df[v] if v in plan.df.columns else F.lit(None).cast(TERM_SCHEMA)).alias(v)
+        for v in q.variables
+    ]
+    return Plan(plan.df.select(*cols), plan.certain & set(q.variables))
+
+
+def select(compiler: Compiler, q: A.SelectQuery) -> DataFrame:
+    return select_plan(compiler, q).df
+
+
+def ask(compiler: Compiler, q: A.AskQuery) -> bool:
+    plan = compiler.compile(q.algebra)
+    return not plan.df.limit(1).isEmpty()
+
+
+def construct(compiler: Compiler, q: A.ConstructQuery) -> DataFrame:
+    """Instantiate the template per solution, dedup
+    (QueryPlanner.swift:1181-1199). Returns a triples DataFrame
+    (s, p, o term structs)."""
+    plan = compiler.compile(q.algebra)
+    df = plan.df
+    parts = []
+    for tp in q.template:
+        cols = []
+        for name, node in (("s", tp.s), ("p", tp.p), ("o", tp.o)):
+            if isinstance(node, PyTerm):
+                cols.append(node.as_column().alias(name))
+            else:
+                cols.append(
+                    (df[node.name] if node.name in df.columns else F.lit(None).cast(TERM_SCHEMA)).alias(name)
+                )
+        t = df.select(*cols).filter(
+            F.col("s").isNotNull() & F.col("p").isNotNull() & F.col("o").isNotNull()
+        )
+        parts.append(t)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    from kineo_spark.model import term_key
+    out = out.withColumn("__k", F.concat_ws("", term_key(F.col("s")), term_key(F.col("p")), term_key(F.col("o"))))
+    return out.dropDuplicates(["__k"]).drop("__k")
+
+
+def describe(compiler: Compiler, q: A.DescribeQuery) -> DataFrame:
+    """All triples whose subject is a described term
+    (SimpleQueryEvaluation.swift:1305-1372)."""
+    from kineo_spark.model import term_key
+    plan = compiler.compile(q.algebra) if q.algebra is not None else None
+    terms = []
+    for node in q.nodes:
+        if isinstance(node, PyTerm):
+            terms.append(node)
+    sv, pv, ov = A.Var("s"), A.Var("p"), A.Var("o")
+    scan = compiler._scan(A.QuadPattern(sv, pv, ov, A.Var("__dg", binding=False)))
+    df = scan.df
+    conds = None
+    for t in terms:
+        c = term_key(df["s"]) == t.key()
+        conds = c if conds is None else (conds | c)
+    if plan is not None and q.nodes:
+        for node in q.nodes:
+            if isinstance(node, A.Var) and node.name in plan.df.columns:
+                keys = plan.df.select(term_key(plan.df[node.name]).alias("__dk")).dropDuplicates()
+                df = df.join(F.broadcast(keys), term_key(df["s"]) == keys["__dk"], "left_semi")
+    if conds is not None:
+        df = df.filter(conds)
+    return df.select("s", "p", "o")

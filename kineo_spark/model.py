@@ -1,0 +1,309 @@
+"""RDF term / quad data model as Spark columns.
+
+Reference model: Kineo's ``Term`` (IRI | blank | literal(lexical, type))
+and ``Quad(subject, predicate, object, graph)`` —
+/root/reference/Sources/Kineo/RDF/RDF.swift:335-391,
+/root/reference/Sources/Kineo/QuadStore/QuadStore.swift:48-50.
+
+Spark-native representation: a term is a 5-field struct column
+
+    term = struct(kind tinyint, lex string, dt string, lang string, num double)
+
+- ``kind``: 0 = IRI, 1 = blank node, 2 = literal.
+- ``lex``:  IRI string / blank label / literal lexical form.
+- ``dt``:   compact datatype token ('integer', 'double', 'string',
+            'dateTime', ...) or a full custom datatype IRI; null for
+            IRI/blank. Language-tagged literals use token 'langString'.
+- ``lang``: language tag or null.
+- ``num``:  typed shadow value so comparisons / aggregates / sorts run
+            natively JVM-side: numeric value for numeric datatypes,
+            0/1 for xsd:boolean, epoch MICROseconds for dateTime/date.
+            This mirrors the reference's packed-ID value inlining
+            (QuadStore/IdentityMap.swift:19-80) without a dictionary.
+
+An *unbound* variable (and an errored expression — SPARQL error-as-
+unbound, MaterializedQueryPlan.swift:427-439,501-513) is a NULL struct.
+
+Join/group/dedup keys use a canonical string encoding (``term_key``)
+rather than raw structs, so null-field semantics are never ambiguous and
+shuffles carry a flat binary-comparable key.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import Column, functions as F
+from pyspark.sql import types as T
+
+KIND_IRI = 0
+KIND_BLANK = 1
+KIND_LITERAL = 2
+
+XSD = "http://www.w3.org/2001/XMLSchema#"
+RDF_NS = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+
+# compact datatype tokens <-> full IRIs
+_DT_TOKENS = [
+    "string", "integer", "int", "long", "decimal", "float", "double",
+    "boolean", "date", "dateTime", "time", "duration",
+    "yearMonthDuration", "dayTimeDuration", "anyURI",
+]
+DT_IRI = {t: XSD + t for t in _DT_TOKENS}
+DT_IRI["langString"] = RDF_NS + "langString"
+IRI_DT = {v: k for k, v in DT_IRI.items()}
+
+NUMERIC_DTS = {"integer", "int", "long", "decimal", "float", "double"}
+TEMPORAL_DTS = {"date", "dateTime", "time"}
+
+TERM_SCHEMA = T.StructType(
+    [
+        T.StructField("kind", T.ByteType()),
+        T.StructField("lex", T.StringType()),
+        T.StructField("dt", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("num", T.DoubleType()),
+    ]
+)
+
+# Flat quads-table schema (FIXTURES.md §0): the generic on-disk layout.
+QUADS_SCHEMA = T.StructType(
+    [
+        T.StructField("s_kind", T.ByteType()),
+        T.StructField("s_lex", T.StringType()),
+        T.StructField("p_lex", T.StringType()),
+        T.StructField("o_kind", T.ByteType()),
+        T.StructField("o_lex", T.StringType()),
+        T.StructField("o_dt", T.StringType()),
+        T.StructField("o_lang", T.StringType()),
+        T.StructField("o_num", T.DoubleType()),
+        T.StructField("g_lex", T.StringType()),
+    ]
+)
+
+
+# ---------------------------------------------------------------------------
+# Column-side constructors
+# ---------------------------------------------------------------------------
+
+def _b(kind: int) -> Column:
+    return F.lit(kind).cast("tinyint")
+
+
+def _NULL_S() -> Column:
+    return F.lit(None).cast("string")
+
+
+def _NULL_D() -> Column:
+    return F.lit(None).cast("double")
+
+
+def term_struct(kind: Column, lex: Column, dt: Column, lang: Column, num: Column) -> Column:
+    return F.struct(
+        kind.alias("kind"), lex.alias("lex"), dt.alias("dt"),
+        lang.alias("lang"), num.alias("num"),
+    )
+
+
+def iri_col(lex: Column) -> Column:
+    """IRI term from a string column (null-propagating)."""
+    t = term_struct(_b(KIND_IRI), lex, _NULL_S(), _NULL_S(), _NULL_D())
+    return F.when(lex.isNotNull(), t)
+
+
+def blank_col(label: Column) -> Column:
+    t = term_struct(_b(KIND_BLANK), label, _NULL_S(), _NULL_S(), _NULL_D())
+    return F.when(label.isNotNull(), t)
+
+
+def lit_string_col(lex: Column) -> Column:
+    t = term_struct(_b(KIND_LITERAL), lex, F.lit("string"), _NULL_S(), _NULL_D())
+    return F.when(lex.isNotNull(), t)
+
+
+def lit_lang_col(lex: Column, lang: Column) -> Column:
+    t = term_struct(_b(KIND_LITERAL), lex, F.lit("langString"), lang, _NULL_D())
+    return F.when(lex.isNotNull() & lang.isNotNull(), t)
+
+
+def lit_numeric_col(value: Column, dt: str) -> Column:
+    """Numeric literal from a native numeric column; lexical form is the
+    canonical decimal/integer formatting of the value."""
+    if dt in ("integer", "int", "long"):
+        lex = value.cast("long").cast("string")
+        num = value.cast("double")
+    else:
+        lex = value.cast("string")
+        num = value.cast("double")
+    t = term_struct(_b(KIND_LITERAL), lex, F.lit(dt), _NULL_S(), num)
+    return F.when(value.isNotNull(), t)
+
+
+def lit_bool_col(value: Column) -> Column:
+    t = term_struct(
+        _b(KIND_LITERAL),
+        F.when(value, "true").otherwise("false"),
+        F.lit("boolean"), _NULL_S(),
+        value.cast("double"),
+    )
+    return F.when(value.isNotNull(), t)
+
+
+def lit_datetime_col(ts: Column) -> Column:
+    """dateTime literal from a native timestamp column. num = epoch µs."""
+    t = term_struct(
+        _b(KIND_LITERAL),
+        F.date_format(ts, "yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'"),
+        F.lit("dateTime"), _NULL_S(),
+        F.unix_micros(ts).cast("double"),
+    )
+    return F.when(ts.isNotNull(), t)
+
+
+def lit_date_col(d: Column) -> Column:
+    t = term_struct(
+        _b(KIND_LITERAL),
+        F.date_format(d, "yyyy-MM-dd"),
+        F.lit("date"), _NULL_S(),
+        F.unix_micros(d.cast("timestamp")).cast("double"),
+    )
+    return F.when(d.isNotNull(), t)
+
+
+def term_from_spark_col(col: Column, dtype: T.DataType) -> Column:
+    """Map a native Spark column to a typed literal term (relational →
+    RDF adapter; FIXTURES.md §5)."""
+    if isinstance(dtype, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+        return lit_numeric_col(col, "integer")
+    if isinstance(dtype, (T.FloatType, T.DoubleType)):
+        return lit_numeric_col(col, "double")
+    if isinstance(dtype, T.DecimalType):
+        return lit_numeric_col(col, "decimal")
+    if isinstance(dtype, T.BooleanType):
+        return lit_bool_col(col)
+    if isinstance(dtype, T.TimestampType):
+        return lit_datetime_col(col)
+    if isinstance(dtype, T.DateType):
+        return lit_date_col(col)
+    return lit_string_col(col.cast("string"))
+
+
+# ---------------------------------------------------------------------------
+# Keys and ordering
+# ---------------------------------------------------------------------------
+
+_SEP = "\u0001"
+
+
+def term_key(term: Column) -> Column:
+    """Canonical string identity of a term (sameTerm equality): kind + lex
+    + dt + lang. num is derived from lex so it is excluded. NULL iff the
+    term is unbound."""
+    return F.when(
+        term.isNotNull(),
+        F.concat_ws(
+            _SEP,
+            term["kind"].cast("string"),
+            term["lex"],
+            F.coalesce(term["dt"], F.lit("")),
+            F.coalesce(term["lang"], F.lit("")),
+        ),
+    )
+
+
+def sort_key(term: Column) -> Column:
+    """Total-order sort key implementing SPARQL ORDER BY semantics:
+    unbound < blank < IRI < literal; literals compare by typed value when
+    comparable, else lexical form (reference: OrderPlan,
+    MaterializedQueryPlan.swift:705-748; sparqlCompare,
+    Expression.swift:903-957). Spark orders structs field-wise, nulls
+    first — which is exactly the 'unbound first' rule."""
+    kind_rank = (
+        F.when(term.isNull(), F.lit(-1))
+        .when(term["kind"] == KIND_BLANK, F.lit(0))
+        .when(term["kind"] == KIND_IRI, F.lit(1))
+        .otherwise(F.lit(2))
+    )
+    is_valued = term["num"].isNotNull()
+    return F.struct(
+        kind_rank.alias("k"),
+        # valued literals (numeric/boolean/temporal) sort before others by value
+        F.when(term.isNull(), F.lit(None)).otherwise(is_valued.cast("int") * -1).alias("vflag"),
+        term["num"].alias("num"),
+        term["lex"].alias("lex"),
+        term["dt"].alias("dt"),
+        term["lang"].alias("lang"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Driver-side terms (constants in queries)
+# ---------------------------------------------------------------------------
+
+@dataclass(frozen=True)
+class PyTerm:
+    """A constant RDF term in a query (driver-side)."""
+
+    kind: int
+    lex: str
+    dt: str | None = None
+    lang: str | None = None
+
+    @property
+    def num(self) -> float | None:
+        if self.dt in NUMERIC_DTS:
+            try:
+                return float(self.lex)
+            except ValueError:
+                return None
+        if self.dt == "boolean":
+            return 1.0 if self.lex == "true" else 0.0
+        return None
+
+    def as_column(self) -> Column:
+        return term_struct(
+            _b(self.kind),
+            F.lit(self.lex),
+            F.lit(self.dt).cast("string"),
+            F.lit(self.lang).cast("string"),
+            F.lit(self.num).cast("double"),
+        )
+
+    def key(self) -> str:
+        return _SEP.join(
+            [str(self.kind), self.lex, self.dt or "", self.lang or ""]
+        )
+
+    def n3(self) -> str:
+        if self.kind == KIND_IRI:
+            return f"<{self.lex}>"
+        if self.kind == KIND_BLANK:
+            return f"_:{self.lex}"
+        esc = self.lex.replace("\\", "\\\\").replace('"', '\\"').replace("\n", "\\n")
+        if self.lang:
+            return f'"{esc}"@{self.lang}'
+        if self.dt and self.dt != "string":
+            return f'"{esc}"^^<{DT_IRI.get(self.dt, self.dt)}>'
+        return f'"{esc}"'
+
+
+def iri(s: str) -> PyTerm:
+    return PyTerm(KIND_IRI, s)
+
+
+def blank(label: str) -> PyTerm:
+    return PyTerm(KIND_BLANK, label)
+
+
+def lit(value, dt: str | None = None, lang: str | None = None) -> PyTerm:
+    if lang is not None:
+        return PyTerm(KIND_LITERAL, str(value), "langString", lang)
+    if dt is not None:
+        return PyTerm(KIND_LITERAL, str(value), dt)
+    if isinstance(value, bool):
+        return PyTerm(KIND_LITERAL, "true" if value else "false", "boolean")
+    if isinstance(value, int):
+        return PyTerm(KIND_LITERAL, str(value), "integer")
+    if isinstance(value, float):
+        return PyTerm(KIND_LITERAL, repr(value), "double")
+    return PyTerm(KIND_LITERAL, str(value), "string")

@@ -1,0 +1,155 @@
+"""Property path evaluation (SURVEY §2.8).
+
+Reference: recursive path iterators with an ``alp`` transitive-closure
+helper (/root/reference/Sources/Kineo/SPARQL/MaterializedQueryPlan.swift:
+1707-2174 and IDQueryPlan.swift:802-1225). The SQLite backend compiles
+``p+``/``p*`` to recursive CTEs (SQLiteQuadStore.swift:593-665); Spark SQL
+has no recursive CTE, so the transitive operators run as a driver-
+coordinated distributed semi-naive fixpoint:
+
+    frontier ⋈ edges → new pairs; accumulate DISTINCT; stop when empty.
+
+Each round is a full Spark job (hash join + dedup, all executors);
+``localCheckpoint`` truncates lineage so 100-round closures don't build
+mile-long plans. The edge relation is deduplicated once up front —
+closure size, not input size, bounds the work. For analytic-scale
+all-pairs reachability GraphFrames/Pregel is the alternative backend;
+this implementation keeps everything in DataFrame land.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from kineo_spark import algebra as A
+from kineo_spark.model import PyTerm, term_key
+
+# pair frame columns: __s term, __o term, __sk, __ok (keys)
+
+
+def _pairs(df: DataFrame, s, o) -> DataFrame:
+    return df.select(
+        s.alias("__s"), o.alias("__o"),
+        term_key(s).alias("__sk"), term_key(o).alias("__ok"),
+    )
+
+
+def _edges_for(compiler, path: A.Path, graph) -> DataFrame:
+    """One-step relation for a path as (__s, __o, __sk, __ok)."""
+    A_ = A
+    if isinstance(path, A.PLink):
+        sv, ov = A.Var("__ps"), A.Var("__po")
+        plan = compiler._scan(A.QuadPattern(sv, path.iri, ov, graph))
+        return _pairs(plan.df, plan.df["__ps"], plan.df["__po"])
+    if isinstance(path, A.PInv):
+        inner = _edges_for(compiler, path.path, graph)
+        return inner.select(
+            inner["__o"].alias("__s"), inner["__s"].alias("__o"),
+            inner["__ok"].alias("__sk"), inner["__sk"].alias("__ok"),
+        )
+    if isinstance(path, A.PSeq):
+        l = _edges_for(compiler, path.lhs, graph)
+        r = _edges_for(compiler, path.rhs, graph)
+        r2 = r.select(
+            r["__s"].alias("__ms"), r["__o"].alias("__ro"),
+            r["__sk"].alias("__msk"), r["__ok"].alias("__rok"),
+        )
+        j = l.join(r2, l["__ok"] == r2["__msk"], "inner")
+        return j.select(
+            j["__s"], j["__ro"].alias("__o"), j["__sk"], j["__rok"].alias("__ok")
+        )
+    if isinstance(path, A.PAlt):
+        return _edges_for(compiler, path.lhs, graph).unionByName(
+            _edges_for(compiler, path.rhs, graph)
+        )
+    if isinstance(path, A.PNps):
+        sv, pv, ov = A.Var("__ps"), A.Var("__pp"), A.Var("__po")
+        plan = compiler._scan(A.QuadPattern(sv, pv, ov, graph))
+        df = plan.df
+        excluded = [t.lex for t in path.iris]
+        df = df.filter(~df["__pp"]["lex"].isin(excluded))
+        return _pairs(df, df["__ps"], df["__po"])
+    if isinstance(path, (A.PPlus, A.PStar, A.PZeroOrOne)):
+        raise ValueError("nested closure paths must go through eval_path")
+    raise NotImplementedError(type(path).__name__)
+
+
+def _closure(compiler, edges: DataFrame, max_iterations: int) -> DataFrame:
+    """Semi-naive transitive closure of the (deduplicated) edge relation."""
+    edges = edges.dropDuplicates(["__sk", "__ok"]).localCheckpoint(eager=True)
+    acc = edges
+    frontier = edges
+    e2 = edges.select(
+        edges["__sk"].alias("__esk"), edges["__ok"].alias("__eok"),
+        edges["__o"].alias("__eo"),
+    )
+    for _ in range(max_iterations):
+        grown = (
+            frontier.join(e2, frontier["__ok"] == e2["__esk"], "inner")
+            .select(
+                frontier["__s"], F.col("__eo").alias("__o"),
+                frontier["__sk"], F.col("__eok").alias("__ok"),
+            )
+            .dropDuplicates(["__sk", "__ok"])
+        )
+        new = grown.join(acc, ["__sk", "__ok"], "left_anti").localCheckpoint(eager=True)
+        if new.isEmpty():
+            break
+        acc = acc.unionByName(new).localCheckpoint(eager=True)
+        frontier = new
+    else:
+        raise RuntimeError(f"path closure did not converge in {max_iterations} iterations")
+    return acc
+
+
+def _graph_nodes(compiler, graph) -> DataFrame:
+    """All terms appearing as subject or object (zero-length path
+    endpoints, reference MaterializedQueryPlan.swift:1986-2174)."""
+    sv, pv, ov = A.Var("__ps"), A.Var("__pp", binding=False), A.Var("__po")
+    plan = compiler._scan(A.QuadPattern(sv, pv, ov, graph))
+    df = plan.df
+    subs = df.select(df["__ps"].alias("__n"))
+    objs = df.select(df["__po"].alias("__n"))
+    nodes = subs.unionByName(objs)
+    nodes = nodes.withColumn("__nk", term_key(nodes["__n"])).dropDuplicates(["__nk"])
+    return nodes.select(
+        nodes["__n"].alias("__s"), nodes["__n"].alias("__o"),
+        nodes["__nk"].alias("__sk"), nodes["__nk"].alias("__ok"),
+    )
+
+
+def eval_path(compiler, node: A.PathPattern, graph) -> "Plan":
+    from kineo_spark.compiler import Plan
+
+    path = node.path
+    if isinstance(path, A.PPlus):
+        pairs = _closure(compiler, _edges_for(compiler, path.path, graph),
+                         compiler.max_path_iterations)
+    elif isinstance(path, A.PStar):
+        plus = _closure(compiler, _edges_for(compiler, path.path, graph),
+                        compiler.max_path_iterations)
+        pairs = plus.unionByName(_graph_nodes(compiler, graph)).dropDuplicates(["__sk", "__ok"])
+    elif isinstance(path, A.PZeroOrOne):
+        one = _edges_for(compiler, path.path, graph).dropDuplicates(["__sk", "__ok"])
+        pairs = one.unionByName(_graph_nodes(compiler, graph)).dropDuplicates(["__sk", "__ok"])
+    else:
+        pairs = _edges_for(compiler, path, graph)
+
+    # bind endpoints
+    df = pairs
+    out_cols = {}
+    certain = set()
+    for endpoint, col, key in (
+        (node.subject, "__s", "__sk"),
+        (node.object, "__o", "__ok"),
+    ):
+        if isinstance(endpoint, PyTerm):
+            df = df.filter(F.col(key) == endpoint.key())
+        else:
+            if endpoint.name in out_cols:  # same var both ends
+                df = df.filter(F.col("__sk") == F.col("__ok"))
+            elif endpoint.binding:
+                out_cols[endpoint.name] = col
+                certain.add(endpoint.name)
+    df = df.select(*[F.col(c).alias(n) for n, c in out_cols.items()])
+    return Plan(df, frozenset(certain))

@@ -1,0 +1,57 @@
+"""SparkSession factory with scale-oriented defaults.
+
+Single place where engine-relevant configs live so tests, bench and the
+driver entry all run the same way. On a real cluster only master/shuffle
+partitions change; the semantic configs (timezone, AQE, Arrow) hold.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Configs that are safe (and desirable) to set at runtime on a session we
+# did not create ourselves (the driver owns the session for entry()).
+_RUNTIME_CONFS = {
+    # SPARQL dateTime semantics are UTC-calendar based (reference:
+    # Sources/Kineo/SPARQL/Expression.swift:115-176 uses UTC components).
+    "spark.sql.session.timeZone": "UTC",
+    # events.parquet is written with TIMESTAMP(NANOS) which Spark refuses
+    # by default; read as long and convert to microseconds ourselves.
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Runtime re-planning: skew joins, coalesced shuffle partitions.
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Arrow for the few pandas-UDF operators (pipeline/).
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+}
+
+
+def tune(spark: SparkSession) -> SparkSession:
+    """Apply runtime configs to an externally provided session."""
+    for k, v in _RUNTIME_CONFS.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass  # immutable in this deployment; keep going
+    return spark
+
+
+def get_spark(app: str = "kineo-spark", cpus: int | None = None) -> SparkSession:
+    if cpus is None:
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or os.cpu_count() or 4
+    b = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app)
+        .config("spark.sql.shuffle.partitions", str(max(cpus, 8)))
+        .config("spark.driver.memory", os.environ.get("KINEO_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.extraJavaOptions", "-Djava.io.tmpdir=/tmp")
+    )
+    for k, v in _RUNTIME_CONFS.items():
+        b = b.config(k, v)
+    spark = b.getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    return tune(spark)

@@ -1,0 +1,68 @@
+"""Algebra → SPARQL text serialization (minimal).
+
+Used by SERVICE federation to ship a sub-pattern to a remote endpoint
+(reference serializes the subalgebra back to SPARQL,
+QueryPlanner.swift:819-833). Covers the pattern subset that is useful to
+federate: BGPs, FILTER, UNION, OPTIONAL, VALUES.
+"""
+
+from __future__ import annotations
+
+from kineo_spark import algebra as A
+from kineo_spark.expr import EConst, ECall, EVar, Expr
+from kineo_spark.model import PyTerm
+
+
+def _node(n) -> str:
+    if isinstance(n, A.Var):
+        return f"?{n.name}" if n.binding else "[]"
+    assert isinstance(n, PyTerm)
+    return n.n3()
+
+
+_INFIX = {"&&", "||", "=", "!=", "<", "<=", ">", ">=", "+", "-", "*", "/"}
+
+
+def _expr(e: Expr) -> str:
+    if isinstance(e, EVar):
+        return f"?{e.name}"
+    if isinstance(e, EConst):
+        return e.term.n3()
+    assert isinstance(e, ECall)
+    if e.op in _INFIX and len(e.args) == 2:
+        return f"({_expr(e.args[0])} {e.op} {_expr(e.args[1])})"
+    if e.op == "!":
+        return f"(!{_expr(e.args[0])})"
+    args = ", ".join(_expr(a) for a in e.args)
+    return f"{e.op}({args})"
+
+
+def _pattern(a: A.Algebra) -> str:
+    if isinstance(a, A.BGP):
+        return " .\n".join(
+            f"{_node(t.s)} {_node(t.p)} {_node(t.o)}" for t in a.patterns
+        ) + " ."
+    if isinstance(a, A.Triple):
+        t = a.pattern
+        return f"{_node(t.s)} {_node(t.p)} {_node(t.o)} ."
+    if isinstance(a, A.Filter):
+        return f"{_pattern(a.child)}\nFILTER({_expr(a.expr)})"
+    if isinstance(a, A.Join):
+        return f"{_pattern(a.lhs)}\n{_pattern(a.rhs)}"
+    if isinstance(a, A.Union):
+        return f"{{ {_pattern(a.lhs)} }} UNION {{ {_pattern(a.rhs)} }}"
+    if isinstance(a, A.LeftJoin):
+        f = f" FILTER({_expr(a.expr)})" if a.expr is not None else ""
+        return f"{_pattern(a.lhs)}\nOPTIONAL {{ {_pattern(a.rhs)}{f} }}"
+    if isinstance(a, A.Table):
+        header = " ".join(f"?{v}" for v in a.variables)
+        rows = " ".join(
+            "(" + " ".join("UNDEF" if t is None else t.n3() for t in row) + ")"
+            for row in a.rows
+        )
+        return f"VALUES ({header}) {{ {rows} }}"
+    raise NotImplementedError(f"cannot serialize {type(a).__name__} to SPARQL")
+
+
+def algebra_to_sparql(a: A.Algebra) -> str:
+    return "SELECT * WHERE {\n" + _pattern(a) + "\n}"

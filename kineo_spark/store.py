@@ -1,0 +1,324 @@
+"""Quad stores: pluggable pattern-scan sources.
+
+Reference: the ``QuadStoreProtocol`` family
+(/root/reference/Sources/Kineo/QuadStore/QuadStore.swift:48-140) with
+implementations MemoryQuadStore / SQLiteQuadStore / DiomedeQuadStore /
+SPARQLClientQuadStore. The store contract here is one method:
+
+    scan(QuadPattern) -> DataFrame with one term-struct column per
+                         binding variable of the pattern
+
+Two implementations:
+
+- ``QuadsDataFrameStore``: any DataFrame in the flat FIXTURES.md §0
+  quads schema (what an N-Triples/N-Quads load produces). Bound
+  positions become filters (→ parquet predicate pushdown), variables
+  become struct projections.
+
+- ``RelationalQuadStore``: the driver's TPC-H-ish parquet tables viewed
+  as a virtual quadstore *without materializing quads*, per the
+  FIXTURES.md §5 mapping. This is S2RDF-style vertical partitioning
+  (PAPERS.md: "S2RDF: RDF Querying with SPARQL on Spark", VLDB 2016):
+  each (table, column) is its own scan, so a pattern with a bound
+  predicate reads exactly (pk, column) from parquet — column pruning and
+  predicate pushdown reach the scan, which is the property that keeps
+  this workable at 100 TB. It plays the role of the reference's
+  ``PlanningQuadStore`` pushdown hook (QueryPlanner.swift:94-103) and
+  SQLite SQL pushdown (SQLiteQuadStore.swift:528-711), with Catalyst as
+  the beneficiary.
+"""
+
+from __future__ import annotations
+
+from abc import ABC, abstractmethod
+
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F
+from pyspark.sql import types as T
+
+from kineo_spark import algebra as A
+from kineo_spark.model import (
+    KIND_IRI,
+    KIND_LITERAL,
+    PyTerm,
+    QUADS_SCHEMA,
+    iri,
+    iri_col,
+    term_from_spark_col,
+    term_key,
+    term_struct,
+)
+
+RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+
+
+class QuadStore(ABC):
+    spark: SparkSession
+
+    @abstractmethod
+    def scan(self, pattern: A.QuadPattern) -> DataFrame:
+        """DataFrame of bindings for the pattern (repeated variables imply
+        equality, reference MemoryQuadStore.swift:138,183-201; non-binding
+        variables are matched but not returned)."""
+
+    @abstractmethod
+    def quads(self) -> DataFrame:
+        """All quads in the flat FIXTURES §0 schema (for CONSTRUCT/dump)."""
+
+
+def _assign(pattern: A.QuadPattern, terms: dict[str, Column], df: DataFrame) -> DataFrame | None:
+    """Common post-scan step: apply repeated-variable equality and project
+    binding variables from per-position term columns."""
+    seen: dict[str, str] = {}
+    cond = None
+    out_cols: dict[str, Column] = {}
+    for pos, node in pattern.nodes():
+        if not isinstance(node, A.Var):
+            continue
+        if node.name in seen:
+            c = term_key(terms[pos]) == term_key(terms[seen[node.name]])
+            cond = c if cond is None else (cond & c)
+        else:
+            seen[node.name] = pos
+            if node.binding:
+                out_cols[node.name] = terms[pos]
+    if cond is not None:
+        df = df.filter(cond)
+    if not out_cols:
+        return df.select()
+    return df.select(*[c.alias(n) for n, c in out_cols.items()])
+
+
+class QuadsDataFrameStore(QuadStore):
+    """Store over a flat quads DataFrame (FIXTURES.md §0 schema)."""
+
+    def __init__(self, spark: SparkSession, quads_df: DataFrame):
+        self.spark = spark
+        self._df = quads_df
+
+    @classmethod
+    def from_rows(cls, spark: SparkSession, rows) -> "QuadsDataFrameStore":
+        return cls(spark, spark.createDataFrame(rows, QUADS_SCHEMA))
+
+    def quads(self) -> DataFrame:
+        return self._df
+
+    def scan(self, pattern: A.QuadPattern) -> DataFrame:
+        df = self._df
+        q = df
+        null_s = F.lit(None).cast("string")
+        null_d = F.lit(None).cast("double")
+        terms = {
+            "s": term_struct(df["s_kind"], df["s_lex"], null_s, null_s, null_d),
+            "p": term_struct(F.lit(KIND_IRI).cast("tinyint"), df["p_lex"], null_s, null_s, null_d),
+            "o": term_struct(df["o_kind"], df["o_lex"], df["o_dt"], df["o_lang"], df["o_num"]),
+            "g": term_struct(F.lit(KIND_IRI).cast("tinyint"), df["g_lex"], null_s, null_s, null_d),
+        }
+        for pos, node in pattern.nodes():
+            if isinstance(node, PyTerm):
+                # flat-column filters → parquet pushdown
+                if pos == "s":
+                    q = q.filter((df["s_kind"] == node.kind) & (df["s_lex"] == node.lex))
+                elif pos == "p":
+                    q = q.filter(df["p_lex"] == node.lex)
+                elif pos == "g":
+                    q = q.filter(df["g_lex"] == node.lex)
+                else:
+                    q = q.filter(term_key(terms["o"]).eqNullSafe(F.lit(node.key())))
+        return _assign(pattern, terms, q)
+
+
+# ---------------------------------------------------------------------------
+# Relational (vertical-partitioned) store over the driver tables
+# ---------------------------------------------------------------------------
+
+# table → (pk columns, fk column → target table)
+TABLES: dict[str, tuple[list[str], dict[str, str]]] = {
+    "region": (["r_regionkey"], {}),
+    "nation": (["n_nationkey"], {"n_regionkey": "region"}),
+    "customer": (["c_custkey"], {"c_nationkey": "nation"}),
+    "supplier": (["s_suppkey"], {"s_nationkey": "nation"}),
+    "part": (["p_partkey"], {}),
+    "orders": (["o_orderkey"], {"o_custkey": "customer"}),
+    "lineitem": (
+        ["l_orderkey", "l_linenumber"],
+        {"l_orderkey": "orders", "l_partkey": "part", "l_suppkey": "supplier"},
+    ),
+    "events": (["event_id"], {}),
+    "documents": (["doc_id"], {}),
+    "embeddings": (["vec_id"], {}),
+}
+
+
+def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read a driver parquet table, normalizing nanosecond timestamps
+    (events.ts is TIMESTAMP(NANOS); Spark reads it as long with
+    spark.sql.legacy.parquet.nanosAsLong — convert to µs timestamps)."""
+    from kineo_spark.session import tune
+    tune(spark)
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    for f_ in df.schema.fields:
+        if name == "events" and f_.name == "ts" and isinstance(f_.dataType, T.LongType):
+            df = df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    return df
+
+
+class RelationalQuadStore(QuadStore):
+    """Virtual quadstore over the driver's parquet tables (FIXTURES §5):
+
+    - row IRI     <urn:t:{table}:{pk[:pk2]}>
+    - column quad (<row>, <urn:col:{table}:{col}>, typed literal, <urn:g:{table}>)
+    - FK quad     (<row>, <urn:fk:{table}:{col}>, <target row IRI>, <urn:g:{table}>)
+    - type quad   (<row>, rdf:type, <urn:class:{table}>, <urn:g:{table}>)
+
+    Complex-typed columns (arrays — embeddings.embedding) are not exposed
+    as quads; they stay native for the pipeline operators.
+    """
+
+    def __init__(self, spark: SparkSession, sf_dir: str, tables: list[str] | None = None):
+        self.spark = spark
+        self.sf_dir = sf_dir
+        self.table_names = tables or list(TABLES)
+        self._cache: dict[str, DataFrame] = {}
+
+    def table(self, name: str) -> DataFrame:
+        if name not in self._cache:
+            self._cache[name] = read_table(self.spark, self.sf_dir, name)
+        return self._cache[name]
+
+    # -- IRI helpers ------------------------------------------------------
+    @staticmethod
+    def row_iri(table: str) -> "Column":
+        pks, _ = TABLES[table]
+        df_cols = [F.col(c).cast("string") for c in pks]
+        return F.concat_ws(":", F.lit(f"urn:t:{table}"), *df_cols)
+
+    @staticmethod
+    def parse_row_iri(lex: str) -> tuple[str, list[str]] | None:
+        if not lex.startswith("urn:t:"):
+            return None
+        parts = lex.split(":")
+        if len(parts) < 4:
+            return None
+        table = parts[2]
+        if table not in TABLES:
+            return None
+        return table, parts[3:]
+
+    # -- branch enumeration ----------------------------------------------
+    def _branches(self, pattern: A.QuadPattern):
+        """Yield (table, kind, col) scan branches consistent with the
+        bound predicate/graph of the pattern. kind ∈ col|fk|type."""
+        tables = self.table_names
+        if isinstance(pattern.g, PyTerm):
+            if not pattern.g.lex.startswith("urn:g:"):
+                return
+            t = pattern.g.lex[len("urn:g:"):]
+            if t not in TABLES or t not in tables:
+                return
+            tables = [t]
+        p = pattern.p
+        if isinstance(p, PyTerm):
+            if p.lex == RDF_TYPE:
+                for t in tables:
+                    yield (t, "type", None)
+            elif p.lex.startswith("urn:col:") or p.lex.startswith("urn:fk:"):
+                kind = "col" if p.lex.startswith("urn:col:") else "fk"
+                rest = p.lex.split(":", 2)[2]
+                t, _, c = rest.partition(":")
+                if t in tables and t in TABLES:
+                    _, fks = TABLES[t]
+                    if kind == "fk" and c in fks:
+                        yield (t, "fk", c)
+                    elif kind == "col" and c in [f.name for f in self.table(t).schema.fields]:
+                        yield (t, "col", c)
+            return
+        # unbound predicate: every column / fk / type of every table
+        for t in tables:
+            pks, fks = TABLES[t]
+            yield (t, "type", None)
+            for f_ in self.table(t).schema.fields:
+                if isinstance(f_.dataType, (T.ArrayType, T.MapType, T.StructType)):
+                    continue
+                yield (t, "col", f_.name)
+            for c in fks:
+                yield (t, "fk", c)
+
+    def _branch_df(self, pattern: A.QuadPattern, table: str, kind: str, col: str | None):
+        df = self.table(table)
+        pks, fks = TABLES[table]
+        s_term = iri_col(self.row_iri(table))
+
+        if kind == "col":
+            dtype = dict((f.name, f.dataType) for f in df.schema.fields)[col]
+            p_lex, o_term = f"urn:col:{table}:{col}", term_from_spark_col(df[col], dtype)
+        elif kind == "fk":
+            target = fks[col]
+            p_lex = f"urn:fk:{table}:{col}"
+            o_term = iri_col(
+                F.concat_ws(":", F.lit(f"urn:t:{target}"), df[col].cast("string"))
+            )
+        else:  # type
+            p_lex, o_term = RDF_TYPE, iri(f"urn:class:{table}").as_column()
+
+        # bound-position filters on NATIVE columns (parquet pushdown)
+        if isinstance(pattern.s, PyTerm):
+            parsed = self.parse_row_iri(pattern.s.lex) if pattern.s.kind == KIND_IRI else None
+            if parsed is None or parsed[0] != table or len(parsed[1]) != len(pks):
+                return None
+            for pk, val in zip(pks, parsed[1]):
+                df = df.filter(F.col(pk).cast("string") == val)
+        o = pattern.o
+        if isinstance(o, PyTerm):
+            if kind == "col":
+                if o.kind != KIND_LITERAL:
+                    return None
+                if o.num is not None:
+                    df = df.filter(F.col(col).cast("double") == o.num)
+                else:
+                    df = df.filter(F.col(col).cast("string") == o.lex)
+            elif kind == "fk":
+                parsed = self.parse_row_iri(o.lex) if o.kind == KIND_IRI else None
+                if parsed is None or parsed[0] != fks[col] or len(parsed[1]) != 1:
+                    return None
+                df = df.filter(F.col(col).cast("string") == parsed[1][0])
+            else:
+                if not (o.kind == KIND_IRI and o.lex == f"urn:class:{table}"):
+                    return None
+        # drop rows with NULL objects (no quad for NULL values)
+        if kind == "col":
+            df = df.filter(F.col(col).isNotNull())
+
+        terms = {
+            "s": iri_col(self.row_iri(table)),
+            "p": iri(p_lex).as_column(),
+            "o": o_term,
+            "g": iri(f"urn:g:{table}").as_column(),
+        }
+        return _assign(pattern, terms, df)
+
+    def scan(self, pattern: A.QuadPattern) -> DataFrame:
+        out: DataFrame | None = None
+        for table, kind, col in self._branches(pattern):
+            b = self._branch_df(pattern, table, kind, col)
+            if b is None:
+                continue
+            out = b if out is None else out.unionByName(b)
+        if out is None:
+            # no branch matches: empty result with the right columns
+            vars_ = sorted(pattern.variables())
+            schema = T.StructType(
+                [T.StructField(v, __import__("kineo_spark.model", fromlist=["TERM_SCHEMA"]).TERM_SCHEMA) for v in vars_]
+            )
+            return self.spark.createDataFrame([], schema)
+        return out
+
+    def quads(self) -> DataFrame:
+        pat = A.QuadPattern(A.Var("s"), A.Var("p"), A.Var("o"), A.Var("g"))
+        df = self.scan(pat)
+        return df.select(
+            df["s"]["kind"].alias("s_kind"), df["s"]["lex"].alias("s_lex"),
+            df["p"]["lex"].alias("p_lex"),
+            df["o"]["kind"].alias("o_kind"), df["o"]["lex"].alias("o_lex"),
+            df["o"]["dt"].alias("o_dt"), df["o"]["lang"].alias("o_lang"),
+            df["o"]["num"].alias("o_num"), df["g"]["lex"].alias("g_lex"),
+        )

@@ -1,0 +1,69 @@
+"""Window function lowering (SURVEY §2.5).
+
+Reference: ``WindowPlan`` with pre-sorted input and peer-group splitting
+(/root/reference/Sources/Kineo/SPARQL/MaterializedQueryPlan.swift:776-1558).
+Spark's native window exec replaces the hand-rolled sliding accumulators;
+frames are ROWS-only like the reference (RANGE throws unimplemented at
+MaterializedQueryPlan.swift:849-852).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window as W, functions as F
+
+from kineo_spark import algebra as A
+from kineo_spark.expr import compile_expr, is_numeric_term, num_term
+from kineo_spark.model import sort_key, term_key
+
+
+def _frame(spec: A.WindowSpec) -> tuple[int, int]:
+    lo = W.unboundedPreceding if spec.frame_start is None else spec.frame_start
+    hi = W.unboundedFollowing if spec.frame_end is None else spec.frame_end
+    return lo, hi
+
+
+def compile_window(node: A.Window, child) -> "Plan":
+    from kineo_spark.compiler import Plan, _env
+
+    df = child.df
+    env = _env(df)
+    out = df
+    for var, spec in node.functions:
+        parts = [term_key(compile_expr(e, env)) for e in spec.partition]
+        orders = []
+        for cmp in spec.order:
+            k = sort_key(compile_expr(cmp.expr, env))
+            orders.append(k.asc() if cmp.ascending else k.desc())
+        w = W.partitionBy(*parts) if parts else W.partitionBy(F.lit(0))
+        if orders:
+            w = w.orderBy(*orders)
+
+        op = spec.op
+        if op in ("RANK", "DENSE_RANK", "ROW_NUMBER"):
+            fn = {"RANK": F.rank, "DENSE_RANK": F.dense_rank, "ROW_NUMBER": F.row_number}[op]
+            col = num_term(fn().over(w).cast("double"), F.lit("integer"))
+        elif op == "NTILE":
+            col = num_term(F.ntile(spec.n or 1).over(w).cast("double"), F.lit("integer"))
+        else:
+            value = compile_expr(spec.expr, env)
+            lo, hi = _frame(spec)
+            wf = w.rowsBetween(lo, hi)
+            if op == "COUNT*":
+                agg = F.count(F.lit(1)).over(wf).cast("double")
+                col = num_term(agg, F.lit("integer"))
+            elif op == "COUNT":
+                col = num_term(F.count(value).over(wf).cast("double"), F.lit("integer"))
+            elif op in ("SUM", "AVG", "MIN", "MAX"):
+                num = F.when(is_numeric_term(value), value["num"])
+                fn = {"SUM": F.sum, "AVG": F.avg, "MIN": F.min, "MAX": F.max}[op]
+                col = num_term(fn(num).over(wf).cast("double"), F.lit("double"))
+            elif op == "SAMPLE":
+                col = F.first(value, ignorenulls=True).over(wf)
+            elif op == "GROUP_CONCAT":
+                from kineo_spark.expr import str_term
+                coll = F.collect_list(value["lex"]).over(wf)
+                col = str_term(F.concat_ws(spec.separator or " ", coll))
+            else:
+                raise ValueError(f"unknown window function {op}")
+        out = out.withColumn(var, col)
+    return Plan(out, child.certain)
