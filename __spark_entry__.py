@@ -1,10 +1,11 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark)    — flagship query smoke check at sf0.001.
+queries()       — every implemented operator, (spark, sf_dir) → DataFrame.
+oracle_sql()    — DuckDB twin SQL per query (omitted only for operators
+                  whose hashing is engine-specific: MinHash-LSH, SimHash,
+                  hyperplane ANN — those get rows-only checks and are
+                  validated against ground truth in tests/).
 """
 
 from __future__ import annotations
@@ -15,24 +16,31 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query on /root/testdata/sf0.001: 3-hop BGP join
+    (customer→nation→region) + typed filter + order, through the full
+    SPARQL-algebra → Catalyst stack."""
+    from kineo_spark.session import tune
+
+    tune(spark)
+    from kineo_spark.queries_sparql import QUERIES as SQ
+
+    return SQ["sparql_bgp_3hop_join"](spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from kineo_spark.session import tune
+    from kineo_spark import queries_pipeline, queries_sparql
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    out: dict[str, Callable] = {}
+    for name, f in {**queries_sparql.QUERIES, **queries_pipeline.QUERIES}.items():
+        def wrapper(spark, sf_dir, _f=f):
+            tune(spark)
+            return _f(spark, sf_dir)
+        out[name] = wrapper
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from kineo_spark import queries_pipeline, queries_sparql
+
+    return {**queries_sparql.ORACLES, **queries_pipeline.ORACLES}

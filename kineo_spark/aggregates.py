@@ -104,5 +104,14 @@ def compile_aggregate(compiler, node: A.Aggregate, child) -> "Plan":
         # (MaterializedQueryPlan.swift:2461,2525-2537)
         out = work.agg(*[a for a in aggs])
         out = out.select(*[var for var, _ in node.aggs])
-    certain = frozenset()  # group keys may be NULL (errored group expr)
+    # a group var is certainly bound when its expression is a bare
+    # variable that was certainly bound in the child (lets downstream
+    # joins stay strict equi-joins)
+    from kineo_spark.expr import EVar
+
+    certain = frozenset(
+        name
+        for name, e in zip(node.group_names, node.groups)
+        if isinstance(e, EVar) and e.name in child.certain
+    )
     return Plan(out, certain)

@@ -297,6 +297,8 @@ class WindowSpec:
     # MaterializedQueryPlan.swift:849-852). None = unbounded.
     frame_start: Optional[int] = None  # negative = preceding
     frame_end: Optional[int] = None
+    # exact=True: SUM/AVG accumulate in DECIMAL(25,6) (order-independent)
+    exact: bool = False
 
 
 @dataclass(frozen=True)

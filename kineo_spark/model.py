@@ -258,6 +258,21 @@ class PyTerm:
                 return None
         if self.dt == "boolean":
             return 1.0 if self.lex == "true" else 0.0
+        if self.dt in TEMPORAL_DTS:
+            import datetime as _dt
+
+            s = self.lex.replace("Z", "+00:00")
+            try:
+                if self.dt == "date":
+                    d = _dt.date.fromisoformat(s)
+                    val = _dt.datetime(d.year, d.month, d.day, tzinfo=_dt.timezone.utc)
+                else:
+                    val = _dt.datetime.fromisoformat(s)
+                    if val.tzinfo is None:
+                        val = val.replace(tzinfo=_dt.timezone.utc)
+                return float(int(val.timestamp() * 1_000_000))
+            except ValueError:
+                return None
         return None
 
     def as_column(self) -> Column:

@@ -1,0 +1,70 @@
+"""Event-stream analytics in batch form: sessionization, tumbling
+windows, per-group top-k. The Structured Streaming twins live in
+kineo_spark/streaming/.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def sessionize(
+    df: DataFrame, user_col: str = "user_id", ts_col: str = "ts",
+    gap_minutes: int = 30,
+) -> DataFrame:
+    """Assign gap-based session ids: a new session starts when the time
+    since the user's previous event exceeds the gap. Adds
+    ``session_seq`` (1-based per user)."""
+    w = Window.partitionBy(user_col).orderBy(F.col(ts_col).asc(), F.col("event_id").asc())
+    prev = F.lag(ts_col).over(w)
+    new_session = (
+        prev.isNull()
+        | ((F.unix_micros(F.col(ts_col)) - F.unix_micros(prev)) > gap_minutes * 60 * 1_000_000)
+    ).cast("int")
+    return df.withColumn(
+        "session_seq",
+        F.sum(new_session).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+
+
+def session_stats(
+    df: DataFrame, user_col: str = "user_id", ts_col: str = "ts",
+    gap_minutes: int = 30,
+) -> DataFrame:
+    """Per-session aggregates: event count, span seconds, total value."""
+    s = sessionize(df, user_col, ts_col, gap_minutes)
+    return (
+        s.groupBy(user_col, "session_seq")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            ((F.unix_micros(F.max(ts_col)) - F.unix_micros(F.min(ts_col))) / 1e6).alias("span_sec"),
+            F.round(F.sum(F.col("value").cast("decimal(25,6)")).cast("double"), 6).alias("total_value"),
+        )
+    )
+
+
+def tumbling_counts(
+    df: DataFrame, ts_col: str = "ts", key_col: str = "event_type",
+    hours: int = 1,
+) -> DataFrame:
+    """Tumbling-window counts per key (batch twin of the streaming
+    windowed aggregation)."""
+    bucket = F.date_trunc("hour", F.col(ts_col)) if hours == 1 else F.timestamp_seconds(
+        (F.unix_seconds(F.col(ts_col)) / (hours * 3600)).cast("long") * hours * 3600
+    )
+    return (
+        df.groupBy(bucket.alias("window_start"), F.col(key_col))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(F.col("value").cast("decimal(25,6)")).cast("double"), 6).alias("total_value"),
+        )
+    )
+
+
+def top_k_by_group(
+    df: DataFrame, group_col: str, order_col: str, k: int, tiebreak_col: str,
+) -> DataFrame:
+    w = Window.partitionBy(group_col).orderBy(
+        F.col(order_col).desc(), F.col(tiebreak_col).asc()
+    )
+    return df.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k).drop("rn")

@@ -1,0 +1,148 @@
+"""Similarity search over embedding columns (array<float>).
+
+- ``knn_bruteforce``: exact top-k cosine; the query side is broadcast so
+  the corpus is scanned once with no shuffle — the right baseline shape
+  even at 100 TB (cost = one pass over the corpus per query batch).
+- ``lsh_ann``: random-hyperplane (sign) LSH with deterministic
+  Rademacher planes derived from xxhash64, bucketed equi-join — the
+  scale path: candidate generation touches only same-bucket vectors.
+- ``embedding_near_dup_pairs``: all-pairs cosine ≥ τ via LSH buckets.
+
+All vector math is JVM-side (zip_with / aggregate over array columns) —
+no Python in the scan loop.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double"))
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def knn_bruteforce(
+    corpus: DataFrame, queries: DataFrame, id_col: str, vec_col: str, k: int = 5
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector (excluding the
+    query row itself). Returns (query_id, neighbor_id, sim), ties broken
+    by neighbor id."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+    )
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec"))
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id", "neighbor_id",
+            cosine(F.col("qvec"), F.col("cvec")).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "neighbor_id", "sim")
+    )
+
+
+def _plane_sign(vec: Column, plane: int, dim: int) -> Column:
+    """Deterministic Rademacher hyperplane: weight(j) = ±1 from
+    xxhash64(plane, j); bit = sign of the weighted sum."""
+    idx = F.sequence(F.lit(0), F.lit(dim - 1))
+    s = F.aggregate(
+        idx,
+        F.lit(0.0),
+        lambda acc, j: acc
+        + F.when(F.xxhash64(F.lit(plane), j) % 2 == 0, F.lit(1.0)).otherwise(F.lit(-1.0))
+        * F.get(vec, j).cast("double"),
+    )
+    return F.when(s >= 0, F.lit(1)).otherwise(F.lit(0)).cast("long")
+
+
+def lsh_bucket(vec: Column, n_planes: int, dim: int) -> Column:
+    """Pack n sign bits into a bucket id (long)."""
+    out = None
+    for p in range(n_planes):
+        term = F.shiftleft(_plane_sign(vec, p, dim), p)
+        out = term if out is None else (out + term)
+    return out
+
+
+def lsh_ann(
+    corpus: DataFrame, queries: DataFrame, id_col: str, vec_col: str,
+    k: int = 5, n_planes: int = 8, dim: int = 64, n_tables: int = 4,
+) -> DataFrame:
+    """Approximate top-k: union of ``n_tables`` independent
+    hyperplane-LSH tables, candidates from same-bucket equi-joins, exact
+    cosine re-rank. Returns (query_id, neighbor_id, sim)."""
+    cands = None
+    for t in range(n_tables):
+        offset = t * n_planes
+        bvec = lambda c: lsh_bucket(c, n_planes, dim) if offset == 0 else _bucket_off(c, offset, n_planes, dim)  # noqa: E731
+        cb = corpus.select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec"),
+            _bucket_off(F.col(vec_col), offset, n_planes, dim).alias("bucket"),
+        )
+        qb = queries.select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"),
+            _bucket_off(F.col(vec_col), offset, n_planes, dim).alias("bucket"),
+        )
+        j = cb.join(F.broadcast(qb), "bucket").filter(F.col("neighbor_id") != F.col("query_id"))
+        j = j.select("query_id", "neighbor_id", "qvec", "cvec")
+        cands = j if cands is None else cands.unionByName(j)
+    scored = cands.dropDuplicates(["query_id", "neighbor_id"]).select(
+        "query_id", "neighbor_id", cosine(F.col("qvec"), F.col("cvec")).alias("sim")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "neighbor_id", "sim")
+    )
+
+
+def _bucket_off(vec: Column, offset: int, n_planes: int, dim: int) -> Column:
+    out = None
+    for p in range(n_planes):
+        term = F.shiftleft(_plane_sign(vec, offset + p, dim), p)
+        out = term if out is None else (out + term)
+    return out
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame, id_col: str, vec_col: str, threshold: float = 0.95,
+    n_planes: int = 8, dim: int = 64, n_tables: int = 8,
+) -> DataFrame:
+    """All-pairs cosine near-duplicates via LSH bucket join + exact
+    verification. Returns (id_a, id_b, sim)."""
+    pairs = None
+    for t in range(n_tables):
+        b = df.select(
+            F.col(id_col).alias("id"), F.col(vec_col).alias("vec"),
+            _bucket_off(F.col(vec_col), t * n_planes, n_planes, dim).alias("bucket"),
+        )
+        a = b.select(F.col("id").alias("id_a"), F.col("vec").alias("va"), "bucket")
+        c = b.select(F.col("id").alias("id_b"), F.col("vec").alias("vb"), "bucket")
+        j = a.join(c, "bucket").filter(F.col("id_a") < F.col("id_b")).select("id_a", "id_b", "va", "vb")
+        pairs = j if pairs is None else pairs.unionByName(j)
+    return (
+        pairs.dropDuplicates(["id_a", "id_b"])
+        .select("id_a", "id_b", cosine(F.col("va"), F.col("vb")).alias("sim"))
+        .filter(F.col("sim") >= threshold)
+    )

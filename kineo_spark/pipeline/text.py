@@ -1,0 +1,114 @@
+"""Text-analysis operators: tokenization, n-grams, language ID, quality
+scoring, fingerprinting.
+
+All pure Column expressions (whole-stage codegen; no Python UDFs): at
+100 TB the tokenizer IS the job, so it must stay JVM-side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+# deterministic, SQL-mirrorable heuristics ----------------------------------
+
+# language → stopword list for the n-gram/stopword language-ID heuristic.
+# Chosen to be expressible as identical regex counts in any SQL oracle.
+LANG_STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "a"],
+    "es": ["el", "la", "de", "que", "y"],
+    "fr": ["le", "la", "de", "et", "un"],
+    "de": ["der", "die", "und", "das", "ein"],
+    "zh": ["的", "是", "了", "在", "和"],
+}
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokenization (filtering empty strings)."""
+    return F.filter(F.split(F.trim(text), r"\s+"), lambda t: F.length(t) > 0)
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokens(text))
+
+
+def word_ngrams(text: Column, n: int = 3) -> Column:
+    """Array of space-joined word n-grams (shingles)."""
+    w = tokens(text)
+    idx = F.sequence(F.lit(0), F.size(w) - n)
+    gram = lambda i: F.concat_ws(" ", *[F.get(w, i + j) for j in range(n)])  # noqa: E731
+    return F.when(F.size(w) >= n, F.transform(idx, gram)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def stopword_hits(text: Column, words: list[str]) -> Column:
+    """Number of stopword occurrences (word-boundary regex count) —
+    mirrors SQL ``len(regexp_extract_all(lower(text), pat))``."""
+    pat = r"\b(" + "|".join(words) + r")\b"
+    return F.size(F.regexp_extract_all(F.lower(text), F.lit(pat), F.lit(1)))
+
+
+def language_id(text: Column, candidates: dict[str, list[str]] | None = None) -> Column:
+    """Heuristic language ID: argmax of per-language stopword hit counts,
+    ties broken by language code order. Deterministic and SQL-mirrorable."""
+    cands = candidates or LANG_STOPWORDS
+    scored = None
+    for lang in sorted(cands):
+        hits = stopword_hits(text, cands[lang])
+        entry = F.struct(hits.alias("hits"), F.lit(lang).alias("lang"))
+        scored = entry if scored is None else F.when(
+            (entry["hits"] > scored["hits"]), entry
+        ).otherwise(scored)
+    return F.when(scored["hits"] > 0, scored["lang"]).otherwise(F.lit("und"))
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Quality-scoring features: lengths, ratios, composite score.
+    Thresholds follow common LLM-corpus heuristics (Gopher-style rules)."""
+    t = F.col(text_col)
+    n_chars = F.length(t)
+    n_tok = token_count(t)
+    out = (
+        df.withColumn("n_chars_q", n_chars)
+        .withColumn("n_tokens", n_tok)
+        .withColumn(
+            "mean_token_len",
+            F.when(n_tok > 0, (F.length(F.regexp_replace(t, r"\s+", ""))).cast("double") / n_tok),
+        )
+        .withColumn(
+            "digit_ratio",
+            F.size(F.regexp_extract_all(t, F.lit(r"([0-9])"), F.lit(1))).cast("double")
+            / F.greatest(n_chars, F.lit(1)),
+        )
+        .withColumn(
+            "punct_ratio",
+            F.size(F.regexp_extract_all(t, F.lit(r"([.,;:!?])"), F.lit(1))).cast("double")
+            / F.greatest(n_chars, F.lit(1)),
+        )
+        .withColumn(
+            "stopword_ratio",
+            stopword_hits(t, LANG_STOPWORDS["en"]).cast("double") / F.greatest(n_tok, F.lit(1)),
+        )
+    )
+    score = (
+        F.when((F.col("n_tokens") >= 10) & (F.col("n_tokens") <= 100000), 1.0).otherwise(0.0)
+        + F.when((F.col("mean_token_len") >= 2) & (F.col("mean_token_len") <= 12), 1.0).otherwise(0.0)
+        + F.when(F.col("digit_ratio") < 0.2, 1.0).otherwise(0.0)
+        + F.when(F.col("stopword_ratio") > 0.0, 1.0).otherwise(0.0)
+    )
+    return out.withColumn("quality_score", (score / 4.0).cast("double"))
+
+
+def fingerprint(text: Column) -> Column:
+    """Document fingerprint: md5 of case-folded, whitespace-collapsed
+    text. Stable across engines (md5 is everywhere)."""
+    norm = F.regexp_replace(F.lower(F.trim(text)), r"\s+", " ")
+    return F.md5(norm)
+
+
+def bpe_ish_token_count(text: Column) -> Column:
+    """Sub-word-ish token count: words + digits + punctuation as separate
+    tokens (a cheap BPE proxy; deterministic regex)."""
+    return F.size(
+        F.regexp_extract_all(text, F.lit(r"([A-Za-z]+|[0-9]+|[^A-Za-z0-9\s])"), F.lit(1))
+    )

@@ -1,0 +1,304 @@
+"""LLM-data-pipeline queries over documents/embeddings/events, with
+DuckDB oracle SQL where the operator is SQL-expressible.
+
+Operators whose Spark implementation depends on engine-specific hashing
+(MinHash-LSH, SimHash, hyperplane ANN) have no faithful SQL twin — they
+are registered without an oracle (the driver records a rows-only check)
+and are instead validated in tests against exact ground truth (e.g. LSH
+candidates ⊇ high-Jaccard pairs, ANN recall vs brute force).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from kineo_spark.pipeline import dedup, multimodal, sessions, similarity, text
+from kineo_spark.store import read_table
+
+QUERIES: dict[str, callable] = {}
+ORACLES: dict[str, str] = {}
+
+
+def q(name: str, oracle: str | None):
+    def deco(f):
+        QUERIES[name] = f
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return f
+    return deco
+
+
+_DEC = "DECIMAL(25,6)"
+_NORM = r"regexp_replace(lower(trim(text)), '\s+', ' ', 'g')"
+_NTOK = r"len(string_split_regex(trim(text), '\s+'))"
+
+
+# ---------------------------------------------------------------------------
+# Deduplication
+# ---------------------------------------------------------------------------
+
+@q("pipe_dedup_exact",
+   f"SELECT md5({_NORM}) AS fp, MIN(doc_id) AS keep_id, COUNT(*) AS n_dupes "
+   f"FROM documents GROUP BY 1")
+def pipe_dedup_exact(spark, sf_dir) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return dedup.exact_dedup(docs, "doc_id")
+
+
+_NGRAM_CTE = r"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents
+), grams AS (
+  SELECT DISTINCT doc_id,
+         unnest([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                 for i in generate_series(1, len(w) - 2)]) AS gram
+  FROM toks WHERE len(w) >= 3
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS sz FROM grams GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+  FROM grams a JOIN grams b USING (gram)
+  WHERE a.doc_id < b.doc_id GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.5
+"""
+
+@q("pipe_dedup_ngram_jaccard", _NGRAM_CTE)
+def pipe_dedup_ngram_jaccard(spark, sf_dir) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return dedup.ngram_jaccard_pairs(docs, "doc_id", threshold=0.5)
+
+
+@q("pipe_dedup_minhash_lsh", None)  # engine-specific hashing → rows-only
+def pipe_dedup_minhash_lsh(spark, sf_dir) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return dedup.minhash_dedup_pairs(docs, "doc_id", threshold=0.5)
+
+
+@q("pipe_dedup_simhash", None)  # engine-specific hashing → rows-only
+def pipe_dedup_simhash(spark, sf_dir) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return dedup.simhash_near_pairs(docs, "doc_id", max_distance=10)
+
+
+@q("pipe_fingerprint",
+   f"SELECT md5({_NORM}) AS fp, COUNT(*) AS n FROM documents GROUP BY 1")
+def pipe_fingerprint(spark, sf_dir) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return (
+        docs.select(text.fingerprint(F.col("text")).alias("fp"))
+        .groupBy("fp").agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Similarity search
+# ---------------------------------------------------------------------------
+
+_KNN_ORACLE = """
+WITH q AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id < 10),
+c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         ROUND(list_dot_product(q.v, c.v) /
+               (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))), 6) AS sim
+  FROM q CROSS JOIN c WHERE c.vec_id != q.vec_id
+)
+SELECT query_id, neighbor_id, sim FROM scored
+QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) <= 5
+"""
+
+@q("pipe_knn_bruteforce", _KNN_ORACLE)
+def pipe_knn_bruteforce(spark, sf_dir) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    qd = queries.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"))
+    cd = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cv"))
+    scored = (
+        cd.crossJoin(F.broadcast(qd))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id", "neighbor_id",
+            F.round(similarity.cosine(F.col("qv"), F.col("cv")), 6).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("query_id", "neighbor_id", "sim")
+    )
+
+
+@q("pipe_ann_lsh", None)  # engine-specific hyperplanes → rows-only
+def pipe_ann_lsh(spark, sf_dir) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return similarity.lsh_ann(emb, queries, "vec_id", "embedding", k=5, dim=64)
+
+
+@q("pipe_embedding_near_dup", None)  # LSH-bucketed → rows-only
+def pipe_embedding_near_dup(spark, sf_dir) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings")
+    return similarity.embedding_near_dup_pairs(emb, "vec_id", "embedding", threshold=0.95, dim=64)
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+def _sw_pat(langcode: str) -> str:
+    words = "|".join(text.LANG_STOPWORDS[langcode])
+    return r"\b(" + words + r")\b"
+
+
+_LANGID_ORACLE = f"""
+WITH scored AS (
+  SELECT doc_id, lang AS labeled,
+    len(regexp_extract_all(lower(text), '{_sw_pat("de")}', 1)) AS s_de,
+    len(regexp_extract_all(lower(text), '{_sw_pat("en")}', 1)) AS s_en,
+    len(regexp_extract_all(lower(text), '{_sw_pat("es")}', 1)) AS s_es,
+    len(regexp_extract_all(lower(text), '{_sw_pat("fr")}', 1)) AS s_fr,
+    len(regexp_extract_all(lower(text), '{_sw_pat("zh")}', 1)) AS s_zh
+  FROM documents
+)
+SELECT doc_id, labeled,
+  CASE WHEN greatest(s_de, s_en, s_es, s_fr, s_zh) = 0 THEN 'und'
+       WHEN s_de = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'de'
+       WHEN s_en = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'en'
+       WHEN s_es = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'es'
+       WHEN s_fr = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'fr'
+       ELSE 'zh' END AS predicted
+FROM scored
+"""
+
+@q("pipe_langid", _LANGID_ORACLE)
+def pipe_langid(spark, sf_dir) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", F.col("lang").alias("labeled"),
+        text.language_id(F.col("text")).alias("predicted"),
+    )
+
+
+_QUALITY_ORACLE = f"""
+WITH feat AS (
+  SELECT doc_id,
+    {_NTOK} AS n_tokens,
+    CASE WHEN {_NTOK} > 0 THEN
+      CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE) / {_NTOK}
+    END AS mean_token_len,
+    CAST(len(regexp_extract_all(text, '([0-9])', 1)) AS DOUBLE)
+      / greatest(length(text), 1) AS digit_ratio,
+    CAST(len(regexp_extract_all(lower(text), '{_sw_pat("en")}', 1)) AS DOUBLE)
+      / greatest({_NTOK}, 1) AS stopword_ratio
+  FROM documents
+)
+SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, mean_token_len,
+  digit_ratio, stopword_ratio,
+  (CASE WHEN n_tokens >= 10 AND n_tokens <= 100000 THEN 1.0 ELSE 0.0 END
+   + CASE WHEN mean_token_len >= 2 AND mean_token_len <= 12 THEN 1.0 ELSE 0.0 END
+   + CASE WHEN digit_ratio < 0.2 THEN 1.0 ELSE 0.0 END
+   + CASE WHEN stopword_ratio > 0.0 THEN 1.0 ELSE 0.0 END) / 4.0 AS quality_score
+FROM feat
+"""
+
+@q("pipe_quality", _QUALITY_ORACLE)
+def pipe_quality(spark, sf_dir) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    out = text.quality_features(docs)
+    return out.select(
+        "doc_id", F.col("n_tokens").cast("long").alias("n_tokens"),
+        "mean_token_len", "digit_ratio", "stopword_ratio", "quality_score",
+    )
+
+
+@q("pipe_token_stats",
+   f"SELECT lang, COUNT(*) AS n_docs, CAST(SUM({_NTOK}) AS BIGINT) AS total_tokens, "
+   f"CAST(SUM({_NTOK}) AS DOUBLE) / COUNT(*) AS avg_tokens "
+   f"FROM documents GROUP BY lang")
+def pipe_token_stats(spark, sf_dir) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    tc = text.token_count(F.col("text"))
+    return (
+        docs.select("lang", tc.alias("n"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n").cast("long").alias("total_tokens"),
+            (F.sum("n").cast("double") / F.count(F.lit(1))).alias("avg_tokens"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Event-stream analytics (batch twins of the streaming surface)
+# ---------------------------------------------------------------------------
+
+_SESSION_ORACLE = """
+WITH e AS (
+  SELECT user_id, event_id, epoch_us(ts) AS tu, value FROM events
+), m AS (
+  SELECT *, lag(tu) OVER (PARTITION BY user_id ORDER BY tu, event_id) AS prev FROM e
+), s AS (
+  SELECT *, CAST(SUM(CASE WHEN prev IS NULL OR tu - prev > 1800000000 THEN 1 ELSE 0 END)
+    OVER (PARTITION BY user_id ORDER BY tu, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+  FROM m
+)
+SELECT user_id, session_seq, COUNT(*) AS n_events,
+  CAST(MAX(tu) - MIN(tu) AS DOUBLE) / 1e6 AS span_sec,
+  ROUND(CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE), 6) AS total_value
+FROM s GROUP BY user_id, session_seq
+"""
+
+@q("pipe_sessionize", _SESSION_ORACLE)
+def pipe_sessionize(spark, sf_dir) -> DataFrame:
+    events = read_table(spark, sf_dir, "events")
+    out = sessions.session_stats(events, gap_minutes=30)
+    return out.select(
+        "user_id", F.col("session_seq").cast("long").alias("session_seq"),
+        "n_events", "span_sec", "total_value",
+    )
+
+
+@q("pipe_tumbling_window",
+   "SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start, event_type, "
+   "COUNT(*) AS n, ROUND(CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE), 6) AS total_value "
+   "FROM events GROUP BY 1, 2")
+def pipe_tumbling_window(spark, sf_dir) -> DataFrame:
+    events = read_table(spark, sf_dir, "events")
+    return sessions.tumbling_counts(events)
+
+
+@q("pipe_top_users_by_value",
+   f"SELECT user_id, CAST(SUM(CAST(value AS {_DEC})) AS DOUBLE) AS total "
+   f"FROM events WHERE event_type = 'purchase' GROUP BY user_id "
+   f"ORDER BY total DESC, user_id LIMIT 10")
+def pipe_top_users_by_value(spark, sf_dir) -> DataFrame:
+    events = read_table(spark, sf_dir, "events")
+    return (
+        events.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.sum(F.col("value").cast("decimal(25,6)")).cast("double").alias("total"))
+        .orderBy(F.col("total").desc(), F.col("user_id"))
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing (decode stubbed; Spark-side shape is real)
+# ---------------------------------------------------------------------------
+
+@q("pipe_multimodal_features",
+   "SELECT doc_id AS media_id, 'image' AS kind, CAST(strlen(text) AS BIGINT) AS n_bytes "
+   "FROM documents")
+def pipe_multimodal_features(spark, sf_dir) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    media = multimodal.synthetic_media(spark, docs)
+    feats = multimodal.extract_features(media, decode_fn="fake")
+    return feats.select("media_id", "kind", "n_bytes")

@@ -1,0 +1,779 @@
+"""SPARQL-engine queries over the driver tables, with DuckDB oracle SQL.
+
+Every query here runs through the full engine stack (algebra → compiler
+→ Catalyst) over the RelationalQuadStore view of the parquet tables, and
+has an ANSI-SQL twin DuckDB runs over the *original* tables — per the
+FIXTURES.md §5 design, this makes every SPARQL operator oracle-checkable.
+
+Column names/types are aligned on both sides (the driver hashes values
+per sorted column name). SUM/AVG use exact DECIMAL accumulation on both
+sides so results are independent of execution order.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from kineo_spark import algebra as A
+from kineo_spark.compiler import Compiler
+from kineo_spark.expr import EExists, c, fn, v
+from kineo_spark.forms import ask, construct, describe, select
+from kineo_spark.model import iri, lit
+from kineo_spark.relational import extract
+from kineo_spark.store import RDF_TYPE, RelationalQuadStore
+
+_STORES: dict[tuple[int, str], RelationalQuadStore] = {}
+
+
+def compiler_for(spark: SparkSession, sf_dir: str) -> Compiler:
+    key = (id(spark), sf_dir)
+    if key not in _STORES:
+        _STORES[key] = RelationalQuadStore(spark, sf_dir)
+    return Compiler(_STORES[key])
+
+
+def tp(s, p, o) -> A.TriplePattern:
+    def n(x):
+        return A.Var(x) if isinstance(x, str) else x
+    return A.TriplePattern(n(s), n(p), n(o))
+
+
+def col(t: str, c_: str):
+    return iri(f"urn:col:{t}:{c_}")
+
+
+def fk(t: str, c_: str):
+    return iri(f"urn:fk:{t}:{c_}")
+
+
+QUERIES: dict[str, callable] = {}
+ORACLES: dict[str, str] = {}
+
+
+def q(name: str, oracle: str | None):
+    def deco(f):
+        QUERIES[name] = f
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return f
+    return deco
+
+
+# ---------------------------------------------------------------------------
+# Scans / projection / filter / order / slice
+# ---------------------------------------------------------------------------
+
+@q("sparql_scan_project",
+   "SELECT c_name AS name, c_mktsegment AS segment FROM customer")
+def sparql_scan_project(spark, sf_dir) -> DataFrame:
+    comp = compiler_for(spark, sf_dir)
+    alg = A.BGP((
+        tp("cust", col("customer", "c_name"), "name"),
+        tp("cust", col("customer", "c_mktsegment"), "segment"),
+    ))
+    return extract(select(comp, A.SelectQuery(alg)), {
+        "name": ("name", "lex"), "segment": ("segment", "lex"),
+    })
+
+
+@q("sparql_filter_order_limit",
+   "SELECT c_name AS name, c_acctbal AS bal FROM customer "
+   "WHERE c_acctbal > 8000 ORDER BY c_acctbal DESC, c_name LIMIT 10")
+def sparql_filter_order_limit(spark, sf_dir) -> DataFrame:
+    comp = compiler_for(spark, sf_dir)
+    alg = A.Slice(
+        A.Order(
+            A.Filter(
+                A.BGP((
+                    tp("cust", col("customer", "c_name"), "name"),
+                    tp("cust", col("customer", "c_acctbal"), "bal"),
+                )),
+                v("bal") > c(lit(8000)),
+            ),
+            (A.SortComparator(v("bal"), False), A.SortComparator(v("name"), True)),
+        ),
+        limit=10,
+    )
+    return extract(select(comp, A.SelectQuery(alg)), {
+        "name": ("name", "lex"), "bal": ("bal", "num"),
+    })
+
+
+@q("sparql_bgp_3hop_join",
+   "SELECT c_name AS name, n_name AS nation, r_name AS region, c_acctbal AS bal "
+   "FROM customer JOIN nation ON c_nationkey = n_nationkey "
+   "JOIN region ON n_regionkey = r_regionkey WHERE c_acctbal > 7500")
+def sparql_bgp_3hop_join(spark, sf_dir) -> DataFrame:
+    comp = compiler_for(spark, sf_dir)
+    alg = A.Filter(
+        A.BGP((
+            tp("cust", col("customer", "c_name"), "name"),
+            tp("cust", col("customer", "c_acctbal"), "bal"),
+            tp("cust", fk("customer", "c_nationkey"), "nat"),
+            tp("nat", col("nation", "n_name"), "nation"),
+            tp("nat", fk("nation", "n_regionkey"), "reg"),
+            tp("reg", col("region", "r_name"), "region"),
+        )),
+        v("bal") > c(lit(7500)),
+    )
+    return extract(select(comp, A.SelectQuery(alg)), {
+        "name": ("name", "lex"), "nation": ("nation", "lex"),
+        "region": ("region", "lex"), "bal": ("bal", "num"),
+    })
+
+
+# ---------------------------------------------------------------------------
+# OPTIONAL / UNION / MINUS / EXISTS / DISTINCT / VALUES / BIND
+# ---------------------------------------------------------------------------
+
+@q("sparql_optional_leftjoin",
+   "SELECT s_name AS supplier, c_name AS customer FROM supplier "
+   "LEFT JOIN customer ON customer.c_nationkey = supplier.s_nationkey "
+   "AND c_acctbal > 9000")
+def sparql_optional_leftjoin(spark, sf_dir) -> DataFrame:
+    comp = compiler_for(spark, sf_dir)
+    alg = A.LeftJoin(
+        A.BGP((
+            tp("sup", col("supplier", "s_name"), "supplier"),
+            tp("sup", fk("supplier", "s_nationkey"), "nat"),
+        )),
+        A.BGP((
+            tp("cust", fk("customer", "c_nationkey"), "nat"),
+            tp("cust", col("customer", "c_name"), "customer"),
+            tp("cust", col("customer", "c_acctbal"), "bal"),
+        )),
+        expr=v("bal") > c(lit(9000)),
+    )
+    return extract(select(comp, A.SelectQuery(alg, ("supplier", "customer"))), {
+        "supplier": ("supplier", "lex"), "customer": ("customer", "lex"),
+    })
+
+
+@q("sparql_union",
+   "SELECT c_name AS name, 'customer' AS src FROM customer "
+   "UNION ALL SELECT s_name, 'supplier' FROM supplier")
+def sparql_union(spark, sf_dir) -> DataFrame:
+    comp = compiler_for(spark, sf_dir)
+    alg = A.Union(
+        A.Extend(
+            A.Triple(tp("x", col("customer", "c_name"), "name")),
+            c(lit("customer")), "src",
+        ),
+        A.Extend(
+            A.Triple(tp("x", col("supplier", "s_name"), "name")),
+            c(lit("supplier")), "src",
+        ),
+    )
+    return extract(select(comp, A.SelectQuery(alg, ("name", "src"))), {
+        "name": ("name", "lex"), "src": ("src", "lex"),
+    })
+
+
+@q("sparql_minus",
+   "SELECT c_name AS name FROM customer WHERE NOT EXISTS "
+   "(SELECT 1 FROM orders WHERE o_custkey = c_custkey)")
+def sparql_minus(spark, sf_dir) -> DataFrame:
+    comp = compiler_for(spark, sf_dir)
+    alg = A.Minus(
+        A.Triple(tp("cust", col("customer", "c_name"), "name")),
+        A.Triple(tp("ord", fk("orders", "o_custkey"), "cust")),
+    )
+    return extract(select(comp, A.SelectQuery(alg, ("name",))), {"name": ("name", "lex")})
+
+
+@q("sparql_filter_not_exists",
+   "SELECT s_name AS supplier FROM supplier WHERE NOT EXISTS "
+   "(SELECT 1 FROM customer WHERE c_nationkey = s_nationkey AND c_acctbal > 9500)")
+def sparql_filter_not_exists(spark, sf_dir) -> DataFrame:
+    comp = compiler_for(spark, sf_dir)
+    alg = A.Filter(
+        A.BGP((
+            tp("sup", col("supplier", "s_name"), "supplier"),
+            tp("sup", fk("supplier", "s_nationkey"), "nat"),
+        )),
+        EExists(
+            A.Filter(
+                A.BGP((
+                    tp("cust", fk("customer", "c_nationkey"), "nat"),
+                    tp("cust", col("customer", "c_acctbal"), "bal"),
+                )),
+                v("bal") > c(lit(9500)),
+            ),
+            anti=True,
+        ),
+    )
+    return extract(select(comp, A.SelectQuery(alg, ("supplier",))), {"supplier": ("supplier", "lex")})
+
+
+@q("sparql_distinct",
+   "SELECT DISTINCT c_mktsegment AS segment FROM customer")
+def sparql_distinct(spark, sf_dir) -> DataFrame:
+    comp = compiler_for(spark, sf_dir)
+    alg = A.Distinct(
+        A.Project(
+            A.Triple(tp("cust", col("customer", "c_mktsegment"), "segment")),
+            ("segment",),
+        )
+    )
+    return extract(select(comp, A.SelectQuery(alg)), {"segment": ("segment", "lex")})
+
+
+@q("sparql_values_join",
+   "SELECT n_name AS nation, r_name AS region FROM nation "
+   "JOIN region ON n_regionkey = r_regionkey WHERE r_name IN ('EUROPE','ASIA')")
+def sparql_values_join(spark, sf_dir) -> DataFrame:
+    comp = compiler_for(spark, sf_dir)
+    alg = A.Join(
+        A.BGP((
+            tp("nat", col("nation", "n_name"), "nation"),
+            tp("nat", fk("nation", "n_regionkey"), "reg"),
+            tp("reg", col("region", "r_name"), "region"),
+        )),
+        A.Table(("region",), ((lit("EUROPE"),), (lit("ASIA"),))),
+    )
+    return extract(select(comp, A.SelectQuery(alg, ("nation", "region"))), {
+        "nation": ("nation", "lex"), "region": ("region", "lex"),
+    })
+
+
+@q("sparql_bind_extend",
+   "SELECT l_orderkey AS orderkey, l_linenumber AS linenumber, "
+   "l_extendedprice * (1 - l_discount) AS revenue "
+   "FROM lineitem WHERE l_quantity > 45")
+def sparql_bind_extend(spark, sf_dir) -> DataFrame:
+    comp = compiler_for(spark, sf_dir)
+    alg = A.Extend(
+        A.Filter(
+            A.BGP((
+                tp("li", col("lineitem", "l_orderkey"), "orderkey"),
+                tp("li", col("lineitem", "l_linenumber"), "linenumber"),
+                tp("li", col("lineitem", "l_extendedprice"), "price"),
+                tp("li", col("lineitem", "l_discount"), "disc"),
+                tp("li", col("lineitem", "l_quantity"), "qty"),
+            )),
+            v("qty") > c(lit(45)),
+        ),
+        v("price") * (c(lit(1)) - v("disc")),
+        "revenue",
+    )
+    return extract(select(comp, A.SelectQuery(alg, ("orderkey", "linenumber", "revenue"))), {
+        "orderkey": ("orderkey", "int"), "linenumber": ("linenumber", "int"),
+        "revenue": ("revenue", "num"),
+    })
+
+
+# ---------------------------------------------------------------------------
+# Aggregation
+# ---------------------------------------------------------------------------
+
+_DEC = "DECIMAL(25,6)"
+
+@q("sparql_agg_q1",
+   f"SELECT l_returnflag AS returnflag, l_linestatus AS linestatus, "
+   f"CAST(SUM(CAST(l_quantity AS {_DEC})) AS DOUBLE) AS sum_qty, "
+   f"CAST(SUM(CAST(l_extendedprice AS {_DEC})) AS DOUBLE) AS sum_base_price, "
+   f"CAST(SUM(CAST(l_quantity AS {_DEC})) AS DOUBLE) / COUNT(l_quantity) AS avg_qty, "
+   f"COUNT(*) AS count_order "
+   f"FROM lineitem WHERE l_shipdate <= TIMESTAMP '1997-06-01 00:00:00' "
+   f"GROUP BY l_returnflag, l_linestatus")
+def sparql_agg_q1(spark, sf_dir) -> DataFrame:
+    comp = compiler_for(spark, sf_dir)
+    alg = A.Aggregate(
+        A.Filter(
+            A.BGP((
+                tp("li", col("lineitem", "l_returnflag"), "rf"),
+                tp("li", col("lineitem", "l_linestatus"), "ls"),
+                tp("li", col("lineitem", "l_quantity"), "qty"),
+                tp("li", col("lineitem", "l_extendedprice"), "price"),
+                tp("li", col("lineitem", "l_shipdate"), "sd"),
+            )),
+            v("sd") <= c(lit("1997-06-01T00:00:00", dt="dateTime")),
+        ),
+        groups=(v("rf"), v("ls")), group_names=("rf", "ls"),
+        aggs=(
+            ("sum_qty", A.AggSpec("SUM", v("qty"), exact=True)),
+            ("sum_base_price", A.AggSpec("SUM", v("price"), exact=True)),
+            ("avg_qty", A.AggSpec("AVG", v("qty"), exact=True)),
+            ("count_order", A.AggSpec("COUNT*")),
+        ),
+    )
+    return extract(select(comp, A.SelectQuery(alg)), {
+        "returnflag": ("rf", "lex"), "linestatus": ("ls", "lex"),
+        "sum_qty": ("sum_qty", "num"), "sum_base_price": ("sum_base_price", "num"),
+        "avg_qty": ("avg_qty", "num"), "count_order": ("count_order", "int"),
+    })
+
+
+@q("sparql_agg_having",
+   "SELECT 'urn:t:nation:' || CAST(c_nationkey AS VARCHAR) AS nation, "
+   "COUNT(*) AS n_customers FROM customer GROUP BY c_nationkey "
+   "HAVING COUNT(*) >= 5")
+def sparql_agg_having(spark, sf_dir) -> DataFrame:
+    comp = compiler_for(spark, sf_dir)
+    alg = A.Filter(
+        A.Aggregate(
+            A.Triple(tp("cust", fk("customer", "c_nationkey"), "nat")),
+            groups=(v("nat"),), group_names=("nat",),
+            aggs=(("n_customers", A.AggSpec("COUNT*")),),
+        ),
+        v("n_customers") >= c(lit(5)),
+    )
+    return extract(select(comp, A.SelectQuery(alg)), {
+        "nation": ("nat", "lex"), "n_customers": ("n_customers", "int"),
+    })
+
+
+@q("sparql_agg_minmax",
+   f"SELECT 'urn:t:nation:' || CAST(c_nationkey AS VARCHAR) AS nation, "
+   f"MIN(c_acctbal) AS min_bal, MAX(c_acctbal) AS max_bal, "
+   f"CAST(SUM(CAST(c_acctbal AS {_DEC})) AS DOUBLE) AS total_bal "
+   f"FROM customer GROUP BY c_nationkey")
+def sparql_agg_minmax(spark, sf_dir) -> DataFrame:
+    comp = compiler_for(spark, sf_dir)
+    alg = A.Aggregate(
+        A.BGP((
+            tp("cust", fk("customer", "c_nationkey"), "nat"),
+            tp("cust", col("customer", "c_acctbal"), "bal"),
+        )),
+        groups=(v("nat"),), group_names=("nat",),
+        aggs=(
+            ("min_bal", A.AggSpec("MIN", v("bal"))),
+            ("max_bal", A.AggSpec("MAX", v("bal"))),
+            ("total_bal", A.AggSpec("SUM", v("bal"), exact=True)),
+        ),
+    )
+    return extract(select(comp, A.SelectQuery(alg)), {
+        "nation": ("nat", "lex"), "min_bal": ("min_bal", "num"),
+        "max_bal": ("max_bal", "num"), "total_bal": ("total_bal", "num"),
+    })
+
+
+@q("sparql_group_concat",
+   "SELECT r_name AS region, string_agg(n_name, ',' ORDER BY n_name) AS nations "
+   "FROM region JOIN nation ON n_regionkey = r_regionkey GROUP BY r_name")
+def sparql_group_concat(spark, sf_dir) -> DataFrame:
+    comp = compiler_for(spark, sf_dir)
+    alg = A.Aggregate(
+        A.BGP((
+            tp("nat", col("nation", "n_name"), "nname"),
+            tp("nat", fk("nation", "n_regionkey"), "reg"),
+            tp("reg", col("region", "r_name"), "region"),
+        )),
+        groups=(v("region"),), group_names=("region",),
+        aggs=(("nations", A.AggSpec("GROUP_CONCAT", v("nname"), separator=",")),),
+    )
+    return extract(select(comp, A.SelectQuery(alg)), {
+        "region": ("region", "lex"), "nations": ("nations", "lex"),
+    })
+
+
+@q("sparql_count_distinct",
+   "SELECT 'urn:t:nation:' || CAST(c_nationkey AS VARCHAR) AS nation, "
+   "COUNT(DISTINCT c_mktsegment) AS n_segments FROM customer GROUP BY c_nationkey")
+def sparql_count_distinct(spark, sf_dir) -> DataFrame:
+    comp = compiler_for(spark, sf_dir)
+    alg = A.Aggregate(
+        A.BGP((
+            tp("cust", fk("customer", "c_nationkey"), "nat"),
+            tp("cust", col("customer", "c_mktsegment"), "seg"),
+        )),
+        groups=(v("nat"),), group_names=("nat",),
+        aggs=(("n_segments", A.AggSpec("COUNT", v("seg"), distinct=True)),),
+    )
+    return extract(select(comp, A.SelectQuery(alg)), {
+        "nation": ("nat", "lex"), "n_segments": ("n_segments", "int"),
+    })
+
+
+@q("sparql_subquery_join_agg",
+   f"SELECT n_name AS nation, avg_bal FROM nation JOIN ("
+   f"SELECT c_nationkey, CAST(SUM(CAST(c_acctbal AS {_DEC})) AS DOUBLE) / COUNT(c_acctbal) AS avg_bal "
+   f"FROM customer GROUP BY c_nationkey) a ON a.c_nationkey = n_nationkey "
+   f"WHERE avg_bal > 4000")
+def sparql_subquery_join_agg(spark, sf_dir) -> DataFrame:
+    comp = compiler_for(spark, sf_dir)
+    sub = A.Subquery(
+        A.SelectQuery(
+            A.Aggregate(
+                A.BGP((
+                    tp("cust", fk("customer", "c_nationkey"), "nat"),
+                    tp("cust", col("customer", "c_acctbal"), "bal"),
+                )),
+                groups=(v("nat"),), group_names=("nat",),
+                aggs=(("avg_bal", A.AggSpec("AVG", v("bal"), exact=True)),),
+            ),
+            ("nat", "avg_bal"),
+        )
+    )
+    alg = A.Filter(
+        A.Join(A.Triple(tp("nat", col("nation", "n_name"), "nation")), sub),
+        v("avg_bal") > c(lit(4000)),
+    )
+    return extract(select(comp, A.SelectQuery(alg, ("nation", "avg_bal"))), {
+        "nation": ("nation", "lex"), "avg_bal": ("avg_bal", "num"),
+    })
+
+
+# ---------------------------------------------------------------------------
+# Window functions
+# ---------------------------------------------------------------------------
+
+@q("sparql_window_rank",
+   "SELECT name, nation, bal, rnk FROM (SELECT c_name AS name, "
+   "'urn:t:nation:' || CAST(c_nationkey AS VARCHAR) AS nation, c_acctbal AS bal, "
+   "CAST(rank() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC) AS BIGINT) AS rnk "
+   "FROM customer) WHERE rnk <= 3")
+def sparql_window_rank(spark, sf_dir) -> DataFrame:
+    comp = compiler_for(spark, sf_dir)
+    alg = A.Filter(
+        A.Window(
+            A.BGP((
+                tp("cust", col("customer", "c_name"), "name"),
+                tp("cust", fk("customer", "c_nationkey"), "nat"),
+                tp("cust", col("customer", "c_acctbal"), "bal"),
+            )),
+            functions=(
+                ("rnk", A.WindowSpec("RANK", partition=(v("nat"),),
+                                     order=(A.SortComparator(v("bal"), False),))),
+            ),
+        ),
+        v("rnk") <= c(lit(3)),
+    )
+    return extract(select(comp, A.SelectQuery(alg, ("name", "nat", "bal", "rnk"))), {
+        "name": ("name", "lex"), "nation": ("nat", "lex"),
+        "bal": ("bal", "num"), "rnk": ("rnk", "int"),
+    })
+
+
+@q("sparql_window_rownumber",
+   "SELECT name, rn FROM (SELECT c_name AS name, "
+   "CAST(row_number() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_name) AS BIGINT) AS rn "
+   "FROM customer) WHERE rn <= 2")
+def sparql_window_rownumber(spark, sf_dir) -> DataFrame:
+    comp = compiler_for(spark, sf_dir)
+    alg = A.Filter(
+        A.Window(
+            A.BGP((
+                tp("cust", col("customer", "c_name"), "name"),
+                tp("cust", col("customer", "c_mktsegment"), "seg"),
+                tp("cust", col("customer", "c_acctbal"), "bal"),
+            )),
+            functions=(
+                ("rn", A.WindowSpec("ROW_NUMBER", partition=(v("seg"),),
+                                    order=(A.SortComparator(v("bal"), False),
+                                           A.SortComparator(v("name"), True)))),
+            ),
+        ),
+        v("rn") <= c(lit(2)),
+    )
+    return extract(select(comp, A.SelectQuery(alg, ("name", "rn"))), {
+        "name": ("name", "lex"), "rn": ("rn", "int"),
+    })
+
+
+@q("sparql_window_running_sum",
+   f"SELECT o_orderkey AS orderkey, "
+   f"CAST(SUM(CAST(o_totalprice AS {_DEC})) OVER ("
+   f"PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey "
+   f"ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_total "
+   f"FROM orders")
+def sparql_window_running_sum(spark, sf_dir) -> DataFrame:
+    comp = compiler_for(spark, sf_dir)
+    alg = A.Window(
+        A.BGP((
+            tp("ord", col("orders", "o_orderkey"), "okey"),
+            tp("ord", fk("orders", "o_custkey"), "cust"),
+            tp("ord", col("orders", "o_orderdate"), "odate"),
+            tp("ord", col("orders", "o_totalprice"), "price"),
+        )),
+        functions=(
+            ("running_total", A.WindowSpec(
+                "SUM", expr=v("price"), partition=(v("cust"),),
+                order=(A.SortComparator(v("odate"), True), A.SortComparator(v("okey"), True)),
+                frame_start=None, frame_end=0, exact=True,
+            )),
+        ),
+    )
+    return extract(select(comp, A.SelectQuery(alg, ("okey", "running_total"))), {
+        "orderkey": ("okey", "int"), "running_total": ("running_total", "num"),
+    })
+
+
+# ---------------------------------------------------------------------------
+# Property paths
+# ---------------------------------------------------------------------------
+
+@q("sparql_path_seq",
+   "SELECT 'urn:t:orders:' || CAST(o_orderkey AS VARCHAR) AS ord, "
+   "'urn:t:nation:' || CAST(c_nationkey AS VARCHAR) AS nation "
+   "FROM orders JOIN customer ON o_custkey = c_custkey")
+def sparql_path_seq(spark, sf_dir) -> DataFrame:
+    comp = compiler_for(spark, sf_dir)
+    alg = A.PathPattern(
+        A.Var("ord"),
+        A.PSeq(A.PLink(fk("orders", "o_custkey")), A.PLink(fk("customer", "c_nationkey"))),
+        A.Var("nation"),
+    )
+    return extract(select(comp, A.SelectQuery(alg, ("ord", "nation"))), {
+        "ord": ("ord", "lex"), "nation": ("nation", "lex"),
+    })
+
+
+@q("sparql_path_inverse",
+   "SELECT 'urn:t:region:' || CAST(n_regionkey AS VARCHAR) AS region, "
+   "'urn:t:nation:' || CAST(n_nationkey AS VARCHAR) AS nation FROM nation")
+def sparql_path_inverse(spark, sf_dir) -> DataFrame:
+    comp = compiler_for(spark, sf_dir)
+    alg = A.PathPattern(
+        A.Var("region"), A.PInv(A.PLink(fk("nation", "n_regionkey"))), A.Var("nation")
+    )
+    return extract(select(comp, A.SelectQuery(alg, ("region", "nation"))), {
+        "region": ("region", "lex"), "nation": ("nation", "lex"),
+    })
+
+
+@q("sparql_path_alt_plus",
+   "SELECT 'urn:t:orders:' || CAST(o_orderkey AS VARCHAR) AS src, "
+   "'urn:t:customer:' || CAST(o_custkey AS VARCHAR) AS dst FROM orders "
+   "UNION ALL SELECT 'urn:t:customer:' || CAST(c_custkey AS VARCHAR), "
+   "'urn:t:nation:' || CAST(c_nationkey AS VARCHAR) FROM customer "
+   "UNION ALL SELECT 'urn:t:nation:' || CAST(n_nationkey AS VARCHAR), "
+   "'urn:t:region:' || CAST(n_regionkey AS VARCHAR) FROM nation "
+   "UNION ALL SELECT 'urn:t:orders:' || CAST(o_orderkey AS VARCHAR), "
+   "'urn:t:nation:' || CAST(c_nationkey AS VARCHAR) "
+   "FROM orders JOIN customer ON o_custkey = c_custkey "
+   "UNION ALL SELECT 'urn:t:customer:' || CAST(c_custkey AS VARCHAR), "
+   "'urn:t:region:' || CAST(n_regionkey AS VARCHAR) "
+   "FROM customer JOIN nation ON c_nationkey = n_nationkey "
+   "UNION ALL SELECT 'urn:t:orders:' || CAST(o_orderkey AS VARCHAR), "
+   "'urn:t:region:' || CAST(n_regionkey AS VARCHAR) "
+   "FROM orders JOIN customer ON o_custkey = c_custkey "
+   "JOIN nation ON c_nationkey = n_nationkey")
+def sparql_path_alt_plus(spark, sf_dir) -> DataFrame:
+    """(fk_orders_cust | fk_customer_nation | fk_nation_region)+ — full
+    transitive closure over the FK graph via the distributed fixpoint."""
+    comp = compiler_for(spark, sf_dir)
+    alg = A.PathPattern(
+        A.Var("src"),
+        A.PPlus(A.PAlt(
+            A.PAlt(A.PLink(fk("orders", "o_custkey")), A.PLink(fk("customer", "c_nationkey"))),
+            A.PLink(fk("nation", "n_regionkey")),
+        )),
+        A.Var("dst"),
+    )
+    return extract(select(comp, A.SelectQuery(alg, ("src", "dst"))), {
+        "src": ("src", "lex"), "dst": ("dst", "lex"),
+    })
+
+
+@q("sparql_path_zero_or_one",
+   "SELECT 'urn:t:nation:0' AS dst "
+   "UNION ALL SELECT 'urn:t:region:' || CAST(n_regionkey AS VARCHAR) "
+   "FROM nation WHERE n_nationkey = 0")
+def sparql_path_zero_or_one(spark, sf_dir) -> DataFrame:
+    comp = compiler_for(spark, sf_dir)
+    alg = A.PathPattern(
+        iri("urn:t:nation:0"),
+        A.PZeroOrOne(A.PLink(fk("nation", "n_regionkey"))),
+        A.Var("dst"),
+        graph=iri("urn:g:nation"),
+    )
+    return extract(select(comp, A.SelectQuery(alg, ("dst",))), {"dst": ("dst", "lex")})
+
+
+@q("sparql_path_nps",
+   "SELECT 'urn:t:nation:' || CAST(n_nationkey AS VARCHAR) AS s, "
+   "'urn:class:nation' AS o FROM nation "
+   "UNION ALL SELECT 'urn:t:nation:' || CAST(n_nationkey AS VARCHAR), n_name FROM nation "
+   "UNION ALL SELECT 'urn:t:nation:' || CAST(n_nationkey AS VARCHAR), "
+   "CAST(n_nationkey AS VARCHAR) FROM nation "
+   "UNION ALL SELECT 'urn:t:nation:' || CAST(n_nationkey AS VARCHAR), "
+   "CAST(n_regionkey AS VARCHAR) FROM nation")
+def sparql_path_nps(spark, sf_dir) -> DataFrame:
+    """!(urn:fk:nation:n_regionkey) within the nation graph: every edge
+    except the FK — type quads + the three literal columns."""
+    comp = compiler_for(spark, sf_dir)
+    alg = A.PathPattern(
+        A.Var("s"), A.PNps((fk("nation", "n_regionkey"),)), A.Var("o"),
+        graph=iri("urn:g:nation"),
+    )
+    return extract(select(comp, A.SelectQuery(alg, ("s", "o"))), {
+        "s": ("s", "lex"), "o": ("o", "lex"),
+    })
+
+
+# ---------------------------------------------------------------------------
+# Query forms & dataset
+# ---------------------------------------------------------------------------
+
+@q("sparql_ask",
+   "SELECT EXISTS(SELECT 1 FROM customer WHERE c_acctbal > 9000) AS ask")
+def sparql_ask(spark, sf_dir) -> DataFrame:
+    comp = compiler_for(spark, sf_dir)
+    result = ask(comp, A.AskQuery(
+        A.Filter(
+            A.Triple(tp("cust", col("customer", "c_acctbal"), "bal")),
+            v("bal") > c(lit(9000)),
+        )
+    ))
+    return spark.createDataFrame([(result,)], "ask boolean")
+
+
+@q("sparql_construct",
+   "SELECT DISTINCT 'urn:t:customer:' || CAST(c_custkey AS VARCHAR) AS s, "
+   "'urn:p:inNation' AS p, n_name AS o "
+   "FROM customer JOIN nation ON c_nationkey = n_nationkey")
+def sparql_construct(spark, sf_dir) -> DataFrame:
+    comp = compiler_for(spark, sf_dir)
+    cq = A.ConstructQuery(
+        A.BGP((
+            tp("cust", fk("customer", "c_nationkey"), "nat"),
+            tp("nat", col("nation", "n_name"), "nname"),
+        )),
+        template=(A.TriplePattern(A.Var("cust"), iri("urn:p:inNation"), A.Var("nname")),),
+    )
+    df = construct(comp, cq)
+    return df.select(
+        df["s"]["lex"].alias("s"), df["p"]["lex"].alias("p"), df["o"]["lex"].alias("o")
+    )
+
+
+@q("sparql_describe",
+   f"SELECT 'urn:t:region:0' AS s, '{RDF_TYPE}' AS p, 'urn:class:region' AS o "
+   "UNION ALL SELECT 'urn:t:region:0', 'urn:col:region:r_regionkey', "
+   "CAST(r_regionkey AS VARCHAR) FROM region WHERE r_regionkey = 0 "
+   "UNION ALL SELECT 'urn:t:region:0', 'urn:col:region:r_name', r_name "
+   "FROM region WHERE r_regionkey = 0")
+def sparql_describe(spark, sf_dir) -> DataFrame:
+    comp = compiler_for(spark, sf_dir)
+    df = describe(comp, A.DescribeQuery(A.JoinIdentity(), nodes=(iri("urn:t:region:0"),)))
+    return df.select(
+        df["s"]["lex"].alias("s"), df["p"]["lex"].alias("p"), df["o"]["lex"].alias("o")
+    )
+
+
+@q("sparql_graph_stats",
+   "SELECT 'urn:g:customer' AS g, CAST(COUNT(*) * 7 AS BIGINT) AS n FROM customer "
+   "UNION ALL SELECT 'urn:g:nation', COUNT(*) * 5 FROM nation "
+   "UNION ALL SELECT 'urn:g:region', COUNT(*) * 3 FROM region "
+   "UNION ALL SELECT 'urn:g:supplier', COUNT(*) * 6 FROM supplier "
+   "UNION ALL SELECT 'urn:g:part', COUNT(*) * 7 FROM part "
+   "UNION ALL SELECT 'urn:g:orders', COUNT(*) * 8 FROM orders "
+   "UNION ALL SELECT 'urn:g:lineitem', COUNT(*) * 15 FROM lineitem "
+   "UNION ALL SELECT 'urn:g:events', COUNT(*) * 7 FROM events "
+   "UNION ALL SELECT 'urn:g:documents', COUNT(*) * 6 FROM documents "
+   "UNION ALL SELECT 'urn:g:embeddings', COUNT(*) * 3 FROM embeddings")
+def sparql_graph_stats(spark, sf_dir) -> DataFrame:
+    """GraphDescription-style per-graph quad counts (reference
+    QuadStore.swift:28-42,303-356) — a full scan of the virtual
+    quadstore grouped by graph."""
+    comp = compiler_for(spark, sf_dir)
+    alg = A.Aggregate(
+        A.NamedGraph(A.Var("g"), A.Triple(tp("s", A.Var("p"), A.Var("o")))),
+        groups=(v("g"),), group_names=("g",),
+        aggs=(("n", A.AggSpec("COUNT*")),),
+    )
+    return extract(select(comp, A.SelectQuery(alg)), {
+        "g": ("g", "lex"), "n": ("n", "int"),
+    })
+
+
+# ---------------------------------------------------------------------------
+# Expression surface
+# ---------------------------------------------------------------------------
+
+@q("sparql_expr_strings",
+   "SELECT c_name AS name, upper(c_name) AS uname, "
+   "CAST(length(c_name) AS BIGINT) AS name_len, "
+   "substr(c_name, 1, 8) AS prefix, md5(c_name) AS name_md5, "
+   "replace(c_name, 'Customer', 'C') AS short_name "
+   "FROM customer WHERE contains(c_name, '00001')")
+def sparql_expr_strings(spark, sf_dir) -> DataFrame:
+    comp = compiler_for(spark, sf_dir)
+    base = A.Filter(
+        A.Triple(tp("cust", col("customer", "c_name"), "name")),
+        fn("CONTAINS", v("name"), c(lit("00001"))),
+    )
+    alg = base
+    for name_, e in [
+        ("uname", fn("UCASE", v("name"))),
+        ("name_len", fn("STRLEN", v("name"))),
+        ("prefix", fn("SUBSTR", v("name"), c(lit(1)), c(lit(8)))),
+        ("name_md5", fn("MD5", v("name"))),
+        ("short_name", fn("REPLACE", v("name"), c(lit("Customer")), c(lit("C")))),
+    ]:
+        alg = A.Extend(alg, e, name_)
+    return extract(
+        select(comp, A.SelectQuery(alg, ("name", "uname", "name_len", "prefix", "name_md5", "short_name"))),
+        {
+            "name": ("name", "lex"), "uname": ("uname", "lex"),
+            "name_len": ("name_len", "int"), "prefix": ("prefix", "lex"),
+            "name_md5": ("name_md5", "lex"), "short_name": ("short_name", "lex"),
+        },
+    )
+
+
+@q("sparql_expr_datetime",
+   "SELECT o_orderkey AS orderkey, "
+   "CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS y, "
+   "CAST(EXTRACT(month FROM o_orderdate) AS BIGINT) AS m, "
+   "CAST(EXTRACT(day FROM o_orderdate) AS BIGINT) AS d "
+   "FROM orders WHERE EXTRACT(month FROM o_orderdate) = 1")
+def sparql_expr_datetime(spark, sf_dir) -> DataFrame:
+    comp = compiler_for(spark, sf_dir)
+    alg = A.Filter(
+        A.Extend(
+            A.Extend(
+                A.Extend(
+                    A.BGP((
+                        tp("ord", col("orders", "o_orderkey"), "okey"),
+                        tp("ord", col("orders", "o_orderdate"), "odate"),
+                    )),
+                    fn("YEAR", v("odate")), "y",
+                ),
+                fn("MONTH", v("odate")), "m",
+            ),
+            fn("DAY", v("odate")), "d",
+        ),
+        fn("MONTH", v("odate")) == c(lit(1)),
+    )
+    return extract(select(comp, A.SelectQuery(alg, ("okey", "y", "m", "d"))), {
+        "orderkey": ("okey", "int"), "y": ("y", "int"), "m": ("m", "int"), "d": ("d", "int"),
+    })
+
+
+@q("sparql_expr_conditional",
+   "SELECT c_name AS name, CASE WHEN c_acctbal > 5000 THEN 'high' ELSE 'low' END AS tier "
+   "FROM customer")
+def sparql_expr_conditional(spark, sf_dir) -> DataFrame:
+    comp = compiler_for(spark, sf_dir)
+    alg = A.Extend(
+        A.BGP((
+            tp("cust", col("customer", "c_name"), "name"),
+            tp("cust", col("customer", "c_acctbal"), "bal"),
+        )),
+        fn("IF", v("bal") > c(lit(5000)), c(lit("high")), c(lit("low"))),
+        "tier",
+    )
+    return extract(select(comp, A.SelectQuery(alg, ("name", "tier"))), {
+        "name": ("name", "lex"), "tier": ("tier", "lex"),
+    })
+
+
+@q("sparql_reduced",
+   "SELECT DISTINCT c_mktsegment AS segment, "
+   "'urn:t:nation:' || CAST(c_nationkey AS VARCHAR) AS nation FROM customer")
+def sparql_reduced(spark, sf_dir) -> DataFrame:
+    comp = compiler_for(spark, sf_dir)
+    alg = A.Reduced(
+        A.Project(
+            A.BGP((
+                tp("cust", col("customer", "c_mktsegment"), "segment"),
+                tp("cust", fk("customer", "c_nationkey"), "nat"),
+            )),
+            ("segment", "nat"),
+        )
+    )
+    return extract(select(comp, A.SelectQuery(alg)), {
+        "segment": ("segment", "lex"), "nation": ("nat", "lex"),
+    })

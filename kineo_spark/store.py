@@ -139,8 +139,12 @@ TABLES: dict[str, tuple[list[str], dict[str, str]]] = {
     "supplier": (["s_suppkey"], {"s_nationkey": "nation"}),
     "part": (["p_partkey"], {}),
     "orders": (["o_orderkey"], {"o_custkey": "customer"}),
+    # the synthetic lineitem has NO unique natural key (even
+    # (orderkey, linenumber, partkey, suppkey) collides at sf0.001), so
+    # its row IRI uses the parquet row index (_metadata.row_index) —
+    # deterministic per physical row, exactly one subject per row.
     "lineitem": (
-        ["l_orderkey", "l_linenumber"],
+        ["__rowid"],
         {"l_orderkey": "orders", "l_partkey": "part", "l_suppkey": "supplier"},
     ),
     "events": (["event_id"], {}),
@@ -159,6 +163,10 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     for f_ in df.schema.fields:
         if name == "events" and f_.name == "ts" and isinstance(f_.dataType, T.LongType):
             df = df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+        elif isinstance(f_.dataType, T.TimestampNTZType):
+            # parquet ms-timestamps without UTC flag arrive as NTZ; the
+            # engine speaks instants (session tz is UTC, so same wall clock)
+            df = df.withColumn(f_.name, F.col(f_.name).cast("timestamp"))
     return df
 
 
@@ -182,7 +190,10 @@ class RelationalQuadStore(QuadStore):
 
     def table(self, name: str) -> DataFrame:
         if name not in self._cache:
-            self._cache[name] = read_table(self.spark, self.sf_dir, name)
+            df = read_table(self.spark, self.sf_dir, name)
+            if TABLES[name][0] == ["__rowid"]:
+                df = df.select("*", F.col("_metadata.row_index").alias("__rowid"))
+            self._cache[name] = df
         return self._cache[name]
 
     # -- IRI helpers ------------------------------------------------------
@@ -237,7 +248,9 @@ class RelationalQuadStore(QuadStore):
             pks, fks = TABLES[t]
             yield (t, "type", None)
             for f_ in self.table(t).schema.fields:
-                if isinstance(f_.dataType, (T.ArrayType, T.MapType, T.StructType)):
+                if f_.name.startswith("__") or isinstance(
+                    f_.dataType, (T.ArrayType, T.MapType, T.StructType)
+                ):
                     continue
                 yield (t, "col", f_.name)
             for c in fks:

@@ -1,0 +1,103 @@
+"""Structured Streaming surface (extension — the reference has NO
+streaming of any kind, SURVEY §2.11: its "streams" are lazy pull
+iterators; SPARQL UPDATE is declared but unimplemented).
+
+This module gives the engine a streaming ingest + windowed analytics
+path over the events-table shape:
+
+- ``stream_events``: file/rate/memory-source reader with event-time
+  watermarking.
+- ``tumbling_counts`` / ``sliding_counts`` / ``session_windows``:
+  watermark + window aggregations (late data handled by Spark's state
+  store; state TTL comes from the watermark — designed-in from day one,
+  per SURVEY §7.4 hard part 6).
+- ``events_to_quads``: continuous relational→RDF mapping, the streaming
+  twin of RelationalQuadStore's view (append-only quad production ≈ the
+  reference's bulk ``load(version:quads:)``, QuadStore.swift:141-144).
+- ``dedup_stream``: exact dedup over a keyed stream with watermarked
+  state retention (dropDuplicatesWithinWatermark).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from kineo_spark.model import KIND_IRI, KIND_LITERAL
+
+
+def stream_events(
+    spark, source_dir: str, schema=None, max_files_per_trigger: int = 10
+) -> DataFrame:
+    """File-source stream of events parquet drops."""
+    if schema is None:
+        schema = ("event_id long, ts timestamp, user_id long, "
+                  "event_type string, value double, props string")
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(source_dir)
+    )
+
+
+def tumbling_counts(events: DataFrame, minutes: int = 60, watermark: str = "2 hours") -> DataFrame:
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", f"{minutes} minutes"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("total_value"))
+    )
+
+
+def sliding_counts(
+    events: DataFrame, length_min: int = 60, slide_min: int = 15, watermark: str = "2 hours"
+) -> DataFrame:
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", f"{length_min} minutes", f"{slide_min} minutes"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def session_windows(events: DataFrame, gap_min: int = 30, watermark: str = "2 hours") -> DataFrame:
+    """Native session windows (F.session_window) — state closes when the
+    watermark passes the gap."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", f"{gap_min} minutes"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("total_value"))
+    )
+
+
+def dedup_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Exact streaming dedup with bounded state (watermarked TTL)."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(["event_id"])
+
+
+def events_to_quads(events: DataFrame) -> DataFrame:
+    """Streaming relational→RDF: each event row becomes column quads in
+    the flat FIXTURES §0 schema (append-only quad stream)."""
+    s_lex = F.concat(F.lit("urn:t:events:"), F.col("event_id").cast("string"))
+    cols = [
+        ("event_type", F.col("event_type"), "string", None),
+        ("value", F.col("value").cast("string"), "double", F.col("value").cast("double")),
+        ("user_id", F.col("user_id").cast("string"), "integer", F.col("user_id").cast("double")),
+        ("props", F.col("props"), "string", None),
+    ]
+    parts = []
+    for cname, lex, dt, num in cols:
+        parts.append(
+            events.select(
+                F.lit(KIND_IRI).cast("tinyint").alias("s_kind"),
+                s_lex.alias("s_lex"),
+                F.lit(f"urn:col:events:{cname}").alias("p_lex"),
+                F.lit(KIND_LITERAL).cast("tinyint").alias("o_kind"),
+                lex.alias("o_lex"),
+                F.lit(dt).alias("o_dt"),
+                F.lit(None).cast("string").alias("o_lang"),
+                (num if num is not None else F.lit(None).cast("double")).alias("o_num"),
+                F.lit("urn:g:events").alias("g_lex"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

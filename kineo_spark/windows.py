@@ -55,8 +55,16 @@ def compile_window(node: A.Window, child) -> "Plan":
                 col = num_term(F.count(value).over(wf).cast("double"), F.lit("integer"))
             elif op in ("SUM", "AVG", "MIN", "MAX"):
                 num = F.when(is_numeric_term(value), value["num"])
-                fn = {"SUM": F.sum, "AVG": F.avg, "MIN": F.min, "MAX": F.max}[op]
-                col = num_term(fn(num).over(wf).cast("double"), F.lit("double"))
+                if spec.exact and op in ("SUM", "AVG"):
+                    dec = num.cast("decimal(25,6)")
+                    if op == "SUM":
+                        agg = F.sum(dec).over(wf).cast("double")
+                    else:
+                        agg = F.sum(dec).over(wf).cast("double") / F.count(num).over(wf)
+                else:
+                    fn = {"SUM": F.sum, "AVG": F.avg, "MIN": F.min, "MAX": F.max}[op]
+                    agg = fn(num).over(wf).cast("double")
+                col = num_term(agg, F.lit("double"))
             elif op == "SAMPLE":
                 col = F.first(value, ignorenulls=True).over(wf)
             elif op == "GROUP_CONCAT":
