@@ -77,15 +77,7 @@ class Compiler:
             p = node.pattern
             return self._scan(A.QuadPattern(p.s, p.p, p.o, self._active_graph(g)))
         if isinstance(node, A.BGP):
-            plans = [
-                self._c(A.Triple(tp), g) for tp in node.patterns
-            ]
-            if not plans:
-                return self._join_identity()
-            out = plans[0]
-            for p in plans[1:]:
-                out = self._join(out, p)
-            return out
+            return self._bgp(node, g)
         if isinstance(node, A.Join):
             return self._join(self._c(node.lhs, g), self._c(node.rhs, g))
         if isinstance(node, A.LeftJoin):
@@ -163,6 +155,45 @@ class Compiler:
 
     def _join_identity(self) -> Plan:
         return Plan(self.spark.range(1).drop("id"), frozenset())
+
+    def _bgp(self, node: A.BGP, g: A.Node | None) -> Plan:
+        """BGP compilation with star-join collapse: patterns sharing a
+        subject whose predicates live in one table become a single
+        multi-column scan when the store supports it (S2RDF property
+        tables; reference PlanningQuadStore hook,
+        QueryPlanner.swift:449-457). Remaining patterns scan
+        individually; Catalyst orders the joins."""
+        if not node.patterns:
+            return self._join_identity()
+        quads = [
+            A.QuadPattern(tp.s, tp.p, tp.o, self._active_graph(g))
+            for tp in node.patterns
+        ]
+        plans: list[Plan] = []
+        if hasattr(self.store, "scan_star"):
+            groups: dict[object, list[A.QuadPattern]] = {}
+            order: list[object] = []
+            for qp in quads:
+                key = ("v", qp.s.name) if isinstance(qp.s, A.Var) else ("t", qp.s.key())
+                if key not in groups:
+                    groups[key] = []
+                    order.append(key)
+                groups[key].append(qp)
+            rest: list[A.QuadPattern] = []
+            for key in order:
+                grp = groups[key]
+                df = self.store.scan_star(grp) if len(grp) >= 2 else None
+                if df is not None:
+                    certain = frozenset(set().union(*[p.variables() for p in grp]))
+                    plans.append(Plan(df, certain))
+                else:
+                    rest.extend(grp)
+            quads = rest
+        plans.extend(self._scan(qp) for qp in quads)
+        out = plans[0]
+        for p in plans[1:]:
+            out = self._join(out, p)
+        return out
 
     def _scan(self, pattern: A.QuadPattern) -> Plan:
         df = self.store.scan(pattern)

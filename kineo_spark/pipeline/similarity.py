@@ -86,7 +86,7 @@ def lsh_bucket(vec: Column, n_planes: int, dim: int) -> Column:
 
 def lsh_ann(
     corpus: DataFrame, queries: DataFrame, id_col: str, vec_col: str,
-    k: int = 5, n_planes: int = 8, dim: int = 64, n_tables: int = 4,
+    k: int = 5, n_planes: int = 4, dim: int = 64, n_tables: int = 8,
 ) -> DataFrame:
     """Approximate top-k: union of ``n_tables`` independent
     hyperplane-LSH tables, candidates from same-bucket equi-joins, exact

@@ -309,6 +309,141 @@ class RelationalQuadStore(QuadStore):
         }
         return _assign(pattern, terms, df)
 
+    # -- star-join collapse (S2RDF property-table trick) ------------------
+    def _pred_info(self, p: PyTerm) -> tuple[str | None, str, str | None] | None:
+        """(table, kind, col) for a bound predicate; table None for
+        rdf:type (any table)."""
+        if p.kind != KIND_IRI:
+            return None
+        if p.lex == RDF_TYPE:
+            return (None, "type", None)
+        if p.lex.startswith("urn:col:") or p.lex.startswith("urn:fk:"):
+            kind = "col" if p.lex.startswith("urn:col:") else "fk"
+            rest = p.lex.split(":", 2)[2]
+            t, _, c = rest.partition(":")
+            if t in TABLES:
+                return (t, kind, c)
+        return None
+
+    def scan_star(self, patterns: list[A.QuadPattern]) -> DataFrame | None:
+        """Collapse a star of patterns sharing one subject into a SINGLE
+        table scan with multi-column projection — the decisive scale
+        optimization over pattern-per-join plans (S2RDF property tables,
+        PAPERS.md; analog of the reference's PlanningQuadStore store-
+        optimized BGP hook, QueryPlanner.swift:94-103,449-457).
+
+        Requirements: ≥2 patterns, all predicates bound, all resolving
+        to the same table (rdf:type joins in). Returns None when the
+        star cannot collapse (caller falls back to per-pattern scans).
+        """
+        if len(patterns) < 2:
+            return None
+        infos = []
+        table = None
+        for pat in patterns:
+            if not isinstance(pat.p, PyTerm):
+                return None
+            info = self._pred_info(pat.p)
+            if info is None:
+                return None
+            t = info[0]
+            if t is not None:
+                if table is None:
+                    table = t
+                elif table != t:
+                    # contradictory star: a subject lives in exactly one
+                    # table → empty result
+                    return self._empty(patterns)
+            infos.append(info)
+            if isinstance(pat.g, PyTerm) and t is not None and pat.g.lex != f"urn:g:{t}":
+                return self._empty(patterns)
+        if table is None or table not in self.table_names:
+            return None
+
+        df = self.table(table)
+        pks, fks = TABLES[table]
+        fields = {f.name: f.dataType for f in df.schema.fields}
+        terms: dict[str, Column] = {"__s": iri_col(self.row_iri(table))}
+        cond = None
+        out_cols: dict[str, Column] = {}
+        seen_vars: dict[str, Column] = {}
+
+        def bind(node, colx: Column, native=None):
+            nonlocal cond, df
+            if isinstance(node, PyTerm):
+                c = term_key(colx).eqNullSafe(F.lit(node.key())) if native is None else native
+                cond = c if cond is None else (cond & c)
+            else:
+                if node.name in seen_vars:
+                    c = term_key(colx).eqNullSafe(term_key(seen_vars[node.name]))
+                    cond = c if cond is None else (cond & c)
+                else:
+                    seen_vars[node.name] = colx
+                    if node.binding:
+                        out_cols[node.name] = colx
+
+        # subject (same node for all patterns by construction)
+        subj = patterns[0].s
+        if isinstance(subj, PyTerm):
+            parsed = self.parse_row_iri(subj.lex) if subj.kind == KIND_IRI else None
+            if parsed is None or parsed[0] != table or len(parsed[1]) != len(pks):
+                return self._empty(patterns)
+            for pk, val in zip(pks, parsed[1]):
+                df = df.filter(F.col(pk).cast("string") == val)
+        else:
+            bind(subj, iri_col(self.row_iri(table)))
+
+        for pat, (t, kind, c) in zip(patterns, infos):
+            if kind == "type":
+                o_term = iri(f"urn:class:{table}").as_column()
+                if isinstance(pat.o, PyTerm) and pat.o.lex != f"urn:class:{table}":
+                    return self._empty(patterns)
+                bind(pat.o, o_term)
+            elif kind == "fk":
+                if c not in fks:
+                    return self._empty(patterns)
+                o_term = iri_col(
+                    F.concat_ws(":", F.lit(f"urn:t:{fks[c]}"), F.col(c).cast("string"))
+                )
+                if isinstance(pat.o, PyTerm):
+                    parsed = self.parse_row_iri(pat.o.lex) if pat.o.kind == KIND_IRI else None
+                    if parsed is None or parsed[0] != fks[c] or len(parsed[1]) != 1:
+                        return self._empty(patterns)
+                    df = df.filter(F.col(c).cast("string") == parsed[1][0])
+                    bind(pat.o, o_term, native=F.lit(True))
+                else:
+                    bind(pat.o, o_term)
+            else:
+                if c not in fields:
+                    return self._empty(patterns)
+                o_term = term_from_spark_col(F.col(c), fields[c])
+                if isinstance(pat.o, PyTerm):
+                    if pat.o.kind != KIND_LITERAL:
+                        return self._empty(patterns)
+                    if pat.o.num is not None:
+                        df = df.filter(F.col(c).cast("double") == pat.o.num)
+                    else:
+                        df = df.filter(F.col(c).cast("string") == pat.o.lex)
+                    bind(pat.o, o_term, native=F.lit(True))
+                else:
+                    df = df.filter(F.col(c).isNotNull())
+                    bind(pat.o, o_term)
+            # graph variable binds to this table's graph
+            if isinstance(pat.g, A.Var):
+                bind(pat.g, iri(f"urn:g:{table}").as_column())
+
+        if cond is not None:
+            df = df.filter(cond)
+        if not out_cols:
+            return df.select()
+        return df.select(*[c.alias(n) for n, c in out_cols.items()])
+
+    def _empty(self, patterns: list[A.QuadPattern]) -> DataFrame:
+        vars_ = sorted(set().union(*[p.variables() for p in patterns]))
+        from kineo_spark.model import TERM_SCHEMA
+        schema = T.StructType([T.StructField(v, TERM_SCHEMA) for v in vars_])
+        return self.spark.createDataFrame([], schema)
+
     def scan(self, pattern: A.QuadPattern) -> DataFrame:
         out: DataFrame | None = None
         for table, kind, col in self._branches(pattern):

@@ -1,0 +1,166 @@
+"""Pipeline-operator tests: ground-truth checks for the hash-based
+operators that have no SQL oracle (MinHash-LSH recall, SimHash, ANN
+recall), plus shape/determinism checks."""
+
+import itertools
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from kineo_spark.pipeline import dedup, multimodal, sessions, similarity, text
+from kineo_spark.store import read_table
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return read_table(spark, SF, "documents").cache()
+
+
+def _exact_jaccard_pairs(pdf, threshold):
+    def grams(s):
+        w = re.findall(r"\S+", s.strip())
+        return set(" ".join(w[i:i + 3]) for i in range(len(w) - 2))
+
+    sh = {r.doc_id: grams(r.text) for r in pdf.itertuples()}
+    out = {}
+    for a, b in itertools.combinations(sorted(sh), 2):
+        A_, B = sh[a], sh[b]
+        if not A_ or not B:
+            continue
+        inter = len(A_ & B)
+        if inter:
+            j = inter / (len(A_) + len(B) - inter)
+            if j >= threshold:
+                out[(a, b)] = j
+    return out
+
+
+def test_ngram_jaccard_matches_ground_truth(spark, docs):
+    truth = _exact_jaccard_pairs(docs.toPandas(), 0.5)
+    got = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in dedup.ngram_jaccard_pairs(docs, "doc_id", threshold=0.5).collect()
+    }
+    assert set(got) == set(truth)
+    for k in truth:
+        assert abs(got[k] - truth[k]) < 1e-9
+
+
+def test_minhash_lsh_recall_and_precision(spark, docs):
+    truth = _exact_jaccard_pairs(docs.toPandas(), 0.6)
+    got = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in dedup.minhash_dedup_pairs(docs, "doc_id", threshold=0.6).collect()
+    }
+    # exact verification step ⇒ no false positives
+    assert set(got) <= set(truth)
+    # banded LSH (16 bands × 4 rows) catches nearly everything at j≥0.6
+    assert len(got) >= 0.8 * max(len(truth), 1)
+
+
+def test_simhash_identical_and_disjoint(spark):
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "alpha beta gamma delta"),
+         (3, "epsilon zeta eta theta iota kappa")],
+        "id long, text string",
+    )
+    sigs = {r.id: r.simhash for r in dedup.simhash(df, "id").collect()}
+    assert sigs[1] == sigs[2]
+    assert bin(sigs[1] ^ sigs[3]).count("1") > 5
+
+
+def test_knn_bruteforce_matches_numpy(spark):
+    import numpy as np
+
+    emb = read_table(spark, SF, "embeddings")
+    pdf = emb.toPandas()
+    M = np.array([np.array(v, dtype=np.float64) for v in pdf.embedding])
+    ids = pdf.vec_id.to_numpy()
+    M = M / np.linalg.norm(M, axis=1, keepdims=True)
+    sims = M @ M.T
+    got = similarity.knn_bruteforce(emb, emb.filter(F.col("vec_id") < 3), "vec_id", "embedding", k=5)
+    for r in got.collect():
+        qi = int(np.where(ids == r.query_id)[0][0])
+        ni = int(np.where(ids == r.neighbor_id)[0][0])
+        assert abs(sims[qi, ni] - r.sim) < 1e-9
+    # top-1 agrees with numpy argmax (excluding self)
+    for q in range(3):
+        qi = int(np.where(ids == q)[0][0])
+        s = sims[qi].copy()
+        s[qi] = -2
+        best = ids[int(np.argmax(s))]
+        top = (
+            got.filter(F.col("query_id") == q)
+            .orderBy(F.col("sim").desc(), F.col("neighbor_id")).first()
+        )
+        assert top.neighbor_id == best
+
+
+def test_lsh_ann_recall(spark):
+    emb = read_table(spark, SF, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20)
+    exact = similarity.knn_bruteforce(emb, queries, "vec_id", "embedding", k=5)
+    approx = similarity.lsh_ann(emb, queries, "vec_id", "embedding", k=5, dim=64)
+    e = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    a = {(r.query_id, r.neighbor_id) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.3  # 4 tables × 8 planes on random vectors
+
+
+def test_language_id_deterministic(spark):
+    df = spark.createDataFrame(
+        [(1, "the cat and the dog of a house"), (2, "el gato y la casa de que"),
+         (3, "xyzzy plugh")],
+        "id long, text string",
+    )
+    got = {r.id: r.pred for r in df.select("id", text.language_id(F.col("text")).alias("pred")).collect()}
+    assert got[1] == "en" and got[2] == "es" and got[3] == "und"
+
+
+def test_sessionize_known_sessions(spark):
+    rows = [
+        (1, "2024-01-01 00:00:00", 7, 1.0),
+        (2, "2024-01-01 00:10:00", 7, 2.0),   # same session (10 min gap)
+        (3, "2024-01-01 01:00:00", 7, 3.0),   # new session (50 min gap)
+        (4, "2024-01-01 00:05:00", 8, 4.0),   # other user
+    ]
+    df = spark.createDataFrame(rows, "event_id long, ts string, user_id long, value double")
+    df = df.withColumn("ts", F.to_timestamp("ts"))
+    got = sessions.session_stats(df, gap_minutes=30)
+    m = {(r.user_id, r.session_seq): r.n_events for r in got.collect()}
+    assert m == {(7, 1): 2, (7, 2): 1, (8, 1): 1}
+
+
+def test_multimodal_plumbing(spark, docs):
+    media = multimodal.synthetic_media(spark, docs.limit(20))
+    feats = multimodal.extract_features(media, decode_fn="fake", dim=8)
+    rows = feats.collect()
+    assert len(rows) == 20
+    assert all(len(r.feature) == 8 for r in rows)
+    assert all(r.n_bytes > 0 for r in rows)
+    # determinism
+    again = multimodal.extract_features(media, decode_fn="fake", dim=8).collect()
+    assert sorted(r.media_id for r in rows) == sorted(r.media_id for r in again)
+    # real decode path is a clearly-marked stub
+    with pytest.raises(Exception):
+        multimodal.extract_features(media, decode_fn="real").collect()
+
+
+def test_ntriples_roundtrip(spark, fixture_store):
+    from kineo_spark.sources.ntriples import load_ntriples, serialize_ntriples
+    import tempfile, os
+
+    quads = fixture_store.quads()
+    lines = serialize_ntriples(quads, with_graph=True)
+    d = tempfile.mkdtemp()
+    path = os.path.join(d, "out.nq")
+    with open(path, "w") as fh:
+        for r in lines.collect():
+            fh.write(r.line + "\n")
+    back = load_ntriples(spark, path)
+    orig = {tuple(r) for r in quads.collect()}
+    rt = {tuple(r) for r in back.collect()}
+    assert orig == rt
