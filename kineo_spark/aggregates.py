@@ -70,6 +70,12 @@ def _agg_column(spec: A.AggSpec, value: Column | None) -> Column:
         lex = value["lex"]
         coll = F.collect_set(lex) if spec.distinct else F.collect_list(lex)
         return str_term(F.concat_ws(spec.separator, F.array_sort(coll)))
+    if op == "APPROX_COUNT_DISTINCT":
+        # extension beyond the reference (SURVEY §2.4 notes its absence):
+        # HyperLogLog++ sketch — the 100 TB answer to COUNT(DISTINCT)
+        return num_term(
+            F.approx_count_distinct(term_key(value)).cast("double"), F.lit("integer")
+        )
     raise ValueError(f"unknown aggregate {op}")
 
 

@@ -478,7 +478,26 @@ def _compile_call(e: ECall, env: dict[str, Column]) -> Column:  # noqa: C901
         }[op](a[0]["lex"])
         return str_term(F.when(is_string_lit(a[0]), h))
 
+    # --- extension-function registry (reference: functions[iri] registry,
+    # Expression.swift:92,786-795; QueryPlanner.addFunction,
+    # QueryPlanner.swift:135-137) ---
+    if op in FUNCTION_REGISTRY:
+        return FUNCTION_REGISTRY[op](*a)
+
     raise ExprError(f"unknown function {op}")
+
+
+# IRI → callable(Column(term), ...) -> Column(term). This is the engine's
+# whole UDF surface, matching the reference (no UDAF/UDTF there either).
+FUNCTION_REGISTRY: dict[str, object] = {}
+
+
+def register_function(iri_str: str, f) -> None:
+    """Register a custom function by IRI; call it from queries with
+    fn(iri_str, args...). The callable receives/returns term-struct
+    Columns, so pure-Column implementations stay JVM-side; a Python UDF
+    inside is the author's choice (and cost)."""
+    FUNCTION_REGISTRY[iri_str] = f
 
 
 def _compile_cast(to: str, t: Column) -> Column:

@@ -54,7 +54,8 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """Exact all-pairs n-gram Jaccard ≥ threshold via inverted-index
     self-join. Returns (id_a, id_b, jaccard) with id_a < id_b."""
-    sh = shingles(df, id_col, text_col, n)
+    # shingles feed the join twice plus the size table: materialize once
+    sh = shingles(df, id_col, text_col, n).cache()
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
     if max_gram_freq is not None:
         hot = sh.groupBy("gram").agg(F.count(F.lit(1)).alias("f")).filter(F.col("f") > max_gram_freq)
@@ -83,11 +84,13 @@ def ngram_jaccard_pairs(
 
 
 def minhash_signatures(
-    df: DataFrame, id_col: str, text_col: str = "text", k: int = 64, n: int = 3
+    df: DataFrame, id_col: str, text_col: str = "text", k: int = 64, n: int = 3,
+    sh: DataFrame | None = None,
 ) -> DataFrame:
     """k-permutation MinHash signature per document in ONE aggregation:
     sig[i] = min over shingles of xxhash64(gram, i). Returns (id, sig)."""
-    sh = shingles(df, id_col, text_col, n)
+    if sh is None:
+        sh = shingles(df, id_col, text_col, n)
     mins = [
         F.min(F.xxhash64(F.col("gram"), F.lit(i))).alias(f"h{i}") for i in range(k)
     ]
@@ -138,9 +141,9 @@ def minhash_dedup_pairs(
     """MinHash-LSH candidates verified with exact Jaccard (the standard
     two-phase near-dup pipeline). Returns (id_a, id_b, jaccard)."""
     rows = k // bands
-    sigs = minhash_signatures(df, id_col, text_col, k, n)
+    sh = shingles(df, id_col, text_col, n).cache()
+    sigs = minhash_signatures(df, id_col, text_col, k, n, sh=sh)
     cands = minhash_lsh_candidates(sigs, bands, rows)
-    sh = shingles(df, id_col, text_col, n)
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
     a = sh.select(F.col("id").alias("id_a"), "gram")
     b = sh.select(F.col("id").alias("id_b"), "gram")

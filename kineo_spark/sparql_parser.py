@@ -1,0 +1,718 @@
+"""SPARQL 1.1 text → algebra parser (recursive descent).
+
+The reference delegates parsing to the external swift-sparql-syntax
+package (Package.swift:19) and consumes its algebra; this module plays
+that role for our engine: SPARQL text in, kineo_spark.algebra out,
+ready for the compiler. Covers the query subset exercised by the
+reference's tests (SURVEY §5): SELECT/ASK/CONSTRUCT/DESCRIBE, BGPs,
+OPTIONAL/UNION/MINUS/GRAPH/FILTER/BIND/VALUES, subselects, property
+paths, aggregates + GROUP BY/HAVING, ORDER/LIMIT/OFFSET/DISTINCT/
+REDUCED, EXISTS/NOT EXISTS, and the §2.9 builtin function surface.
+"""
+
+from __future__ import annotations
+
+import re
+
+from kineo_spark import algebra as A
+from kineo_spark.expr import ECall, EConst, EExists, EVar, Expr, fn as mkfn
+from kineo_spark.model import DT_IRI, IRI_DT, PyTerm, blank, iri, lit
+
+_TOKEN_RE = re.compile(
+    r"""
+      (?P<WS>\s+|\#[^\n]*)
+    | (?P<IRI><[^<>\s]*>)
+    | (?P<STRING>'''(?:.|\n)*?'''|\"\"\"(?:.|\n)*?\"\"\"|'(?:[^'\\]|\\.)*'|"(?:[^"\\]|\\.)*")
+    | (?P<VAR>[?$][A-Za-z_][A-Za-z0-9_]*)
+    | (?P<NUM>[+-]?(?:\d+\.\d*|\.\d+|\d+)(?:[eE][+-]?\d+)?)
+    | (?P<BNODE>_:[A-Za-z0-9_]+)
+    | (?P<PNAME>[A-Za-z_][A-Za-z0-9_.-]*?:[A-Za-z0-9_.%-]*)
+    | (?P<KW>[A-Za-z_][A-Za-z0-9_]*)
+    | (?P<OP>\^\^|&&|\|\||!=|<=|>=|[{}()\[\].,;*+?/|^!<>=-])
+    """,
+    re.VERBOSE,
+)
+
+_ESC = {"n": "\n", "t": "\t", "r": "\r", '"': '"', "'": "'", "\\": "\\"}
+
+
+def _unescape(s: str) -> str:
+    out, i = [], 0
+    while i < len(s):
+        ch = s[i]
+        if ch == "\\" and i + 1 < len(s):
+            out.append(_ESC.get(s[i + 1], s[i + 1]))
+            i += 2
+        else:
+            out.append(ch)
+            i += 1
+    return "".join(out)
+
+
+class Token:
+    __slots__ = ("kind", "text")
+
+    def __init__(self, kind: str, text: str):
+        self.kind = kind
+        self.text = text
+
+    def __repr__(self):
+        return f"{self.kind}:{self.text}"
+
+
+def tokenize(s: str) -> list[Token]:
+    toks, pos = [], 0
+    while pos < len(s):
+        m = _TOKEN_RE.match(s, pos)
+        if not m:
+            raise SyntaxError(f"cannot tokenize at: {s[pos:pos+30]!r}")
+        pos = m.end()
+        kind = m.lastgroup
+        if kind == "WS":
+            continue
+        toks.append(Token(kind, m.group()))
+    toks.append(Token("EOF", ""))
+    return toks
+
+
+_BUILTINS = {
+    "STR", "LANG", "LANGMATCHES", "DATATYPE", "BOUND", "IRI", "URI", "BNODE",
+    "RAND", "ABS", "CEIL", "FLOOR", "ROUND", "CONCAT", "STRLEN", "UCASE",
+    "LCASE", "ENCODE_FOR_URI", "CONTAINS", "STRSTARTS", "STRENDS", "STRBEFORE",
+    "STRAFTER", "YEAR", "MONTH", "DAY", "HOURS", "MINUTES", "SECONDS",
+    "TIMEZONE", "TZ", "NOW", "UUID", "STRUUID", "MD5", "SHA1", "SHA256",
+    "SHA384", "SHA512", "COALESCE", "IF", "STRLANG", "STRDT", "SAMETERM",
+    "ISIRI", "ISURI", "ISBLANK", "ISLITERAL", "ISNUMERIC", "REGEX", "SUBSTR",
+    "REPLACE",
+}
+_AGGS = {"COUNT", "SUM", "MIN", "MAX", "AVG", "SAMPLE", "GROUP_CONCAT"}
+
+
+class Parser:
+    def __init__(self, text: str):
+        self.toks = tokenize(text)
+        self.i = 0
+        self.prefixes: dict[str, str] = {}
+        self.base = ""
+        self._anon = 0
+        self._aggs: list[tuple[str, A.AggSpec]] = []
+
+    # -- token helpers ----------------------------------------------------
+    def peek(self, k: int = 0) -> Token:
+        return self.toks[min(self.i + k, len(self.toks) - 1)]
+
+    def next(self) -> Token:
+        t = self.toks[self.i]
+        self.i += 1
+        return t
+
+    def kw(self, word: str) -> bool:
+        t = self.peek()
+        if t.kind == "KW" and t.text.upper() == word:
+            self.next()
+            return True
+        return False
+
+    def expect_kw(self, word: str):
+        if not self.kw(word):
+            raise SyntaxError(f"expected {word}, got {self.peek()}")
+
+    def op(self, text: str) -> bool:
+        t = self.peek()
+        if t.kind == "OP" and t.text == text:
+            self.next()
+            return True
+        return False
+
+    def expect_op(self, text: str):
+        if not self.op(text):
+            raise SyntaxError(f"expected {text!r}, got {self.peek()}")
+
+    # -- entry ------------------------------------------------------------
+    def parse_query(self):
+        self._prologue()
+        t = self.peek()
+        word = t.text.upper() if t.kind == "KW" else ""
+        if word == "SELECT":
+            return self._select_query(top=True)
+        if word == "ASK":
+            self.next()
+            return A.AskQuery(self._where_and_modifiers_simple())
+        if word == "CONSTRUCT":
+            return self._construct_query()
+        if word == "DESCRIBE":
+            return self._describe_query()
+        raise SyntaxError(f"expected query form, got {t}")
+
+    def _prologue(self):
+        while True:
+            if self.kw("PREFIX"):
+                pname = self.next()
+                iri_t = self.next()
+                self.prefixes[pname.text[:-1] if pname.text.endswith(":") else pname.text.split(":")[0]] = iri_t.text[1:-1]
+            elif self.kw("BASE"):
+                self.base = self.next().text[1:-1]
+            else:
+                break
+
+    # -- terms ------------------------------------------------------------
+    def _resolve_pname(self, text: str) -> PyTerm:
+        pfx, _, local = text.partition(":")
+        if pfx == "" and local == "" :
+            raise SyntaxError("bad prefixed name")
+        ns = self.prefixes.get(pfx)
+        if ns is None:
+            raise SyntaxError(f"unknown prefix {pfx}:")
+        return iri(ns + local)
+
+    def _term(self) -> PyTerm:
+        t = self.next()
+        if t.kind == "IRI":
+            val = t.text[1:-1]
+            if self.base and not re.match(r"^[A-Za-z][A-Za-z0-9+.-]*:", val):
+                val = self.base + val
+            return iri(val)
+        if t.kind == "PNAME":
+            return self._resolve_pname(t.text)
+        if t.kind == "BNODE":
+            return blank(t.text[2:])
+        if t.kind == "NUM":
+            txt = t.text
+            if re.match(r"^[+-]?\d+$", txt):
+                return lit(int(txt))
+            if "e" in txt.lower():
+                return PyTerm(2, txt, "double")
+            return PyTerm(2, txt, "decimal")
+        if t.kind == "STRING":
+            raw = t.text
+            if raw.startswith(("'''", '"""')):
+                val = raw[3:-3]
+            else:
+                val = _unescape(raw[1:-1])
+            nxt = self.peek()
+            if nxt.kind == "OP" and nxt.text == "^^":
+                self.next()
+                dt_term = self._term()
+                tok = IRI_DT.get(dt_term.lex, dt_term.lex)
+                return PyTerm(2, val, tok)
+            if nxt.kind == "KW" and self.toks[self.i - 1].text.endswith(('"', "'")):
+                pass
+            m = re.match(r"^@([A-Za-z0-9-]+)$", "")
+            # language tag appears lexically as @lang: tokenizer splits it
+            return lit(val)
+        if t.kind == "KW" and t.text.lower() in ("true", "false"):
+            return lit(t.text.lower() == "true")
+        if t.kind == "KW" and t.text == "a":
+            from kineo_spark.store import RDF_TYPE
+            return iri(RDF_TYPE)
+        raise SyntaxError(f"expected term, got {t}")
+
+    def _node(self):
+        t = self.peek()
+        if t.kind == "VAR":
+            self.next()
+            return A.Var(t.text[1:])
+        if t.kind == "OP" and t.text == "[":
+            self.next()
+            self.expect_op("]")
+            self._anon += 1
+            return A.Var(f"__anon{self._anon}", binding=False)
+        return self._term()
+
+    # -- property paths ---------------------------------------------------
+    def _path(self) -> A.Path | PyTerm:
+        p = self._path_alt()
+        return p
+
+    def _path_alt(self):
+        p = self._path_seq()
+        while self.op("|"):
+            p = A.PAlt(_as_path(p), _as_path(self._path_seq()))
+        return p
+
+    def _path_seq(self):
+        p = self._path_elt()
+        while self.op("/"):
+            p = A.PSeq(_as_path(p), _as_path(self._path_elt()))
+        return p
+
+    def _path_elt(self):
+        inv = False
+        if self.op("^"):
+            inv = True
+        if self.op("!"):
+            self.expect_op("(")
+            iris = [self._path_primary_iri()]
+            while self.op("|"):
+                iris.append(self._path_primary_iri())
+            self.expect_op(")")
+            p: A.Path = A.PNps(tuple(iris))
+        elif self.op("("):
+            p = _as_path(self._path_alt())
+            self.expect_op(")")
+        else:
+            p = self._path_primary_iri()
+        # modifiers
+        if self.op("+"):
+            p = A.PPlus(_as_path(p))
+        elif self.op("*"):
+            p = A.PStar(_as_path(p))
+        elif self.op("?"):
+            p = A.PZeroOrOne(_as_path(p))
+        if inv:
+            p = A.PInv(_as_path(p))
+        return p
+
+    def _path_primary_iri(self):
+        t = self.peek()
+        if t.kind in ("IRI", "PNAME") or (t.kind == "KW" and t.text == "a"):
+            return self._term()
+        raise SyntaxError(f"expected path iri, got {t}")
+
+    # -- expressions ------------------------------------------------------
+    def _expression(self) -> Expr:
+        return self._or_expr()
+
+    def _or_expr(self) -> Expr:
+        e = self._and_expr()
+        while self.op("||"):
+            e = ECall("||", (e, self._and_expr()))
+        return e
+
+    def _and_expr(self) -> Expr:
+        e = self._value_logical()
+        while self.op("&&"):
+            e = ECall("&&", (e, self._value_logical()))
+        return e
+
+    def _value_logical(self) -> Expr:
+        e = self._numeric_expr()
+        t = self.peek()
+        if t.kind == "OP" and t.text in ("=", "!=", "<", "<=", ">", ">="):
+            self.next()
+            return ECall(t.text, (e, self._numeric_expr()))
+        if t.kind == "KW" and t.text.upper() == "IN":
+            self.next()
+            return ECall("IN", (e, *self._expr_list()))
+        if t.kind == "KW" and t.text.upper() == "NOT":
+            if self.peek(1).kind == "KW" and self.peek(1).text.upper() == "IN":
+                self.next(); self.next()
+                return ECall("NOT_IN", (e, *self._expr_list()))
+        return e
+
+    def _expr_list(self) -> list[Expr]:
+        self.expect_op("(")
+        out = [self._expression()]
+        while self.op(","):
+            out.append(self._expression())
+        self.expect_op(")")
+        return out
+
+    def _numeric_expr(self) -> Expr:
+        e = self._mul_expr()
+        while True:
+            if self.op("+"):
+                e = ECall("+", (e, self._mul_expr()))
+            elif self.op("-"):
+                e = ECall("-", (e, self._mul_expr()))
+            else:
+                return e
+
+    def _mul_expr(self) -> Expr:
+        e = self._unary_expr()
+        while True:
+            if self.op("*"):
+                e = ECall("*", (e, self._unary_expr()))
+            elif self.op("/"):
+                e = ECall("/", (e, self._unary_expr()))
+            else:
+                return e
+
+    def _unary_expr(self) -> Expr:
+        if self.op("!"):
+            return ECall("!", (self._unary_expr(),))
+        if self.op("-"):
+            return ECall("NEG", (self._unary_expr(),))
+        if self.op("+"):
+            return self._unary_expr()
+        return self._primary_expr()
+
+    def _primary_expr(self) -> Expr:
+        t = self.peek()
+        if t.kind == "OP" and t.text == "(":
+            self.next()
+            e = self._expression()
+            self.expect_op(")")
+            return e
+        if t.kind == "VAR":
+            self.next()
+            return EVar(t.text[1:])
+        if t.kind == "KW":
+            word = t.text.upper()
+            if word == "EXISTS":
+                self.next()
+                return EExists(self._group_graph_pattern())
+            if word == "NOT" and self.peek(1).text.upper() == "EXISTS":
+                self.next(); self.next()
+                return EExists(self._group_graph_pattern(), anti=True)
+            if word in _BUILTINS:
+                self.next()
+                args: list[Expr] = []
+                if self.op("("):
+                    if not self.op(")"):
+                        args.append(self._expression())
+                        while self.op(","):
+                            args.append(self._expression())
+                        self.expect_op(")")
+                return ECall(word if word != "URI" else "IRI", tuple(args))
+            if word in _AGGS:
+                return self._aggregate_expr()
+            if t.text.lower() in ("true", "false"):
+                self.next()
+                return EConst(lit(t.text.lower() == "true"))
+        # cast via xsd IRI function call: xsd:integer(?x)
+        if t.kind in ("PNAME", "IRI"):
+            save = self.i
+            term = self._term()
+            if self.op("("):
+                arg = self._expression()
+                self.expect_op(")")
+                tok = IRI_DT.get(term.lex)
+                if tok is not None:
+                    return ECall("CAST", (arg,), (("to", tok),))
+                return ECall(term.lex, (arg,))  # extension function by IRI
+            self.i = save
+        return EConst(self._term())
+
+    def _aggregate_expr(self) -> Expr:
+        name = self.next().text.upper()
+        self.expect_op("(")
+        distinct = self.kw("DISTINCT")
+        sep = " "
+        if name == "COUNT" and self.op("*"):
+            spec = A.AggSpec("COUNT*", None, distinct)
+            self.expect_op(")")
+        else:
+            e = self._expression()
+            if name == "GROUP_CONCAT" and self.op(";"):
+                self.expect_kw("SEPARATOR")
+                self.expect_op("=")
+                sep_term = self._term()
+                sep = sep_term.lex
+            self.expect_op(")")
+            spec = A.AggSpec(name, e, distinct, sep)
+        var = f"agg__{len(self._aggs)}"
+        self._aggs.append((var, spec))
+        return EVar(var)
+
+    # -- graph patterns ---------------------------------------------------
+    def _group_graph_pattern(self) -> A.Algebra:
+        self.expect_op("{")
+        if self.peek().kind == "KW" and self.peek().text.upper() == "SELECT":
+            sub = self._select_query(top=False)
+            self.expect_op("}")
+            return A.Subquery(sub)
+        acc: A.Algebra | None = None
+        filters: list[Expr] = []
+
+        def join(x: A.Algebra):
+            nonlocal acc
+            acc = x if acc is None else A.Join(acc, x)
+
+        while True:
+            t = self.peek()
+            if t.kind == "OP" and t.text == "}":
+                self.next()
+                break
+            word = t.text.upper() if t.kind == "KW" else ""
+            if word == "OPTIONAL":
+                self.next()
+                rhs = self._group_graph_pattern()
+                expr = None
+                if isinstance(rhs, A.Filter):
+                    rhs, expr = rhs.child, rhs.expr
+                acc = A.LeftJoin(acc or A.JoinIdentity(), rhs, expr)
+            elif word == "MINUS":
+                self.next()
+                acc = A.Minus(acc or A.JoinIdentity(), self._group_graph_pattern())
+            elif word == "FILTER":
+                self.next()
+                filters.append(self._expression())
+            elif word == "BIND":
+                self.next()
+                self.expect_op("(")
+                e = self._expression()
+                self.expect_kw("AS")
+                var = self.next()
+                self.expect_op(")")
+                acc = A.Extend(acc or A.JoinIdentity(), e, var.text[1:])
+            elif word == "VALUES":
+                self.next()
+                join(self._values_clause())
+            elif word == "GRAPH":
+                self.next()
+                gnode = self._node()
+                join(A.NamedGraph(gnode, self._group_graph_pattern()))
+            elif word == "SERVICE":
+                self.next()
+                silent = self.kw("SILENT")
+                ep = self._term()
+                join(A.Service(ep.lex, self._group_graph_pattern(), silent))
+            elif t.kind == "OP" and t.text == "{":
+                g1 = self._group_graph_pattern()
+                if self.peek().kind == "KW" and self.peek().text.upper() == "UNION":
+                    while self.kw("UNION"):
+                        g1 = A.Union(g1, self._group_graph_pattern())
+                join(g1)
+            else:
+                join(self._triples_block())
+            self.op(".")
+        out = acc or A.JoinIdentity()
+        for f_ in filters:
+            if isinstance(f_, EExists):
+                out = A.SemiJoin(out, f_.algebra, f_.anti)
+            else:
+                out = A.Filter(out, f_)
+        return out
+
+    def _values_clause(self) -> A.Table:
+        if self.op("("):
+            vars_ = []
+            while not self.op(")"):
+                vars_.append(self.next().text[1:])
+            rows = []
+            self.expect_op("{")
+            while self.op("("):
+                row = []
+                for _ in vars_:
+                    if self.kw("UNDEF"):
+                        row.append(None)
+                    else:
+                        row.append(self._term())
+                self.expect_op(")")
+                rows.append(tuple(row))
+            self.expect_op("}")
+            return A.Table(tuple(vars_), tuple(rows))
+        var = self.next().text[1:]
+        rows = []
+        self.expect_op("{")
+        while not self.op("}"):
+            if self.kw("UNDEF"):
+                rows.append((None,))
+            else:
+                rows.append((self._term(),))
+        return A.Table((var,), tuple(rows))
+
+    def _triples_block(self) -> A.Algebra:
+        """One subject's predicate-object list; returns BGP and/or path
+        patterns joined."""
+        subj = self._node()
+        parts: list[A.Algebra] = []
+        triples: list[A.TriplePattern] = []
+        while True:
+            # path or simple predicate
+            t = self.peek()
+            is_simple = (
+                t.kind == "VAR"
+                or (t.kind in ("IRI", "PNAME") and self.peek(1).kind not in ()
+                    and not self._lookahead_path())
+                or (t.kind == "KW" and t.text == "a" and not self._lookahead_path())
+            )
+            if t.kind == "VAR":
+                pred = A.Var(t.text[1:])
+                self.next()
+                obj = self._node()
+                triples.append(A.TriplePattern(subj, pred, obj))
+            elif is_simple:
+                pred = self._term()
+                obj = self._node()
+                triples.append(A.TriplePattern(subj, pred, obj))
+            else:
+                path = self._path()
+                obj = self._node()
+                if isinstance(path, PyTerm):
+                    triples.append(A.TriplePattern(subj, path, obj))
+                else:
+                    parts.append(A.PathPattern(subj, path, obj))
+            while self.op(","):
+                obj = self._node()
+                triples.append(A.TriplePattern(subj, pred, obj))  # noqa: F821
+            if self.op(";"):
+                if self.peek().kind == "OP" and self.peek().text in ("}", "."):
+                    break
+                continue
+            break
+        out: A.Algebra | None = A.BGP(tuple(triples)) if triples else None
+        for p in parts:
+            out = p if out is None else A.Join(out, p)
+        return out or A.JoinIdentity()
+
+    def _lookahead_path(self) -> bool:
+        """After an IRI/'a' token, does a path operator follow?"""
+        nxt = self.peek(1)
+        return nxt.kind == "OP" and nxt.text in ("/", "|", "+", "*", "?", "^")
+
+    # -- solution modifiers ----------------------------------------------
+    def _select_query(self, top: bool) -> A.SelectQuery:
+        self.expect_kw("SELECT")
+        distinct = self.kw("DISTINCT")
+        reduced = (not distinct) and self.kw("REDUCED")
+        outer_aggs = self._aggs
+        self._aggs = []
+        proj: list[tuple[str, Expr | None]] = []
+        star = False
+        while True:
+            t = self.peek()
+            if t.kind == "OP" and t.text == "*":
+                self.next()
+                star = True
+            elif t.kind == "VAR":
+                self.next()
+                proj.append((t.text[1:], None))
+            elif t.kind == "OP" and t.text == "(":
+                self.next()
+                e = self._expression()
+                self.expect_kw("AS")
+                var = self.next()
+                self.expect_op(")")
+                proj.append((var.text[1:], e))
+            else:
+                break
+        self.expect_kw("WHERE") if (self.peek().kind == "KW" and self.peek().text.upper() == "WHERE") else None
+        body = self._group_graph_pattern()
+
+        groups: list[Expr] = []
+        group_names: list[str] = []
+        if self.kw("GROUP"):
+            self.expect_kw("BY")
+            while True:
+                t = self.peek()
+                if t.kind == "VAR":
+                    self.next()
+                    groups.append(EVar(t.text[1:]))
+                    group_names.append(t.text[1:])
+                elif t.kind == "OP" and t.text == "(":
+                    self.next()
+                    e = self._expression()
+                    self.expect_kw("AS")
+                    var = self.next()
+                    self.expect_op(")")
+                    groups.append(e)
+                    group_names.append(var.text[1:])
+                else:
+                    break
+        having: Expr | None = None
+        if self.kw("HAVING"):
+            self.expect_op("(")
+            having = self._expression()
+            self.expect_op(")")
+
+        order: list[A.SortComparator] = []
+        if self.kw("ORDER"):
+            self.expect_kw("BY")
+            while True:
+                t = self.peek()
+                if t.kind == "KW" and t.text.upper() in ("ASC", "DESC"):
+                    asc = t.text.upper() == "ASC"
+                    self.next()
+                    self.expect_op("(")
+                    e = self._expression()
+                    self.expect_op(")")
+                    order.append(A.SortComparator(e, asc))
+                elif t.kind == "VAR":
+                    self.next()
+                    order.append(A.SortComparator(EVar(t.text[1:]), True))
+                elif t.kind == "OP" and t.text == "(":
+                    self.next()
+                    e = self._expression()
+                    self.expect_op(")")
+                    order.append(A.SortComparator(e, True))
+                else:
+                    break
+        limit = offset = None
+        for _ in range(2):
+            if self.kw("LIMIT"):
+                limit = int(self.next().text)
+            if self.kw("OFFSET"):
+                offset = int(self.next().text)
+
+        aggs = self._aggs
+        self._aggs = outer_aggs
+
+        alg = body
+        if aggs or groups:
+            alg = A.Aggregate(alg, tuple(groups), tuple(group_names), tuple(aggs))
+        if having is not None:
+            alg = A.Filter(alg, having)
+        # projection expressions → Extend
+        out_vars: list[str] = []
+        for name, e in proj:
+            if e is not None and not (isinstance(e, EVar) and e.name == name):
+                alg = A.Extend(alg, e, name)
+            out_vars.append(name)
+        if order:
+            alg = A.Order(alg, tuple(order))
+        if not star and out_vars:
+            alg = A.Project(alg, tuple(out_vars))
+        if distinct:
+            alg = A.Distinct(alg)
+        elif reduced:
+            alg = A.Reduced(alg)
+        if limit is not None or offset:
+            alg = A.Slice(alg, offset or 0, limit)
+        return A.SelectQuery(alg, tuple(out_vars) if not star else ())
+
+    def _where_and_modifiers_simple(self) -> A.Algebra:
+        if self.peek().kind == "KW" and self.peek().text.upper() == "WHERE":
+            self.next()
+        return self._group_graph_pattern()
+
+    def _construct_query(self) -> A.ConstructQuery:
+        self.expect_kw("CONSTRUCT")
+        self.expect_op("{")
+        template: list[A.TriplePattern] = []
+        while not self.op("}"):
+            s = self._node()
+            while True:
+                p = self._node() if self.peek().kind == "VAR" else self._term()
+                o = self._node()
+                template.append(A.TriplePattern(s, p, o))
+                if self.op(";"):
+                    if self.peek().kind == "OP" and self.peek().text in ("}", "."):
+                        break
+                    continue
+                break
+            self.op(".")
+        body = self._where_and_modifiers_simple()
+        return A.ConstructQuery(body, tuple(template))
+
+    def _describe_query(self) -> A.DescribeQuery:
+        self.expect_kw("DESCRIBE")
+        nodes: list = []
+        while True:
+            t = self.peek()
+            if t.kind == "VAR":
+                self.next()
+                nodes.append(A.Var(t.text[1:]))
+            elif t.kind in ("IRI", "PNAME"):
+                nodes.append(self._term())
+            else:
+                break
+        body = A.JoinIdentity()
+        if self.peek().kind == "KW" and self.peek().text.upper() == "WHERE" or (
+            self.peek().kind == "OP" and self.peek().text == "{"
+        ):
+            body = self._where_and_modifiers_simple()
+        return A.DescribeQuery(body, tuple(nodes))
+
+
+def parse_query(text: str):
+    """SPARQL text → query-form dataclass (SelectQuery / AskQuery /
+    ConstructQuery / DescribeQuery)."""
+    return Parser(text).parse_query()
+
+
+def _as_path(p) -> A.Path:
+    if isinstance(p, PyTerm):
+        return A.PLink(p)
+    return p
