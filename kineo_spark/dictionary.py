@@ -1,0 +1,150 @@
+"""Dictionary-encoded (ID-space) execution mode.
+
+Reference: the lazy-materializing ID path — terms interned to UInt64,
+whole plans running on ID tuples, topped by ``MaterializeTermsPlan``
+(/root/reference/Sources/Kineo/QuadStore/MemoryQuadStore.swift:19-60,
+SPARQL/IDQueryPlan.swift, SPARQL/MaterializedQueryPlan.swift:11-61;
+SURVEY §1.3/§3.3).
+
+Spark-native version:
+- IDs are ``xxhash64`` of the canonical term key — assigned with NO
+  global coordination (no zipWithIndex barrier, no driver dictionary):
+  at 100 TB, hash-interning is the only strategy that doesn't serialize
+  on an id counter. Collision odds at 2^64 are negligible for any
+  realistic term count (~n²/2⁶⁵).
+- ``id_quads`` is a 4×long table: shuffles and joins move 32 bytes/row
+  instead of full lexical forms — the same win the reference gets from
+  its packed IDs.
+- ``materialize`` joins the dictionary back for exactly the projected
+  variables (the MaterializeTermsPlan analog), broadcast when small.
+
+Round-1 scope: the encoding, ID-space BGP joins, and materialization
+are implemented and tested; the main compiler still runs term-space
+(its star-collapsed scans read native parquet directly, which is faster
+for the driver workload since no conversion pass exists). Wiring a full
+ID-mode compile toggle is the designed next step.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from kineo_spark import algebra as A
+from kineo_spark.model import PyTerm, TERM_SCHEMA, term_struct
+
+_KEY = ["kind", "lex", "dt", "lang"]
+
+
+def _key_cols(prefix: str):
+    k = lambda c: F.col(f"{prefix}_{c}") if prefix else F.col(c)  # noqa: E731
+    return [
+        k("kind").cast("string"),
+        k("lex"),
+        F.coalesce(k("dt"), F.lit("")),
+        F.coalesce(k("lang"), F.lit("")),
+    ]
+
+
+def _term_id(prefix: str):
+    return F.xxhash64(*_key_cols(prefix))
+
+
+def encode_quads(quads_flat: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Flat quads (FIXTURES §0) → (dictionary, id_quads).
+
+    dictionary: (id long, kind, lex, dt, lang, num) — distinct terms.
+    id_quads:   (s long, p long, o long, g long).
+    """
+    q = quads_flat
+    null_s = F.lit(None).cast("string")
+    null_d = F.lit(None).cast("double")
+
+    def dict_part(kind, lex, dt, lang, num):
+        return q.select(
+            kind.cast("tinyint").alias("kind"), lex.alias("lex"),
+            dt.alias("dt"), lang.alias("lang"), num.alias("num"),
+        )
+
+    terms = (
+        dict_part(q["s_kind"], q["s_lex"], null_s, null_s, null_d)
+        .unionByName(dict_part(F.lit(0), q["p_lex"], null_s, null_s, null_d))
+        .unionByName(dict_part(q["o_kind"], q["o_lex"], q["o_dt"], q["o_lang"], q["o_num"]))
+        .unionByName(dict_part(F.lit(0), q["g_lex"], null_s, null_s, null_d))
+        .dropDuplicates(["kind", "lex", "dt", "lang"])
+    )
+    dictionary = terms.select(_term_id("").alias("id"), *_KEY, "num")
+
+    def qid(kind, lex, dt=None, lang=None):
+        return F.xxhash64(
+            kind.cast("string"), lex,
+            F.coalesce(dt, F.lit("")) if dt is not None else F.lit(""),
+            F.coalesce(lang, F.lit("")) if lang is not None else F.lit(""),
+        )
+
+    id_quads = q.select(
+        qid(q["s_kind"], q["s_lex"]).alias("s"),
+        qid(F.lit(0), q["p_lex"]).alias("p"),
+        qid(q["o_kind"], q["o_lex"], q["o_dt"], q["o_lang"]).alias("o"),
+        qid(F.lit(0), q["g_lex"]).alias("g"),
+    )
+    return dictionary, id_quads
+
+
+def _const_id(term: PyTerm):
+    """ID of a constant term — computed lazily as a Column (same xxhash64
+    the encoder used), so bound-term filters need no driver round-trip."""
+    return F.xxhash64(
+        F.lit(str(term.kind)), F.lit(term.lex),
+        F.lit(term.dt or ""), F.lit(term.lang or ""),
+    )
+
+
+def scan_ids(id_quads: DataFrame, pattern: A.QuadPattern) -> DataFrame:
+    """Pattern scan in ID space: bound positions filter on longs,
+    variables project long columns (IDQuadPlan, IDQueryPlan.swift:11-81)."""
+    df = id_quads
+    out: dict[str, str] = {}
+    for pos, node in pattern.nodes():
+        if isinstance(node, PyTerm):
+            df = df.filter(F.col(pos) == _const_id(node))
+        elif isinstance(node, A.Var):
+            if node.name in out:
+                df = df.filter(F.col(pos) == F.col(out[node.name]))
+            elif node.binding:
+                out[node.name] = pos
+    return df.select(*[F.col(p).alias(n) for n, p in out.items()])
+
+
+def bgp_ids(id_quads: DataFrame, patterns: list[A.QuadPattern]) -> DataFrame:
+    """ID-space BGP: equi-joins on shared long columns — the cheapest
+    possible shuffle keys (IDHashJoinPlan/IDMergeJoinPlan analogs; Spark
+    picks SMJ/broadcast via AQE)."""
+    out = None
+    for pat in patterns:
+        nxt = scan_ids(id_quads, pat)
+        if out is None:
+            out = nxt
+        else:
+            shared = [c for c in out.columns if c in nxt.columns]
+            out = out.join(nxt, on=shared, how="inner") if shared else out.crossJoin(nxt)
+    return out
+
+
+def materialize(bindings: DataFrame, dictionary: DataFrame, broadcast_dict: bool = True) -> DataFrame:
+    """ID bindings → term-struct bindings (MaterializeTermsPlan,
+    MaterializedQueryPlan.swift:11-61): one dictionary join per
+    projected variable, after all ID-space work is done."""
+    d = dictionary.select(
+        "id",
+        term_struct(
+            F.col("kind").cast("tinyint"), F.col("lex"), F.col("dt"),
+            F.col("lang"), F.col("num"),
+        ).alias("term"),
+    )
+    if broadcast_dict:
+        d = F.broadcast(d)
+    out = bindings
+    for var in bindings.columns:
+        dd = d.select(F.col("id").alias(f"__id_{var}"), F.col("term").alias(f"__t_{var}"))
+        out = out.join(dd, out[var] == dd[f"__id_{var}"], "left")
+    return out.select(*[F.col(f"__t_{v}").alias(v) for v in bindings.columns])
