@@ -350,8 +350,11 @@ class Compiler:
             sub = self._c(e.algebra, g)
             return self._semi(self._c(node.child, g), sub, e.anti)
         child = self._c(node.child, g)
-        cond = ebv(compile_expr(e, _env(child.df)))
-        return Plan(child.df.filter(cond.eqNullSafe(F.lit(True))), child.certain)
+        from kineo_spark.expr import compile_filter_condition
+        # df.filter keeps only TRUE rows (NULL drops) — exactly SPARQL's
+        # error-drops-row rule; no wrapper, so parquet sees plain predicates
+        cond = compile_filter_condition(e, _env(child.df))
+        return Plan(child.df.filter(cond), child.certain)
 
     # -- aggregation ------------------------------------------------------
     def _aggregate(self, node: A.Aggregate, g: A.Node | None) -> Plan:

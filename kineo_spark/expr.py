@@ -492,6 +492,60 @@ def _compile_call(e: ECall, env: dict[str, Column]) -> Column:  # noqa: C901
 FUNCTION_REGISTRY: dict[str, object] = {}
 
 
+# ---------------------------------------------------------------------------
+# FILTER-context compilation (pushdown-friendly)
+# ---------------------------------------------------------------------------
+
+def _valued(t: Column) -> Column:
+    return (
+        (is_numeric_term(t) | (is_temporal_term(t) & t["num"].isNotNull())
+         | (t["dt"] == "boolean"))
+    )
+
+
+def _eq_cond(a: Column, b: Column) -> Column:
+    return (_valued(a) & _valued(b) & (a["num"] == b["num"])) | (
+        term_key(a) == term_key(b)
+    )
+
+
+def compile_filter_condition(e: Expr, env: dict[str, Column]) -> Column:
+    """Compile an expression for FILTER context as a plain boolean
+    conjunction/disjunction tree. In FILTER position, SPARQL type errors
+    and 3-valued NULL both mean "drop the row", so error→false is
+    semantically identical (MaterializedQueryPlan.swift:427-439) — and
+    unlike the general ``ebv(compile_expr(...))`` CASE-chains, plain
+    AND/OR of comparisons survives Catalyst simplification all the way
+    into parquet PushedFilters. Ops with NOT-like semantics (where
+    error→false would flip) fall back to the exact path."""
+    if isinstance(e, ECall):
+        op = e.op
+        if op == "&&":
+            return compile_filter_condition(e.args[0], env) & compile_filter_condition(e.args[1], env)
+        if op == "||":
+            return compile_filter_condition(e.args[0], env) | compile_filter_condition(e.args[1], env)
+        if op in ("<", ">", "<=", ">=", "=", "!="):
+            a = compile_expr(e.args[0], env)
+            b = compile_expr(e.args[1], env)
+            if op == "=":
+                return _eq_cond(a, b)
+            if op == "!=":
+                return ~_eq_cond(a, b)
+            both_valued = _valued(a) & _valued(b)
+            both_str = is_string_lit(a) & is_string_lit(b)
+            num_cmp = {
+                "<": a["num"] < b["num"], ">": a["num"] > b["num"],
+                "<=": a["num"] <= b["num"], ">=": a["num"] >= b["num"],
+            }[op]
+            str_cmp = {
+                "<": a["lex"] < b["lex"], ">": a["lex"] > b["lex"],
+                "<=": a["lex"] <= b["lex"], ">=": a["lex"] >= b["lex"],
+            }[op]
+            return (both_valued & num_cmp) | (both_str & str_cmp)
+    # exact path (3-valued, error-aware)
+    return ebv(compile_expr(e, env)).eqNullSafe(F.lit(True))
+
+
 def register_function(iri_str: str, f) -> None:
     """Register a custom function by IRI; call it from queries with
     fn(iri_str, args...). The callable receives/returns term-struct

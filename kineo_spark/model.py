@@ -105,9 +105,13 @@ def term_struct(kind: Column, lex: Column, dt: Column, lang: Column, num: Column
     )
 
 
-def iri_col(lex: Column) -> Column:
-    """IRI term from a string column (null-propagating)."""
+def iri_col(lex: Column, nonnull: bool = False) -> Column:
+    """IRI term from a string column (null-propagating unless the caller
+    guarantees non-null — bare structs let Catalyst fold field access
+    back to raw columns and push filters into parquet)."""
     t = term_struct(_b(KIND_IRI), lex, _NULL_S(), _NULL_S(), _NULL_D())
+    if nonnull:
+        return t
     return F.when(lex.isNotNull(), t)
 
 
@@ -116,8 +120,10 @@ def blank_col(label: Column) -> Column:
     return F.when(label.isNotNull(), t)
 
 
-def lit_string_col(lex: Column) -> Column:
+def lit_string_col(lex: Column, nonnull: bool = False) -> Column:
     t = term_struct(_b(KIND_LITERAL), lex, F.lit("string"), _NULL_S(), _NULL_D())
+    if nonnull:
+        return t
     return F.when(lex.isNotNull(), t)
 
 
@@ -126,7 +132,7 @@ def lit_lang_col(lex: Column, lang: Column) -> Column:
     return F.when(lex.isNotNull() & lang.isNotNull(), t)
 
 
-def lit_numeric_col(value: Column, dt: str) -> Column:
+def lit_numeric_col(value: Column, dt: str, nonnull: bool = False) -> Column:
     """Numeric literal from a native numeric column; lexical form is the
     canonical decimal/integer formatting of the value."""
     if dt in ("integer", "int", "long"):
@@ -136,20 +142,24 @@ def lit_numeric_col(value: Column, dt: str) -> Column:
         lex = value.cast("string")
         num = value.cast("double")
     t = term_struct(_b(KIND_LITERAL), lex, F.lit(dt), _NULL_S(), num)
+    if nonnull:
+        return t
     return F.when(value.isNotNull(), t)
 
 
-def lit_bool_col(value: Column) -> Column:
+def lit_bool_col(value: Column, nonnull: bool = False) -> Column:
     t = term_struct(
         _b(KIND_LITERAL),
         F.when(value, "true").otherwise("false"),
         F.lit("boolean"), _NULL_S(),
         value.cast("double"),
     )
+    if nonnull:
+        return t
     return F.when(value.isNotNull(), t)
 
 
-def lit_datetime_col(ts: Column) -> Column:
+def lit_datetime_col(ts: Column, nonnull: bool = False) -> Column:
     """dateTime literal from a native timestamp column. num = epoch µs."""
     t = term_struct(
         _b(KIND_LITERAL),
@@ -157,35 +167,41 @@ def lit_datetime_col(ts: Column) -> Column:
         F.lit("dateTime"), _NULL_S(),
         F.unix_micros(ts).cast("double"),
     )
+    if nonnull:
+        return t
     return F.when(ts.isNotNull(), t)
 
 
-def lit_date_col(d: Column) -> Column:
+def lit_date_col(d: Column, nonnull: bool = False) -> Column:
     t = term_struct(
         _b(KIND_LITERAL),
         F.date_format(d, "yyyy-MM-dd"),
         F.lit("date"), _NULL_S(),
         F.unix_micros(d.cast("timestamp")).cast("double"),
     )
+    if nonnull:
+        return t
     return F.when(d.isNotNull(), t)
 
 
-def term_from_spark_col(col: Column, dtype: T.DataType) -> Column:
+def term_from_spark_col(col: Column, dtype: T.DataType, nonnull: bool = False) -> Column:
     """Map a native Spark column to a typed literal term (relational →
-    RDF adapter; FIXTURES.md §5)."""
+    RDF adapter; FIXTURES.md §5). With ``nonnull`` (caller already
+    filtered NULLs) the struct is built bare, so Catalyst folds
+    ``term.num`` back to the raw column and pushes filters to parquet."""
     if isinstance(dtype, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
-        return lit_numeric_col(col, "integer")
+        return lit_numeric_col(col, "integer", nonnull)
     if isinstance(dtype, (T.FloatType, T.DoubleType)):
-        return lit_numeric_col(col, "double")
+        return lit_numeric_col(col, "double", nonnull)
     if isinstance(dtype, T.DecimalType):
-        return lit_numeric_col(col, "decimal")
+        return lit_numeric_col(col, "decimal", nonnull)
     if isinstance(dtype, T.BooleanType):
-        return lit_bool_col(col)
+        return lit_bool_col(col, nonnull)
     if isinstance(dtype, T.TimestampType):
-        return lit_datetime_col(col)
+        return lit_datetime_col(col, nonnull)
     if isinstance(dtype, T.DateType):
-        return lit_date_col(col)
-    return lit_string_col(col.cast("string"))
+        return lit_date_col(col, nonnull)
+    return lit_string_col(col.cast("string"), nonnull)
 
 
 # ---------------------------------------------------------------------------

@@ -259,16 +259,19 @@ class RelationalQuadStore(QuadStore):
     def _branch_df(self, pattern: A.QuadPattern, table: str, kind: str, col: str | None):
         df = self.table(table)
         pks, fks = TABLES[table]
-        s_term = iri_col(self.row_iri(table))
 
         if kind == "col":
             dtype = dict((f.name, f.dataType) for f in df.schema.fields)[col]
-            p_lex, o_term = f"urn:col:{table}:{col}", term_from_spark_col(df[col], dtype)
+            df = df.filter(F.col(col).isNotNull())
+            p_lex = f"urn:col:{table}:{col}"
+            o_term = term_from_spark_col(F.col(col), dtype, nonnull=True)
         elif kind == "fk":
             target = fks[col]
+            df = df.filter(F.col(col).isNotNull())
             p_lex = f"urn:fk:{table}:{col}"
             o_term = iri_col(
-                F.concat_ws(":", F.lit(f"urn:t:{target}"), df[col].cast("string"))
+                F.concat_ws(":", F.lit(f"urn:t:{target}"), F.col(col).cast("string")),
+                nonnull=True,
             )
         else:  # type
             p_lex, o_term = RDF_TYPE, iri(f"urn:class:{table}").as_column()
@@ -297,12 +300,8 @@ class RelationalQuadStore(QuadStore):
             else:
                 if not (o.kind == KIND_IRI and o.lex == f"urn:class:{table}"):
                     return None
-        # drop rows with NULL objects (no quad for NULL values)
-        if kind == "col":
-            df = df.filter(F.col(col).isNotNull())
-
         terms = {
-            "s": iri_col(self.row_iri(table)),
+            "s": iri_col(self.row_iri(table), nonnull=True),
             "p": iri(p_lex).as_column(),
             "o": o_term,
             "g": iri(f"urn:g:{table}").as_column(),
@@ -363,7 +362,7 @@ class RelationalQuadStore(QuadStore):
         df = self.table(table)
         pks, fks = TABLES[table]
         fields = {f.name: f.dataType for f in df.schema.fields}
-        terms: dict[str, Column] = {"__s": iri_col(self.row_iri(table))}
+        terms: dict[str, Column] = {"__s": iri_col(self.row_iri(table), nonnull=True)}
         cond = None
         out_cols: dict[str, Column] = {}
         seen_vars: dict[str, Column] = {}
@@ -391,7 +390,7 @@ class RelationalQuadStore(QuadStore):
             for pk, val in zip(pks, parsed[1]):
                 df = df.filter(F.col(pk).cast("string") == val)
         else:
-            bind(subj, iri_col(self.row_iri(table)))
+            bind(subj, iri_col(self.row_iri(table), nonnull=True))
 
         for pat, (t, kind, c) in zip(patterns, infos):
             if kind == "type":
@@ -402,8 +401,10 @@ class RelationalQuadStore(QuadStore):
             elif kind == "fk":
                 if c not in fks:
                     return self._empty(patterns)
+                df = df.filter(F.col(c).isNotNull())
                 o_term = iri_col(
-                    F.concat_ws(":", F.lit(f"urn:t:{fks[c]}"), F.col(c).cast("string"))
+                    F.concat_ws(":", F.lit(f"urn:t:{fks[c]}"), F.col(c).cast("string")),
+                    nonnull=True,
                 )
                 if isinstance(pat.o, PyTerm):
                     parsed = self.parse_row_iri(pat.o.lex) if pat.o.kind == KIND_IRI else None
@@ -416,7 +417,8 @@ class RelationalQuadStore(QuadStore):
             else:
                 if c not in fields:
                     return self._empty(patterns)
-                o_term = term_from_spark_col(F.col(c), fields[c])
+                df = df.filter(F.col(c).isNotNull())
+                o_term = term_from_spark_col(F.col(c), fields[c], nonnull=True)
                 if isinstance(pat.o, PyTerm):
                     if pat.o.kind != KIND_LITERAL:
                         return self._empty(patterns)
@@ -426,7 +428,6 @@ class RelationalQuadStore(QuadStore):
                         df = df.filter(F.col(c).cast("string") == pat.o.lex)
                     bind(pat.o, o_term, native=F.lit(True))
                 else:
-                    df = df.filter(F.col(c).isNotNull())
                     bind(pat.o, o_term)
             # graph variable binds to this table's graph
             if isinstance(pat.g, A.Var):
