@@ -29,10 +29,13 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from kineo_spark.session import tune
-    from kineo_spark import queries_pipeline, queries_sparql
+    from kineo_spark import queries_more, queries_pipeline, queries_sparql
 
     out: dict[str, Callable] = {}
-    for name, f in {**queries_sparql.QUERIES, **queries_pipeline.QUERIES}.items():
+    merged = {
+        **queries_sparql.QUERIES, **queries_pipeline.QUERIES, **queries_more.QUERIES,
+    }
+    for name, f in merged.items():
         def wrapper(spark, sf_dir, _f=f):
             tune(spark)
             return _f(spark, sf_dir)
@@ -41,6 +44,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    from kineo_spark import queries_pipeline, queries_sparql
+    from kineo_spark import queries_more, queries_pipeline, queries_sparql
 
-    return {**queries_sparql.ORACLES, **queries_pipeline.ORACLES}
+    return {
+        **queries_sparql.ORACLES, **queries_pipeline.ORACLES, **queries_more.ORACLES,
+    }

@@ -369,7 +369,7 @@ def _compile_call(e: ECall, env: dict[str, Column]) -> Column:  # noqa: C901
         pat = a[1]["lex"]
         if len(a) > 2:
             pat = F.concat(F.lit("(?"), a[2]["lex"], F.lit(")"), pat)
-        return bool_term(F.when(is_string_lit(a[0]), a[0]["lex"].rlike(pat)))
+        return bool_term(F.when(is_string_lit(a[0]), F.regexp_like(a[0]["lex"], pat)))
     if op in ("STRBEFORE", "STRAFTER"):
         pos = F.instr(a[0]["lex"], a[1]["lex"])
         if op == "STRBEFORE":

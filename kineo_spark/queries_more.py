@@ -1,0 +1,259 @@
+"""Second batch of oracle-checked queries: SAMPLE/NTILE/APPROX sketches,
+regex/string/cast expression surface, term-kind tests, bound-graph
+datasets, star paths, and more pipeline coverage."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from kineo_spark import algebra as A
+from kineo_spark.expr import c, fn, v
+from kineo_spark.forms import select
+from kineo_spark.model import iri, lit
+from kineo_spark.queries_sparql import col, compiler_for, fk, tp
+from kineo_spark.relational import extract
+from kineo_spark.store import read_table
+
+QUERIES: dict[str, callable] = {}
+ORACLES: dict[str, str] = {}
+
+
+def q(name: str, oracle: str | None):
+    def deco(f):
+        QUERIES[name] = f
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return f
+    return deco
+
+
+@q("sparql_agg_sample",
+   "SELECT 'urn:t:nation:' || CAST(c_nationkey AS VARCHAR) AS nation, "
+   "MIN(n_name) AS nation_name, COUNT(*) AS n FROM customer "
+   "JOIN nation ON n_nationkey = c_nationkey GROUP BY c_nationkey")
+def sparql_agg_sample(spark, sf_dir) -> DataFrame:
+    """SAMPLE over a per-group-constant value (deterministic; reference
+    SAMPLE = any value, MaterializedQueryPlan.swift:2394-2411)."""
+    comp = compiler_for(spark, sf_dir)
+    alg = A.Aggregate(
+        A.BGP((
+            tp("cust", fk("customer", "c_nationkey"), "nat"),
+            tp("nat", col("nation", "n_name"), "nname"),
+        )),
+        groups=(v("nat"),), group_names=("nat",),
+        aggs=(
+            ("nation_name", A.AggSpec("SAMPLE", v("nname"))),
+            ("n", A.AggSpec("COUNT*")),
+        ),
+    )
+    return extract(select(comp, A.SelectQuery(alg)), {
+        "nation": ("nat", "lex"), "nation_name": ("nation_name", "lex"),
+        "n": ("n", "int"),
+    })
+
+
+@q("sparql_window_ntile",
+   "SELECT c_name AS name, CAST(ntile(4) OVER "
+   "(ORDER BY c_acctbal DESC, c_name) AS BIGINT) AS quartile FROM customer")
+def sparql_window_ntile(spark, sf_dir) -> DataFrame:
+    comp = compiler_for(spark, sf_dir)
+    alg = A.Window(
+        A.BGP((
+            tp("cust", col("customer", "c_name"), "name"),
+            tp("cust", col("customer", "c_acctbal"), "bal"),
+        )),
+        functions=(
+            ("quartile", A.WindowSpec(
+                "NTILE", n=4,
+                order=(A.SortComparator(v("bal"), False), A.SortComparator(v("name"), True)),
+            )),
+        ),
+    )
+    return extract(select(comp, A.SelectQuery(alg, ("name", "quartile"))), {
+        "name": ("name", "lex"), "quartile": ("quartile", "int"),
+    })
+
+
+@q("sparql_approx_count_distinct", None)  # sketch differs per engine → rows-only
+def sparql_approx_count_distinct(spark, sf_dir) -> DataFrame:
+    comp = compiler_for(spark, sf_dir)
+    alg = A.Aggregate(
+        A.Triple(tp("li", fk("lineitem", "l_partkey"), "part")),
+        groups=(), group_names=(),
+        aggs=(("approx_parts", A.AggSpec("APPROX_COUNT_DISTINCT", v("part"))),),
+    )
+    return extract(select(comp, A.SelectQuery(alg)), {"approx_parts": ("approx_parts", "int")})
+
+
+@q("sparql_regex_filter",
+   "SELECT c_name AS name FROM customer WHERE regexp_matches(c_name, 'Customer#0*1{2}')")
+def sparql_regex_filter(spark, sf_dir) -> DataFrame:
+    comp = compiler_for(spark, sf_dir)
+    alg = A.Filter(
+        A.Triple(tp("cust", col("customer", "c_name"), "name")),
+        fn("REGEX", v("name"), c(lit("Customer#0*1{2}"))),
+    )
+    return extract(select(comp, A.SelectQuery(alg, ("name",))), {"name": ("name", "lex")})
+
+
+@q("sparql_str_before_after",
+   "SELECT c_name AS name, split_part(c_name, '#', 1) AS before_hash, "
+   "split_part(c_name, '#', 2) AS after_hash, "
+   "CAST(CAST(split_part(c_name, '#', 2) AS BIGINT) AS BIGINT) AS custnum "
+   "FROM customer")
+def sparql_str_before_after(spark, sf_dir) -> DataFrame:
+    comp = compiler_for(spark, sf_dir)
+    alg = A.Extend(
+        A.Extend(
+            A.Extend(
+                A.Triple(tp("cust", col("customer", "c_name"), "name")),
+                fn("STRBEFORE", v("name"), c(lit("#"))), "before_hash",
+            ),
+            fn("STRAFTER", v("name"), c(lit("#"))), "after_hash",
+        ),
+        fn("CAST", fn("STRAFTER", v("name"), c(lit("#"))), to="integer"), "custnum",
+    )
+    return extract(
+        select(comp, A.SelectQuery(alg, ("name", "before_hash", "after_hash", "custnum"))),
+        {
+            "name": ("name", "lex"), "before_hash": ("before_hash", "lex"),
+            "after_hash": ("after_hash", "lex"), "custnum": ("custnum", "int"),
+        },
+    )
+
+
+@q("sparql_coalesce_optional",
+   "SELECT n_name AS nation, COALESCE(c_mktsegment, 'none') AS seg FROM nation "
+   "LEFT JOIN customer ON c_nationkey = n_nationkey AND c_acctbal > 9900")
+def sparql_coalesce_optional(spark, sf_dir) -> DataFrame:
+    comp = compiler_for(spark, sf_dir)
+    alg = A.Extend(
+        A.LeftJoin(
+            A.Triple(tp("nat", col("nation", "n_name"), "nation")),
+            A.BGP((
+                tp("cust", fk("customer", "c_nationkey"), "nat"),
+                tp("cust", col("customer", "c_mktsegment"), "segment"),
+                tp("cust", col("customer", "c_acctbal"), "bal"),
+            )),
+            expr=v("bal") > c(lit(9900)),
+        ),
+        fn("COALESCE", v("segment"), c(lit("none"))),
+        "seg",
+    )
+    return extract(select(comp, A.SelectQuery(alg, ("nation", "seg"))), {
+        "nation": ("nation", "lex"), "seg": ("seg", "lex"),
+    })
+
+
+@q("sparql_term_kind_tests",
+   "SELECT CAST(COUNT(*) * 3 AS BIGINT) AS literal_quads FROM nation")
+def sparql_term_kind_tests(spark, sf_dir) -> DataFrame:
+    """ISLITERAL over every quad of the nation graph (3 literal columns
+    per row; type + FK objects are IRIs)."""
+    comp = compiler_for(spark, sf_dir)
+    alg = A.Aggregate(
+        A.Filter(
+            A.NamedGraph(
+                iri("urn:g:nation"),
+                A.Triple(tp("s", A.Var("p"), "o")),
+            ),
+            fn("ISLITERAL", v("o")),
+        ),
+        groups=(), group_names=(),
+        aggs=(("literal_quads", A.AggSpec("COUNT*")),),
+    )
+    return extract(select(comp, A.SelectQuery(alg)), {"literal_quads": ("literal_quads", "int")})
+
+
+@q("sparql_path_star_bound",
+   "SELECT 'urn:t:customer:1' AS dst "
+   "UNION ALL SELECT 'urn:t:nation:' || CAST(c_nationkey AS VARCHAR) "
+   "FROM customer WHERE c_custkey = 1 "
+   "UNION ALL SELECT 'urn:t:region:' || CAST(n_regionkey AS VARCHAR) "
+   "FROM customer JOIN nation ON c_nationkey = n_nationkey WHERE c_custkey = 1")
+def sparql_path_star_bound(spark, sf_dir) -> DataFrame:
+    """(fk_cust_nat | fk_nat_reg)* from a bound subject: zero-length
+    self + 1-hop nation + 2-hop region."""
+    comp = compiler_for(spark, sf_dir)
+    alg = A.PathPattern(
+        iri("urn:t:customer:1"),
+        A.PStar(A.PAlt(A.PLink(fk("customer", "c_nationkey")), A.PLink(fk("nation", "n_regionkey")))),
+        A.Var("dst"),
+    )
+    return extract(select(comp, A.SelectQuery(alg, ("dst",))), {"dst": ("dst", "lex")})
+
+
+@q("sparql_graph_bound_scan",
+   "SELECT CAST(COUNT(*) * 3 AS BIGINT) AS n FROM region")
+def sparql_graph_bound_scan(spark, sf_dir) -> DataFrame:
+    comp = compiler_for(spark, sf_dir)
+    alg = A.Aggregate(
+        A.NamedGraph(iri("urn:g:region"), A.Triple(tp("s", A.Var("p"), "o"))),
+        groups=(), group_names=(),
+        aggs=(("n", A.AggSpec("COUNT*")),),
+    )
+    return extract(select(comp, A.SelectQuery(alg)), {"n": ("n", "int")})
+
+
+@q("sparql_hash_functions",
+   "SELECT r_name AS name, md5(r_name) AS h_md5, sha256(r_name) AS h_sha256 FROM region")
+def sparql_hash_functions(spark, sf_dir) -> DataFrame:
+    comp = compiler_for(spark, sf_dir)
+    alg = A.Extend(
+        A.Extend(
+            A.Triple(tp("reg", col("region", "r_name"), "name")),
+            fn("MD5", v("name")), "h_md5",
+        ),
+        fn("SHA256", v("name")), "h_sha256",
+    )
+    return extract(select(comp, A.SelectQuery(alg, ("name", "h_md5", "h_sha256"))), {
+        "name": ("name", "lex"), "h_md5": ("h_md5", "lex"), "h_sha256": ("h_sha256", "lex"),
+    })
+
+
+# ---------------------------------------------------------------------------
+# Pipeline additions
+# ---------------------------------------------------------------------------
+
+@q("pipe_bpe_token_count",
+   r"SELECT doc_id, CAST(len(regexp_extract_all(text, "
+   r"'([A-Za-z]+|[0-9]+|[^A-Za-z0-9\s])', 1)) AS BIGINT) AS n_bpe FROM documents")
+def pipe_bpe_token_count(spark, sf_dir) -> DataFrame:
+    from kineo_spark.pipeline.text import bpe_ish_token_count
+
+    docs = read_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", bpe_ish_token_count(F.col("text")).cast("long").alias("n_bpe"))
+
+
+@q("pipe_embedding_norm_stats",
+   "SELECT label, COUNT(*) AS n, "
+   "CAST(SUM(CAST(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), "
+   "CAST(embedding AS DOUBLE[]))) AS DECIMAL(25,6))) AS DOUBLE) / COUNT(*) AS avg_norm "
+   "FROM embeddings GROUP BY label")
+def pipe_embedding_norm_stats(spark, sf_dir) -> DataFrame:
+    from kineo_spark.pipeline.similarity import _norm
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    return (
+        emb.select("label", _norm(F.col("embedding")).alias("nrm"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.sum(F.col("nrm").cast("decimal(25,6)")).cast("double")
+             / F.count(F.lit(1))).alias("avg_norm"),
+        )
+    )
+
+
+@q("pipe_dedup_keep_best",
+   "WITH ranked AS (SELECT doc_id, lang, n_chars, "
+   "row_number() OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id) AS rn "
+   "FROM documents) SELECT doc_id, lang, n_chars FROM ranked WHERE rn <= 3")
+def pipe_dedup_keep_best(spark, sf_dir) -> DataFrame:
+    """Keep-best-per-group (the canonical post-dedup selection step)."""
+    from kineo_spark.pipeline.sessions import top_k_by_group
+
+    docs = read_table(spark, sf_dir, "documents")
+    return top_k_by_group(
+        docs.select("doc_id", "lang", "n_chars"), "lang", "n_chars", 3, "doc_id"
+    )
