@@ -524,6 +524,18 @@ def compile_filter_condition(e: Expr, env: dict[str, Column]) -> Column:
             return compile_filter_condition(e.args[0], env) & compile_filter_condition(e.args[1], env)
         if op == "||":
             return compile_filter_condition(e.args[0], env) | compile_filter_condition(e.args[1], env)
+        if op == "IN":
+            a = compile_expr(e.args[0], env)
+            out = None
+            for x in e.args[1:]:
+                cond = _eq_cond(a, compile_expr(x, env))
+                out = cond if out is None else (out | cond)
+            return out if out is not None else F.lit(False)
+        if op in ("CONTAINS", "STRSTARTS", "STRENDS"):
+            a = compile_expr(e.args[0], env)
+            b = compile_expr(e.args[1], env)
+            meth = {"CONTAINS": "contains", "STRSTARTS": "startswith", "STRENDS": "endswith"}[op]
+            return is_string_lit(a) & is_string_lit(b) & getattr(a["lex"], meth)(b["lex"])
         if op in ("<", ">", "<=", ">=", "=", "!="):
             a = compile_expr(e.args[0], env)
             b = compile_expr(e.args[1], env)

@@ -63,25 +63,45 @@ def construct(compiler: Compiler, q: A.ConstructQuery) -> DataFrame:
 
 def describe(compiler: Compiler, q: A.DescribeQuery) -> DataFrame:
     """All triples whose subject is a described term
-    (SimpleQueryEvaluation.swift:1305-1372)."""
+    (SimpleQueryEvaluation.swift:1305-1372). Constant terms use
+    bound-subject scans (the store prunes to the subject's table/pk);
+    variable terms semi-join the full scan against the pattern."""
     from kineo_spark.model import term_key
-    plan = compiler.compile(q.algebra) if q.algebra is not None else None
-    terms = []
+
+    parts: list[DataFrame] = []
+    pv, ov = A.Var("p"), A.Var("o")
     for node in q.nodes:
         if isinstance(node, PyTerm):
-            terms.append(node)
-    sv, pv, ov = A.Var("s"), A.Var("p"), A.Var("o")
-    scan = compiler._scan(A.QuadPattern(sv, pv, ov, A.Var("__dg", binding=False)))
-    df = scan.df
-    conds = None
-    for t in terms:
-        c = term_key(df["s"]) == t.key()
-        conds = c if conds is None else (conds | c)
-    if plan is not None and q.nodes:
-        for node in q.nodes:
-            if isinstance(node, A.Var) and node.name in plan.df.columns:
-                keys = plan.df.select(term_key(plan.df[node.name]).alias("__dk")).dropDuplicates()
-                df = df.join(F.broadcast(keys), term_key(df["s"]) == keys["__dk"], "left_semi")
-    if conds is not None:
-        df = df.filter(conds)
-    return df.select("s", "p", "o")
+            scan = compiler._scan(
+                A.QuadPattern(node, pv, ov, A.Var("__dg", binding=False))
+            )
+            parts.append(
+                scan.df.select(
+                    node.as_column().alias("s"), F.col("p"), F.col("o")
+                )
+            )
+    var_nodes = [n for n in q.nodes if isinstance(n, A.Var)]
+    if var_nodes and q.algebra is not None:
+        plan = compiler.compile(q.algebra)
+        sv = A.Var("s")
+        full = compiler._scan(A.QuadPattern(sv, pv, ov, A.Var("__dg", binding=False))).df
+        for node in var_nodes:
+            if node.name in plan.df.columns:
+                keys = plan.df.select(
+                    term_key(plan.df[node.name]).alias("__dk")
+                ).dropDuplicates()
+                parts.append(
+                    full.join(
+                        F.broadcast(keys), term_key(full["s"]) == keys["__dk"], "left_semi"
+                    ).select("s", "p", "o")
+                )
+    if not parts:
+        from kineo_spark.model import TERM_SCHEMA
+        from pyspark.sql import types as T
+        return compiler.spark.createDataFrame(
+            [], T.StructType([T.StructField(x, TERM_SCHEMA) for x in ("s", "p", "o")])
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
