@@ -1,0 +1,304 @@
+"""Turtle / TriG parser (driver-side) and Turtle serializer.
+
+Reference: Turtle via the serd C library (RDF/SerdParser.swift:175-330)
+and the prefix-grouping Turtle serializer (RDF/Turtle.swift:147-311).
+
+Scope: the common Turtle subset — @prefix/@base (and SPARQL-style
+PREFIX/BASE), prefixed names, 'a', predicate-object lists (';'), object
+lists (','), typed/lang literals, blank nodes ([] and _:), collections
+( ... ), numeric/boolean shorthand; TriG graph blocks. Parsing happens
+on the driver (Turtle is context-sensitive — not line-parallel like
+N-Triples, which remains the bulk-load format; the reference makes the
+same tradeoff by linking a C parser); the resulting quads DataFrame is
+distributed as usual.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+
+from kineo_spark.model import IRI_DT, KIND_BLANK, KIND_IRI, KIND_LITERAL, NUMERIC_DTS, QUADS_SCHEMA, RDF_NS
+
+_TOKEN = re.compile(
+    r"""
+      (?P<WS>\s+|\#[^\n]*)
+    | (?P<IRI><[^<>]*>)
+    | (?P<STRING>'''(?:.|\n)*?'''|\"\"\"(?:.|\n)*?\"\"\"|'(?:[^'\\]|\\.)*'|"(?:[^"\\]|\\.)*")
+    | (?P<LANGTAG>@[A-Za-z]+(?:-[A-Za-z0-9]+)*)
+    | (?P<NUM>[+-]?(?:\d+\.\d*|\.\d+|\d+)(?:[eE][+-]?\d+)?)
+    | (?P<BNODE>_:[A-Za-z0-9_.-]+)
+    | (?P<PNAME>[A-Za-z_][A-Za-z0-9_.-]*?:[A-Za-z0-9_.:%-]*|:[A-Za-z0-9_.%-]*)
+    | (?P<KW>@?[A-Za-z_][A-Za-z0-9_]*)
+    | (?P<OP>\^\^|[{}()\[\].,;])
+    """,
+    re.VERBOSE,
+)
+
+_RDF_FIRST = RDF_NS + "first"
+_RDF_REST = RDF_NS + "rest"
+_RDF_NIL = RDF_NS + "nil"
+_RDF_TYPE = RDF_NS + "type"
+
+
+class _Term(tuple):
+    """(kind, lex, dt, lang)."""
+
+
+def _mk(kind, lex, dt=None, lang=None):
+    return (kind, lex, dt, lang)
+
+
+class TurtleParser:
+    def __init__(self, text: str, default_graph: str = "urn:g:default"):
+        self.toks = []
+        pos = 0
+        while pos < len(text):
+            m = _TOKEN.match(text, pos)
+            if not m:
+                raise SyntaxError(f"turtle: cannot tokenize at {text[pos:pos+30]!r}")
+            pos = m.end()
+            if m.lastgroup != "WS":
+                self.toks.append((m.lastgroup, m.group()))
+        self.toks.append(("EOF", ""))
+        self.i = 0
+        self.prefixes: dict[str, str] = {}
+        self.base = ""
+        self.quads: list[tuple] = []
+        self.graph = default_graph
+        self.default_graph = default_graph
+        self._anon = 0
+
+    # token helpers
+    def peek(self):
+        return self.toks[self.i]
+
+    def next(self):
+        t = self.toks[self.i]
+        self.i += 1
+        return t
+
+    def op(self, text):
+        if self.peek() == ("OP", text):
+            self.next()
+            return True
+        return False
+
+    def expect(self, text):
+        if not self.op(text):
+            raise SyntaxError(f"turtle: expected {text!r}, got {self.peek()}")
+
+    # parsing
+    def parse(self) -> list[tuple]:
+        while self.peek()[0] != "EOF":
+            k, v = self.peek()
+            if (k == "LANGTAG" and v in ("@prefix", "@base")) or (
+                k == "KW" and v.upper() in ("PREFIX", "BASE")
+            ):
+                self._directive()
+            elif k in ("IRI", "PNAME", "BNODE") and self.toks[self.i + 1] == ("OP", "{"):
+                # TriG graph block
+                g = self._resolve_node(self.next())
+                self.expect("{")
+                old, self.graph = self.graph, g[1]
+                while not self.op("}"):
+                    self._triples()
+                    self.op(".")
+                self.graph = old
+            else:
+                self._triples()
+                self.expect(".")
+        return self.quads
+
+    def _directive(self):
+        k, v = self.next()
+        word = v.lstrip("@").upper()
+        if word == "PREFIX":
+            pk, pv = self.next()
+            pfx = pv[:-1] if pv.endswith(":") else pv.split(":")[0]
+            ik, iv = self.next()
+            self.prefixes[pfx] = iv[1:-1]
+        else:
+            ik, iv = self.next()
+            self.base = iv[1:-1]
+        if self.peek() == ("OP", "."):
+            self.next()
+
+    def _resolve_node(self, tok):
+        k, v = tok
+        if k == "IRI":
+            val = v[1:-1]
+            if self.base and not re.match(r"^[A-Za-z][A-Za-z0-9+.-]*:", val):
+                val = self.base + val
+            return _mk(KIND_IRI, val)
+        if k == "PNAME":
+            pfx, _, local = v.partition(":")
+            ns = self.prefixes.get(pfx)
+            if ns is None:
+                raise SyntaxError(f"turtle: unknown prefix {pfx}:")
+            return _mk(KIND_IRI, ns + local)
+        if k == "BNODE":
+            return _mk(KIND_BLANK, v[2:])
+        raise SyntaxError(f"turtle: unexpected {tok}")
+
+    def _fresh_bnode(self):
+        self._anon += 1
+        return _mk(KIND_BLANK, f"genid{self._anon}")
+
+    def _subject(self):
+        k, v = self.peek()
+        if k == "OP" and v == "[":
+            return self._blank_node_property_list()
+        if k == "OP" and v == "(":
+            return self._collection()
+        return self._resolve_node(self.next())
+
+    def _object(self):
+        k, v = self.peek()
+        if k == "OP" and v == "[":
+            return self._blank_node_property_list()
+        if k == "OP" and v == "(":
+            return self._collection()
+        if k == "STRING":
+            self.next()
+            raw = v[3:-3] if v.startswith(("'''", '"""')) else v[1:-1]
+            raw = raw.encode().decode("unicode_escape") if "\\" in raw else raw
+            nk, nv = self.peek()
+            if (nk, nv) == ("OP", "^^"):
+                self.next()
+                dt = self._resolve_node(self.next())
+                tok = IRI_DT.get(dt[1], dt[1])
+                return _mk(KIND_LITERAL, raw, tok)
+            if nk == "LANGTAG":
+                self.next()
+                return _mk(KIND_LITERAL, raw, "langString", nv[1:])
+            return _mk(KIND_LITERAL, raw, "string")
+        if k == "NUM":
+            self.next()
+            if re.match(r"^[+-]?\d+$", v):
+                return _mk(KIND_LITERAL, v, "integer")
+            if "e" in v.lower():
+                return _mk(KIND_LITERAL, v, "double")
+            return _mk(KIND_LITERAL, v, "decimal")
+        if k == "KW" and v in ("true", "false"):
+            self.next()
+            return _mk(KIND_LITERAL, v, "boolean")
+        return self._resolve_node(self.next())
+
+    def _predicate(self):
+        k, v = self.peek()
+        if k == "KW" and v == "a":
+            self.next()
+            return _mk(KIND_IRI, _RDF_TYPE)
+        return self._resolve_node(self.next())
+
+    def _emit(self, s, p, o):
+        num = None
+        if o[0] == KIND_LITERAL and o[2] in NUMERIC_DTS:
+            try:
+                num = float(o[1])
+            except ValueError:
+                num = None
+        elif o[0] == KIND_LITERAL and o[2] == "boolean":
+            num = 1.0 if o[1] == "true" else 0.0
+        self.quads.append(
+            (s[0], s[1], p[1], o[0], o[1],
+             o[2] if o[0] == KIND_LITERAL else None,
+             o[3] if o[0] == KIND_LITERAL else None,
+             num, self.graph)
+        )
+
+    def _predicate_object_list(self, subj):
+        while True:
+            p = self._predicate()
+            while True:
+                o = self._object()
+                self._emit(subj, p, o)
+                if not self.op(","):
+                    break
+            if not self.op(";"):
+                break
+            if self.peek()[0] == "OP" and self.peek()[1] in (".", "]", "}"):
+                break
+
+    def _blank_node_property_list(self):
+        self.expect("[")
+        node = self._fresh_bnode()
+        if not self.op("]"):
+            self._predicate_object_list(node)
+            self.expect("]")
+        return node
+
+    def _collection(self):
+        self.expect("(")
+        items = []
+        while not self.op(")"):
+            items.append(self._object())
+        if not items:
+            return _mk(KIND_IRI, _RDF_NIL)
+        nodes = [self._fresh_bnode() for _ in items]
+        for i, (n, item) in enumerate(zip(nodes, items)):
+            self._emit(n, _mk(KIND_IRI, _RDF_FIRST), item)
+            rest = nodes[i + 1] if i + 1 < len(nodes) else _mk(KIND_IRI, _RDF_NIL)
+            self._emit(n, _mk(KIND_IRI, _RDF_REST), rest)
+        return nodes[0]
+
+    def _triples(self):
+        subj = self._subject()
+        self._predicate_object_list(subj)
+
+
+def load_turtle(
+    spark: SparkSession, path_or_text: str, default_graph: str = "urn:g:default"
+) -> DataFrame:
+    """Parse a Turtle/TriG file (or literal text) into a flat quads
+    DataFrame."""
+    import os
+
+    text = path_or_text
+    if os.path.exists(path_or_text):
+        with open(path_or_text) as fh:
+            text = fh.read()
+    quads = TurtleParser(text, default_graph).parse()
+    return spark.createDataFrame(quads, QUADS_SCHEMA)
+
+
+def serialize_turtle(quads: DataFrame, prefixes: dict[str, str] | None = None) -> str:
+    """Turtle text with prefix grouping (driver-side; Turtle.swift:147-311)."""
+    from kineo_spark.model import DT_IRI, PyTerm
+
+    prefixes = prefixes or {}
+    inv = sorted(prefixes.items(), key=lambda kv: -len(kv[1]))
+
+    def shorten(iri_str: str) -> str:
+        for pfx, ns in inv:
+            if iri_str.startswith(ns):
+                local = iri_str[len(ns):]
+                if re.match(r"^[A-Za-z0-9_.-]*$", local):
+                    return f"{pfx}:{local}"
+        return f"<{iri_str}>"
+
+    def term_str(kind, lex, dt=None, lang=None):
+        if kind == KIND_IRI:
+            return shorten(lex)
+        if kind == KIND_BLANK:
+            return f"_:{lex}"
+        return PyTerm(kind, lex, dt, lang).n3()
+
+    lines = [f"@prefix {p}: <{ns}> ." for p, ns in prefixes.items()]
+    if lines:
+        lines.append("")
+    # group by subject (driver-side; result serialization is human-scale)
+    rows = quads.collect()
+    by_subj: dict[tuple, list] = {}
+    for r in rows:
+        by_subj.setdefault((r.s_kind, r.s_lex), []).append(r)
+    for (sk, sl), grp in sorted(by_subj.items(), key=lambda kv: kv[0][1]):
+        subj = term_str(sk, sl)
+        po = " ;\n    ".join(
+            f"{shorten(r.p_lex)} {term_str(r.o_kind, r.o_lex, r.o_dt, r.o_lang)}"
+            for r in sorted(grp, key=lambda r: (r.p_lex, r.o_lex))
+        )
+        lines.append(f"{subj} {po} .")
+    return "\n".join(lines) + "\n"

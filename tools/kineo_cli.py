@@ -1,0 +1,89 @@
+#!/usr/bin/env python3
+"""kineo-spark CLI — analog of the reference's kineo-cli
+(/root/reference/Sources/kineo-cli/main.swift): load RDF files into a
+parquet quadstore, run SPARQL queries, dump graphs.
+
+Usage:
+  python tools/kineo_cli.py load  STORE_PATH FILE [...]     # .nt/.nq/.ttl
+  python tools/kineo_cli.py query STORE_PATH 'SELECT ...' [--format MIME]
+  python tools/kineo_cli.py qfile STORE_PATH QUERY_FILE [--format MIME]
+  python tools/kineo_cli.py dump  STORE_PATH                # N-Quads to stdout
+  python tools/kineo_cli.py rel-query SF_DIR 'SELECT ...'   # driver tables
+"""
+
+from __future__ import annotations
+
+import sys
+
+
+def main() -> int:
+    if len(sys.argv) < 3:
+        print(__doc__)
+        return 2
+    cmd, target = sys.argv[1], sys.argv[2]
+    rest = sys.argv[3:]
+    fmt = "application/sparql-results+json"
+    if "--format" in rest:
+        i = rest.index("--format")
+        fmt = rest[i + 1]
+        rest = rest[:i] + rest[i + 2:]
+
+    sys.path.insert(0, "/root/repo")
+    from kineo_spark import get_spark
+    from kineo_spark.engine import Engine
+
+    spark = get_spark("kineo-cli")
+
+    if cmd == "load":
+        from kineo_spark.sources.ntriples import load_ntriples
+        from kineo_spark.sources.turtle import load_turtle
+        from kineo_spark.sources.stores_ext import ParquetQuadStore
+        import os
+
+        files = rest
+        quads = None
+        for f in files:
+            q = load_turtle(spark, f) if f.endswith((".ttl", ".trig")) else load_ntriples(spark, f)
+            quads = q if quads is None else quads.unionByName(q)
+        if quads is None:
+            print("no input files")
+            return 2
+        import os
+        if os.path.exists(target):
+            ParquetQuadStore(spark, target).load(quads)
+        else:
+            ParquetQuadStore.create(spark, quads, target)
+        print(f"loaded {quads.count()} quads into {target}")
+        return 0
+
+    if cmd in ("query", "qfile", "rel-query"):
+        text = rest[0]
+        if cmd == "qfile":
+            with open(rest[0]) as fh:
+                text = fh.read()
+        if cmd == "rel-query":
+            from kineo_spark.store import RelationalQuadStore
+            store = RelationalQuadStore(spark, target)
+        else:
+            from kineo_spark.sources.stores_ext import ParquetQuadStore
+            store = ParquetQuadStore(spark, target)
+        engine = Engine(store)
+        result = engine.query(text)
+        print(engine.serialize(result, fmt))
+        return 0
+
+    if cmd == "dump":
+        from kineo_spark.sources.ntriples import serialize_ntriples
+        from kineo_spark.sources.stores_ext import ParquetQuadStore
+
+        store = ParquetQuadStore(spark, target)
+        for r in serialize_ntriples(store.quads(), with_graph=True).toLocalIterator():
+            print(r.line)
+        return 0
+
+    print(__doc__)
+    return 2
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
