@@ -48,21 +48,30 @@ def main() -> None:
     # warm the JVM + parquet footers with one tiny action
     spark.range(1).count()
 
+    # best-of-2 per query: the shared-host VM shows multi-minute noise
+    # spikes that land on random queries; min-of-2 measures the plan,
+    # not the neighbor
     times: dict[str, float] = {}
     for name in HEADLINE:
         f = qs[name]
-        t0 = time.time()
-        try:
-            n = f(spark, sf_dir).count()
-            times[name] = round(time.time() - t0, 3)
-            print(f"# {name}: {times[name]}s ({n} rows)", file=sys.stderr)
-        except Exception as e:  # record failures as -1, keep benching
-            times[name] = -1.0
-            print(f"# {name}: FAILED {type(e).__name__}: {str(e)[:200]}", file=sys.stderr)
+        best = None
+        for _ in range(2):
+            t0 = time.time()
+            try:
+                n = f(spark, sf_dir).count()
+                dt = round(time.time() - t0, 3)
+                best = dt if best is None or dt < best else best
+            except Exception as e:  # record failures as -1, keep benching
+                best = -1.0
+                print(f"# {name}: FAILED {type(e).__name__}: {str(e)[:200]}", file=sys.stderr)
+                break
+        times[name] = best
+        if best >= 0:
+            print(f"# {name}: {best}s ({n} rows)", file=sys.stderr)
 
     total = round(sum(t for t in times.values() if t >= 0), 3)
     print(json.dumps({
-        "metric": "headline_total_wall",
+        "metric": "headline_total_wall_best_of_2",
         "value": total,
         "unit": "sec",
         "queries": times,

@@ -94,7 +94,6 @@ def lsh_ann(
     cands = None
     for t in range(n_tables):
         offset = t * n_planes
-        bvec = lambda c: lsh_bucket(c, n_planes, dim) if offset == 0 else _bucket_off(c, offset, n_planes, dim)  # noqa: E731
         cb = corpus.select(
             F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec"),
             _bucket_off(F.col(vec_col), offset, n_planes, dim).alias("bucket"),

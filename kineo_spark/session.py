@@ -46,7 +46,9 @@ def get_spark(app: str = "kineo-spark", cpus: int | None = None) -> SparkSession
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app)
         .config("spark.sql.shuffle.partitions", str(max(cpus, 8)))
-        .config("spark.driver.memory", os.environ.get("KINEO_DRIVER_MEM", "8g"))
+        # local mode runs driver+executors in ONE JVM: size the heap for
+        # all of them or long full-GC pauses dominate multi-query runs
+        .config("spark.driver.memory", os.environ.get("KINEO_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")
         .config("spark.driver.extraJavaOptions", "-Djava.io.tmpdir=/tmp")
     )

@@ -48,7 +48,6 @@ def main() -> int:
         if quads is None:
             print("no input files")
             return 2
-        import os
         if os.path.exists(target):
             ParquetQuadStore(spark, target).load(quads)
         else:
