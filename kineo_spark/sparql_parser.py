@@ -24,6 +24,7 @@ _TOKEN_RE = re.compile(
     | (?P<IRI><[^<>\s]*>)
     | (?P<STRING>'''(?:.|\n)*?'''|\"\"\"(?:.|\n)*?\"\"\"|'(?:[^'\\]|\\.)*'|"(?:[^"\\]|\\.)*")
     | (?P<VAR>[?$][A-Za-z_][A-Za-z0-9_]*)
+    | (?P<LANGTAG>@[A-Za-z]+(?:-[A-Za-z0-9]+)*)
     | (?P<NUM>[+-]?(?:\d+\.\d*|\.\d+|\d+)(?:[eE][+-]?\d+)?)
     | (?P<BNODE>_:[A-Za-z0-9_]+)
     | (?P<PNAME>[A-Za-z_][A-Za-z0-9_.-]*?:[A-Za-z0-9_.%-]*)
@@ -195,10 +196,9 @@ class Parser:
                 dt_term = self._term()
                 tok = IRI_DT.get(dt_term.lex, dt_term.lex)
                 return PyTerm(2, val, tok)
-            if nxt.kind == "KW" and self.toks[self.i - 1].text.endswith(('"', "'")):
-                pass
-            m = re.match(r"^@([A-Za-z0-9-]+)$", "")
-            # language tag appears lexically as @lang: tokenizer splits it
+            if nxt.kind == "LANGTAG":
+                self.next()
+                return PyTerm(2, val, "langString", nxt.text[1:])
             return lit(val)
         if t.kind == "KW" and t.text.lower() in ("true", "false"):
             return lit(t.text.lower() == "true")

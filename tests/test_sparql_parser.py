@@ -158,3 +158,11 @@ def test_parse_relational_roundtrip(rel_store):
     """)
     assert 0 < len(rows) <= 5
     assert all(r["bal"]["num"] > 9500 for r in rows)
+
+
+def test_parse_lang_tagged_literal(fixture_store):
+    rows = run(fixture_store, """
+      SELECT ?s WHERE { ?s ex:p "hello"@en }
+    """)
+    assert len(rows) == 1 and rows[0]["s"]["lex"] == "x"
+    assert run(fixture_store, 'ASK { ?s ex:p "hello"@fr }') is False
