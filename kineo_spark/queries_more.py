@@ -211,6 +211,40 @@ def sparql_hash_functions(spark, sf_dir) -> DataFrame:
     })
 
 
+@q("sparql_text_end_to_end",
+   "SELECT n_name AS nation, COUNT(*) AS n_suppliers, "
+   "ROUND(CAST(SUM(CAST(s_acctbal AS DECIMAL(25,6))) AS DOUBLE), 6) AS total_bal "
+   "FROM supplier JOIN nation ON s_nationkey = n_nationkey "
+   "GROUP BY n_name HAVING COUNT(*) >= 1")
+def sparql_text_end_to_end(spark, sf_dir) -> DataFrame:
+    """Full text path: SPARQL string → parser → rewrite → compiler →
+    Catalyst (what a reference user actually types)."""
+    from kineo_spark.engine import Engine
+    from kineo_spark.queries_sparql import _STORES, compiler_for
+
+    comp = compiler_for(spark, sf_dir)
+    engine = Engine(comp.store)
+    result = engine.query("""
+      SELECT ?nation (COUNT(*) AS ?n_suppliers) (SUM(?bal) AS ?total_bal)
+      WHERE {
+        ?sup <urn:fk:supplier:s_nationkey> ?nat ;
+             <urn:col:supplier:s_acctbal> ?bal .
+        ?nat <urn:col:nation:n_name> ?nation .
+      }
+      GROUP BY ?nation
+      HAVING (?n_suppliers >= 1)
+    """)
+    df = result.bindings
+    # SUM through the text path lacks the exact-decimal flag; recompute
+    # deterministically for the oracle by re-aggregating the num shadow
+    from pyspark.sql import functions as F
+    return df.select(
+        df["nation"]["lex"].alias("nation"),
+        df["n_suppliers"]["num"].cast("long").alias("n_suppliers"),
+        F.round(df["total_bal"]["num"], 6).alias("total_bal"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Pipeline additions
 # ---------------------------------------------------------------------------

@@ -400,7 +400,9 @@ class Parser:
                 sep_term = self._term()
                 sep = sep_term.lex
             self.expect_op(")")
-            spec = A.AggSpec(name, e, distinct, sep)
+            # exact decimal accumulation: order-independent results on
+            # any partitioning (free determinism; SPARQL allows it)
+            spec = A.AggSpec(name, e, distinct, sep, exact=name in ("SUM", "AVG"))
         var = f"agg__{len(self._aggs)}"
         self._aggs.append((var, spec))
         return EVar(var)
@@ -642,14 +644,15 @@ class Parser:
         alg = body
         if aggs or groups:
             alg = A.Aggregate(alg, tuple(groups), tuple(group_names), tuple(aggs))
-        if having is not None:
-            alg = A.Filter(alg, having)
-        # projection expressions → Extend
+        # projection expressions → Extend (before HAVING so it can
+        # reference projection aliases of aggregates)
         out_vars: list[str] = []
         for name, e in proj:
             if e is not None and not (isinstance(e, EVar) and e.name == name):
                 alg = A.Extend(alg, e, name)
             out_vars.append(name)
+        if having is not None:
+            alg = A.Filter(alg, having)
         if order:
             alg = A.Order(alg, tuple(order))
         if not star and out_vars:
