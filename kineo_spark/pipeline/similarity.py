@@ -124,6 +124,57 @@ def _bucket_off(vec: Column, offset: int, n_planes: int, dim: int) -> Column:
     return out
 
 
+def ivf_ann(
+    corpus: DataFrame, queries: DataFrame, id_col: str, vec_col: str,
+    k: int = 5, n_lists: int = 16, n_probe: int = 4, seed: int = 42,
+) -> DataFrame:
+    """IVF (inverted-file) ANN: k-means partitions the corpus into
+    ``n_lists`` cells; each query searches only its ``n_probe`` nearest
+    cells. The 100 TB shape: centroids broadcast, the corpus is
+    partitioned by cell once, and query cost is corpus/n_lists·n_probe.
+    Returns (query_id, neighbor_id, sim)."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cvec"),
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias("features"),
+    )
+    model = KMeans(k=n_lists, seed=seed, maxIter=10).fit(c.select("features"))
+    assigned = model.transform(c).select(
+        "neighbor_id", "cvec", F.col("prediction").alias("cell")
+    )
+    centers = [list(map(float, x)) for x in model.clusterCenters()]
+    spark = corpus.sparkSession
+    centers_df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(centers)], "cell int, center array<double>"
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+    )
+    # nearest n_probe cells per query (centroid table is tiny → broadcast)
+    qc = q.crossJoin(F.broadcast(centers_df)).select(
+        "query_id", "qvec", "cell",
+        cosine(F.col("qvec"), F.col("center")).alias("csim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("csim").desc(), F.col("cell"))
+    probes = qc.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= n_probe)
+    scored = (
+        probes.select("query_id", "qvec", "cell")
+        .join(assigned, "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", cosine(F.col("qvec"), F.col("cvec")).alias("sim"))
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    w2 = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w2))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "neighbor_id", "sim")
+    )
+
+
 def embedding_near_dup_pairs(
     df: DataFrame, id_col: str, vec_col: str, threshold: float = 0.95,
     n_planes: int = 8, dim: int = 64, n_tables: int = 8,

@@ -142,6 +142,13 @@ def pipe_ann_lsh(spark, sf_dir) -> DataFrame:
     return similarity.lsh_ann(emb, queries, "vec_id", "embedding", k=5, dim=64)
 
 
+@q("pipe_ann_ivf", None)  # kmeans cells are engine-seeded → rows-only
+def pipe_ann_ivf(spark, sf_dir) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return similarity.ivf_ann(emb, queries, "vec_id", "embedding", k=5, n_lists=16, n_probe=4)
+
+
 @q("pipe_embedding_near_dup", None)  # LSH-bucketed → rows-only
 def pipe_embedding_near_dup(spark, sf_dir) -> DataFrame:
     emb = read_table(spark, sf_dir, "embeddings")

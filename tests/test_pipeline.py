@@ -164,3 +164,13 @@ def test_ntriples_roundtrip(spark, fixture_store):
     orig = {tuple(r) for r in quads.collect()}
     rt = {tuple(r) for r in back.collect()}
     assert orig == rt
+
+
+def test_ivf_ann_recall(spark):
+    emb = read_table(spark, SF, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20)
+    exact = similarity.knn_bruteforce(emb, queries, "vec_id", "embedding", k=5)
+    approx = similarity.ivf_ann(emb, queries, "vec_id", "embedding", k=5, n_lists=8, n_probe=4)
+    e = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    a = {(r.query_id, r.neighbor_id) for r in approx.collect()}
+    assert len(e & a) / len(e) >= 0.4  # probing half the cells
