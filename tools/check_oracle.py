@@ -24,7 +24,10 @@ def canon(rows, colnames):
         for i in idx:
             x = r[i]
             if isinstance(x, float):
-                x = f"{x:.6g}"
+                # full precision (shortest round-trip repr): %.6g here masked
+                # a real ±1µs nanos-division bug in round 1 — never round in
+                # the local checker, the driver's hash compare doesn't.
+                x = repr(x)
             vals.append(str(x))
         out.append("".join(vals))
     return sorted(out)
