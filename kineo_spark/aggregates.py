@@ -41,8 +41,6 @@ def _agg_column(spec: A.AggSpec, value: Column | None) -> Column:
         return num_term(F.count(value).cast("double"), F.lit("integer"))
     if op in ("SUM", "AVG"):
         num = F.when(is_numeric_term(value), value["num"])
-        if spec.distinct:
-            num = F.when(is_numeric_term(value), value["num"])  # distinct handled below
         if spec.exact:
             acc = num.cast(_DEC)
             if spec.distinct:
@@ -56,11 +54,24 @@ def _agg_column(spec: A.AggSpec, value: Column | None) -> Column:
                 total, cnt = F.sum_distinct(num), F.count_distinct(num)
             else:
                 total, cnt = F.sum(num), F.count(num)
-        val = total if op == "SUM" else total / cnt
-        if op == "SUM":
-            # SUM of empty group = 0 (SPARQL), not NULL
-            val = F.coalesce(val, F.lit(0.0))
-        return num_term(val.cast("double"), F.lit("decimal" if spec.exact else "double"))
+        # SPARQL semantics (and the reference evaluator,
+        # MaterializedQueryPlan.swift:2183-2559): Sum/Avg of the EMPTY
+        # multiset is 0 (an xsd:integer); a group containing any
+        # non-numeric / unbound / error value makes the aggregate an
+        # error → unbound. Both flags are plain extra accumulators, so
+        # partial+final aggregation shape is unchanged.
+        n_rows = F.count(F.lit(1))
+        has_err = F.max(F.when(is_numeric_term(value), F.lit(0)).otherwise(F.lit(1)))
+        raw = total if op == "SUM" else total / cnt
+        val = (
+            F.when(n_rows == 0, F.lit(0.0))
+            .when(has_err == 1, F.lit(None).cast("double"))
+            .otherwise(raw.cast("double"))
+        )
+        dt = F.when(n_rows == 0, F.lit("integer")).otherwise(
+            F.lit("decimal" if spec.exact else "double")
+        )
+        return num_term(val, dt)
     if op in ("MIN", "MAX"):
         fn = F.min_by if op == "MIN" else F.max_by
         return fn(value, sort_key(value))

@@ -59,6 +59,13 @@ def _env(df: DataFrame) -> dict[str, Column]:
     return {c: df[c] for c in df.columns if not c.startswith("__")}
 
 
+def _all(conds: list[Column]) -> Column:
+    out = conds[0]
+    for c in conds[1:]:
+        out = out & c
+    return out
+
+
 class Compiler:
     def __init__(self, store: QuadStore, max_path_iterations: int = 64):
         self.store = store
@@ -230,17 +237,72 @@ class Compiler:
         rdf = right.df.select(*[right.df[v].alias(n) for v, n in ren.items()])
         return rdf, ren
 
+    # branch cap: 3^u union branches for u maybe-unbound shared vars;
+    # above this, fall back to the OR-condition join (non-equi)
+    _MAX_SPLIT_VARS = 2
+
     def _join(self, left: Plan, right: Plan) -> Plan:
         shared = [v for v in left.variables if v in right.variables]
         rdf, ren = self._prep_right(right)
         if not shared:
             df = left.df.crossJoin(rdf)
         else:
-            strict = all(v in left.certain and v in right.certain for v in shared)
-            cond = self._join_cond(left.df, rdf, ren, shared, strict)
-            df = left.df.join(rdf, cond, "inner")
+            maybe = [v for v in shared
+                     if v not in left.certain or v not in right.certain]
+            if not maybe:
+                cond = self._join_cond(left.df, rdf, ren, shared, True)
+                df = left.df.join(rdf, cond, "inner")
+            elif len(maybe) <= self._MAX_SPLIT_VARS:
+                df = self._compat_split_join(left.df, rdf, ren, shared, maybe)
+            else:
+                cond = self._join_cond(left.df, rdf, ren, shared, False)
+                df = left.df.join(rdf, cond, "inner")
         df = self._merge(df, left, right, ren)
         return Plan(df, left.certain | right.certain)
+
+    def _compat_split_join(
+        self, ldf: DataFrame, rdf: DataFrame, ren: dict[str, str],
+        shared: list[str], maybe: list[str],
+    ) -> DataFrame:
+        """Scale-safe compatibility join: the naive encoding
+        ``l IS NULL OR r IS NULL OR l = r`` is a non-equi condition that
+        Spark can only execute as BroadcastNestedLoopJoin / cartesian —
+        a cliff when both inputs are large. Instead, partition each side
+        by boundness of every maybe-unbound shared var and union
+        disjoint branches: the bound⋈bound branch (the bulk of the data)
+        is a plain hash-joinable EQUI-join; only the null slices — in
+        practice a tiny minority of rows, produced by OPTIONAL — pay a
+        nested-loop, and only against the sliced inputs, never |L|×|R|.
+        Per-var states: bb (both bound → equi key), ln (left unbound,
+        matches any right), rn (left bound, right unbound) — disjoint
+        and exhaustive."""
+        branches = []
+        for states in itertools.product(("bb", "ln", "rn"), repeat=len(maybe)):
+            lconds, rconds = [], []
+            keys = [v for v in shared if v not in maybe]
+            for v, st in zip(maybe, states):
+                if st == "bb":
+                    lconds.append(ldf[v].isNotNull())
+                    rconds.append(rdf[ren[v]].isNotNull())
+                    keys.append(v)
+                elif st == "ln":
+                    lconds.append(ldf[v].isNull())
+                else:  # rn
+                    lconds.append(ldf[v].isNotNull())
+                    rconds.append(rdf[ren[v]].isNull())
+            lb = ldf.filter(_all(lconds)) if lconds else ldf
+            rb = rdf.filter(_all(rconds)) if rconds else rdf
+            if keys:
+                cond = _all([
+                    term_key(lb[v]) == term_key(rb[ren[v]]) for v in keys
+                ])
+                branches.append(lb.join(rb, cond, "inner"))
+            else:
+                branches.append(lb.crossJoin(rb))
+        out = branches[0]
+        for b in branches[1:]:
+            out = out.unionByName(b)
+        return out
 
     def _join_cond(
         self, ldf: DataFrame, rdf: DataFrame, ren: dict[str, str],

@@ -16,6 +16,13 @@ from kineo_spark.model import PyTerm, TERM_SCHEMA
 def select_plan(compiler: Compiler, q: A.SelectQuery, graph=None) -> Plan:
     plan = compiler.compile(q.algebra, graph)
     if not q.variables:
+        # SELECT *: blank nodes in the query pattern are non-distinguished
+        # variables (parser names them 'bn-…'; '-' cannot occur in a
+        # SPARQL VARNAME, so no user collision) — never projected
+        bn = [c for c in plan.df.columns if c.startswith("bn-")]
+        if bn:
+            keep = [c for c in plan.df.columns if not c.startswith("bn-")]
+            return Plan(plan.df.select(*keep), plan.certain - set(bn))
         return plan
     cols = [
         (plan.df[v] if v in plan.df.columns else F.lit(None).cast(TERM_SCHEMA)).alias(v)
@@ -37,13 +44,30 @@ def construct(compiler: Compiler, q: A.ConstructQuery) -> DataFrame:
     """Instantiate the template per solution, dedup
     (QueryPlanner.swift:1181-1199). Returns a triples DataFrame
     (s, p, o term structs)."""
+    from kineo_spark.model import KIND_BLANK
     plan = compiler.compile(q.algebra)
     df = plan.df
+    # template blank nodes are fresh per solution row (the reference's
+    # NextRowPlan convention, MaterializedQueryPlan.swift NextRow):
+    # label = template label + row hash
+    row_cols = [df[c] for c in df.columns]
+    row_hash = (
+        F.conv(F.xxhash64(*row_cols).cast("string"), 10, 16)
+        if row_cols else F.lit("0")
+    )
     parts = []
     for tp in q.template:
         cols = []
         for name, node in (("s", tp.s), ("p", tp.p), ("o", tp.o)):
-            if isinstance(node, PyTerm):
+            if isinstance(node, PyTerm) and node.kind == KIND_BLANK:
+                from kineo_spark.model import term_struct
+                lex = F.concat(F.lit(node.lex + "-r"), row_hash)
+                cols.append(term_struct(
+                    F.lit(KIND_BLANK).cast("tinyint"), lex,
+                    F.lit(None).cast("string"), F.lit(None).cast("string"),
+                    F.lit(None).cast("double"),
+                ).alias(name))
+            elif isinstance(node, PyTerm):
                 cols.append(node.as_column().alias(name))
             else:
                 cols.append(

@@ -151,8 +151,16 @@ def pipe_ann_ivf(spark, sf_dir) -> DataFrame:
 
 @q("pipe_embedding_near_dup", None)  # LSH-bucketed → rows-only
 def pipe_embedding_near_dup(spark, sf_dir) -> DataFrame:
+    """Near-duplicate vector pairs via hyperplane-LSH buckets + exact
+    verify. The driver embeddings are random (max pairwise cosine ~0.51
+    at sf0.01), so τ=0.4 — low enough that real pairs exist (59 at
+    sf0.01, 920 at sf0.1) — with 4-plane × 16-table LSH (per-pair recall
+    ~0.94 at cos 0.4, ~1.0 for true near-dups ≥0.9). Recall vs exact
+    brute force is pinned in tests/test_pipeline.py."""
     emb = read_table(spark, sf_dir, "embeddings")
-    return similarity.embedding_near_dup_pairs(emb, "vec_id", "embedding", threshold=0.95, dim=64)
+    return similarity.embedding_near_dup_pairs(
+        emb, "vec_id", "embedding", threshold=0.4, n_planes=4, n_tables=16, dim=64
+    )
 
 
 # ---------------------------------------------------------------------------

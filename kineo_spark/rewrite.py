@@ -22,9 +22,14 @@ from __future__ import annotations
 
 from dataclasses import fields, is_dataclass, replace
 
+import itertools
+
 from kineo_spark import algebra as A
 from kineo_spark.expr import EConst, Expr
 from kineo_spark.model import PyTerm
+
+# fresh-variable counter for sequence-path midpoints (process-unique)
+_MID_COUNTER = itertools.count()
 
 
 def _map_children(node: A.Algebra, f) -> A.Algebra:
@@ -64,10 +69,23 @@ def expand_paths(node: A.Algebra) -> A.Algebra:
             expand_paths(A.PathPattern(node.subject, p.rhs, node.object, node.graph)),
         )
     if isinstance(p, A.PSeq):
-        mid = A.Var(f"__mid_{id(p) & 0xFFFF}")
-        return A.Join(
-            expand_paths(A.PathPattern(node.subject, p.lhs, mid, node.graph)),
-            expand_paths(A.PathPattern(mid, p.rhs, node.object, node.graph)),
+        # The mid var must NOT use the "__" internal prefix: Compiler._join
+        # discovers shared variables via non-"__" columns, so an internal
+        # name would compile to a cross join (cross product of step-1
+        # subjects × step-2 objects). Use a visible fresh name and Project
+        # it away so it never escapes the path pattern.
+        mid = A.Var(f"pathmid_{next(_MID_COUNTER)}")
+        keep = tuple(dict.fromkeys(
+            n.name
+            for n in (node.subject, node.object, node.graph)
+            if isinstance(n, A.Var) and n.binding
+        ))
+        return A.Project(
+            A.Join(
+                expand_paths(A.PathPattern(node.subject, p.lhs, mid, node.graph)),
+                expand_paths(A.PathPattern(mid, p.rhs, node.object, node.graph)),
+            ),
+            keep,
         )
     return node
 

@@ -31,13 +31,44 @@ _STMT = (
 )
 
 
+# noncharacter sentinel: stands in for an escaped backslash during the
+# unescape passes so '\\n' (escaped backslash + n) never reads as newline
+_SENT = "￿"
+_BIG = 1 << 24  # "rest of string" length for substring
+
+
+def _u16(s, start, nhex):
+    return F.decode(F.unhex(F.substring(s, start, nhex)), "UTF-16BE")
+
+
 def _unescape(col):
-    """N-Triples string escapes → raw (the common ones; \\uXXXX handled
-    by the JVM regexp already passing them through)."""
-    out = col
-    for esc, rep in (("\\\\n", "\n"), ("\\\\t", "\t"), ('\\\\"', '"'), ("\\\\\\\\", "\\\\")):
+    """N-Triples string escapes → raw, single-pass-equivalent and fully
+    JVM-side. Order matters: '\\\\' is replaced by a sentinel FIRST (so a
+    literal backslash followed by 'n' never decodes as newline), then the
+    simple escapes, then \\uXXXX / \\UXXXXXXXX via split + hex decode
+    (UTF-16BE / UTF-32BE; adjacent surrogate-pair \\u escapes are kept in
+    one segment and decode together). Sentinel restores to '\\' last."""
+    out = F.regexp_replace(col, r"\\\\", _SENT)
+    for esc, rep in ((r"\\n", "\n"), (r"\\t", "\t"), (r"\\r", "\r"),
+                     (r"\\b", "\b"), (r"\\f", "\f"), (r'\\"', '"'), (r"\\'", "'")):
         out = F.regexp_replace(out, esc, rep)
-    return out
+    seg = F.split(
+        out,
+        r"(?:(?<!\\u[dD][89abAB][0-9a-fA-F]{2})(?=\\u[0-9a-fA-F]{4})|(?=\\U[0-9a-fA-F]{8}))",
+    )
+    fixed = F.transform(seg, lambda s:
+        F.when(
+            s.rlike(r"^\\u[dD][89abAB][0-9a-fA-F]{2}\\u[0-9a-fA-F]{4}"),
+            F.concat(F.decode(F.unhex(F.concat(F.substring(s, 3, 4), F.substring(s, 9, 4))), "UTF-16BE"),
+                     F.substring(s, 13, _BIG)))
+        .when(s.rlike(r"^\\u[0-9a-fA-F]{4}"),
+              F.concat(_u16(s, 3, 4), F.substring(s, 7, _BIG)))
+        .when(s.rlike(r"^\\U[0-9a-fA-F]{8}"),
+              F.concat(F.decode(F.unhex(F.substring(s, 3, 8)), "UTF-32"),
+                       F.substring(s, 11, _BIG)))
+        .otherwise(s))
+    decoded = F.when(out.rlike(r"\\[uU]"), F.array_join(fixed, "")).otherwise(out)
+    return F.regexp_replace(decoded, _SENT, r"\\")
 
 
 def load_ntriples(
@@ -96,9 +127,10 @@ def serialize_ntriples(quads: DataFrame, with_graph: bool = False) -> DataFrame:
     from kineo_spark.model import DT_IRI
 
     def term(kind, lex, dt=None, lang=None):
-        esc = F.regexp_replace(
-            F.regexp_replace(F.regexp_replace(lex, r"\\", r"\\\\"), '"', '\\\\"'),
-            "\n", "\\\\n",
+        esc = F.regexp_replace(F.regexp_replace(
+            F.regexp_replace(F.regexp_replace(F.regexp_replace(
+                lex, r"\\", r"\\\\"), '"', '\\\\"'),
+            "\n", "\\\\n"), "\r", "\\\\r"), "\t", "\\\\t",
         )
         dt_map = F.create_map(*[F.lit(x) for kv in DT_IRI.items() for x in kv])
         plain = F.concat(F.lit('"'), esc, F.lit('"'))

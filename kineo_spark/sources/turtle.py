@@ -36,6 +36,23 @@ _TOKEN = re.compile(
     re.VERBOSE,
 )
 
+# single-pass string unescape: unicode_escape is WRONG here (it
+# reinterprets UTF-8 text as Latin-1, corrupting any non-ASCII literal
+# that also contains an escape). One regex pass, left to right.
+_ESC_RE = re.compile(r"\\(u[0-9A-Fa-f]{4}|U[0-9A-Fa-f]{8}|.)", re.DOTALL)
+_ESC_MAP = {"n": "\n", "t": "\t", "r": "\r", "b": "\b", "f": "\f",
+            '"': '"', "'": "'", "\\": "\\"}
+
+
+def _unescape_str(s: str) -> str:
+    def rep(m):
+        g = m.group(1)
+        if g[0] in "uU":
+            return chr(int(g[1:], 16))
+        return _ESC_MAP.get(g, g)
+    return _ESC_RE.sub(rep, s)
+
+
 _RDF_FIRST = RDF_NS + "first"
 _RDF_REST = RDF_NS + "rest"
 _RDF_NIL = RDF_NS + "nil"
@@ -163,7 +180,7 @@ class TurtleParser:
         if k == "STRING":
             self.next()
             raw = v[3:-3] if v.startswith(("'''", '"""')) else v[1:-1]
-            raw = raw.encode().decode("unicode_escape") if "\\" in raw else raw
+            raw = _unescape_str(raw) if "\\" in raw else raw
             nk, nv = self.peek()
             if (nk, nv) == ("OP", "^^"):
                 self.next()

@@ -97,6 +97,12 @@ class Parser:
         self.base = ""
         self._anon = 0
         self._aggs: list[tuple[str, A.AggSpec]] = []
+        # triples produced by blank-node property lists / collections,
+        # collected by the enclosing triples block
+        self._pending: list[A.TriplePattern] = []
+        # inside a CONSTRUCT template, bnodes stay constants (instantiated
+        # fresh per solution); in patterns they are non-distinguished vars
+        self._in_template = False
 
     # -- token helpers ----------------------------------------------------
     def peek(self, k: int = 0) -> Token:
@@ -171,7 +177,8 @@ class Parser:
         if t.kind == "IRI":
             val = t.text[1:-1]
             if self.base and not re.match(r"^[A-Za-z][A-Za-z0-9+.-]*:", val):
-                val = self.base + val
+                from urllib.parse import urljoin
+                val = urljoin(self.base, val)
             return iri(val)
         if t.kind == "PNAME":
             return self._resolve_pname(t.text)
@@ -207,16 +214,59 @@ class Parser:
             return iri(RDF_TYPE)
         raise SyntaxError(f"expected term, got {t}")
 
+    def _fresh_bn(self) -> A.Var:
+        # 'bn-…' cannot collide with user variables: '-' is not legal in
+        # a SPARQL VARNAME. SELECT * drops these (forms.select_plan).
+        self._anon += 1
+        return A.Var(f"bn-a{self._anon}")
+
     def _node(self):
         t = self.peek()
         if t.kind == "VAR":
             self.next()
             return A.Var(t.text[1:])
+        if t.kind == "BNODE" and not self._in_template:
+            # a blank node in a query pattern is a non-distinguished
+            # variable (RDF semantics), shared across the group
+            self.next()
+            return A.Var("bn-" + t.text[2:])
         if t.kind == "OP" and t.text == "[":
             self.next()
+            b = self._fresh_bn()
+            if self.op("]"):
+                return b
+            # blank-node property list: [ p1 o1 , o1b ; p2 o2 ]
+            while True:
+                if self.peek().kind == "VAR":
+                    pred = A.Var(self.next().text[1:])
+                else:
+                    pred = self._term()
+                self._pending.append(A.TriplePattern(b, pred, self._node()))
+                while self.op(","):
+                    self._pending.append(A.TriplePattern(b, pred, self._node()))
+                if self.op(";"):
+                    if self.peek().kind == "OP" and self.peek().text == "]":
+                        break
+                    continue
+                break
             self.expect_op("]")
-            self._anon += 1
-            return A.Var(f"__anon{self._anon}", binding=False)
+            return b
+        if t.kind == "OP" and t.text == "(":
+            # collection ( e1 e2 … ) → rdf:first/rdf:rest chain
+            from kineo_spark.model import RDF_NS
+            self.next()
+            items = []
+            while not self.op(")"):
+                items.append(self._node())
+            if not items:
+                return iri(RDF_NS + "nil")
+            head = cur = self._fresh_bn()
+            for k, item in enumerate(items):
+                self._pending.append(A.TriplePattern(cur, iri(RDF_NS + "first"), item))
+                nxt = self._fresh_bn() if k + 1 < len(items) else iri(RDF_NS + "nil")
+                self._pending.append(A.TriplePattern(cur, iri(RDF_NS + "rest"), nxt))
+                cur = nxt
+            return head
         return self._term()
 
     # -- property paths ---------------------------------------------------
@@ -514,12 +564,17 @@ class Parser:
         while True:
             # path or simple predicate
             t = self.peek()
+            if t.kind == "OP" and t.text in ("}", "."):
+                # '[ p o ] .' — blankNodePropertyList subject with empty
+                # property list is a complete statement
+                break
             is_simple = (
                 t.kind == "VAR"
                 or (t.kind in ("IRI", "PNAME") and self.peek(1).kind not in ()
                     and not self._lookahead_path())
                 or (t.kind == "KW" and t.text == "a" and not self._lookahead_path())
             )
+            cur_path = None  # set when the current predicate is a path expr
             if t.kind == "VAR":
                 pred = A.Var(t.text[1:])
                 self.next()
@@ -533,17 +588,28 @@ class Parser:
                 path = self._path()
                 obj = self._node()
                 if isinstance(path, PyTerm):
+                    pred = path
                     triples.append(A.TriplePattern(subj, path, obj))
                 else:
+                    cur_path = path
                     parts.append(A.PathPattern(subj, path, obj))
+            # object list: ',' repeats the CURRENT predicate — which may be
+            # a path (each comma object gets its own PathPattern), not the
+            # last simple predicate seen
             while self.op(","):
                 obj = self._node()
-                triples.append(A.TriplePattern(subj, pred, obj))  # noqa: F821
+                if cur_path is not None:
+                    parts.append(A.PathPattern(subj, cur_path, obj))
+                else:
+                    triples.append(A.TriplePattern(subj, pred, obj))  # noqa: F821
             if self.op(";"):
                 if self.peek().kind == "OP" and self.peek().text in ("}", "."):
                     break
                 continue
             break
+        if self._pending:  # bnode property lists / collections expand here
+            triples.extend(self._pending)
+            self._pending = []
         out: A.Algebra | None = A.BGP(tuple(triples)) if triples else None
         for p in parts:
             out = p if out is None else A.Join(out, p)
@@ -672,7 +738,15 @@ class Parser:
 
     def _construct_query(self) -> A.ConstructQuery:
         self.expect_kw("CONSTRUCT")
+        if not (self.peek().kind == "OP" and self.peek().text == "{"):
+            # CONSTRUCT WHERE { triples } shorthand: the WHERE pattern is
+            # also the template (spec restricts it to plain triples)
+            self.expect_kw("WHERE")
+            body = self._group_graph_pattern()
+            template = tuple(_collect_triples(body))
+            return A.ConstructQuery(body, template)
         self.expect_op("{")
+        self._in_template = True
         template: list[A.TriplePattern] = []
         while not self.op("}"):
             s = self._node()
@@ -680,12 +754,18 @@ class Parser:
                 p = self._node() if self.peek().kind == "VAR" else self._term()
                 o = self._node()
                 template.append(A.TriplePattern(s, p, o))
+                while self.op(","):
+                    template.append(A.TriplePattern(s, p, self._node()))
                 if self.op(";"):
                     if self.peek().kind == "OP" and self.peek().text in ("}", "."):
                         break
                     continue
                 break
             self.op(".")
+        if self._pending:  # [ … ] in template
+            template.extend(self._pending)
+            self._pending = []
+        self._in_template = False
         body = self._where_and_modifiers_simple()
         return A.ConstructQuery(body, tuple(template))
 
@@ -719,3 +799,19 @@ def _as_path(p) -> A.Path:
     if isinstance(p, PyTerm):
         return A.PLink(p)
     return p
+
+
+def _collect_triples(node: A.Algebra) -> list[A.TriplePattern]:
+    """Triples of a CONSTRUCT WHERE body (plain-triples patterns only)."""
+    if isinstance(node, A.BGP):
+        return list(node.patterns)
+    if isinstance(node, A.Triple):
+        return [node.pattern]
+    if isinstance(node, A.Join):
+        return _collect_triples(node.lhs) + _collect_triples(node.rhs)
+    if isinstance(node, A.JoinIdentity):
+        return []
+    raise SyntaxError(
+        "CONSTRUCT WHERE requires a plain triples pattern "
+        f"(got {type(node).__name__})"
+    )

@@ -1,0 +1,76 @@
+"""Scale-safe compatibility join: an OPTIONAL-produced (maybe-unbound)
+variable rejoined downstream must (a) produce SPARQL-compatible results
+— unbound matches anything, merged value comes from the bound side —
+and (b) compile the bound⋈bound bulk to a hash-joinable EQUI-join, not
+a BroadcastNestedLoopJoin over the full inputs."""
+
+import pytest
+
+from kineo_spark import algebra as A
+from kineo_spark.compiler import Compiler
+from kineo_spark.model import iri
+from kineo_spark.store import QuadsDataFrameStore
+
+EX = "http://example.org/"
+G = "urn:g:default"
+
+
+def _q(s, p, o):
+    return (0, EX + s, EX + p, 0, EX + o, None, None, None, G)
+
+
+@pytest.fixture(scope="module")
+def opt_store(spark):
+    rows = [
+        _q("a", "p", "o1"), _q("b", "p", "o2"),
+        _q("a", "q", "X"),            # b has no q → ?v unbound for b
+        _q("t1", "r", "X"), _q("t2", "r", "Y"),
+    ]
+    return QuadsDataFrameStore.from_rows(spark, rows)
+
+
+def _alg():
+    tp = A.TriplePattern
+    left = A.LeftJoin(
+        A.BGP((tp(A.Var("s"), iri(EX + "p"), A.Var("o")),)),
+        A.BGP((tp(A.Var("s"), iri(EX + "q"), A.Var("v")),)),
+        None,
+    )
+    right = A.BGP((tp(A.Var("t"), iri(EX + "r"), A.Var("v")),))
+    return A.Join(left, right)
+
+
+def _n(term):
+    return term["lex"].rsplit("/", 1)[-1]
+
+
+def test_compat_join_results(opt_store):
+    df = Compiler(opt_store).compile(_alg()).df
+    got = {(_n(r["s"]), _n(r["t"]), _n(r["v"])) for r in df.collect()}
+    # a has v=X → joins t1 only; b has v unbound → compatible with both,
+    # v merged from the right side
+    assert got == {("a", "t1", "X"), ("b", "t1", "X"), ("b", "t2", "Y")}
+
+
+def test_compat_join_plan_has_equi_bulk(opt_store):
+    df = Compiler(opt_store).compile(_alg()).df
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # the bound⋈bound branch must be an equi join (hash or sort-merge)
+    assert any(s in plan for s in
+               ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin")), plan
+    # nested-loop appears only for the null-slice branches (≤2 for one
+    # maybe-unbound var), never as the sole join strategy
+    assert plan.count("BroadcastNestedLoopJoin") <= 2, plan
+
+
+def test_strict_join_unchanged(opt_store):
+    # both sides certain → single equi join, no union branches
+    tp = A.TriplePattern
+    alg = A.Join(
+        A.BGP((tp(A.Var("s"), iri(EX + "p"), A.Var("o")),)),
+        A.BGP((tp(A.Var("s"), iri(EX + "q"), A.Var("v")),)),
+    )
+    df = Compiler(opt_store).compile(alg).df
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+    assert {(_n(r["s"]), _n(r["v"])) for r in df.collect()} == {("a", "X")}

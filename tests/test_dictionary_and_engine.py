@@ -47,9 +47,13 @@ def test_rewrite_passes():
     out = rewrite(p)
     assert isinstance(out, A.Union)
     assert isinstance(out.lhs, A.Quad) and out.lhs.pattern.p.lex == EX + "p"
-    # seq → join on fresh mid var
+    # seq → join on a fresh SHARED mid var, projected away (an internal
+    # "__"-prefixed mid would compile to a cross join)
     p2 = rewrite(A.PathPattern(A.Var("s"), A.PSeq(A.PLink(iri(EX + "p")), A.PLink(iri(EX + "q"))), A.Var("o")))
-    assert isinstance(p2, A.Join)
+    assert isinstance(p2, A.Project) and set(p2.variables) == {"s", "o"}
+    assert isinstance(p2.child, A.Join)
+    mid = p2.child.lhs.pattern.o
+    assert mid == p2.child.rhs.pattern.s and not mid.name.startswith("__")
     # filter merging
     base = A.Triple(A.TriplePattern(A.Var("s"), A.Var("p"), A.Var("o")))
     f = rewrite(A.Filter(A.Filter(base, v("o") > c(lit(1))), v("o") < c(lit(5))))

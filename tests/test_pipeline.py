@@ -174,3 +174,34 @@ def test_ivf_ann_recall(spark):
     e = {(r.query_id, r.neighbor_id) for r in exact.collect()}
     a = {(r.query_id, r.neighbor_id) for r in approx.collect()}
     assert len(e & a) / len(e) >= 0.4  # probing half the cells
+
+
+def test_embedding_near_dup_planted_recall(spark):
+    """Planted near-duplicates (base vector + small noise, cosine ≥0.9)
+    must ALL be found by the LSH pipeline; recall on organic τ=0.4 pairs
+    (driver embeddings) must beat 0.8 vs exact brute force."""
+    import random
+
+    rng = random.Random(7)
+    rows = []
+    for i in range(60):
+        v = [rng.gauss(0, 1) for _ in range(64)]
+        rows.append((i, v))
+        if i < 15:  # 15 planted near-dups: tiny perturbation
+            rows.append((1000 + i, [x + rng.gauss(0, 0.05) for x in v]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = similarity.embedding_near_dup_pairs(
+        df, "vec_id", "embedding", threshold=0.9, n_planes=4, n_tables=16, dim=64
+    )
+    pairs = {(r.id_a, r.id_b) for r in got.collect()}
+    assert {(i, 1000 + i) for i in range(15)} <= pairs
+
+    # organic pairs on driver data at τ=0.4
+    emb = read_table(spark, "/root/testdata/sf0.01", "embeddings")
+    got = similarity.embedding_near_dup_pairs(
+        emb, "vec_id", "embedding", threshold=0.4, n_planes=4, n_tables=16, dim=64
+    )
+    n_lsh = got.count()
+    assert n_lsh > 0
+    # exact count = 59 at sf0.01 (measured via DuckDB all-pairs)
+    assert n_lsh / 59 >= 0.8

@@ -166,3 +166,98 @@ def test_parse_lang_tagged_literal(fixture_store):
     """)
     assert len(rows) == 1 and rows[0]["s"]["lex"] == "x"
     assert run(fixture_store, 'ASK { ?s ex:p "hello"@fr }') is False
+
+
+# -- round-2 grammar: bnode property lists, collections, CONSTRUCT WHERE ----
+
+def test_parse_bnode_property_list_executes(spark):
+    from kineo_spark.engine import Engine
+    from kineo_spark.sources.turtle import load_turtle
+    from kineo_spark.store import QuadsDataFrameStore
+
+    ttl = """
+    @prefix foaf: <http://xmlns.com/foaf/0.1/> .
+    @prefix ex: <http://example.org/> .
+    ex:alice foaf:name "Alice" ; foaf:knows ex:bob .
+    ex:bob foaf:name "Bob" ; foaf:based_near ex:berlin .
+    ex:carol foaf:name "Carol" ; foaf:based_near ex:tokyo .
+    """
+    engine = Engine(QuadsDataFrameStore(spark, load_turtle(spark, ttl)))
+    # [ ... ] as object: who knows someone based near berlin?
+    rows = engine.query("""
+      PREFIX foaf: <http://xmlns.com/foaf/0.1/>
+      PREFIX ex: <http://example.org/>
+      SELECT ?n WHERE { ?p foaf:name ?n ; foaf:knows [ foaf:based_near ex:berlin ] }
+    """).bindings.collect()
+    assert [r["n"]["lex"] for r in rows] == ["Alice"]
+    # SELECT * must not leak non-distinguished bn- vars
+    rows = engine.query("""
+      PREFIX foaf: <http://xmlns.com/foaf/0.1/>
+      SELECT * WHERE { [ foaf:name ?n ] }
+    """).bindings
+    assert rows.columns == ["n"] and rows.count() == 3
+    # explicit bnode label shared across statements = same variable
+    rows = engine.query("""
+      PREFIX foaf: <http://xmlns.com/foaf/0.1/>
+      PREFIX ex: <http://example.org/>
+      SELECT ?n WHERE { _:p foaf:name ?n . _:p foaf:knows ex:bob }
+    """).bindings.collect()
+    assert [r["n"]["lex"] for r in rows] == ["Alice"]
+
+
+def test_parse_collection_matches_turtle_list(spark):
+    from kineo_spark.engine import Engine
+    from kineo_spark.sources.turtle import load_turtle
+    from kineo_spark.store import QuadsDataFrameStore
+
+    ttl = """
+    @prefix ex: <http://example.org/> .
+    ex:menu ex:items ( ex:tea ex:coffee ) .
+    """
+    engine = Engine(QuadsDataFrameStore(spark, load_turtle(spark, ttl)))
+    rows = engine.query("""
+      PREFIX ex: <http://example.org/>
+      SELECT ?a ?b WHERE { ex:menu ex:items ( ?a ?b ) }
+    """).bindings.collect()
+    assert len(rows) == 1
+    assert rows[0]["a"]["lex"].endswith("tea") and rows[0]["b"]["lex"].endswith("coffee")
+
+
+def test_construct_where_shorthand(fixture_store):
+    from kineo_spark.engine import Engine
+
+    r = Engine(fixture_store).query("""
+      PREFIX ex: <http://example.org/>
+      CONSTRUCT WHERE { ?s ex:value ?v }
+    """)
+    got = {(row["s"]["lex"], row["o"]["lex"]) for row in r.triples.collect()}
+    assert got == {("n1", "32.7"), ("n2", "-118")}
+
+
+def test_construct_template_bnode_fresh_per_row(fixture_store):
+    from kineo_spark.engine import Engine
+
+    r = Engine(fixture_store).query("""
+      PREFIX ex: <http://example.org/>
+      CONSTRUCT { _:w ex:of ?s . _:w ex:val ?v } WHERE { ?s ex:value ?v }
+    """)
+    rows = r.triples.collect()
+    assert len(rows) == 4  # 2 solutions × 2 template triples
+    labels = {row["s"]["lex"] for row in rows}
+    assert len(labels) == 2  # one fresh bnode per solution, shared in-row
+    by_label = {}
+    for row in rows:
+        by_label.setdefault(row["s"]["lex"], set()).add(row["o"]["lex"])
+    # each fresh bnode links its own (subject, value) pair
+    for vals in by_label.values():
+        assert len(vals) == 2
+
+
+def test_base_relative_iri_resolution(spark):
+    from kineo_spark.sparql_parser import parse_query
+
+    q = parse_query("BASE <http://example.org/data/> SELECT ?o WHERE { <item1> <p> ?o }")
+    bgp = q.algebra
+    while not hasattr(bgp, "patterns"):
+        bgp = bgp.child
+    assert bgp.patterns[0].s.lex == "http://example.org/data/item1"
