@@ -235,8 +235,9 @@ def sparql_text_end_to_end(spark, sf_dir) -> DataFrame:
       HAVING (?n_suppliers >= 1)
     """)
     df = result.bindings
-    # SUM through the text path lacks the exact-decimal flag; recompute
-    # deterministically for the oracle by re-aggregating the num shadow
+    # the parser defaults SUM/AVG to exact decimal accumulation, so the
+    # engine's own aggregate hash-matches; round(6) only mirrors the
+    # oracle's ROUND
     from pyspark.sql import functions as F
     return df.select(
         df["nation"]["lex"].alias("nation"),
