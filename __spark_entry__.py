@@ -29,12 +29,14 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from kineo_spark.session import tune
-    from kineo_spark import queries_more, queries_pipeline, queries_sparql, queries_text
+    from kineo_spark import (
+        queries_idmode, queries_more, queries_pipeline, queries_sparql, queries_text,
+    )
 
     out: dict[str, Callable] = {}
     merged = {
         **queries_sparql.QUERIES, **queries_pipeline.QUERIES, **queries_more.QUERIES,
-        **queries_text.QUERIES,
+        **queries_text.QUERIES, **queries_idmode.QUERIES,
     }
     for name, f in merged.items():
         def wrapper(spark, sf_dir, _f=f):
@@ -45,9 +47,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    from kineo_spark import queries_more, queries_pipeline, queries_sparql, queries_text
+    from kineo_spark import (
+        queries_idmode, queries_more, queries_pipeline, queries_sparql, queries_text,
+    )
 
     return {
         **queries_sparql.ORACLES, **queries_pipeline.ORACLES, **queries_more.ORACLES,
-        **queries_text.ORACLES,
+        **queries_text.ORACLES, **queries_idmode.ORACLES,
     }

@@ -130,6 +130,61 @@ def bgp_ids(id_quads: DataFrame, patterns: list[A.QuadPattern]) -> DataFrame:
     return out
 
 
+class IdEncodedView:
+    """Lazy dictionary-encoded view of a QuadStore: (dictionary,
+    id_quads), both cached — the Spark analog of the reference's interned
+    MemoryQuadStore / Diomede packed-ID layout (MemoryQuadStore.swift:
+    19-60). In a real deployment these two tables would be the persisted
+    parquet layout (SURVEY §1.4: 4×long beats lexical structs as the
+    shuffle currency at 100 TB); here they are derived once per store."""
+
+    _CACHE: dict[int, "IdEncodedView"] = {}
+
+    def __init__(self, store):
+        dictionary, id_quads = encode_quads(store.quads())
+        self.dictionary = dictionary.cache()
+        self.id_quads = id_quads.cache()
+
+    @classmethod
+    def for_store(cls, store) -> "IdEncodedView":
+        key = id(store)
+        if key not in cls._CACHE:
+            cls._CACHE[key] = cls(store)
+        return cls._CACHE[key]
+
+
+def id_compiler(store, **kw):
+    """Compiler whose BGPs run in ID space (IDQueryPlan analog): quad
+    scans and joins move 8-byte longs instead of term structs, then
+    MaterializeTermsPlan-style dictionary joins restore term structs for
+    the algebra above the BGP (exactly the reference's lazy-
+    materialization boundary, MaterializedQueryPlan.swift:11-61)."""
+    from kineo_spark.compiler import Compiler, Plan
+
+    class IdCompiler(Compiler):
+        def __init__(self, store_, **kw_):
+            super().__init__(store_, **kw_)
+            self._idview = IdEncodedView.for_store(store_)
+
+        def _bgp(self, node: A.BGP, g):
+            if not node.patterns:
+                return self._join_identity()
+            quads = [
+                A.QuadPattern(tp.s, tp.p, tp.o, self._active_graph(g))
+                for tp in node.patterns
+            ]
+            ids = bgp_ids(self._idview.id_quads, quads)
+            if not ids.columns:
+                # all-constant BGP (ASK-style): zero-var bindings, row
+                # count is the match count
+                return Plan(ids, frozenset())
+            mat = materialize(ids, self._idview.dictionary)
+            certain = frozenset(set().union(*[p.variables() for p in quads]))
+            return Plan(mat, certain)
+
+    return IdCompiler(store, **kw)
+
+
 def materialize(bindings: DataFrame, dictionary: DataFrame, broadcast_dict: bool = True) -> DataFrame:
     """ID bindings → term-struct bindings (MaterializeTermsPlan,
     MaterializedQueryPlan.swift:11-61): one dictionary join per

@@ -1,0 +1,73 @@
+"""ID-mode (dictionary-encoded) twins of the BGP-bearing oracle queries.
+
+Each ``sparql_id_*`` entry is the identical query to its ``sparql_*``
+twin, executed with the compiler's ``mode=id`` toggle: BGP scans and
+joins run on the 4×long ``id_quads`` layout (8-byte shuffle keys — the
+100 TB shuffle currency, SURVEY §1.4) and terms materialize lazily via
+dictionary joins, mirroring the reference's IDQueryPlan →
+MaterializeTermsPlan boundary (SPARQL/IDQueryPlan.swift,
+MaterializedQueryPlan.swift:11-61). The oracle SQL is shared with the
+term-mode twin, so the driver hash-checks that both execution modes
+agree with DuckDB.
+
+Only BGP-bearing families are twinned: property paths and window
+functions never route through ``_bgp`` (they share one code path in
+both modes), so an id twin would re-test the same plan.
+"""
+
+from __future__ import annotations
+
+from kineo_spark import queries_sparql as qs
+
+QUERIES: dict[str, callable] = {}
+ORACLES: dict[str, str] = {}
+
+# BGP-bearing families (see module docstring for the exclusion rule)
+_TWINNED = [
+    "sparql_scan_project",
+    "sparql_filter_order_limit",
+    "sparql_bgp_3hop_join",
+    "sparql_optional_leftjoin",
+    "sparql_union",
+    "sparql_minus",
+    "sparql_filter_not_exists",
+    "sparql_distinct",
+    "sparql_values_join",
+    "sparql_bind_extend",
+    "sparql_agg_q1",
+    "sparql_agg_having",
+    "sparql_agg_minmax",
+    "sparql_group_concat",
+    "sparql_count_distinct",
+    "sparql_subquery_join_agg",
+    "sparql_ask",
+    "sparql_construct",
+    "sparql_graph_stats",
+    "sparql_expr_strings",
+    "sparql_expr_datetime",
+    "sparql_expr_conditional",
+    "sparql_reduced",
+]
+
+
+def _make(orig_name: str):
+    base = qs.QUERIES[orig_name]
+
+    def f(spark, sf_dir, _base=base):
+        qs.set_mode("id")
+        try:
+            # compilation happens inside the wrapped query fn, under id
+            # mode; the returned DataFrame's plan is already fixed
+            return _base(spark, sf_dir)
+        finally:
+            qs.set_mode("term")
+
+    f.__name__ = orig_name.replace("sparql_", "sparql_id_")
+    return f
+
+
+for _name in _TWINNED:
+    _id_name = _name.replace("sparql_", "sparql_id_")
+    QUERIES[_id_name] = _make(_name)
+    if _name in qs.ORACLES:
+        ORACLES[_id_name] = qs.ORACLES[_name]

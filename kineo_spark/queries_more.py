@@ -292,3 +292,33 @@ def pipe_dedup_keep_best(spark, sf_dir) -> DataFrame:
     return top_k_by_group(
         docs.select("doc_id", "lang", "n_chars"), "lang", "n_chars", 3, "doc_id"
     )
+
+
+_RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+
+@q("sparql_rdfxml_roundtrip",
+   f"SELECT 'urn:col:region:r_name' AS p, COUNT(*) AS n FROM region "
+   f"UNION ALL SELECT 'urn:col:region:r_regionkey', COUNT(*) FROM region "
+   f"UNION ALL SELECT '{_RDF_TYPE}', COUNT(*) FROM region")
+def sparql_rdfxml_roundtrip(spark, sf_dir) -> DataFrame:
+    """RDF/XML source loader (reference RDF/RDFXML.swift:14-522): export
+    the region graph to RDF/XML text, parse it back with the SAX loader,
+    count triples per predicate — checked against the original table."""
+    from kineo_spark.queries_sparql import _STORES
+    from kineo_spark.sources.rdfxml import load_rdfxml, serialize_rdfxml
+
+    store = compiler_for(spark, sf_dir).store
+    quads = store.scan(A.QuadPattern(A.Var("s"), A.Var("p"), A.Var("o"),
+                                     iri("urn:g:region")))
+    flat = quads.select(
+        quads["s"]["kind"].alias("s_kind"), quads["s"]["lex"].alias("s_lex"),
+        quads["p"]["lex"].alias("p_lex"),
+        quads["o"]["kind"].alias("o_kind"), quads["o"]["lex"].alias("o_lex"),
+        quads["o"]["dt"].alias("o_dt"), quads["o"]["lang"].alias("o_lang"),
+        quads["o"]["num"].alias("o_num"), F.lit("urn:g:region").alias("g_lex"),
+    )
+    xml_text = serialize_rdfxml(flat)
+    reloaded = load_rdfxml(spark, xml_text, default_graph="urn:g:region")
+    return reloaded.groupBy(F.col("p_lex").alias("p")).agg(
+        F.count(F.lit(1)).alias("n")
+    )

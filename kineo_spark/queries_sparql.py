@@ -23,12 +23,24 @@ from kineo_spark.relational import extract
 from kineo_spark.store import RDF_TYPE, RelationalQuadStore
 
 _STORES: dict[tuple[int, str], RelationalQuadStore] = {}
+_MODE = "term"  # "term" (native scans) | "id" (dictionary-encoded BGPs)
+
+
+def set_mode(mode: str) -> None:
+    """Execution-mode toggle (SURVEY §3.3): 'id' routes BGPs through the
+    dictionary-encoded 4×long layout with lazy term materialization."""
+    global _MODE
+    assert mode in ("term", "id")
+    _MODE = mode
 
 
 def compiler_for(spark: SparkSession, sf_dir: str) -> Compiler:
     key = (id(spark), sf_dir)
     if key not in _STORES:
         _STORES[key] = RelationalQuadStore(spark, sf_dir)
+    if _MODE == "id":
+        from kineo_spark.dictionary import id_compiler
+        return id_compiler(_STORES[key])
     return Compiler(_STORES[key])
 
 

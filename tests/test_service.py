@@ -1,0 +1,101 @@
+"""SERVICE federation against a local mock SPARQL endpoint
+(stdlib http.server serving canned application/sparql-results+json) —
+the offline stand-in for the reference's SPARQLClient integration
+(SPARQLClient.swift:14-99): exercises query serialization, the HTTP
+round trip, JSON-bindings decode, the join of remote bindings into the
+enclosing pattern, and the SILENT error path."""
+
+import http.server
+import json
+import threading
+
+import pytest
+
+from kineo_spark.engine import Engine
+from kineo_spark.store import QuadsDataFrameStore
+
+EX = "http://example.org/"
+G = "urn:g:default"
+
+
+class _MockSparql(http.server.BaseHTTPRequestHandler):
+    captured: list[str] = []
+
+    def do_POST(self):
+        body = self.rfile.read(int(self.headers["Content-Length"])).decode()
+        _MockSparql.captured.append(body)
+        payload = {
+            "head": {"vars": ["person", "name"]},
+            "results": {"bindings": [
+                {"person": {"type": "uri", "value": EX + "alice"},
+                 "name": {"type": "literal", "value": "Alice Remote"}},
+                {"person": {"type": "uri", "value": EX + "bob"},
+                 "name": {"type": "literal", "value": "Bob Remote",
+                          "datatype": "http://www.w3.org/2001/XMLSchema#string"}},
+            ]},
+        }
+        data = json.dumps(payload).encode()
+        self.send_response(200)
+        self.send_header("Content-Type", "application/sparql-results+json")
+        self.send_header("Content-Length", str(len(data)))
+        self.end_headers()
+        self.wfile.write(data)
+
+    def log_message(self, *a):  # quiet
+        pass
+
+
+@pytest.fixture(scope="module")
+def endpoint():
+    srv = http.server.HTTPServer(("127.0.0.1", 0), _MockSparql)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield f"http://127.0.0.1:{srv.server_address[1]}/sparql"
+    srv.shutdown()
+
+
+@pytest.fixture(scope="module")
+def local_store(spark):
+    rows = [
+        (0, EX + "alice", EX + "age", 2, "30", "integer", None, 30.0, G),
+        (0, EX + "carol", EX + "age", 2, "40", "integer", None, 40.0, G),
+    ]
+    return QuadsDataFrameStore.from_rows(spark, rows)
+
+
+def test_service_join(local_store, endpoint):
+    rows = Engine(local_store).query(f"""
+      PREFIX ex: <{EX}>
+      SELECT ?name ?age WHERE {{
+        ?person ex:age ?age .
+        SERVICE <{endpoint}> {{ ?person ex:name ?name }}
+      }}
+    """).bindings.collect()
+    # remote knows alice+bob; local knows alice+carol → join = alice
+    assert len(rows) == 1
+    assert rows[0]["name"]["lex"] == "Alice Remote" and rows[0]["age"]["num"] == 30.0
+    # the serialized sub-query reached the endpoint
+    assert any("name" in c for c in _MockSparql.captured)
+
+
+def test_service_silent_error(local_store):
+    rows = Engine(local_store).query(f"""
+      PREFIX ex: <{EX}>
+      SELECT ?age WHERE {{
+        ?p ex:age ?age .
+        SERVICE SILENT <http://127.0.0.1:9/nope> {{ ?p ex:name ?n }}
+      }}
+    """).bindings.collect()
+    # SILENT degrades to a single empty remote solution: local rows survive
+    assert {r["age"]["num"] for r in rows} == {30.0, 40.0}
+
+
+def test_service_error_raises(local_store):
+    with pytest.raises(Exception):
+        Engine(local_store).query(f"""
+          PREFIX ex: <{EX}>
+          SELECT ?age WHERE {{
+            ?p ex:age ?age .
+            SERVICE <http://127.0.0.1:9/nope> {{ ?p ex:name ?n }}
+          }}
+        """).bindings.collect()
