@@ -68,7 +68,7 @@ def _mk(kind, lex, dt=None, lang=None):
 
 
 class TurtleParser:
-    def __init__(self, text: str, default_graph: str = "urn:g:default"):
+    def __init__(self, text: str, default_graph: str = "urn:g:default", base: str = ""):
         self.toks = []
         pos = 0
         while pos < len(text):
@@ -81,7 +81,7 @@ class TurtleParser:
         self.toks.append(("EOF", ""))
         self.i = 0
         self.prefixes: dict[str, str] = {}
-        self.base = ""
+        self.base = base
         self.quads: list[tuple] = []
         self.graph = default_graph
         self.default_graph = default_graph
@@ -147,7 +147,8 @@ class TurtleParser:
         if k == "IRI":
             val = v[1:-1]
             if self.base and not re.match(r"^[A-Za-z][A-Za-z0-9+.-]*:", val):
-                val = self.base + val
+                from urllib.parse import urljoin
+                val = urljoin(self.base, val)
             return _mk(KIND_IRI, val)
         if k == "PNAME":
             pfx, _, local = v.partition(":")
@@ -267,7 +268,8 @@ class TurtleParser:
 
 
 def load_turtle(
-    spark: SparkSession, path_or_text: str, default_graph: str = "urn:g:default"
+    spark: SparkSession, path_or_text: str, default_graph: str = "urn:g:default",
+    base: str = "",
 ) -> DataFrame:
     """Parse a Turtle/TriG file (or literal text) into a flat quads
     DataFrame."""
@@ -277,7 +279,7 @@ def load_turtle(
     if os.path.exists(path_or_text):
         with open(path_or_text) as fh:
             text = fh.read()
-    quads = TurtleParser(text, default_graph).parse()
+    quads = TurtleParser(text, default_graph, base=base).parse()
     return spark.createDataFrame(quads, QUADS_SCHEMA)
 
 

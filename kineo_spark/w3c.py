@@ -1,0 +1,247 @@
+"""W3C-style SPARQL conformance manifest runner.
+
+Reference: ``SPARQLTestSuite`` (Sources/Kineo/W3C/SPARQLTestSuite.swift:
+432-500) — the reference's primary correctness bar: a Turtle manifest
+lists QueryEvaluationTest entries (mf:action → qt:query + qt:data,
+mf:result → expected bindings/graph/boolean); the runner loads the data,
+executes the query, and compares modulo blank-node bijection.
+
+This runner consumes the same manifest vocabulary, so it can execute the
+real rdf-tests data-r2/data-sparql11 suites when they are available on
+disk; the repo vendors its own manifest (tests/w3c/) covering the
+value-semantics long tail (error propagation, type promotion, term
+ordering, bnode scoping) in the identical format.
+
+Expected-result formats: .srj (application/sparql-results+json — also
+the boolean form for ASK) and .ttl (CONSTRUCT/DESCRIBE graphs, compared
+by isomorphism).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass, field
+from itertools import permutations
+
+from kineo_spark.model import IRI_DT, RDF_NS
+
+MF = "http://www.w3.org/2001/sw/DataAccess/tests/test-manifest#"
+QT = "http://www.w3.org/2001/sw/DataAccess/tests/test-query#"
+
+KIND_IRI, KIND_BLANK, KIND_LITERAL = 0, 1, 2
+
+
+@dataclass
+class TestEntry:
+    iri: str
+    name: str
+    type: str
+    query_path: str
+    data_path: str | None
+    result_path: str | None
+
+
+@dataclass
+class TestOutcome:
+    entry: TestEntry
+    passed: bool
+    detail: str = ""
+
+
+def _path_of(iri: str) -> str:
+    return iri[len("file://"):] if iri.startswith("file://") else iri
+
+
+def manifest_entries(manifest_path: str) -> list[TestEntry]:
+    """Parse a W3C test manifest (driver-side Turtle walk of the
+    mf:entries rdf list — the same traversal the reference expresses as
+    ``mf:entries/rdf:rest*/rdf:first``)."""
+    from kineo_spark.sources.turtle import TurtleParser
+
+    base = "file://" + os.path.abspath(manifest_path)
+    with open(manifest_path) as fh:
+        quads = TurtleParser(fh.read(), base=base).parse()
+
+    # index: subject -> predicate -> [(o_kind, o_lex)]
+    idx: dict[tuple, dict[str, list[tuple]]] = {}
+    for q in quads:
+        idx.setdefault((q[0], q[1]), {}).setdefault(q[2], []).append((q[3], q[4]))
+
+    def one(subj, pred):
+        vals = idx.get(subj, {}).get(pred)
+        return vals[0] if vals else None
+
+    # find the manifest node and walk its entries list
+    manifests = [s for s, ps in idx.items()
+                 if (KIND_IRI, MF + "Manifest") in ps.get(RDF_NS + "type", [])]
+    entries: list[TestEntry] = []
+    for m in manifests:
+        node = one(m, MF + "entries")
+        while node and node[1] != RDF_NS + "nil":
+            head = one(node, RDF_NS + "first")
+            if head is None:
+                break
+            t = head
+            ttype = one(t, RDF_NS + "type")
+            name = one(t, MF + "name")
+            action = one(t, MF + "action")
+            result = one(t, MF + "result")
+            qp = one(action, QT + "query") if action else None
+            dp = one(action, QT + "data") if action else None
+            entries.append(TestEntry(
+                iri=t[1],
+                name=name[1] if name else t[1],
+                type=ttype[1] if ttype else "",
+                query_path=_path_of(qp[1]) if qp else None,
+                data_path=_path_of(dp[1]) if dp else None,
+                result_path=_path_of(result[1]) if result else None,
+            ))
+            node = one(node, RDF_NS + "rest")
+    return entries
+
+
+# -- expected-result parsing -----------------------------------------------
+
+def _term_of_json(d: dict | None):
+    if d is None:
+        return None
+    t = d["type"]
+    if t == "uri":
+        return (KIND_IRI, d["value"], None, None)
+    if t == "bnode":
+        return (KIND_BLANK, d["value"], None, None)
+    lang = d.get("xml:lang")
+    if lang:
+        return (KIND_LITERAL, d["value"], "langString", lang)
+    dt_iri = d.get("datatype")
+    dt = IRI_DT.get(dt_iri, dt_iri) if dt_iri else "string"
+    return (KIND_LITERAL, d["value"], dt, None)
+
+
+def load_expected_srj(path: str):
+    with open(path) as fh:
+        doc = json.load(fh)
+    if "boolean" in doc:
+        return ("boolean", doc["boolean"])
+    variables = doc["head"]["vars"]
+    rows = [
+        {v: _term_of_json(b.get(v)) for v in variables if b.get(v) is not None}
+        for b in doc["results"]["bindings"]
+    ]
+    return ("bindings", (variables, rows))
+
+
+# -- comparison (bnode bijection) ------------------------------------------
+
+def _row_key(row: dict, bmap: dict[str, str]):
+    out = []
+    for var in sorted(row):
+        k, lex, dt, lang = row[var]
+        if k == KIND_BLANK:
+            lex = bmap.get(lex, "?")
+        out.append((var, k, lex, dt, lang))
+    return tuple(out)
+
+
+def rows_isomorphic(expected: list[dict], actual: list[dict]) -> bool:
+    """Multiset equality of solution mappings modulo a blank-node
+    bijection (the reference's result comparison; conformance suites are
+    small, so brute-force over label bijections is fine)."""
+    if len(expected) != len(actual):
+        return False
+    e_labels = sorted({t[1] for r in expected for t in r.values() if t[0] == KIND_BLANK})
+    a_labels = sorted({t[1] for r in actual for t in r.values() if t[0] == KIND_BLANK})
+    if len(e_labels) != len(a_labels):
+        return False
+    ident = {x: x for x in a_labels}
+    for perm in permutations(a_labels) if len(a_labels) <= 6 else [tuple(a_labels)]:
+        emap = dict(zip(e_labels, perm))
+        ek = sorted(_row_key(r, emap) for r in expected)
+        ak = sorted(_row_key(r, ident) for r in actual)
+        if ek == ak:
+            return True
+    return False
+
+
+def _df_rows(df) -> list[dict]:
+    out = []
+    for r in df.collect():
+        row = {}
+        for var in df.columns:
+            t = r[var]
+            if t is None:
+                continue
+            row[var] = (t["kind"], t["lex"], t["dt"], t["lang"])
+        out.append(row)
+    return out
+
+
+# -- execution --------------------------------------------------------------
+
+def run_entry(spark, entry: TestEntry) -> TestOutcome:
+    from kineo_spark.engine import Engine
+    from kineo_spark.sources.turtle import load_turtle
+    from kineo_spark.store import QuadsDataFrameStore
+
+    try:
+        with open(entry.query_path) as fh:
+            query_text = fh.read()
+        if entry.data_path:
+            if entry.data_path.endswith((".rdf", ".xml")):
+                from kineo_spark.sources.rdfxml import load_rdfxml
+                quads = load_rdfxml(spark, entry.data_path,
+                                    base="file://" + entry.data_path)
+            elif entry.data_path.endswith((".nt", ".nq")):
+                from kineo_spark.sources.ntriples import load_ntriples
+                quads = load_ntriples(spark, entry.data_path)
+            else:
+                quads = load_turtle(spark, entry.data_path)
+            store = QuadsDataFrameStore(spark, quads)
+        else:
+            store = QuadsDataFrameStore.from_rows(spark, [])
+        result = Engine(store).query(query_text)
+
+        if result.form == "ask":
+            kind, expected = load_expected_srj(entry.result_path)
+            ok = (kind == "boolean" and result.boolean == expected)
+            return TestOutcome(entry, ok, "" if ok else
+                               f"expected {expected}, got {result.boolean}")
+        if result.form == "triples":
+            exp_quads = load_turtle(spark, entry.result_path)
+            exp_rows = [
+                {"s": (q.s_kind, q.s_lex, None, None),
+                 "p": (KIND_IRI, q.p_lex, None, None),
+                 "o": (q.o_kind, q.o_lex,
+                       q.o_dt if q.o_kind == KIND_LITERAL else None,
+                       q.o_lang if q.o_kind == KIND_LITERAL else None)}
+                for q in exp_quads.collect()
+            ]
+            act_rows = _df_rows(result.triples)
+            ok = rows_isomorphic(exp_rows, act_rows)
+            return TestOutcome(entry, ok, "" if ok else
+                               f"graphs differ: expected {len(exp_rows)} triples, got {len(act_rows)}")
+
+        kind, (variables, exp_rows) = load_expected_srj(entry.result_path)
+        act_rows = _df_rows(result.bindings)
+        if "ORDER BY" in query_text.upper():
+            ident = {}
+            for r in exp_rows + act_rows:
+                for t in r.values():
+                    if t[0] == KIND_BLANK:
+                        ident[t[1]] = t[1]
+            ok = [
+                _row_key(r, ident) for r in exp_rows
+            ] == [_row_key(r, ident) for r in act_rows]
+        else:
+            ok = rows_isomorphic(exp_rows, act_rows)
+        detail = ""
+        if not ok:
+            detail = f"expected {sorted(map(str, exp_rows))[:3]} … got {sorted(map(str, act_rows))[:3]}"
+        return TestOutcome(entry, ok, detail)
+    except Exception as e:  # noqa: BLE001 — conformance failure, not crash
+        return TestOutcome(entry, False, f"{type(e).__name__}: {e}")
+
+
+def run_manifest(spark, manifest_path: str) -> list[TestOutcome]:
+    return [run_entry(spark, e) for e in manifest_entries(manifest_path)]

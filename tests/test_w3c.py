@@ -1,0 +1,23 @@
+"""W3C-format conformance suite: the manifest runner (kineo_spark.w3c,
+mirroring SPARQLTestSuite.swift:432-500) over the vendored mini-suite in
+tests/w3c/ — value-semantics long tail the hand-written oracles do not
+pin (error propagation, type promotion, bnode bijection, UNDEF
+compatibility, empty-aggregate semantics)."""
+
+import pytest
+
+from kineo_spark.w3c import manifest_entries, run_entry
+
+MANIFEST = "/root/repo/tests/w3c/manifest.ttl"
+ENTRIES = manifest_entries(MANIFEST)
+
+
+def test_manifest_parsed():
+    assert len(ENTRIES) == 15
+    assert all(e.query_path and e.result_path for e in ENTRIES)
+
+
+@pytest.mark.parametrize("entry", ENTRIES, ids=[e.iri.split("#")[-1] for e in ENTRIES])
+def test_w3c_entry(spark, entry):
+    outcome = run_entry(spark, entry)
+    assert outcome.passed, f"{entry.name}: {outcome.detail}"
