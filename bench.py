@@ -3,6 +3,14 @@
 
 Prints ONE JSON line:
   {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Methodology (round-2 hygiene): warm session, best-of-3 per query (the
+shared-host VM shows multi-minute noise spikes landing on random
+queries — min-of-N measures the plan, not the neighbor), per-query
+minima reported, and any query whose min regresses >2x against the
+round-1 corrected baselines is flagged on stderr. A term-mode vs
+ID-mode twin pair (bgp_3hop_join) plus their shuffle-write bytes (from
+the Spark UI REST API) records the dictionary-encoding effect.
 """
 
 from __future__ import annotations
@@ -11,6 +19,7 @@ import json
 import os
 import sys
 import time
+import urllib.request
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
@@ -24,6 +33,9 @@ HEADLINE = [
     "sparql_path_alt_plus",
     "sparql_minus",
     "sparql_group_concat",
+    # round-2: full text path and dictionary-encoded mode
+    "sparql_text_bgp_3hop_join",
+    "sparql_id_bgp_3hop_join",
     # LLM-pipeline surface
     "pipe_dedup_exact",
     "pipe_dedup_ngram_jaccard",
@@ -34,10 +46,38 @@ HEADLINE = [
     "pipe_tumbling_window",
 ]
 
+# round-1 per-query minima, corrected for the two host-noise spikes the
+# round-1 judge re-measured (group_concat/minus recorded 20.9/15.9 but
+# re-ran warm at 1.6s)
+R1_BASELINE = {
+    "sparql_bgp_3hop_join": 3.9, "sparql_agg_q1": 2.9,
+    "sparql_filter_order_limit": 2.2, "sparql_window_rank": 2.4,
+    "sparql_window_running_sum": 3.3, "sparql_path_alt_plus": 6.6,
+    "sparql_minus": 1.6, "sparql_group_concat": 1.6,
+    "pipe_dedup_exact": 1.6, "pipe_dedup_ngram_jaccard": 4.3,
+    "pipe_dedup_minhash_lsh": 6.9, "pipe_knn_bruteforce": 2.5,
+    "pipe_langid": 1.2, "pipe_sessionize": 2.9, "pipe_tumbling_window": 1.7,
+}
+
+
+def _shuffle_write_bytes(spark) -> int:
+    """Total shuffle-write bytes across all completed stages, from the
+    local Spark UI REST API."""
+    try:
+        base = spark.sparkContext.uiWebUrl
+        app_id = spark.sparkContext.applicationId
+        with urllib.request.urlopen(f"{base}/api/v1/applications/{app_id}/stages", timeout=10) as r:
+            stages = json.load(r)
+        return sum(s.get("shuffleWriteBytes", 0) for s in stages)
+    except Exception:
+        return -1
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").split("sf")[-1]
+
+    os.environ.setdefault("KINEO_UI", "1")  # REST API for shuffle metrics
 
     import __spark_entry__ as entry
     from kineo_spark.session import get_spark
@@ -48,14 +88,13 @@ def main() -> None:
     # warm the JVM + parquet footers with one tiny action
     spark.range(1).count()
 
-    # best-of-2 per query: the shared-host VM shows multi-minute noise
-    # spikes that land on random queries; min-of-2 measures the plan,
-    # not the neighbor
     times: dict[str, float] = {}
+    extras: dict[str, float] = {}
     for name in HEADLINE:
         f = qs[name]
         best = None
-        for _ in range(2):
+        sw0 = _shuffle_write_bytes(spark)
+        for _ in range(3):
             t0 = time.time()
             try:
                 n = f(spark, sf_dir).count()
@@ -67,14 +106,22 @@ def main() -> None:
                 break
         times[name] = best
         if best >= 0:
+            sw1 = _shuffle_write_bytes(spark)
+            if name.endswith("bgp_3hop_join") and sw0 >= 0 and sw1 >= 0:
+                # 3 runs → per-run average shuffle write for the twin pair
+                extras[f"shuffle_mb_{name}"] = round((sw1 - sw0) / 3 / 1e6, 2)
             print(f"# {name}: {best}s ({n} rows)", file=sys.stderr)
+            base = R1_BASELINE.get(name)
+            if base and best > 2 * base:
+                print(f"# REGRESSION {name}: {best}s vs r1 min {base}s (> 2x)", file=sys.stderr)
 
-    total = round(sum(t for t in times.values() if t >= 0), 3)
+    total = round(sum(t for n, t in times.items() if t >= 0 and n in R1_BASELINE), 3)
     print(json.dumps({
-        "metric": "headline_total_wall_best_of_2",
+        "metric": "headline_total_wall_best_of_3_r1_comparable",
         "value": total,
         "unit": "sec",
         "queries": times,
+        "extras": extras,
         "sf": float(sf),
     }))
     spark.stop()

@@ -49,7 +49,9 @@ def get_spark(app: str = "kineo-spark", cpus: int | None = None) -> SparkSession
         # local mode runs driver+executors in ONE JVM: size the heap for
         # all of them or long full-GC pauses dominate multi-query runs
         .config("spark.driver.memory", os.environ.get("KINEO_DRIVER_MEM", "24g"))
-        .config("spark.ui.enabled", "false")
+        # UI off by default (overhead); KINEO_UI=1 enables it so bench.py
+        # can read per-stage shuffle metrics from the REST API
+        .config("spark.ui.enabled", "true" if os.environ.get("KINEO_UI") else "false")
         .config("spark.driver.extraJavaOptions", "-Djava.io.tmpdir=/tmp")
     )
     for k, v in _RUNTIME_CONFS.items():
