@@ -225,3 +225,45 @@ def materialize(bindings: DataFrame, dictionary: DataFrame, broadcast_dict: bool
         for i, v in enumerate(vars_)
     ]
     return j.groupBy("__rid").agg(*aggs).select(*vars_)
+
+
+# ---------------------------------------------------------------------------
+# Persisted bucketed ID layout (the 100 TB at-rest shape)
+# ---------------------------------------------------------------------------
+
+def persist_id_layout(view: "IdEncodedView", name: str, buckets: int = 64,
+                      path: str | None = None) -> None:
+    """Write the ID layout as bucketed, sorted parquet tables — the
+    at-rest analog of the reference's ordered on-disk indexes
+    (IDOrderedQuadPlan / Diomede index orders, QuadStore.swift:62-88):
+
+    - ``<name>_quads``: 4×long quads, bucketed+sorted by ``s`` — every
+      subject-subject (star) self-join reads co-located buckets and
+      merge-joins with NO shuffle of the fact table, at any scale.
+    - ``<name>_terms``: the dictionary, bucketed by ``id`` so a
+      too-big-to-broadcast materialize join shuffles only the bindings
+      side.
+
+    In production the tables live in a shared metastore; local sessions
+    use the in-memory catalog (pass ``path`` to control file placement).
+    """
+    qw = view.id_quads.write.format("parquet").mode("overwrite") \
+        .bucketBy(buckets, "s").sortBy("s")
+    tw = view.dictionary.write.format("parquet").mode("overwrite") \
+        .bucketBy(buckets, "id").sortBy("id")
+    if path:
+        qw = qw.option("path", f"{path}/{name}_quads")
+        tw = tw.option("path", f"{path}/{name}_terms")
+    qw.saveAsTable(f"{name}_quads")
+    tw.saveAsTable(f"{name}_terms")
+
+
+def load_id_layout(spark: SparkSession, name: str) -> "IdEncodedView":
+    """Open a persisted bucketed ID layout as an IdEncodedView (no
+    encode pass — the layout IS the store)."""
+    self = object.__new__(IdEncodedView)
+    self.dictionary = spark.table(f"{name}_terms")
+    self.id_quads = spark.table(f"{name}_quads")
+    self.n_terms = self.dictionary.count()
+    self.broadcast = self.n_terms <= IdEncodedView.BROADCAST_TERMS
+    return self

@@ -1,0 +1,68 @@
+"""Persisted bucketed ID layout: subject-bucketed 4×long quads give
+star self-joins with ZERO exchange — the at-rest analog of the
+reference's ordered on-disk indexes (QuadStore.swift:62-88,
+IDOrderedQuadPlan), expressed as Spark bucketing."""
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from kineo_spark import algebra as A
+from kineo_spark.dictionary import (
+    IdEncodedView,
+    bgp_ids,
+    load_id_layout,
+    materialize,
+    persist_id_layout,
+)
+from kineo_spark.model import iri
+
+
+def _plan(df) -> str:
+    df.collect()  # let AQE finalize
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def layout(spark, fixture_store, tmp_path_factory):
+    view = IdEncodedView.for_store(fixture_store)
+    path = str(tmp_path_factory.mktemp("idlayout"))
+    persist_id_layout(view, "t_layout", buckets=4, path=path)
+    yield load_id_layout(spark, "t_layout")
+    spark.sql("DROP TABLE IF EXISTS t_layout_quads")
+    spark.sql("DROP TABLE IF EXISTS t_layout_terms")
+
+
+def test_roundtrip_counts(spark, fixture_store, layout):
+    view = IdEncodedView.for_store(fixture_store)
+    assert layout.id_quads.count() == view.id_quads.count()
+    assert layout.dictionary.count() == view.n_terms
+
+
+def test_star_join_no_shuffle(spark, layout, fixture_store):
+    """Two patterns sharing a subject, forced to a sort-merge join:
+    bucketed scans feed the join directly — no Exchange in the plan."""
+    pats = [
+        A.QuadPattern(A.Var("s"), iri("http://xmlns.com/foaf/0.1/name"), A.Var("n"), None),
+        A.QuadPattern(A.Var("s"), iri("http://xmlns.com/foaf/0.1/homepage"), A.Var("h"), None),
+    ]
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        ids = bgp_ids(layout.id_quads, pats)
+        plan = _plan(ids)
+        assert "Exchange" not in plan, plan
+        # same bindings as the in-memory id view
+        view = IdEncodedView.for_store(fixture_store)
+        expect = bgp_ids(view.id_quads, pats).count()
+        assert ids.count() == expect and expect > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_materialize_from_layout(spark, layout):
+    pats = [A.QuadPattern(A.Var("s"), iri("http://xmlns.com/foaf/0.1/name"), A.Var("n"), None)]
+    ids = bgp_ids(layout.id_quads, pats)
+    mat = materialize(ids, layout.dictionary, broadcast_dict=layout.broadcast)
+    rows = mat.collect()
+    assert rows and all(r["n"]["lex"] for r in rows)
