@@ -250,10 +250,47 @@ def compile_expr(e: Expr, env: dict[str, Column]) -> Column:
     return _compile_call(e, env)
 
 
-def _compile_call(e: ECall, env: dict[str, Column]) -> Column:  # noqa: C901
+def _call_depth(e: Expr) -> int:
+    if isinstance(e, ECall):
+        return 1 + max((_call_depth(x) for x in e.args), default=0)
+    return 0
+
+
+def _let_deep(args: list[Column], deep: list[int], body) -> Column:
+    """Bind the columns at positions ``deep`` each exactly ONCE via a
+    higher-order-function lambda (``element_at(transform(array(x), v ->
+    …), 1)``) before handing the arg list to ``body``.
+
+    Why: every term-level helper (eq_terms, num_term, ebv, …) references
+    its operand Column several times; Catalyst's analyzer expands the
+    shared Python DAG into a tree, so nested calls multiply — a 4-clause
+    constant conjunction OOMed a 24 GiB driver at ANALYSIS time. Lambda
+    variables are never inlined, so binding deep sub-expressions keeps
+    the analyzed tree linear in expression size. Shallow args (depth
+    ≤ 1 call) stay inline and keep whole-stage codegen on hot paths."""
+    if not deep:
+        return body(args)
+    i, rest = deep[0], deep[1:]
+    return F.element_at(
+        F.transform(
+            F.array(args[i]),
+            lambda v: _let_deep(args[:i] + [v] + args[i + 1:], rest, body),
+        ),
+        1,
+    )
+
+
+def _compile_call(e: ECall, env: dict[str, Column]) -> Column:
+    a = [compile_expr(x, env) for x in e.args]
+    deep = [i for i, x in enumerate(e.args) if _call_depth(x) >= 2]
+    if deep:
+        return _let_deep(a, deep, lambda bound: _dispatch_call(e, bound, env))
+    return _dispatch_call(e, a, env)
+
+
+def _dispatch_call(e: ECall, a: list[Column], env: dict[str, Column]) -> Column:  # noqa: C901
     op = e.op
     kw = dict(e.kwargs)
-    a = [compile_expr(x, env) for x in e.args]
 
     # --- logical (Kleene 3-valued == SPARQL error semantics here) ---
     if op == "&&":
@@ -267,14 +304,12 @@ def _compile_call(e: ECall, env: dict[str, Column]) -> Column:  # noqa: C901
         return F.when(cond, a[1]).when(~cond, a[2])
     if op == "COALESCE":
         return F.coalesce(*a)
-    if op == "IN":
+    if op in ("IN", "NOT_IN"):
         cond = F.lit(False)
         for x in a[1:]:
             cond = cond | F.coalesce(eq_terms(a[0], x), F.lit(False))
-        return bool_term(F.when(a[0].isNull(), _NULL_B()).otherwise(cond))
-    if op == "NOT_IN":
-        inner = _compile_call(ECall("IN", e.args), env)
-        return bool_term(~ebv(inner))
+        inner = F.when(a[0].isNull(), _NULL_B()).otherwise(cond)
+        return bool_term(~inner if op == "NOT_IN" else inner)
     if op == "BOUND":
         return bool_term(a[0].isNotNull().cast("boolean"))
 

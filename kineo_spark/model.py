@@ -256,6 +256,36 @@ def sort_key(term: Column) -> Column:
 # Driver-side terms (constants in queries)
 # ---------------------------------------------------------------------------
 
+def lexical_num(lex: str, dt: str | None) -> float | None:
+    """The numeric shadow of a literal: float value for numerics,
+    0/1 for booleans, epoch-µs (UTC) for temporals, else None. The one
+    definition every loader and PyTerm share — value comparisons and
+    datetime accessors read this column."""
+    if dt in NUMERIC_DTS:
+        try:
+            return float(lex)
+        except ValueError:
+            return None
+    if dt == "boolean":
+        return 1.0 if lex == "true" else 0.0
+    if dt in TEMPORAL_DTS:
+        import datetime as _dt
+
+        s = lex.replace("Z", "+00:00")
+        try:
+            if dt == "date":
+                d = _dt.date.fromisoformat(s)
+                val = _dt.datetime(d.year, d.month, d.day, tzinfo=_dt.timezone.utc)
+            else:
+                val = _dt.datetime.fromisoformat(s)
+                if val.tzinfo is None:
+                    val = val.replace(tzinfo=_dt.timezone.utc)
+            return float(int(val.timestamp() * 1_000_000))
+        except ValueError:
+            return None
+    return None
+
+
 @dataclass(frozen=True)
 class PyTerm:
     """A constant RDF term in a query (driver-side)."""
@@ -267,29 +297,7 @@ class PyTerm:
 
     @property
     def num(self) -> float | None:
-        if self.dt in NUMERIC_DTS:
-            try:
-                return float(self.lex)
-            except ValueError:
-                return None
-        if self.dt == "boolean":
-            return 1.0 if self.lex == "true" else 0.0
-        if self.dt in TEMPORAL_DTS:
-            import datetime as _dt
-
-            s = self.lex.replace("Z", "+00:00")
-            try:
-                if self.dt == "date":
-                    d = _dt.date.fromisoformat(s)
-                    val = _dt.datetime(d.year, d.month, d.day, tzinfo=_dt.timezone.utc)
-                else:
-                    val = _dt.datetime.fromisoformat(s)
-                    if val.tzinfo is None:
-                        val = val.replace(tzinfo=_dt.timezone.utc)
-                return float(int(val.timestamp() * 1_000_000))
-            except ValueError:
-                return None
-        return None
+        return lexical_num(self.lex, self.dt)
 
     def as_column(self) -> Column:
         return term_struct(

@@ -26,6 +26,9 @@ _RUNTIME_CONFS = {
     "spark.sql.adaptive.skewJoin.enabled": "true",
     # Arrow for the few pandas-UDF operators (pipeline/).
     "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Deeply nested SPARQL expressions compile to nested lambda bindings
+    # (expr._let_deep); each nesting level costs analyzer iterations.
+    "spark.sql.analyzer.maxIterations": "500",
 }
 
 

@@ -16,7 +16,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from kineo_spark.model import IRI_DT, KIND_BLANK, KIND_IRI, KIND_LITERAL, NUMERIC_DTS
+from kineo_spark.model import IRI_DT, KIND_BLANK, KIND_IRI, KIND_LITERAL, NUMERIC_DTS, TEMPORAL_DTS
 
 # one N-Triples/N-Quads statement:  subject predicate object [graph] .
 _IRI = r"<([^>]*)>"
@@ -110,7 +110,12 @@ def load_ntriples(
     )
     num = F.when(
         dt_tok.isin(*NUMERIC_DTS), parsed["o_lex_raw"].cast("double")
-    ).when(dt_tok == "boolean", (parsed["o_lex_raw"] == "true").cast("double"))
+    ).when(dt_tok == "boolean", (parsed["o_lex_raw"] == "true").cast("double")) \
+     .when(
+        dt_tok.isin(*TEMPORAL_DTS),
+        # session tz is UTC; naive lexical forms are treated as UTC
+        F.unix_micros(F.to_timestamp(parsed["o_lex_raw"])).cast("double"),
+    )
 
     return parsed.select(
         "s_kind", "s_lex", "p_lex", "o_kind",

@@ -66,14 +66,9 @@ class _Handler(xml.sax.ContentHandler):
         return (KIND_BLANK, f"rx{self._bn}")
 
     def _emit(self, s, p, o, dt=None, lang=None):
-        num = None
-        if o[0] == KIND_LITERAL and dt in NUMERIC_DTS:
-            try:
-                num = float(o[1])
-            except ValueError:
-                num = None
-        elif o[0] == KIND_LITERAL and dt == "boolean":
-            num = 1.0 if o[1] == "true" else 0.0
+        from kineo_spark.model import lexical_num
+
+        num = lexical_num(o[1], dt) if o[0] == KIND_LITERAL else None
         self.quads.append((
             s[0], s[1], p, o[0], o[1],
             dt if o[0] == KIND_LITERAL else None,

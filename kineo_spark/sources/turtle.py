@@ -212,14 +212,9 @@ class TurtleParser:
         return self._resolve_node(self.next())
 
     def _emit(self, s, p, o):
-        num = None
-        if o[0] == KIND_LITERAL and o[2] in NUMERIC_DTS:
-            try:
-                num = float(o[1])
-            except ValueError:
-                num = None
-        elif o[0] == KIND_LITERAL and o[2] == "boolean":
-            num = 1.0 if o[1] == "true" else 0.0
+        from kineo_spark.model import lexical_num
+
+        num = lexical_num(o[1], o[2]) if o[0] == KIND_LITERAL else None
         self.quads.append(
             (s[0], s[1], p[1], o[0], o[1],
              o[2] if o[0] == KIND_LITERAL else None,

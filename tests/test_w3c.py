@@ -8,12 +8,12 @@ import pytest
 
 from kineo_spark.w3c import manifest_entries, run_entry
 
-MANIFEST = "/root/repo/tests/w3c/manifest.ttl"
-ENTRIES = manifest_entries(MANIFEST)
+ENTRIES = (manifest_entries("/root/repo/tests/w3c/manifest.ttl")
+           + manifest_entries("/root/repo/tests/w3c/manifest2.ttl"))
 
 
 def test_manifest_parsed():
-    assert len(ENTRIES) == 15
+    assert len(ENTRIES) == 37
     assert all(e.query_path and e.result_path for e in ENTRIES)
 
 
