@@ -335,11 +335,21 @@ def _dispatch_call(e: ECall, a: list[Column], env: dict[str, Column]) -> Column:
     # --- arithmetic ---
     if op in ("+", "-", "*", "/"):
         x, y = _num_guard(a[0]), _num_guard(a[1])
-        val = {"+": x + y, "-": x - y, "*": x * y, "/": x / y}[op]
         dt = _promote2(a[0], a[1])
         if op == "/":
             # integer ÷ integer → decimal (Expression.swift:538-564)
             dt = F.when(dt == "integer", F.lit("decimal")).otherwise(dt)
+            # ÷0: error (→NULL) for integer/decimal, IEEE ±Inf/NaN for
+            # float/double. Plain `/` throws under Spark's ANSI mode.
+            fp = dt.isin("double", "float")
+            val = F.when(
+                y == 0,
+                F.when(fp & (x > 0), F.lit(float("inf")))
+                .when(fp & (x < 0), F.lit(float("-inf")))
+                .when(fp & (x == 0), F.lit(float("nan"))),
+            ).otherwise(x / F.nullif(y, F.lit(0.0)))
+        else:
+            val = {"+": x + y, "-": x - y, "*": x * y}[op]
         return num_term(val.cast("double"), dt)
     if op == "NEG":
         return num_term(-_num_guard(a[0]), a[0]["dt"])
@@ -609,7 +619,7 @@ def _compile_cast(to: str, t: Column) -> Column:
             .when(t["dt"] == "boolean", t["num"])
             .when(lex.rlike(r"^\s*[+-]?\d+\s*$"), lex.cast("double"))
         )
-        iv = val.cast("long")
+        iv = val.try_cast("long")  # try_: ANSI would throw on overflow/NaN
         return F.when(iv.isNotNull(), num_term(iv.cast("double"), F.lit("integer")))
     if to in ("double", "float", "decimal"):
         val = (
@@ -629,7 +639,8 @@ def _compile_cast(to: str, t: Column) -> Column:
         return str_term(F.when(t["kind"] != KIND_BLANK, lex))
     if to in ("dateTime", "date"):
         ts = F.when(is_temporal_term(t), F.timestamp_micros(t["num"].cast("long"))).otherwise(
-            F.to_timestamp(F.replace(lex, F.lit("T"), F.lit(" ")))
+            # try_: malformed lexical is a cast error (→NULL), not a crash
+            F.try_to_timestamp(F.replace(lex, F.lit("T"), F.lit(" ")))
         )
         from kineo_spark.model import lit_date_col, lit_datetime_col
         return lit_datetime_col(ts) if to == "dateTime" else lit_date_col(ts.cast("date"))

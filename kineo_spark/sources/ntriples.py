@@ -108,13 +108,15 @@ def load_ntriples(
         .when(parsed["o_dt_iri"] != "", F.coalesce(dt_map[parsed["o_dt_iri"]], parsed["o_dt_iri"]))
         .otherwise(F.lit("string"))
     )
+    # try_: an ill-typed literal ("abc"^^xsd:integer is legal RDF) gets a
+    # NULL numeric shadow, never an ANSI runtime error at load.
     num = F.when(
-        dt_tok.isin(*NUMERIC_DTS), parsed["o_lex_raw"].cast("double")
+        dt_tok.isin(*NUMERIC_DTS), parsed["o_lex_raw"].try_cast("double")
     ).when(dt_tok == "boolean", (parsed["o_lex_raw"] == "true").cast("double")) \
      .when(
         dt_tok.isin(*TEMPORAL_DTS),
         # session tz is UTC; naive lexical forms are treated as UTC
-        F.unix_micros(F.to_timestamp(parsed["o_lex_raw"])).cast("double"),
+        F.unix_micros(F.try_to_timestamp(parsed["o_lex_raw"])).cast("double"),
     )
 
     return parsed.select(
