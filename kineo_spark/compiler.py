@@ -49,6 +49,13 @@ def _tmp(prefix: str) -> str:
 class Plan:
     df: DataFrame
     certain: frozenset[str]  # variables certainly bound (never NULL)
+    # Variables stored as raw dictionary ids (8-byte long), not term
+    # structs — ID mode's lazy-materialization currency (IDQueryPlan →
+    # MaterializeTermsPlan boundary). A var is id-typed GLOBALLY within
+    # one query (decided by dictionary.needed_value_vars), so any two
+    # plans sharing it agree on representation; id equality == sameTerm,
+    # exactly the join/dedup semantics.
+    id_vars: frozenset[str] = frozenset()
 
     @property
     def variables(self) -> list[str]:
@@ -102,20 +109,24 @@ class Compiler:
         if isinstance(node, A.Extend):
             child = self._c(node.child, g)
             col = compile_expr(node.expr, _env(child.df))
-            return Plan(child.df.withColumn(node.name, col), child.certain)
+            return Plan(child.df.withColumn(node.name, col), child.certain,
+                        child.id_vars)
         if isinstance(node, A.Project):
             child = self._c(node.child, g)
             cols = [
                 (child.df[v] if v in child.df.columns else F.lit(None).cast(TERM_SCHEMA)).alias(v)
                 for v in node.variables
             ]
-            return Plan(child.df.select(*cols), child.certain & set(node.variables))
+            return Plan(child.df.select(*cols),
+                        child.certain & set(node.variables),
+                        child.id_vars & set(node.variables))
         if isinstance(node, (A.Distinct, A.Reduced)):
             # REDUCED may drop any duplicates (spec); full dedup is a valid
             # and scale-friendly implementation (ReducedPlan,
             # MaterializedQueryPlan.swift:646-667).
             child = self._c(node.child, g)
-            return Plan(self._distinct(child.df), child.certain)
+            return Plan(self._distinct(child.df, child.id_vars), child.certain,
+                        child.id_vars)
         if isinstance(node, A.Slice):
             child = self._c(node.child, g)
             df = child.df
@@ -123,7 +134,7 @@ class Compiler:
                 df = df.offset(node.offset)
             if node.limit is not None:
                 df = df.limit(node.limit)
-            return Plan(df, child.certain)
+            return Plan(df, child.certain, child.id_vars)
         if isinstance(node, A.Order):
             child = self._c(node.child, g)
             env = _env(child.df)
@@ -131,7 +142,7 @@ class Compiler:
             for cmp in node.comparators:
                 k = sort_key(compile_expr(cmp.expr, env))
                 cols.append(k.asc() if cmp.ascending else k.desc())
-            return Plan(child.df.orderBy(*cols), child.certain)
+            return Plan(child.df.orderBy(*cols), child.certain, child.id_vars)
         if isinstance(node, A.Table):
             return self._table(node)
         if isinstance(node, A.JoinIdentity):
@@ -223,13 +234,16 @@ class Compiler:
         )
         return Plan(df, certain)
 
-    def _distinct(self, df: DataFrame) -> DataFrame:
+    def _distinct(self, df: DataFrame, id_vars: frozenset[str] = frozenset()) -> DataFrame:
         vars_ = [c for c in df.columns if not c.startswith("__")]
         if not vars_:
             return df.limit(1)
-        keys = {v: _tmp("k") for v in vars_}
+        # id columns dedup on the raw long (id equality == sameTerm)
+        keys = {v: _tmp("k") for v in vars_ if v not in id_vars}
         out = df.select(*vars_, *[term_key(df[v]).alias(k) for v, k in keys.items()])
-        return out.dropDuplicates(list(keys.values())).select(*vars_)
+        return out.dropDuplicates(
+            [v for v in vars_ if v in id_vars] + list(keys.values())
+        ).select(*vars_)
 
     # -- joins ------------------------------------------------------------
     def _prep_right(self, right: Plan) -> tuple[DataFrame, dict[str, str]]:
@@ -249,20 +263,23 @@ class Compiler:
         else:
             maybe = [v for v in shared
                      if v not in left.certain or v not in right.certain]
+            ids = left.id_vars | right.id_vars
             if not maybe:
-                cond = self._join_cond(left.df, rdf, ren, shared, True)
+                cond = self._join_cond(left.df, rdf, ren, shared, True, ids)
                 df = left.df.join(rdf, cond, "inner")
             elif len(maybe) <= self._MAX_SPLIT_VARS:
-                df = self._compat_split_join(left.df, rdf, ren, shared, maybe)
+                df = self._compat_split_join(left.df, rdf, ren, shared, maybe, ids)
             else:
-                cond = self._join_cond(left.df, rdf, ren, shared, False)
+                cond = self._join_cond(left.df, rdf, ren, shared, False, ids)
                 df = left.df.join(rdf, cond, "inner")
         df = self._merge(df, left, right, ren)
-        return Plan(df, left.certain | right.certain)
+        return Plan(df, left.certain | right.certain,
+                    left.id_vars | right.id_vars)
 
     def _compat_split_join(
         self, ldf: DataFrame, rdf: DataFrame, ren: dict[str, str],
         shared: list[str], maybe: list[str],
+        id_vars: frozenset[str] = frozenset(),
     ) -> DataFrame:
         """Scale-safe compatibility join: the naive encoding
         ``l IS NULL OR r IS NULL OR l = r`` is a non-equi condition that
@@ -294,7 +311,9 @@ class Compiler:
             rb = rdf.filter(_all(rconds)) if rconds else rdf
             if keys:
                 cond = _all([
-                    term_key(lb[v]) == term_key(rb[ren[v]]) for v in keys
+                    (lb[v] == rb[ren[v]]) if v in id_vars
+                    else term_key(lb[v]) == term_key(rb[ren[v]])
+                    for v in keys
                 ])
                 branches.append(lb.join(rb, cond, "inner"))
             else:
@@ -307,10 +326,14 @@ class Compiler:
     def _join_cond(
         self, ldf: DataFrame, rdf: DataFrame, ren: dict[str, str],
         shared: list[str], strict: bool,
+        id_vars: frozenset[str] = frozenset(),
     ) -> Column:
         conds = []
         for vname in shared:
-            lk, rk = term_key(ldf[vname]), term_key(rdf[ren[vname]])
+            if vname in id_vars:
+                lk, rk = ldf[vname], rdf[ren[vname]]
+            else:
+                lk, rk = term_key(ldf[vname]), term_key(rdf[ren[vname]])
             if strict:
                 conds.append(lk == rk)
             else:
@@ -338,9 +361,10 @@ class Compiler:
         survives with the RHS vars unbound (QueryPlanner.swift:480-552)."""
         shared = [v for v in left.variables if v in right.variables]
         rdf, ren = self._prep_right(right)
+        ids = left.id_vars | right.id_vars
         if shared:
             strict = all(v in left.certain and v in right.certain for v in shared)
-            cond = self._join_cond(left.df, rdf, ren, shared, strict)
+            cond = self._join_cond(left.df, rdf, ren, shared, strict, ids)
         else:
             cond = F.lit(True)
         if expr is not None:
@@ -357,53 +381,62 @@ class Compiler:
         df = left.df.join(rdf, cond, "left_outer")
         df = self._merge(df, left, right, ren)
         certain = left.certain  # RHS-only vars may be unbound
-        return Plan(df, certain)
+        return Plan(df, certain, left.id_vars | right.id_vars)
 
     def _minus(self, left: Plan, right: Plan) -> Plan:
         shared = [v for v in left.variables if v in right.variables]
         if not shared:
             return left  # disjoint domains never cancel (:554-569)
         rdf, ren = self._prep_right(right)
+        ids = left.id_vars | right.id_vars
         strict = all(v in left.certain and v in right.certain for v in shared)
         if strict:
-            cond = self._join_cond(left.df, rdf, ren, shared, True)
+            cond = self._join_cond(left.df, rdf, ren, shared, True, ids)
         else:
             # ≥1 shared var bound on both sides AND all shared bound vars equal
             compat, overlap = None, None
             for vname in shared:
-                lk, rk = term_key(left.df[vname]), term_key(rdf[ren[vname]])
+                if vname in ids:
+                    lk, rk = left.df[vname], rdf[ren[vname]]
+                else:
+                    lk, rk = term_key(left.df[vname]), term_key(rdf[ren[vname]])
                 c = lk.isNull() | rk.isNull() | (lk == rk)
                 o = lk.isNotNull() & rk.isNotNull()
                 compat = c if compat is None else (compat & c)
                 overlap = o if overlap is None else (overlap | o)
             cond = compat & overlap
-        return Plan(left.df.join(rdf, cond, "left_anti"), left.certain)
+        return Plan(left.df.join(rdf, cond, "left_anti"), left.certain,
+                    left.id_vars)
 
     def _semi(self, left: Plan, right: Plan, anti: bool) -> Plan:
         shared = [v for v in left.variables if v in right.variables]
         rdf, ren = self._prep_right(right)
         if shared:
             strict = all(v in left.certain and v in right.certain for v in shared)
-            cond = self._join_cond(left.df, rdf, ren, shared, strict)
+            cond = self._join_cond(left.df, rdf, ren, shared, strict,
+                                   left.id_vars | right.id_vars)
         else:
             cond = F.lit(True)
         how = "left_anti" if anti else "left_semi"
-        return Plan(left.df.join(rdf, cond, how), left.certain)
+        return Plan(left.df.join(rdf, cond, how), left.certain, left.id_vars)
 
     def _union(self, left: Plan, right: Plan) -> Plan:
         """SPARQL UNION = bag concatenation (UnionPlan,
         MaterializedQueryPlan.swift:380-412); vars missing on one side are
         unbound there."""
         lv, rv = set(left.variables), set(right.variables)
+        ids = left.id_vars | right.id_vars
         ldf, rdf = left.df, right.df
         for vname in rv - lv:
-            ldf = ldf.withColumn(vname, F.lit(None).cast(TERM_SCHEMA))
+            fill = "long" if vname in ids else TERM_SCHEMA
+            ldf = ldf.withColumn(vname, F.lit(None).cast(fill))
         for vname in lv - rv:
-            rdf = rdf.withColumn(vname, F.lit(None).cast(TERM_SCHEMA))
+            fill = "long" if vname in ids else TERM_SCHEMA
+            rdf = rdf.withColumn(vname, F.lit(None).cast(fill))
         ldf = ldf.select(*[c for c in ldf.columns if not c.startswith("__")])
         rdf = rdf.select(*[c for c in rdf.columns if not c.startswith("__")])
         df = ldf.unionByName(rdf)
-        return Plan(df, (left.certain & right.certain))
+        return Plan(df, (left.certain & right.certain), ids)
 
     def _filter(self, node: A.Filter, g: A.Node | None) -> Plan:
         # FILTER (NOT) EXISTS → semi/anti join (ExistsPlan decorrelation)
@@ -416,7 +449,7 @@ class Compiler:
         # df.filter keeps only TRUE rows (NULL drops) — exactly SPARQL's
         # error-drops-row rule; no wrapper, so parquet sees plain predicates
         cond = compile_filter_condition(e, _env(child.df))
-        return Plan(child.df.filter(cond), child.certain)
+        return Plan(child.df.filter(cond), child.certain, child.id_vars)
 
     # -- aggregation ------------------------------------------------------
     def _aggregate(self, node: A.Aggregate, g: A.Node | None) -> Plan:

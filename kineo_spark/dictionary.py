@@ -115,6 +115,95 @@ def scan_ids(id_quads: DataFrame, pattern: A.QuadPattern) -> DataFrame:
     return df.select(*[F.col(p).alias(n) for n, p in out.items()])
 
 
+def needed_value_vars(alg: A.Algebra, projection: tuple[str, ...] | None):
+    """The set of variables whose term VALUES the query reads — the
+    lazy-materialization frontier (IDQueryPlan's evaluation-mode
+    analysis: everything else can stay an 8-byte dictionary id through
+    every join/dedup, since id equality == sameTerm equality, and is
+    simply never materialized).
+
+    ``projection=None`` means SELECT * (everything needed) → returns
+    None, as does any algebra node this walk doesn't understand
+    (fail-safe: materialize-all is always correct). Vars BOUND by
+    non-BGP binders (VALUES, BIND, paths, aggregates) are included so
+    every binder of a var produces the same representation."""
+    need: set[str] = set()
+
+    def expr_in(e) -> bool:
+        from kineo_spark.expr import expr_vars
+        sub: list[A.Algebra] = []
+        expr_vars(e, need, sub)
+        return all(walk(a) for a in sub)
+
+    def walk(n: A.Algebra) -> bool:  # False = bail (materialize all)
+        if isinstance(n, (A.BGP, A.Quad, A.Triple, A.JoinIdentity,
+                          A.UnionIdentity)):
+            return True
+        if isinstance(n, (A.Join, A.Union, A.Minus, A.SemiJoin)):
+            return walk(n.lhs) and walk(n.rhs)
+        if isinstance(n, A.LeftJoin):
+            if n.expr is not None and not expr_in(n.expr):
+                return False
+            return walk(n.lhs) and walk(n.rhs)
+        if isinstance(n, A.Filter):
+            from kineo_spark.expr import EExists
+            if isinstance(n.expr, EExists):
+                return walk(n.expr.algebra) and walk(n.child)
+            return expr_in(n.expr) and walk(n.child)
+        if isinstance(n, A.NamedGraph):
+            return walk(n.child)
+        if isinstance(n, A.Extend):
+            need.add(n.name)  # struct binder
+            return expr_in(n.expr) and walk(n.child)
+        if isinstance(n, A.Project):
+            need.update(n.variables)
+            return walk(n.child)
+        if isinstance(n, (A.Distinct, A.Reduced, A.Slice)):
+            return walk(n.child)
+        if isinstance(n, A.Order):
+            return all(expr_in(c.expr) for c in n.comparators) and walk(n.child)
+        if isinstance(n, A.Table):
+            need.update(n.variables)  # struct binder
+            return True
+        if isinstance(n, A.Aggregate):
+            need.update(n.group_names)
+            need.update(name for name, _ in n.aggs)
+            for e in n.groups:
+                if not expr_in(e):
+                    return False
+            for _, spec in n.aggs:
+                if spec.expr is not None and not expr_in(spec.expr):
+                    return False
+            return walk(n.child)
+        if isinstance(n, A.Window):
+            for name, spec in n.functions:
+                need.add(name)
+                exprs = [spec.expr] if spec.expr is not None else []
+                exprs += list(spec.partition) + [c.expr for c in spec.order]
+                if not all(expr_in(e) for e in exprs):
+                    return False
+            return walk(n.child)
+        if isinstance(n, A.PathPattern):
+            for t in (n.subject, n.object, n.graph):
+                if isinstance(t, A.Var):
+                    need.add(t.name)  # struct binder (paths.eval_path)
+            return True
+        if isinstance(n, A.Subquery):
+            q = n.query
+            if not q.variables:
+                return False  # SELECT * subquery: everything under it
+            need.update(q.variables)
+            return walk(q.algebra)
+        return False  # Service & anything unknown
+
+    if not walk(alg):
+        return None
+    if projection is None:
+        return None
+    need.update(projection)
+    return frozenset(need)
+
+
 def bgp_ids(id_quads: DataFrame, patterns: list[A.QuadPattern]) -> DataFrame:
     """ID-space BGP: equi-joins on shared long columns — the cheapest
     possible shuffle keys (IDHashJoinPlan/IDMergeJoinPlan analogs; Spark
@@ -174,6 +263,28 @@ def id_compiler(store, **kw):
         def __init__(self, store_, **kw_):
             super().__init__(store_, **kw_)
             self._idview = IdEncodedView.for_store(store_)
+            # None = materialize every var (safe default when no
+            # prepare() ran — e.g. DESCRIBE or direct compile calls)
+            self._needed: frozenset[str] | None = None
+
+        def prepare(self, query) -> None:
+            """Pre-query analysis hook (forms.* call it with the full
+            query): computes the lazy-materialization frontier."""
+            alg = getattr(query, "algebra", None)
+            if alg is None:
+                return
+            if isinstance(query, A.SelectQuery):
+                proj = tuple(query.variables) if query.variables else None
+            elif isinstance(query, A.AskQuery):
+                proj = ()  # ASK reads no values at all
+            elif isinstance(query, A.ConstructQuery):
+                proj = tuple(
+                    t.name for p in query.template
+                    for t in (p.s, p.p, p.o) if isinstance(t, A.Var)
+                )
+            else:
+                proj = None
+            self._needed = needed_value_vars(alg, proj)
 
         def _bgp(self, node: A.BGP, g):
             if not node.patterns:
@@ -187,23 +298,41 @@ def id_compiler(store, **kw):
                 # all-constant BGP (ASK-style): zero-var bindings, row
                 # count is the match count
                 return Plan(ids, frozenset())
-            mat = materialize(ids, self._idview.dictionary,
-                              broadcast_dict=self._idview.broadcast)
             certain = frozenset(set().union(*[p.variables() for p in quads]))
-            return Plan(mat, certain)
+            mat_vars = None if self._needed is None else \
+                [v for v in ids.columns if v in self._needed]
+            mat = materialize(ids, self._idview.dictionary,
+                              broadcast_dict=self._idview.broadcast,
+                              vars=mat_vars)
+            id_keep = frozenset() if mat_vars is None else \
+                frozenset(v for v in ids.columns if v not in self._needed)
+            return Plan(mat, certain, id_keep)
 
     return IdCompiler(store, **kw)
 
 
-def materialize(bindings: DataFrame, dictionary: DataFrame, broadcast_dict: bool = True) -> DataFrame:
+def materialize(bindings: DataFrame, dictionary: DataFrame,
+                broadcast_dict: bool = True,
+                vars: list[str] | None = None) -> DataFrame:
     """ID bindings → term-struct bindings (MaterializeTermsPlan,
-    MaterializedQueryPlan.swift:11-61), as ONE dictionary join total:
-    unpivot the k id columns to (row, pos, id) rows, join the dictionary
-    once, and fold back with a grouped aggregate. Measured 5× faster
-    than a join per variable (Spark rebuilds the broadcast hash per
-    join — ReuseExchange does not fire across AQE replans), and at
-    100 TB it turns k dictionary shuffles into one."""
-    vars_ = bindings.columns
+    MaterializedQueryPlan.swift:11-61) for ``vars`` (None = all
+    columns); other columns pass through as raw ids (the lazy path —
+    they stay 8-byte join currency for the plan above).
+
+    Two strategies:
+    - few vars + broadcastable dictionary → one BroadcastHashJoin per
+      var: ZERO shuffle, ids flow through untouched.
+    - otherwise → ONE dictionary join total: unpivot the k id columns
+      to (row, pos, id), join the dictionary once, fold back with a
+      grouped aggregate. Measured 5× faster than per-var joins when k
+      is large (Spark rebuilds the broadcast hash per join —
+      ReuseExchange does not fire across AQE replans), and at 100 TB it
+      turns k dictionary shuffles into one."""
+    all_vars = bindings.columns
+    mat = list(all_vars) if vars is None else [v for v in all_vars if v in vars]
+    keep = [v for v in all_vars if v not in set(mat)]
+    if not mat:
+        return bindings
     d = dictionary.select(
         "id",
         term_struct(
@@ -211,20 +340,32 @@ def materialize(bindings: DataFrame, dictionary: DataFrame, broadcast_dict: bool
             F.col("lang"), F.col("num"),
         ).alias("term"),
     )
+    if broadcast_dict and len(mat) <= 3:
+        df = bindings
+        for v in mat:
+            dv = d.select(F.col("id").alias(f"__did_{v}"),
+                          F.col("term").alias(f"__dterm_{v}"))
+            df = (
+                df.join(F.broadcast(dv), df[v] == dv[f"__did_{v}"], "left")
+                .drop(v, f"__did_{v}")
+                .withColumnRenamed(f"__dterm_{v}", v)
+            )
+        return df.select(*all_vars)
     if broadcast_dict:
         d = F.broadcast(d)
     b = bindings.withColumn("__rid", F.monotonically_increasing_id())
     long = b.select(
-        "__rid",
-        F.posexplode(F.array(*[F.col(v) for v in vars_])).alias("__pos", "__tid"),
+        "__rid", *keep,
+        F.posexplode(F.array(*[F.col(v) for v in mat])).alias("__pos", "__tid"),
     )
-    j = long.join(d, long["__tid"] == d["id"], "left").select("__rid", "__pos", "term")
+    j = long.join(d, long["__tid"] == d["id"], "left") \
+            .select("__rid", "__pos", *keep, "term")
     # exactly one (possibly-null) term per (__rid, __pos): max() picks it
     aggs = [
         F.max(F.when(F.col("__pos") == i, F.col("term"))).alias(v)
-        for i, v in enumerate(vars_)
-    ]
-    return j.groupBy("__rid").agg(*aggs).select(*vars_)
+        for i, v in enumerate(mat)
+    ] + [F.max(F.col(v)).alias(v) for v in keep]
+    return j.groupBy("__rid").agg(*aggs).select(*all_vars)
 
 
 # ---------------------------------------------------------------------------

@@ -95,6 +95,19 @@ class ECall(Expr):
     kwargs: tuple = ()  # ((key, value), ...) for e.g. CAST target
 
 
+def expr_vars(e: "Expr", into: set, exists_algebras: list) -> None:
+    """Collect the variable names an expression reads (into ``into``);
+    EXISTS sub-patterns are appended to ``exists_algebras`` for the
+    caller to walk (their vars are needed only per their own usage)."""
+    if isinstance(e, EVar):
+        into.add(e.name)
+    elif isinstance(e, ECall):
+        for x in e.args:
+            expr_vars(x, into, exists_algebras)
+    elif isinstance(e, EExists):
+        exists_algebras.append(e.algebra)
+
+
 @dataclass(frozen=True, eq=False)
 class EExists(Expr):
     """EXISTS { pattern } — decorrelated by the compiler into a semi-join

@@ -31,11 +31,21 @@ def select_plan(compiler: Compiler, q: A.SelectQuery, graph=None) -> Plan:
     return Plan(plan.df.select(*cols), plan.certain & set(q.variables))
 
 
+def _prepare(compiler: Compiler, q) -> None:
+    # ID-mode hook: compute the lazy-materialization frontier for the
+    # WHOLE query before compiling (no-op for the term-mode compiler).
+    prep = getattr(compiler, "prepare", None)
+    if prep is not None:
+        prep(q)
+
+
 def select(compiler: Compiler, q: A.SelectQuery) -> DataFrame:
+    _prepare(compiler, q)
     return select_plan(compiler, q).df
 
 
 def ask(compiler: Compiler, q: A.AskQuery) -> bool:
+    _prepare(compiler, q)
     plan = compiler.compile(q.algebra)
     return not plan.df.limit(1).isEmpty()
 
@@ -45,6 +55,7 @@ def construct(compiler: Compiler, q: A.ConstructQuery) -> DataFrame:
     (QueryPlanner.swift:1181-1199). Returns a triples DataFrame
     (s, p, o term structs)."""
     from kineo_spark.model import KIND_BLANK
+    _prepare(compiler, q)
     plan = compiler.compile(q.algebra)
     df = plan.df
     # template blank nodes are fresh per solution row (the reference's

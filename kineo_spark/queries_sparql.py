@@ -128,7 +128,9 @@ def sparql_bgp_3hop_join(spark, sf_dir) -> DataFrame:
         )),
         v("bal") > c(lit(7500)),
     )
-    return extract(select(comp, A.SelectQuery(alg)), {
+    # explicit projection: join-only vars (cust/nat/reg) are never
+    # output — in ID mode they stay 8-byte ids end to end
+    return extract(select(comp, A.SelectQuery(alg, ("name", "bal", "nation", "region"))), {
         "name": ("name", "lex"), "nation": ("nation", "lex"),
         "region": ("region", "lex"), "bal": ("bal", "num"),
     })

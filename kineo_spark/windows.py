@@ -74,4 +74,4 @@ def compile_window(node: A.Window, child) -> "Plan":
             else:
                 raise ValueError(f"unknown window function {op}")
         out = out.withColumn(var, col)
-    return Plan(out, child.certain)
+    return Plan(out, child.certain, child.id_vars)
