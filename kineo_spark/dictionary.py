@@ -238,7 +238,18 @@ class IdEncodedView:
     def __init__(self, store):
         dictionary, id_quads = encode_quads(store.quads())
         self.dictionary = dictionary.cache()
-        self.id_quads = id_quads.cache()
+        spark = id_quads.sparkSession
+        shuffle_n = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+        # Hash-partition the cached quads by subject — the in-memory twin
+        # of the persisted subject-bucketed layout (persist_id_layout
+        # below): scan_ids aliases `s` to the pattern var, Catalyst's
+        # alias-aware partitioning propagation keeps HashPartitioning(s)
+        # alive through the projection, and every subject-subject (star)
+        # self-join runs with ZERO exchange. Cross-hop joins (prev
+        # object → next subject) still shuffle only the small joined
+        # side, never the base scans — the at-rest co-location story
+        # that matters at 100 TB.
+        self.id_quads = id_quads.repartition(shuffle_n, "s").cache()
         self.n_terms = self.dictionary.count()  # materializes the cache
         self.id_quads.count()  # materialize too: queries pay zero encode cost
         self.broadcast = self.n_terms <= self.BROADCAST_TERMS
@@ -327,7 +338,15 @@ def materialize(bindings: DataFrame, dictionary: DataFrame,
       grouped aggregate. Measured 5× faster than per-var joins when k
       is large (Spark rebuilds the broadcast hash per join —
       ReuseExchange does not fire across AQE replans), and at 100 TB it
-      turns k dictionary shuffles into one."""
+      turns k dictionary shuffles into one.
+
+    (Measured dead end, recorded so it isn't retried: semi-join-reducing
+    the dictionary to the referenced ids before broadcasting — the
+    IDIndexBindQuadPlan bind-join idea — LOSES at bench scale because it
+    adds two sequential AQE stage barriers and re-executes the bindings
+    subtree; and in the 100 TB regime broadcast_dict is False, so the
+    reduction never applies. 3-hop at sf0.1: 2.9s full-broadcast vs
+    3.5s reduced.)"""
     all_vars = bindings.columns
     mat = list(all_vars) if vars is None else [v for v in all_vars if v in vars]
     keep = [v for v in all_vars if v not in set(mat)]
