@@ -74,32 +74,84 @@ def _edges_for(compiler, path: A.Path, graph) -> DataFrame:
     raise NotImplementedError(type(path).__name__)
 
 
-def _closure(compiler, edges: DataFrame, max_iterations: int) -> DataFrame:
-    """Semi-naive transitive closure of the (deduplicated) edge relation."""
-    edges = edges.dropDuplicates(["__sk", "__ok"]).localCheckpoint(eager=True)
-    acc = edges
-    frontier = edges
-    e2 = edges.select(
-        edges["__sk"].alias("__esk"), edges["__ok"].alias("__eok"),
-        edges["__o"].alias("__eo"),
+def _closure(compiler, edges: DataFrame, max_iterations: int,
+             seed_key: str | None = None, reverse: bool = False) -> DataFrame:
+    """Semi-naive transitive closure, iterated in KEY SPACE.
+
+    The fixpoint loop moves only (a, b) pairs of 8-byte ``xxhash64``
+    node keys — 16 B/row through every iteration's shuffle, the same id
+    convention (hash of the injective term key) the dictionary layout
+    uses — and term structs are joined back ONCE from the node map after
+    convergence. At 100 TB this is the difference between shuffling
+    closure-sized streams of lexical structs every round and shuffling
+    longs.
+
+    With ``seed_key`` (a bound endpoint), the loop is a seeded BFS over
+    the edge relation (reverse=True walks edges backwards for a bound
+    OBJECT): only the reachable set is computed, not the full closure —
+    the reference's ``alp`` procedure does exactly this
+    (MaterializedQueryPlan.swift:2101-2174)."""
+    ek = edges.select(
+        F.xxhash64("__sk").alias("__a"), F.xxhash64("__ok").alias("__b")
+    ).dropDuplicates(["__a", "__b"])
+    nodes = (
+        edges.select(F.xxhash64("__sk").alias("__k"),
+                     F.col("__s").alias("__n"), F.col("__sk").alias("__nk"))
+        .unionByName(
+            edges.select(F.xxhash64("__ok").alias("__k"),
+                         F.col("__o").alias("__n"), F.col("__ok").alias("__nk")))
+        .dropDuplicates(["__k"])
     )
+    if reverse:
+        ek = ek.select(F.col("__b").alias("__a"), F.col("__a").alias("__b"))
+    ek = ek.localCheckpoint(eager=True)
+    if seed_key is not None:
+        frontier = ek.filter(F.col("__a") == F.xxhash64(F.lit(seed_key)))
+    else:
+        frontier = ek
+    acc = frontier.localCheckpoint(eager=True)
+    frontier = acc
+    e2 = ek.select(F.col("__a").alias("__ea"), F.col("__b").alias("__eb"))
     for _ in range(max_iterations):
         grown = (
-            frontier.join(e2, frontier["__ok"] == e2["__esk"], "inner")
-            .select(
-                frontier["__s"], F.col("__eo").alias("__o"),
-                frontier["__sk"], F.col("__eok").alias("__ok"),
-            )
-            .dropDuplicates(["__sk", "__ok"])
+            frontier.join(e2, frontier["__b"] == e2["__ea"], "inner")
+            .select(frontier["__a"], F.col("__eb").alias("__b"))
+            .dropDuplicates(["__a", "__b"])
         )
-        new = grown.join(acc, ["__sk", "__ok"], "left_anti").localCheckpoint(eager=True)
+        new = grown.join(acc, ["__a", "__b"], "left_anti").localCheckpoint(eager=True)
         if new.isEmpty():
             break
         acc = acc.unionByName(new).localCheckpoint(eager=True)
         frontier = new
     else:
         raise RuntimeError(f"path closure did not converge in {max_iterations} iterations")
-    return acc
+    if reverse:
+        acc = acc.select(F.col("__b").alias("__a"), F.col("__a").alias("__b"))
+    na = nodes.select(F.col("__k").alias("__ka"), F.col("__n").alias("__s"),
+                      F.col("__nk").alias("__sk"))
+    nb = nodes.select(F.col("__k").alias("__kb"), F.col("__n").alias("__o"),
+                      F.col("__nk").alias("__ok"))
+    out = (
+        acc.join(na, acc["__a"] == na["__ka"], "inner")
+        .join(nb, acc["__b"] == nb["__kb"], "inner")
+    )
+    return out.select("__s", "__o", "__sk", "__ok")
+
+
+def _term_pair(compiler, t: PyTerm) -> DataFrame:
+    """Single zero-length pair (t, t) — the whole zero-length
+    contribution when an endpoint is bound: ALP starts from the bound
+    term itself, whether or not it appears in the graph (reference
+    MaterializedQueryPlan.swift:2101-2174), so scanning every graph
+    node just to keep one is both wasteful and subtly wrong for terms
+    outside the graph."""
+    from kineo_spark.model import TERM_SCHEMA
+    from pyspark.sql import types as T
+    schema = T.StructType([T.StructField("__s", TERM_SCHEMA),
+                           T.StructField("__o", TERM_SCHEMA)])
+    tup = (t.kind, t.lex, t.dt, t.lang, t.num)
+    df = compiler.spark.createDataFrame([(tup, tup)], schema)
+    return _pairs(df, df["__s"], df["__o"])
 
 
 def _graph_nodes(compiler, graph) -> DataFrame:
@@ -122,16 +174,28 @@ def eval_path(compiler, node: A.PathPattern, graph) -> "Plan":
     from kineo_spark.compiler import Plan
 
     path = node.path
+    # bound endpoint → seed the closure BFS there instead of computing
+    # the full closure and filtering after (alp-style, see _closure)
+    seed_key, seed_rev = None, False
+    if isinstance(node.subject, PyTerm):
+        seed_key = node.subject.key()
+    elif isinstance(node.object, PyTerm):
+        seed_key, seed_rev = node.object.key(), True
+    seed_term = node.subject if not seed_rev else node.object
     if isinstance(path, A.PPlus):
         pairs = _closure(compiler, _edges_for(compiler, path.path, graph),
-                         compiler.max_path_iterations)
+                         compiler.max_path_iterations, seed_key, seed_rev)
     elif isinstance(path, A.PStar):
         plus = _closure(compiler, _edges_for(compiler, path.path, graph),
-                        compiler.max_path_iterations)
-        pairs = plus.unionByName(_graph_nodes(compiler, graph)).dropDuplicates(["__sk", "__ok"])
+                        compiler.max_path_iterations, seed_key, seed_rev)
+        zero = (_term_pair(compiler, seed_term) if seed_key is not None
+                else _graph_nodes(compiler, graph))
+        pairs = plus.unionByName(zero).dropDuplicates(["__sk", "__ok"])
     elif isinstance(path, A.PZeroOrOne):
         one = _edges_for(compiler, path.path, graph).dropDuplicates(["__sk", "__ok"])
-        pairs = one.unionByName(_graph_nodes(compiler, graph)).dropDuplicates(["__sk", "__ok"])
+        zero = (_term_pair(compiler, seed_term) if seed_key is not None
+                else _graph_nodes(compiler, graph))
+        pairs = one.unionByName(zero).dropDuplicates(["__sk", "__ok"])
     else:
         pairs = _edges_for(compiler, path, graph)
 
