@@ -153,6 +153,19 @@ def is_string_lit(t: Column) -> Column:
     return (t["kind"] == KIND_LITERAL) & t["dt"].isin("string", "langString")
 
 
+def str_args_compatible(a: Column, b: Column) -> Column:
+    """SPARQL 17.4.3.1.2 argument compatibility for the two-argument
+    string builtins (CONTAINS/STRSTARTS/STRENDS/STRBEFORE/STRAFTER):
+    both simple or xsd:string; or arg1 language-tagged and arg2
+    simple/xsd:string; or both tagged with the SAME tag. Anything else
+    (notably different language tags, or a tagged arg2 against a plain
+    arg1) is a type ERROR, not false."""
+    return (
+        is_string_lit(a) & is_string_lit(b)
+        & (b["lang"].isNull() | (a["lang"] == b["lang"]))
+    )
+
+
 def ebv(t: Column) -> Column:
     """Effective boolean value; NULL = type error (Expression.swift:14-26)."""
     return (
@@ -405,13 +418,13 @@ def _dispatch_call(e: ECall, a: list[Column], env: dict[str, Column]) -> Column:
         )
         return F.when(lex.isNotNull(), t)
     if op == "CONTAINS":
-        return bool_term(F.when(is_string_lit(a[0]) & is_string_lit(a[1]),
+        return bool_term(F.when(str_args_compatible(a[0], a[1]),
                                 a[0]["lex"].contains(a[1]["lex"])))
     if op == "STRSTARTS":
-        return bool_term(F.when(is_string_lit(a[0]) & is_string_lit(a[1]),
+        return bool_term(F.when(str_args_compatible(a[0], a[1]),
                                 a[0]["lex"].startswith(a[1]["lex"])))
     if op == "STRENDS":
-        return bool_term(F.when(is_string_lit(a[0]) & is_string_lit(a[1]),
+        return bool_term(F.when(str_args_compatible(a[0], a[1]),
                                 a[0]["lex"].endswith(a[1]["lex"])))
     if op == "SUBSTR":
         start = _num_guard(a[1]).cast("int")
@@ -434,8 +447,12 @@ def _dispatch_call(e: ECall, a: list[Column], env: dict[str, Column]) -> Column:
             found = F.substring(a[0]["lex"], 1, pos - 1)
         else:
             found = F.substring(a[0]["lex"], pos + F.length(a[1]["lex"]), F.lit(1 << 30))
-        lex = F.when(pos > 0, found).otherwise(F.lit(""))
-        return str_term(F.when(is_string_lit(a[0]) & is_string_lit(a[1]), lex), like=a[0])
+        # no-match result is a SIMPLE "" (language dropped), match keeps
+        # arg1's language — hence the conditional `like`
+        lex = F.when(pos > 0, found)
+        matched = str_term(F.when(str_args_compatible(a[0], a[1]), lex), like=a[0])
+        empty = str_term(F.when(str_args_compatible(a[0], a[1]), F.lit("")))
+        return F.when(pos > 0, matched).otherwise(empty)
     if op == "ENCODE_FOR_URI":
         enc = F.replace(F.url_encode(a[0]["lex"]), F.lit("+"), F.lit("%20"))
         return str_term(F.when(is_string_lit(a[0]), enc))
@@ -593,7 +610,8 @@ def compile_filter_condition(e: Expr, env: dict[str, Column]) -> Column:
             a = compile_expr(e.args[0], env)
             b = compile_expr(e.args[1], env)
             meth = {"CONTAINS": "contains", "STRSTARTS": "startswith", "STRENDS": "endswith"}[op]
-            return is_string_lit(a) & is_string_lit(b) & getattr(a["lex"], meth)(b["lex"])
+            # incompatible args are an ERROR (= false here), not a lex test
+            return str_args_compatible(a, b) & getattr(a["lex"], meth)(b["lex"])
         if op in ("<", ">", "<=", ">=", "=", "!="):
             a = compile_expr(e.args[0], env)
             b = compile_expr(e.args[1], env)
