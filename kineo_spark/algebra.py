@@ -293,8 +293,12 @@ class WindowSpec:
     n: Optional[int] = None  # for NTILE
     partition: tuple["Expr", ...] = ()
     order: tuple[SortComparator, ...] = ()
-    # frame: ROWS only, like the reference (RANGE throws unimplemented,
-    # MaterializedQueryPlan.swift:849-852). None = unbounded.
+    # frame: ROWS (reference parity) or RANGE — an EXTENSION past the
+    # reference, which throws on RANGE (MaterializedQueryPlan.swift:
+    # 849-852); Spark's native rangeBetween makes it free here. RANGE
+    # requires a single numeric ORDER BY key (SQL-standard restriction).
+    # None bounds = unbounded.
+    frame_type: str = "ROWS"
     frame_start: Optional[int] = None  # negative = preceding
     frame_end: Optional[int] = None
     # exact=True: SUM/AVG accumulate in DECIMAL(25,6) (order-independent)

@@ -112,3 +112,55 @@ def bpe_ish_token_count(text: Column) -> Column:
     return F.size(
         F.regexp_extract_all(text, F.lit(r"([A-Za-z]+|[0-9]+|[^A-Za-z0-9\s])"), F.lit(1))
     )
+
+
+# PII scrubbing -------------------------------------------------------------
+
+# pattern → replacement token. Simple alternation-free regexes that mean
+# the same thing in Java regex (Spark) and RE2 (any SQL oracle);
+# applied in order, so the email rule runs before the IP rule ever sees
+# the text. A training-data pipeline runs this scan over every document
+# — pure Column regexp_replace keeps it inside whole-stage codegen.
+PII_RULES: list[tuple[str, str]] = [
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
+    (r"\+?\d{3}[- ]\d{3}[- ]\d{4}", "<PHONE>"),
+]
+
+
+def pii_scrub(text: Column, rules: list[tuple[str, str]] | None = None) -> Column:
+    """Replace every PII match with its placeholder token."""
+    out = text
+    for pat, repl in (rules or PII_RULES):
+        out = F.regexp_replace(out, pat, repl)
+    return out
+
+
+def pii_hits(text: Column, rules: list[tuple[str, str]] | None = None) -> Column:
+    """Total PII match count (audit metric for scrub coverage)."""
+    counts = [
+        F.size(F.regexp_extract_all(text, F.lit(pat), F.lit(0)))
+        for pat, _ in (rules or PII_RULES)
+    ]
+    out = counts[0]
+    for c in counts[1:]:
+        out = out + c
+    return out
+
+
+# Benchmark-contamination probes --------------------------------------------
+
+def contamination(docs: DataFrame, probes: DataFrame,
+                  text_col: str = "text", probe_col: str = "probe") -> DataFrame:
+    """(doc, probe) pairs where the document contains the benchmark
+    probe string verbatim — the standard decontamination scan (probe =
+    a benchmark question/answer n-gram). The probe set is small by
+    construction, so it BROADCASTS and the scan is one substring pass
+    per document: no shuffle, embarrassingly parallel at 100 TB. For
+    fuzzy (normalized n-gram) contamination, reuse the MinHash/Jaccard
+    machinery in pipeline.dedup over docs ∪ benchmark."""
+    return docs.join(
+        F.broadcast(probes),
+        F.col(text_col).contains(F.col(probe_col)),
+        "inner",
+    )

@@ -343,3 +343,46 @@ def pipe_multimodal_features(spark, sf_dir) -> DataFrame:
     media = multimodal.synthetic_media(spark, docs)
     feats = multimodal.extract_features(media, decode_fn="fake")
     return feats.select("media_id", "kind", "n_bytes")
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing & benchmark contamination
+# ---------------------------------------------------------------------------
+
+# The synthetic corpus has no PII, so the query INJECTS deterministic
+# synthetic PII first (same expression in the oracle) and then scrubs —
+# the comparison validates real replacements, not a no-op.
+@q("pipe_pii_scrub",
+   "SELECT doc_id, regexp_replace(regexp_replace("
+   "  text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com"
+   " at 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7', "
+   "  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'), "
+   "  '\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b', '<IP>', 'g') AS clean, "
+   "CAST(2 AS INT) AS hits "
+   "FROM documents")
+def pipe_pii_scrub(spark, sf_dir) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    dirty = F.concat(
+        F.col("text"), F.lit(" contact user"), F.col("doc_id").cast("string"),
+        F.lit("@example.com at 10.0."),
+        (F.col("doc_id") % 256).cast("string"), F.lit(".7"),
+    )
+    return docs.select(
+        "doc_id",
+        text.pii_scrub(dirty).alias("clean"),
+        text.pii_hits(dirty).cast("int").alias("hits"),
+    )
+
+
+_PROBES = ["spark order data column", "window table table key",
+           "no such benchmark phrase xyzzy"]
+
+@q("pipe_contamination",
+   "SELECT d.doc_id, p.probe FROM documents d, "
+   "(VALUES ('spark order data column'), ('window table table key'), "
+   "('no such benchmark phrase xyzzy')) p(probe) "
+   "WHERE position(p.probe IN d.text) > 0")
+def pipe_contamination(spark, sf_dir) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    probes = spark.createDataFrame([(p,) for p in _PROBES], ["probe"])
+    return text.contamination(docs, probes).select("doc_id", "probe")

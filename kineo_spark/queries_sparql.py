@@ -513,6 +513,39 @@ def sparql_window_running_sum(spark, sf_dir) -> DataFrame:
     })
 
 
+@q("sparql_window_range_sum",
+   f"SELECT o_orderkey AS orderkey, "
+   f"CAST(SUM(CAST(o_totalprice AS {_DEC})) OVER ("
+   f"PARTITION BY o_custkey ORDER BY o_totalprice "
+   f"RANGE BETWEEN 1000 PRECEDING AND 1000 FOLLOWING) AS DOUBLE) AS near_total "
+   f"FROM orders")
+def sparql_window_range_sum(spark, sf_dir) -> DataFrame:
+    """RANGE-framed windowed aggregate — sum of each customer's orders
+    priced within ±1000 of the current order. An extension past the
+    reference (RANGE frames throw at MaterializedQueryPlan.swift:
+    849-852); Spark's rangeBetween peer-groups on the ORDER BY value,
+    so duplicate prices need no tiebreak for determinism."""
+    comp = compiler_for(spark, sf_dir)
+    alg = A.Window(
+        A.BGP((
+            tp("ord", col("orders", "o_orderkey"), "okey"),
+            tp("ord", fk("orders", "o_custkey"), "cust"),
+            tp("ord", col("orders", "o_totalprice"), "price"),
+        )),
+        functions=(
+            ("near_total", A.WindowSpec(
+                "SUM", expr=v("price"), partition=(v("cust"),),
+                order=(A.SortComparator(v("price"), True),),
+                frame_type="RANGE", frame_start=-1000, frame_end=1000,
+                exact=True,
+            )),
+        ),
+    )
+    return extract(select(comp, A.SelectQuery(alg, ("okey", "near_total"))), {
+        "orderkey": ("okey", "int"), "near_total": ("near_total", "num"),
+    })
+
+
 # ---------------------------------------------------------------------------
 # Property paths
 # ---------------------------------------------------------------------------

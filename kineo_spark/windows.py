@@ -47,7 +47,21 @@ def compile_window(node: A.Window, child) -> "Plan":
         else:
             value = compile_expr(spec.expr, env)
             lo, hi = _frame(spec)
-            wf = w.rowsBetween(lo, hi)
+            if spec.frame_type == "RANGE":
+                # RANGE frames peer-group on the ORDER BY VALUE — Spark
+                # rangeBetween needs a single numeric sort key, so order
+                # by the term's numeric shadow directly (an extension:
+                # the reference throws on RANGE frames,
+                # MaterializedQueryPlan.swift:849-852)
+                if len(spec.order) != 1:
+                    raise ValueError("RANGE frame requires exactly one ORDER BY key")
+                cmp = spec.order[0]
+                okey = compile_expr(cmp.expr, env)["num"]
+                wr = (W.partitionBy(*parts) if parts else W.partitionBy(F.lit(0)))
+                wr = wr.orderBy(okey.asc() if cmp.ascending else okey.desc())
+                wf = wr.rangeBetween(lo, hi)
+            else:
+                wf = w.rowsBetween(lo, hi)
             if op == "COUNT*":
                 agg = F.count(F.lit(1)).over(wf).cast("double")
                 col = num_term(agg, F.lit("integer"))

@@ -205,3 +205,72 @@ def test_embedding_near_dup_planted_recall(spark):
     assert n_lsh > 0
     # exact count = 59 at sf0.01 (measured via DuckDB all-pairs)
     assert n_lsh / 59 >= 0.8
+
+
+# --- PII scrubbing / contamination ----------------------------------------
+
+def test_pii_scrub_and_hits(spark):
+    df = spark.createDataFrame(
+        [("mail bob.smith@corp.example.org now",),
+         ("server at 192.168.1.200 port 80",),
+         ("call +1-555-867-5309 ok",),
+         ("clean text with no pii at all",)],
+        ["text"],
+    )
+    out = df.select(
+        text.pii_scrub(F.col("text")).alias("clean"),
+        text.pii_hits(F.col("text")).alias("hits"),
+    ).collect()
+    assert out[0].clean == "mail <EMAIL> now" and out[0].hits == 1
+    assert out[1].clean == "server at <IP> port 80" and out[1].hits == 1
+    # the leading +1- means the 3-3-4 rule matches starting at 555
+    assert "<PHONE>" in out[2].clean and out[2].hits == 1
+    assert out[3].clean == "clean text with no pii at all" and out[3].hits == 0
+
+
+def test_contamination_probe(spark, docs):
+    # probe strings taken verbatim from the corpus → must match their
+    # own source docs; the nonsense probe must match nothing
+    sample = docs.select("doc_id", "text").limit(2).collect()
+    probes = spark.createDataFrame(
+        [(r.text[:40],) for r in sample] + [("xyzzy never in corpus 123",)],
+        ["probe"],
+    )
+    hits = text.contamination(docs, probes).select("doc_id", "probe").collect()
+    hit_ids = {r.doc_id for r in hits}
+    assert {r.doc_id for r in sample} <= hit_ids
+    assert all("xyzzy" not in r.probe for r in hits)
+
+
+# --- RANGE window frames (extension; reference throws) ---------------------
+
+def test_range_frame_peers(spark):
+    """RANGE peers group by ORDER BY value: equal keys share a frame
+    regardless of row order, and the ±delta bound is on the VALUE."""
+    from kineo_spark import algebra as A
+    from kineo_spark.compiler import Compiler
+    from kineo_spark.store import QuadsDataFrameStore
+    from kineo_spark.expr import v
+    from kineo_spark.forms import select
+    from kineo_spark.model import PyTerm, KIND_LITERAL
+
+    def num(x):
+        return PyTerm(KIND_LITERAL, str(x), "integer")
+
+    rows = [(num(1),), (num(2),), (num(2),), (num(10),)]
+    table = A.Table(("x",), tuple(rows))
+    alg = A.Window(
+        table,
+        functions=(
+            ("s", A.WindowSpec(
+                "SUM", expr=v("x"),
+                order=(A.SortComparator(v("x"), True),),
+                frame_type="RANGE", frame_start=-1, frame_end=1,
+            )),
+        ),
+    )
+    store = QuadsDataFrameStore.from_rows(spark, [])
+    out = select(Compiler(store), A.SelectQuery(alg, ("x", "s")))
+    got = sorted((r.x.num, r.s.num) for r in out.collect())
+    # x=1: frame [0,2] → 1+2+2=5 ; x=2 (both): frame [1,3] → 5 ; x=10: 10
+    assert got == [(1.0, 5.0), (2.0, 5.0), (2.0, 5.0), (10.0, 10.0)]
