@@ -56,6 +56,16 @@ class Plan:
     # plans sharing it agree on representation; id equality == sameTerm,
     # exactly the join/dedup semantics.
     id_vars: frozenset[str] = frozenset()
+    # Bind-join seed (IDIndexBindQuadPlan, IDQueryPlan.swift): when this
+    # plan is a small literal table (VALUES), the driver-known lexical
+    # forms per certainly-bound var. A join pushes them into the OTHER
+    # side as a SUPERSET isin pre-filter on the term's lex — sound
+    # because the equi-join afterwards enforces exactness — which
+    # Catalyst simplifies to the bare parquet column and pushes into the
+    # scan (PushedFilters: In(...)). At 100 TB this turns "scan
+    # everything, shuffle, join" into "scan the rows the VALUES can
+    # possibly match".
+    bind_values: dict[str, tuple[str, ...]] | None = None
 
     @property
     def variables(self) -> list[str]:
@@ -232,7 +242,13 @@ class Compiler:
             v for i, v in enumerate(node.variables)
             if all(row[i] is not None for row in node.rows)
         )
-        return Plan(df, certain)
+        bind = None
+        if 0 < len(node.rows) <= self._BIND_JOIN_MAX_ROWS:
+            bind = {
+                v: tuple(sorted({row[i].lex for row in node.rows}))
+                for i, v in enumerate(node.variables) if v in certain
+            }
+        return Plan(df, certain, bind_values=bind or None)
 
     def _distinct(self, df: DataFrame, id_vars: frozenset[str] = frozenset()) -> DataFrame:
         vars_ = [c for c in df.columns if not c.startswith("__")]
@@ -254,9 +270,30 @@ class Compiler:
     # branch cap: 3^u union branches for u maybe-unbound shared vars;
     # above this, fall back to the OR-condition join (non-equi)
     _MAX_SPLIT_VARS = 2
+    # VALUES tables at or below this row count seed a bind join
+    _BIND_JOIN_MAX_ROWS = 1000
+
+    def _bind_prefilter(self, plan: Plan, other: Plan, shared: list[str]) -> Plan:
+        """Superset pre-filter from the other side's bind_values (see
+        Plan.bind_values): lex ∈ known set, on shared certainly-bound,
+        term-typed vars."""
+        if not other.bind_values:
+            return plan
+        conds = [
+            plan.df[v]["lex"].isin(*other.bind_values[v])
+            for v in shared
+            if v in other.bind_values and v in plan.certain
+            and v not in plan.id_vars
+        ]
+        if not conds:
+            return plan
+        return Plan(plan.df.filter(_all(conds)), plan.certain, plan.id_vars,
+                    plan.bind_values)
 
     def _join(self, left: Plan, right: Plan) -> Plan:
         shared = [v for v in left.variables if v in right.variables]
+        left = self._bind_prefilter(left, right, shared)
+        right = self._bind_prefilter(right, left, shared)
         rdf, ren = self._prep_right(right)
         if not shared:
             df = left.df.crossJoin(rdf)

@@ -250,6 +250,30 @@ def sparql_values_join(spark, sf_dir) -> DataFrame:
     })
 
 
+@q("sparql_values_bindjoin",
+   "SELECT c_name AS name, c_acctbal AS bal FROM customer "
+   "WHERE c_name IN ('Customer#000000001','Customer#000000002','Customer#000000003')")
+def sparql_values_bindjoin(spark, sf_dir) -> DataFrame:
+    """Bind join (IDIndexBindQuadPlan analog): the small VALUES table
+    seeds a lex-isin pre-filter pushed into the star scan — for object
+    vars backed by a stored column it lands in the parquet
+    PushedFilters (In(c_name, ...)), so at 100 TB the scan reads only
+    row groups the VALUES can match (tests/test_compat_join.py asserts
+    the pushdown)."""
+    comp = compiler_for(spark, sf_dir)
+    alg = A.Join(
+        A.Table(("name",), tuple(
+            (lit(f"Customer#{i:09d}"),) for i in (1, 2, 3))),
+        A.BGP((
+            tp("c", col("customer", "c_name"), "name"),
+            tp("c", col("customer", "c_acctbal"), "bal"),
+        )),
+    )
+    return extract(select(comp, A.SelectQuery(alg, ("name", "bal"))), {
+        "name": ("name", "lex"), "bal": ("bal", "num"),
+    })
+
+
 @q("sparql_bind_extend",
    "SELECT l_orderkey AS orderkey, l_linenumber AS linenumber, "
    "l_extendedprice * (1 - l_discount) AS revenue "

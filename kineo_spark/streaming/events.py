@@ -101,3 +101,30 @@ def events_to_quads(events: DataFrame) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def view_purchase_join(views: DataFrame, purchases: DataFrame,
+                       within_min: int = 60,
+                       watermark: str = "2 hours") -> DataFrame:
+    """Stream-stream inner join: each purchase matched to the same
+    user's views in the preceding ``within_min`` minutes. Both sides
+    carry watermarks and the join condition bounds event time on BOTH
+    sides, so Spark can expire join state — unbounded state is the
+    stream-stream-join failure mode at scale, and the time bound is
+    what prevents it. (Streaming is an extension: the reference has no
+    streaming at all, SURVEY §2.11.)"""
+    v = views.withWatermark("ts", watermark).select(
+        F.col("user_id").alias("v_user"), F.col("ts").alias("v_ts"),
+        F.col("event_id").alias("view_id"),
+    )
+    p = purchases.withWatermark("ts", watermark).select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts"),
+        F.col("event_id").alias("purchase_id"), F.col("value"),
+    )
+    return v.join(
+        p,
+        (F.col("v_user") == F.col("p_user"))
+        & (F.col("v_ts") <= F.col("p_ts"))
+        & (F.col("v_ts") >= F.col("p_ts") - F.expr(f"INTERVAL {within_min} MINUTES")),
+        "inner",
+    )

@@ -74,3 +74,48 @@ def test_strict_join_unchanged(opt_store):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
     assert {(_n(r["s"]), _n(r["v"])) for r in df.collect()} == {("a", "X")}
+
+
+# --- bind join (VALUES → scan pre-filter) ----------------------------------
+
+def _executed(df):
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_bind_join_pushes_in_filter(spark, rel_store):
+    from kineo_spark import algebra as A
+    from kineo_spark.compiler import Compiler
+    from kineo_spark.model import iri, lit
+    from kineo_spark.forms import select
+
+    tp = A.TriplePattern
+    comp = Compiler(rel_store)
+    alg = A.Join(
+        A.Table(("name",), ((lit("Customer#000000001"),),
+                            (lit("Customer#000000002"),))),
+        A.BGP((tp(A.Var("c"), iri("urn:col:customer:c_name"), A.Var("name")),)),
+    )
+    df = select(comp, A.SelectQuery(alg, ("c", "name")))
+    assert df.count() == 2
+    plan = _executed(df)
+    assert "In(c_name" in plan or "c_name#" in plan and " IN (" in plan
+
+
+def test_bind_join_skips_undef_vars(spark, rel_store):
+    # a var with UNDEF in any VALUES row must NOT pre-filter the scan
+    from kineo_spark import algebra as A
+    from kineo_spark.compiler import Compiler
+    from kineo_spark.model import iri, lit
+    from kineo_spark.forms import select
+
+    tp = A.TriplePattern
+    comp = Compiler(rel_store)
+    alg = A.Join(
+        A.Table(("name",), ((lit("Customer#000000001"),), (None,))),
+        A.BGP((tp(A.Var("c"), iri("urn:col:customer:c_name"), A.Var("name")),)),
+    )
+    df = select(comp, A.SelectQuery(alg, ("c", "name")))
+    # UNDEF row is compatible with EVERY customer: 1 exact + all rows
+    n_cust = spark.read.parquet(
+        "/root/testdata/sf0.001/customer.parquet").count()
+    assert df.count() == n_cust + 1

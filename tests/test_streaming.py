@@ -81,3 +81,73 @@ def test_streaming_events_to_quads(spark, event_dir):
     n_events = spark.read.parquet(event_dir).count()
     assert got.count() == n_events * 4  # 4 column-quads per event
     assert got.filter(F.col("p_lex") == "urn:col:events:value").count() == n_events
+
+
+def test_stream_stream_join_equals_batch(spark, event_dir):
+    batch = spark.read.parquet(event_dir)
+    views_b = batch.filter(F.col("event_type") == "view")
+    buys_b = batch.filter(F.col("event_type") == "purchase")
+
+    stream = se.stream_events(spark, event_dir)
+    out_s = se.view_purchase_join(
+        stream.filter(F.col("event_type") == "view"),
+        stream.filter(F.col("event_type") == "purchase"),
+        within_min=60,
+    )
+    q = (out_s.writeStream.format("memory").queryName("t_ssjoin")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {(r.view_id, r.purchase_id)
+           for r in spark.table("t_ssjoin").collect()}
+
+    expect = {
+        (r.view_id, r.purchase_id)
+        for r in se.view_purchase_join(views_b, buys_b, within_min=60).collect()
+    }
+    assert got == expect and len(expect) > 0
+
+
+def test_watermark_drops_late_rows(spark):
+    """A row older than (max event time - watermark) arriving in a LATER
+    micro-batch is dropped: the finalized window's count excludes it.
+    Two checkpointed runs against a file sink make the batch boundary
+    (and the persisted watermark) deterministic."""
+    import tempfile
+    base = tempfile.mkdtemp(prefix="kineo_late_")
+    src, ckpt, sink = base + "/src", base + "/ckpt", base + "/out"
+    schema = ("event_id long, user_id long, event_type string, "
+              "value double, props string, ts timestamp")
+
+    def _mk(rows):
+        return (spark.createDataFrame(
+            rows, "event_id long, ts_s string")
+            .select("event_id", F.lit(1).alias("user_id"),
+                    F.lit("view").alias("event_type"),
+                    F.lit(1.0).alias("value"), F.lit("").alias("props"),
+                    F.col("ts_s").cast("timestamp").alias("ts")))
+
+    def _run():
+        sdf = spark.readStream.schema(schema).parquet(src)
+        agg = (sdf.withWatermark("ts", "1 hour")
+               .groupBy(F.window("ts", "60 minutes"))
+               .agg(F.count(F.lit(1)).alias("n"))
+               .select(F.col("window.start").cast("string").alias("ws"), "n"))
+        q = (agg.writeStream.format("parquet").option("path", sink)
+             .outputMode("append").option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        return {(r.ws, r.n) for r in spark.read.parquet(sink).collect()}
+
+    # run 1: on-time rows; 13:00 advances the watermark to 12:00, which
+    # finalizes (emits) the 10:00-11:00 window with n=1
+    _mk([(1, "2024-01-01 10:00:00"), (2, "2024-01-01 13:00:00")]) \
+        .coalesce(1).write.mode("append").parquet(src)
+    r1 = _run()
+    assert ("2024-01-01 10:00:00", 1) in r1
+
+    # run 2 (same checkpoint): a 10:05 straggler is behind the persisted
+    # watermark — dropped; the closed window is NOT re-emitted or grown
+    _mk([(3, "2024-01-01 10:05:00")]) \
+        .coalesce(1).write.mode("append").parquet(src)
+    r2 = _run()
+    assert r2 == r1
