@@ -99,3 +99,74 @@ def test_service_error_raises(local_store):
             SERVICE <http://127.0.0.1:9/nope> {{ ?p ex:name ?n }}
           }}
         """).bindings.collect()
+
+
+# --- SparqlEndpointStore: the endpoint as a QuadStore ----------------------
+
+class _MockPatternEndpoint(http.server.BaseHTTPRequestHandler):
+    """Answers pattern scans (SELECT * WHERE { ?s <p> ?o }) from a tiny
+    in-memory graph, echoing the positional var names the store emits."""
+
+    GRAPH = [
+        (EX + "alice", EX + "name", ("literal", "Alice")),
+        (EX + "bob", EX + "name", ("literal", "Bob")),
+        (EX + "alice", EX + "knows", ("uri", EX + "bob")),
+    ]
+    captured: list[str] = []
+
+    def do_POST(self):
+        import re as _re
+        body = self.rfile.read(int(self.headers["Content-Length"])).decode()
+        _MockPatternEndpoint.captured.append(body)
+        from urllib.parse import unquote_plus
+        q = unquote_plus(body.split("query=", 1)[1])
+        m = _re.search(r"<([^>]+)>", q)  # bound predicate, if any
+        pred = m.group(1) if m else None
+        bindings = []
+        for s, p, o in self.GRAPH:
+            if pred is not None and p != pred:
+                continue
+            row = {"s": {"type": "uri", "value": s}}
+            if pred is None:
+                row["p"] = {"type": "uri", "value": p}
+            row["o"] = {"type": o[0], "value": o[1]}
+            bindings.append(row)
+        payload = {"head": {"vars": ["s", "p", "o"] if pred is None else ["s", "o"]},
+                   "results": {"bindings": bindings}}
+        data = json.dumps(payload).encode()
+        self.send_response(200)
+        self.send_header("Content-Type", "application/sparql-results+json")
+        self.send_header("Content-Length", str(len(data)))
+        self.end_headers()
+        self.wfile.write(data)
+
+    def log_message(self, *a):
+        pass
+
+
+@pytest.fixture(scope="module")
+def pattern_endpoint():
+    srv = http.server.HTTPServer(("127.0.0.1", 0), _MockPatternEndpoint)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield f"http://127.0.0.1:{srv.server_address[1]}/sparql"
+    srv.shutdown()
+
+
+def test_endpoint_store_scan_and_join(spark, pattern_endpoint):
+    """Engine over SparqlEndpointStore: each BGP pattern becomes one
+    endpoint round trip; the join runs locally in Spark (the reference's
+    SPARQLEndpointQuadStore role)."""
+    from kineo_spark.sources.stores_ext import SparqlEndpointStore
+
+    store = SparqlEndpointStore(spark, pattern_endpoint)
+    eng = Engine(store)
+    res = eng.query(f"""
+        PREFIX ex: <{EX}>
+        SELECT ?who ?name WHERE {{ ?who ex:knows ?other . ?other ex:name ?name }}
+    """)
+    rows = [(r["who"]["lex"], r["name"]["lex"]) for r in res.bindings.collect()]
+    assert rows == [(EX + "alice", "Bob")]
+    # one HTTP query per pattern, predicate bound in each
+    assert sum("knows" in c for c in _MockPatternEndpoint.captured) >= 1
+    assert sum("name" in c for c in _MockPatternEndpoint.captured) >= 1
