@@ -94,7 +94,12 @@ def main() -> None:
         f = qs[name]
         best = None
         sw0 = _shuffle_write_bytes(spark)
-        for _ in range(3):
+        for i in range(3):
+            if i == 2:
+                # probe only the LAST run: steady-state per-query shuffle,
+                # excluding one-time cache builds (e.g. the ID view's
+                # encode+repartition) that the first run pays
+                sw0 = _shuffle_write_bytes(spark)
             t0 = time.time()
             try:
                 n = f(spark, sf_dir).count()
@@ -108,8 +113,7 @@ def main() -> None:
         if best >= 0:
             sw1 = _shuffle_write_bytes(spark)
             if name.endswith("bgp_3hop_join") and sw0 >= 0 and sw1 >= 0:
-                # 3 runs → per-run average shuffle write for the twin pair
-                extras[f"shuffle_mb_{name}"] = round((sw1 - sw0) / 3 / 1e6, 2)
+                extras[f"shuffle_mb_{name}"] = round((sw1 - sw0) / 1e6, 2)
             print(f"# {name}: {best}s ({n} rows)", file=sys.stderr)
             base = R1_BASELINE.get(name)
             if base and best > 2 * base:

@@ -1,0 +1,75 @@
+"""Plan-quality regression suite: pins the SCALE properties of the
+compiled plans — the things that make a query survive 100 TB — so a
+refactor can't silently regress them.
+
+Checked per query family:
+- no BroadcastNestedLoopJoin / CartesianProduct where an equi-join is
+  expected (the non-equi cliff, VERDICT r1 'what's wrong' #5);
+- predicate pushdown reaches the parquet FileScan (PushedFilters);
+- aggregates run partial+final (map-side combine), not single-phase.
+"""
+
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def queries():
+    import __spark_entry__ as entry
+    return entry.queries()
+
+
+def test_bgp_join_is_equi_join(spark, queries):
+    plan = _plan(queries["sparql_bgp_3hop_join"](spark, SF))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_optional_join_is_equi_join(spark, queries):
+    plan = _plan(queries["sparql_optional_leftjoin"](spark, SF))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_minus_is_anti_equi_join(spark, queries):
+    plan = _plan(queries["sparql_minus"](spark, SF))
+    assert "LeftAnti" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_filter_reaches_parquet_scan(spark, queries):
+    plan = _plan(queries["sparql_filter_order_limit"](spark, SF))
+    assert "PushedFilters: [" in plan
+    # the acctbal range predicate must be IN the pushed list, not only
+    # in a post-scan Filter
+    assert "GreaterThan(c_acctbal" in plan or "LessThan(c_acctbal" in plan
+
+
+def test_aggregate_is_partial_final(spark, queries):
+    plan = _plan(queries["sparql_agg_q1"](spark, SF))
+    # decimal-exact accumulators compile to SortAggregate; either way
+    # there must be a partial (map-side) phase before the exchange
+    n_agg = plan.count("HashAggregate") + plan.count("SortAggregate")
+    assert n_agg >= 2 and "partial_" in plan
+
+
+def test_topk_uses_take_ordered(spark, queries):
+    plan = _plan(queries["sparql_filter_order_limit"](spark, SF))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_dedup_ops_have_no_cross_join(spark, queries):
+    for name in ("pipe_dedup_minhash_lsh", "pipe_dedup_ngram_jaccard"):
+        plan = _plan(queries[name](spark, SF))
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_knn_broadcasts_query_side(spark, queries):
+    plan = _plan(queries["pipe_knn_bruteforce"](spark, SF))
+    assert "BroadcastExchange" in plan
