@@ -62,15 +62,26 @@ def _agg_column(spec: A.AggSpec, value: Column | None) -> Column:
         # partial+final aggregation shape is unchanged.
         n_rows = F.count(F.lit(1))
         has_err = F.max(F.when(is_numeric_term(value), F.lit(0)).otherwise(F.lit(1)))
+        # numeric promotion (op:numeric-add chain): SUM over all-integer
+        # inputs is an xsd:integer; any wider input widens the result.
+        # AVG of integers is decimal per the spec, so SUM only. The flag
+        # is one more cheap accumulator; error rows don't matter (the
+        # result is already unbound then).
+        all_int = F.min(
+            F.when(~is_numeric_term(value), F.lit(1))
+            .when(value["dt"].isin("integer", "int", "long"), F.lit(1))
+            .otherwise(F.lit(0))
+        )
         raw = total if op == "SUM" else total / cnt
         val = (
             F.when(n_rows == 0, F.lit(0.0))
             .when(has_err == 1, F.lit(None).cast("double"))
             .otherwise(raw.cast("double"))
         )
-        dt = F.when(n_rows == 0, F.lit("integer")).otherwise(
-            F.lit("decimal" if spec.exact else "double")
-        )
+        dt = F.when(n_rows == 0, F.lit("integer"))
+        if op == "SUM":
+            dt = dt.when(all_int == 1, F.lit("integer"))
+        dt = dt.otherwise(F.lit("decimal" if spec.exact else "double"))
         return num_term(val, dt)
     if op in ("MIN", "MAX"):
         fn = F.min_by if op == "MIN" else F.max_by

@@ -386,3 +386,56 @@ def pipe_contamination(spark, sf_dir) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents")
     probes = spark.createDataFrame([(p,) for p in _PROBES], ["probe"])
     return text.contamination(docs, probes).select("doc_id", "probe")
+
+
+# ---------------------------------------------------------------------------
+# Graph analytics (Graph API over the relational FK graph)
+# ---------------------------------------------------------------------------
+
+def _fk_edges(spark, sf_dir):
+    """customer→nation ∪ nation→region term edges (the FK graph)."""
+    from kineo_spark.model import iri_col
+    cust = read_table(spark, sf_dir, "customer").select(
+        iri_col(F.concat(F.lit("urn:t:customer:"), F.col("c_custkey").cast("string")),
+                nonnull=True).alias("src"),
+        iri_col(F.concat(F.lit("urn:t:nation:"), F.col("c_nationkey").cast("string")),
+                nonnull=True).alias("dst"),
+    )
+    nat = read_table(spark, sf_dir, "nation").select(
+        iri_col(F.concat(F.lit("urn:t:nation:"), F.col("n_nationkey").cast("string")),
+                nonnull=True).alias("src"),
+        iri_col(F.concat(F.lit("urn:t:region:"), F.col("n_regionkey").cast("string")),
+                nonnull=True).alias("dst"),
+    )
+    return cust.unionByName(nat)
+
+
+@q("pipe_connected_components",
+   "SELECT CAST(COUNT(*) AS BIGINT) AS size FROM ("
+   "  SELECT n_regionkey AS rk FROM customer JOIN nation ON c_nationkey = n_nationkey"
+   "  UNION ALL SELECT n_regionkey FROM nation"
+   "  UNION ALL SELECT r_regionkey FROM region"
+   ") GROUP BY rk")
+def pipe_connected_components(spark, sf_dir) -> DataFrame:
+    """Label-propagation connected components over the FK graph: the
+    component sizes must equal each region's subtree size (customers +
+    nations + the region node) — an EXACT oracle for an iterative graph
+    algorithm (the assignment is oracle-checked via the size
+    multiset)."""
+    from kineo_spark.graph import connected_components
+    cc = connected_components(_fk_edges(spark, sf_dir))
+    return cc.groupBy("component").agg(
+        F.count(F.lit(1)).cast("long").alias("size")).select("size")
+
+
+def pipe_pagerank(spark, sf_dir) -> DataFrame:
+    """Top-10 PageRank nodes over the FK graph (rows-only: iterative
+    float ranks have no SQL twin). Regions dominate — every nation
+    links to one."""
+    from kineo_spark.graph import pagerank
+    pr = pagerank(_fk_edges(spark, sf_dir), iterations=8)
+    return (pr.select("node", F.round(F.col("rank"), 8).alias("rank"))
+            .orderBy(F.col("rank").desc(), F.col("node")).limit(10))
+
+
+QUERIES["pipe_pagerank"] = pipe_pagerank  # rows-only: no ORACLES entry

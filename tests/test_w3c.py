@@ -11,11 +11,12 @@ from kineo_spark.w3c import manifest_entries, run_entry
 ENTRIES = (manifest_entries("/root/repo/tests/w3c/manifest.ttl")
            + manifest_entries("/root/repo/tests/w3c/manifest2.ttl")
            + manifest_entries("/root/repo/tests/w3c/manifest3.ttl")
-           + manifest_entries("/root/repo/tests/w3c/manifest4.ttl"))
+           + manifest_entries("/root/repo/tests/w3c/manifest4.ttl")
+           + manifest_entries("/root/repo/tests/w3c/manifest5.ttl"))
 
 
 def test_manifest_parsed():
-    assert len(ENTRIES) == 67
+    assert len(ENTRIES) == 77
     assert all(e.query_path and e.result_path for e in ENTRIES)
 
 
