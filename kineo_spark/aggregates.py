@@ -92,6 +92,16 @@ def _agg_column(spec: A.AggSpec, value: Column | None) -> Column:
         lex = value["lex"]
         coll = F.collect_set(lex) if spec.distinct else F.collect_list(lex)
         return str_term(F.concat_ws(spec.separator, F.array_sort(coll)))
+    if op == "APPROX_QUANTILE":
+        # extension (no reference analog): t-digest-style sketch via
+        # percentile_approx — mergeable partial state, the scalable
+        # answer to median/p99 over 100 TB where exact percentile needs
+        # a full sort
+        num = F.when(is_numeric_term(value), value["num"])
+        return num_term(
+            F.percentile_approx(num, spec.quantile, 10_000).cast("double"),
+            F.lit("double"),
+        )
     if op == "APPROX_COUNT_DISTINCT":
         # extension beyond the reference (SURVEY §2.4 notes its absence):
         # HyperLogLog++ sketch — the 100 TB answer to COUNT(DISTINCT)

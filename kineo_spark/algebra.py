@@ -276,6 +276,9 @@ class AggSpec:
     # result is order-independent (needed for oracle hash-matching and a
     # good idea on a 1000-executor cluster anyway).
     exact: bool = False
+    # APPROX_QUANTILE extension: the quantile in [0,1] (and for
+    # APPROX_COUNT_DISTINCT-style sketches, a place for a parameter)
+    quantile: float = 0.5
 
 
 @dataclass(frozen=True)

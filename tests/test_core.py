@@ -229,3 +229,27 @@ def test_langmatches_and_lang(fixture_store):
     )
     rows = comp.compile(alg).df.collect()
     assert len(rows) == 1 and rows[0]["o"]["lex"] == "hello"
+
+
+def test_approx_quantile_extension(spark, rel_store):
+    """APPROX_QUANTILE (extension): within sketch tolerance of the exact
+    percentile; exact for small inputs at accuracy 10k."""
+    import duckdb
+    from kineo_spark import algebra as A
+    from kineo_spark.compiler import Compiler
+    from kineo_spark.expr import v
+    from kineo_spark.forms import select
+    from kineo_spark.model import iri
+
+    tp = A.TriplePattern
+    alg = A.Aggregate(
+        A.BGP((tp(A.Var("c"), iri("urn:col:customer:c_acctbal"), A.Var("bal")),)),
+        groups=(), group_names=(),
+        aggs=(("med", A.AggSpec("APPROX_QUANTILE", expr=v("bal"), quantile=0.5)),),
+    )
+    out = select(Compiler(rel_store), A.SelectQuery(alg, ("med",))).collect()
+    got = out[0]["med"]["num"]
+    want = duckdb.sql(
+        "SELECT quantile_disc(c_acctbal, 0.5) FROM "
+        "'/root/testdata/sf0.001/customer.parquet'").fetchone()[0]
+    assert abs(got - float(want)) <= abs(float(want)) * 0.01 + 1.0
