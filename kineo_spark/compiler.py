@@ -279,12 +279,18 @@ class Compiler:
         term-typed vars."""
         if not other.bind_values:
             return plan
-        conds = [
-            plan.df[v]["lex"].isin(*other.bind_values[v])
-            for v in shared
-            if v in other.bind_values and v in plan.certain
-            and v not in plan.id_vars
-        ]
+        conds = []
+        for v in shared:
+            if (v not in other.bind_values or v not in plan.certain
+                    or v in plan.id_vars):
+                continue
+            # store-level inversion first: row-IRI seeds become native
+            # `pk IN (...)` filters the parquet reader can skip on
+            native = self.store.bind_seed_condition(
+                plan.df, v, other.bind_values[v])
+            conds.append(
+                native if native is not None
+                else plan.df[v]["lex"].isin(*other.bind_values[v]))
         if not conds:
             return plan
         return Plan(plan.df.filter(_all(conds)), plan.certain, plan.id_vars,

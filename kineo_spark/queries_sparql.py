@@ -274,6 +274,30 @@ def sparql_values_bindjoin(spark, sf_dir) -> DataFrame:
     })
 
 
+@q("sparql_values_bindjoin_subject",
+   "SELECT 'urn:t:customer:' || c_custkey AS cust, c_name AS name, "
+   "c_acctbal AS bal FROM customer WHERE c_custkey IN (1, 7, 42)")
+def sparql_values_bindjoin_subject(spark, sf_dir) -> DataFrame:
+    """Bind join seeded by SUBJECT row IRIs: the store inverts the
+    VALUES lexes via parse_row_iri into a native `c_custkey IN (1,7,42)`
+    — a pk point-lookup in parquet PushedFilters (row-group skip via
+    min/max + dictionary), where an isin over the concat-built IRI
+    string would scan everything (IDIndexBindQuadPlan,
+    reference SPARQL/IDQueryPlan.swift; store.bind_seed_condition)."""
+    comp = compiler_for(spark, sf_dir)
+    alg = A.Join(
+        A.Table(("cust",), tuple(
+            (iri(f"urn:t:customer:{i}"),) for i in (1, 7, 42))),
+        A.BGP((
+            tp("cust", col("customer", "c_name"), "name"),
+            tp("cust", col("customer", "c_acctbal"), "bal"),
+        )),
+    )
+    return extract(select(comp, A.SelectQuery(alg, ("cust", "name", "bal"))), {
+        "cust": ("cust", "lex"), "name": ("name", "lex"), "bal": ("bal", "num"),
+    })
+
+
 @q("sparql_bind_extend",
    "SELECT l_orderkey AS orderkey, l_linenumber AS linenumber, "
    "l_extendedprice * (1 - l_discount) AS revenue "

@@ -64,10 +64,27 @@ class QuadStore(ABC):
     def quads(self) -> DataFrame:
         """All quads in the flat FIXTURES §0 schema (for CONSTRUCT/dump)."""
 
+    def bind_seed_condition(
+        self, df: DataFrame, var: str, lexes: tuple[str, ...]
+    ) -> Column | None:
+        """Store-level inversion of a bind-join seed: given the known
+        lexical forms of ``var`` from a small VALUES side, return a
+        filter Column over this scan's NATIVE key columns (pushable to
+        parquet), or None when the scan carries no seed for the var.
+        Base stores have no native layout to invert into."""
+        return None
 
-def _assign(pattern: A.QuadPattern, terms: dict[str, Column], df: DataFrame) -> DataFrame | None:
+
+def _assign(
+    pattern: A.QuadPattern,
+    terms: dict[str, Column],
+    df: DataFrame,
+    extra: dict[str, Column] | None = None,
+) -> DataFrame | None:
     """Common post-scan step: apply repeated-variable equality and project
-    binding variables from per-position term columns."""
+    binding variables from per-position term columns. ``extra`` columns
+    (``__``-prefixed, e.g. bind-join seed columns) ride along the
+    projection; the compiler strips them at the first join/merge."""
     seen: dict[str, str] = {}
     cond = None
     out_cols: dict[str, Column] = {}
@@ -85,7 +102,10 @@ def _assign(pattern: A.QuadPattern, terms: dict[str, Column], df: DataFrame) -> 
         df = df.filter(cond)
     if not out_cols:
         return df.select()
-    return df.select(*[c.alias(n) for n, c in out_cols.items()])
+    cols = [c.alias(n) for n, c in out_cols.items()]
+    for n, c in (extra or {}).items():
+        cols.append(c.alias(n))
+    return df.select(*cols)
 
 
 class QuadsDataFrameStore(QuadStore):
@@ -217,6 +237,54 @@ class RelationalQuadStore(QuadStore):
             return None
         return table, parts[3:]
 
+    def bind_seed_condition(
+        self, df: DataFrame, var: str, lexes: tuple[str, ...]
+    ) -> Column | None:
+        """Invert VALUES-known row IRIs into native key filters: group
+        the lexes by row-IRI table, then OR per seed column a plain
+        `key IN (typed values)` — which the parquet reader turns into
+        row-group skips (min/max + dictionary), unlike an isin over the
+        concat-built IRI string. Sound as a superset pre-filter: seeded
+        branches bind the var ONLY to row IRIs of the seeded tables, so
+        a lex outside them matches nothing, and the equi-join afterwards
+        enforces exactness."""
+        prefix = f"__bind_{var}__"
+        cols = [c for c in df.columns if c.startswith(prefix)]
+        if not cols:
+            return None
+        by_table: dict[str, list[str]] = {}
+        for lex in lexes:
+            parsed = self.parse_row_iri(lex)
+            if parsed is not None and len(parsed[1]) == 1:
+                by_table.setdefault(parsed[0], []).append(parsed[1][0])
+        schema = {f.name: f.dataType for f in df.schema.fields}
+        conds: list[Column] = []
+        for c in cols:
+            vals = by_table.get(c[len(prefix):])
+            if not vals:
+                continue
+            dt = schema[c]
+            typed: list = []
+            for v in vals:
+                if isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+                    try:
+                        typed.append(int(v))
+                    except ValueError:
+                        continue  # non-numeric lex can never equal an int key
+                elif isinstance(dt, T.StringType):
+                    typed.append(v)
+                else:
+                    return None  # unexpected key type: caller falls back to lex isin
+            if typed:
+                conds.append(F.col(c).isin(typed))
+        if not conds:
+            # every VALUES row refers to rows this scan cannot produce
+            return F.lit(False)
+        out = conds[0]
+        for c in conds[1:]:
+            out = out | c
+        return out
+
     # -- branch enumeration ----------------------------------------------
     def _branches(self, pattern: A.QuadPattern):
         """Yield (table, kind, col) scan branches consistent with the
@@ -302,13 +370,22 @@ class RelationalQuadStore(QuadStore):
             else:
                 if not (o.kind == KIND_IRI and o.lex == f"urn:class:{table}"):
                     return None
+        # bind-join seed columns: the raw key column behind a var whose
+        # lexical form is a row IRI, so a VALUES-seeded pre-filter can be
+        # inverted to `pk IN (...)` on the native column (parquet
+        # PushedFilters) instead of an un-pushable isin over concat(...)
+        seeds: dict[str, Column] = {}
+        if isinstance(pattern.s, A.Var) and pattern.s.binding and len(pks) == 1:
+            seeds[f"__bind_{pattern.s.name}__{table}"] = F.col(pks[0])
+        if kind == "fk" and isinstance(o, A.Var) and o.binding:
+            seeds[f"__bind_{o.name}__{fks[col]}"] = F.col(col)
         terms = {
             "s": iri_col(self.row_iri(table), nonnull=True),
             "p": iri(p_lex).as_column(),
             "o": o_term,
             "g": iri(f"urn:g:{table}").as_column(),
         }
-        return _assign(pattern, terms, df)
+        return _assign(pattern, terms, df, extra=seeds)
 
     # -- star-join collapse (S2RDF property-table trick) ------------------
     def _pred_info(self, p: PyTerm) -> tuple[str | None, str, str | None] | None:
@@ -439,7 +516,17 @@ class RelationalQuadStore(QuadStore):
             df = df.filter(cond)
         if not out_cols:
             return df.select()
-        return df.select(*[c.alias(n) for n, c in out_cols.items()])
+        # bind-join seed columns (single table by construction, so always
+        # sound): subject var → pk column; fk object vars → fk column
+        seeds: dict[str, Column] = {}
+        if isinstance(subj, A.Var) and subj.binding and len(pks) == 1:
+            seeds[f"__bind_{subj.name}__{table}"] = F.col(pks[0])
+        for pat, (t, kind, c) in zip(patterns, infos):
+            if kind == "fk" and isinstance(pat.o, A.Var) and pat.o.binding:
+                seeds[f"__bind_{pat.o.name}__{fks[c]}"] = F.col(c)
+        cols = [c.alias(n) for n, c in out_cols.items()]
+        cols.extend(c.alias(n) for n, c in seeds.items())
+        return df.select(*cols)
 
     def _empty(self, patterns: list[A.QuadPattern]) -> DataFrame:
         vars_ = sorted(set().union(*[p.variables() for p in patterns]))
@@ -447,13 +534,36 @@ class RelationalQuadStore(QuadStore):
         schema = T.StructType([T.StructField(v, TERM_SCHEMA) for v in vars_])
         return self.spark.createDataFrame([], schema)
 
+    @staticmethod
+    def _seeded_vars(df: DataFrame) -> set[str]:
+        return {
+            c[len("__bind_"):].rsplit("__", 1)[0]
+            for c in df.columns if c.startswith("__bind_")
+        }
+
     def scan(self, pattern: A.QuadPattern) -> DataFrame:
+        dfs = [
+            b
+            for table, kind, col in self._branches(pattern)
+            if (b := self._branch_df(pattern, table, kind, col)) is not None
+        ]
         out: DataFrame | None = None
-        for table, kind, col in self._branches(pattern):
-            b = self._branch_df(pattern, table, kind, col)
-            if b is None:
-                continue
-            out = b if out is None else out.unionByName(b)
+        if dfs:
+            # a bind-seed column survives the branch union only when EVERY
+            # branch seeds that var (a branch binding the var to literals
+            # has no row-IRI key to invert — keeping the seed would wrongly
+            # drop its rows under an OR-of-IN filter)
+            common = set.intersection(*[self._seeded_vars(d) for d in dfs])
+            pruned = []
+            for d in dfs:
+                drop = [
+                    c for c in d.columns if c.startswith("__bind_")
+                    and c[len("__bind_"):].rsplit("__", 1)[0] not in common
+                ]
+                pruned.append(d.drop(*drop) if drop else d)
+            out = pruned[0]
+            for d in pruned[1:]:
+                out = out.unionByName(d, allowMissingColumns=True)
         if out is None:
             # no branch matches: empty result with the right columns
             vars_ = sorted(pattern.variables())

@@ -119,3 +119,90 @@ def test_bind_join_skips_undef_vars(spark, rel_store):
     n_cust = spark.read.parquet(
         "/root/testdata/sf0.001/customer.parquet").count()
     assert df.count() == n_cust + 1
+
+
+# --- bind-seed inversion (row IRIs → native pk IN (...) pushdown) -----------
+
+def _bind_alg(values_var, values_terms, patterns):
+    from kineo_spark import algebra as A
+    return A.Join(
+        A.Table((values_var,), tuple((t,) for t in values_terms)),
+        A.BGP(tuple(patterns)),
+    )
+
+
+def test_bind_join_subject_pk_pushdown(spark, rel_store):
+    # VALUES over subject row IRIs inverts to In(c_custkey, ...) in the
+    # parquet PushedFilters — point lookup, not a full scan + isin
+    from kineo_spark import algebra as A
+    from kineo_spark.compiler import Compiler
+    from kineo_spark.model import iri
+    from kineo_spark.forms import select
+
+    tp = A.TriplePattern
+    comp = Compiler(rel_store)
+    alg = _bind_alg("c", [iri("urn:t:customer:1"), iri("urn:t:customer:7")], [
+        tp(A.Var("c"), iri("urn:col:customer:c_name"), A.Var("name")),
+        tp(A.Var("c"), iri("urn:col:customer:c_acctbal"), A.Var("bal")),
+    ])
+    df = select(comp, A.SelectQuery(alg, ("c", "name", "bal")))
+    assert {r["c"]["lex"] for r in df.collect()} == {
+        "urn:t:customer:1", "urn:t:customer:7"}
+    plan = _executed(df)
+    assert "In(c_custkey, [1,7]" in plan, plan
+
+
+def test_bind_join_fk_object_pushdown(spark, rel_store):
+    # VALUES over FK-target row IRIs inverts onto the fk column
+    from kineo_spark import algebra as A
+    from kineo_spark.compiler import Compiler
+    from kineo_spark.model import iri
+    from kineo_spark.forms import select
+
+    tp = A.TriplePattern
+    comp = Compiler(rel_store)
+    alg = _bind_alg("n", [iri("urn:t:nation:3")], [
+        tp(A.Var("c"), iri("urn:fk:customer:c_nationkey"), A.Var("n")),
+    ])
+    df = select(comp, A.SelectQuery(alg, ("c", "n")))
+    plan = _executed(df)
+    assert "c_nationkey" in plan and ("In(c_nationkey" in plan
+                                      or "EqualTo(c_nationkey,3" in plan
+                                      or "(c_nationkey,3)" in plan), plan
+    # every result really is a nation-3 customer
+    assert df.count() > 0
+    assert all(r["n"]["lex"] == "urn:t:nation:3" for r in df.collect())
+
+
+def test_bind_join_foreign_iri_is_empty(spark, rel_store):
+    # a VALUES IRI that is not a row IRI of any seeded table matches
+    # nothing: the inverted condition is literally false
+    from kineo_spark import algebra as A
+    from kineo_spark.compiler import Compiler
+    from kineo_spark.model import iri
+    from kineo_spark.forms import select
+
+    tp = A.TriplePattern
+    comp = Compiler(rel_store)
+    alg = _bind_alg("c", [iri("http://example.org/not-a-row")], [
+        tp(A.Var("c"), iri("urn:col:customer:c_name"), A.Var("name")),
+        tp(A.Var("c"), iri("urn:col:customer:c_acctbal"), A.Var("bal")),
+    ])
+    df = select(comp, A.SelectQuery(alg, ("c", "name", "bal")))
+    assert df.count() == 0
+
+
+def test_bind_seed_dropped_on_mixed_branches(spark, rel_store):
+    # unbound predicate → the object var binds to literals in col
+    # branches and row IRIs in fk branches; the seed must NOT survive
+    # (an OR-of-IN filter would wrongly drop the literal rows)
+    from kineo_spark import algebra as A
+    from kineo_spark.model import iri
+
+    pat = A.QuadPattern(iri("urn:t:nation:3"), A.Var("p"), A.Var("o"),
+                        A.Var("g"))
+    df = rel_store.scan(pat)
+    assert not [c for c in df.columns if c.startswith("__bind_")]
+    # and the scan still returns the full mixed row set
+    kinds = {r["o"]["kind"] for r in df.collect()}
+    assert len(kinds) >= 2  # literals and IRIs both present
