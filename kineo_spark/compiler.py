@@ -84,10 +84,17 @@ def _all(conds: list[Column]) -> Column:
 
 
 class Compiler:
-    def __init__(self, store: QuadStore, max_path_iterations: int = 64):
+    def __init__(self, store: QuadStore, max_path_iterations: int = 64,
+                 path_strategy: str = "seminaive"):
         self.store = store
         self.spark: SparkSession = store.spark
         self.max_path_iterations = max_path_iterations
+        # 'seminaive' (frontier⋈edges, work-efficient; seeded BFS for
+        # bound endpoints) or 'doubling' (R∪R∘R recursive squaring:
+        # ⌈log2 d⌉ rounds — the choice for high-diameter graphs where
+        # per-round stage overhead dominates at cluster scale)
+        assert path_strategy in ("seminaive", "doubling")
+        self.path_strategy = path_strategy
 
     # -- public -----------------------------------------------------------
     def compile(self, node: A.Algebra, graph: A.Node | None = None) -> Plan:

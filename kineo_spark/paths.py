@@ -75,7 +75,8 @@ def _edges_for(compiler, path: A.Path, graph) -> DataFrame:
 
 
 def _closure(compiler, edges: DataFrame, max_iterations: int,
-             seed_key: str | None = None, reverse: bool = False) -> DataFrame:
+             seed_key: str | None = None, reverse: bool = False,
+             strategy: str = "seminaive") -> DataFrame:
     """Semi-naive transitive closure, iterated in KEY SPACE.
 
     The fixpoint loop moves only (a, b) pairs of 8-byte ``xxhash64``
@@ -105,26 +106,52 @@ def _closure(compiler, edges: DataFrame, max_iterations: int,
     if reverse:
         ek = ek.select(F.col("__b").alias("__a"), F.col("__a").alias("__b"))
     ek = ek.localCheckpoint(eager=True)
-    if seed_key is not None:
-        frontier = ek.filter(F.col("__a") == F.xxhash64(F.lit(seed_key)))
+    if seed_key is None and strategy == "doubling":
+        # Path-doubling (recursive squaring): R_{k+1} = R_k ∪ R_k∘R_k
+        # covers every path length ≤ 2^(k+1), so a diameter-d graph
+        # converges in ⌈log2 d⌉ rounds instead of d. Each round joins
+        # the closure-so-far with itself — more work per round than the
+        # semi-naive frontier⋈edges step, but on high-diameter graphs
+        # (chains, DAG lineages: d in the hundreds) round count is the
+        # bottleneck at cluster scale: every round is a full shuffle
+        # stage + driver sync. Same key-space currency (16 B/row).
+        acc = ek
+        for _ in range(max_iterations):
+            r2 = acc.select(F.col("__a").alias("__ja"), F.col("__b").alias("__jb"))
+            grown = (
+                acc.join(r2, acc["__b"] == r2["__ja"], "inner")
+                .select(acc["__a"], F.col("__jb").alias("__b"))
+                .dropDuplicates(["__a", "__b"])
+            )
+            new = grown.join(acc, ["__a", "__b"], "left_anti").localCheckpoint(eager=True)
+            if new.isEmpty():
+                break
+            acc = acc.unionByName(new).localCheckpoint(eager=True)
+        else:
+            raise RuntimeError(
+                f"path closure did not converge in {max_iterations} iterations")
     else:
-        frontier = ek
-    acc = frontier.localCheckpoint(eager=True)
-    frontier = acc
-    e2 = ek.select(F.col("__a").alias("__ea"), F.col("__b").alias("__eb"))
-    for _ in range(max_iterations):
-        grown = (
-            frontier.join(e2, frontier["__b"] == e2["__ea"], "inner")
-            .select(frontier["__a"], F.col("__eb").alias("__b"))
-            .dropDuplicates(["__a", "__b"])
-        )
-        new = grown.join(acc, ["__a", "__b"], "left_anti").localCheckpoint(eager=True)
-        if new.isEmpty():
-            break
-        acc = acc.unionByName(new).localCheckpoint(eager=True)
-        frontier = new
-    else:
-        raise RuntimeError(f"path closure did not converge in {max_iterations} iterations")
+        if seed_key is not None:
+            frontier = ek.filter(F.col("__a") == F.xxhash64(F.lit(seed_key)))
+        else:
+            frontier = ek
+        acc = frontier.localCheckpoint(eager=True)
+        frontier = acc
+        e2 = ek.select(F.col("__a").alias("__ea"), F.col("__b").alias("__eb"))
+        for _ in range(max_iterations):
+            grown = (
+                frontier.join(e2, frontier["__b"] == e2["__ea"], "inner")
+                .select(frontier["__a"], F.col("__eb").alias("__b"))
+                .dropDuplicates(["__a", "__b"])
+            )
+            new = grown.join(acc, ["__a", "__b"], "left_anti").localCheckpoint(eager=True)
+            if new.isEmpty():
+                break
+            acc = acc.unionByName(new).localCheckpoint(eager=True)
+            frontier = new
+        else:
+            raise RuntimeError(
+                f"path closure did not converge in {max_iterations} iterations")
     if reverse:
         acc = acc.select(F.col("__b").alias("__a"), F.col("__a").alias("__b"))
     na = nodes.select(F.col("__k").alias("__ka"), F.col("__n").alias("__s"),
@@ -182,12 +209,15 @@ def eval_path(compiler, node: A.PathPattern, graph) -> "Plan":
     elif isinstance(node.object, PyTerm):
         seed_key, seed_rev = node.object.key(), True
     seed_term = node.subject if not seed_rev else node.object
+    strategy = getattr(compiler, "path_strategy", "seminaive")
     if isinstance(path, A.PPlus):
         pairs = _closure(compiler, _edges_for(compiler, path.path, graph),
-                         compiler.max_path_iterations, seed_key, seed_rev)
+                         compiler.max_path_iterations, seed_key, seed_rev,
+                         strategy)
     elif isinstance(path, A.PStar):
         plus = _closure(compiler, _edges_for(compiler, path.path, graph),
-                        compiler.max_path_iterations, seed_key, seed_rev)
+                        compiler.max_path_iterations, seed_key, seed_rev,
+                        strategy)
         zero = (_term_pair(compiler, seed_term) if seed_key is not None
                 else _graph_nodes(compiler, graph))
         pairs = plus.unionByName(zero).dropDuplicates(["__sk", "__ok"])

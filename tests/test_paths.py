@@ -87,3 +87,36 @@ def test_bound_endpoint_plus(path_store):
     df = comp.compile(alg).df
     got = {r["o"]["lex"].split("/")[-1] for r in df.collect()}
     assert got == {"b", "c", "d", "e"}
+
+
+# --- doubling closure (recursive squaring, O(log d) rounds) -----------------
+
+def test_doubling_matches_seminaive(path_store):
+    # same result set on chain + cycle + mixed components
+    sem = _pairs(Compiler(path_store), A.PPlus(A.PLink(iri(KNOWS))))
+    dbl = _pairs(Compiler(path_store, path_strategy="doubling"),
+                 A.PPlus(A.PLink(iri(KNOWS))))
+    assert dbl == sem
+    sem_star = _pairs(Compiler(path_store), A.PStar(A.PLink(iri(KNOWS))))
+    dbl_star = _pairs(Compiler(path_store, path_strategy="doubling"),
+                      A.PStar(A.PLink(iri(KNOWS))))
+    assert dbl_star == sem_star
+
+
+def test_doubling_converges_on_long_chain(spark):
+    # a 200-edge chain exceeds the default 64-round budget for one-hop
+    # growth; doubling covers length ≤ 2^k after k rounds, so it
+    # converges in ~8 — the high-diameter case the strategy exists for
+    n = 200
+    rows = [
+        (0, f"{EX}n{i}", KNOWS, 0, f"{EX}n{i+1}", None, None, None, G)
+        for i in range(n)
+    ]
+    store = QuadsDataFrameStore.from_rows(spark, rows)
+    comp = Compiler(store, path_strategy="doubling")
+    alg = A.PathPattern(A.Var("s"), A.PPlus(A.PLink(iri(KNOWS))), A.Var("o"))
+    assert comp.compile(alg).df.count() == n * (n + 1) // 2
+
+    # semi-naive needs d rounds and must refuse (not silently truncate)
+    with pytest.raises(RuntimeError, match="did not converge"):
+        Compiler(store, max_path_iterations=32).compile(alg).df.count()
