@@ -352,4 +352,51 @@ class DescribeQuery:
     nodes: tuple[Node, ...] = ()
 
 
+# SPARQL 1.1 Update operations (EXTENSION: the reference declares
+# sparqlUpdate11 — SPARQL/Query.swift:25 — but no evaluator supports it;
+# QueryPlanner.swift:1075-1076 lists only query10/query11) -------------------
+
+# a quad in a template/data block: triple + graph (None = default graph)
+# QuadSpec = tuple[TriplePattern, Node | None]
+
+
+@dataclass(frozen=True)
+class InsertData:
+    quads: tuple  # of (TriplePattern, PyTerm | None) — ground terms only
+
+
+@dataclass(frozen=True)
+class DeleteData:
+    quads: tuple  # ground, no blank nodes (spec §3.1.2)
+
+
+@dataclass(frozen=True)
+class Modify:
+    """DELETE/INSERT WHERE (and the DELETE WHERE shorthand): bindings
+    come from the pre-state, deletes apply before inserts."""
+    delete: tuple  # of (TriplePattern, Node | None) templates
+    insert: tuple
+    where: Algebra
+    with_graph: object | None = None  # WITH <g>: active graph + template default
+
+
+@dataclass(frozen=True)
+class Clear:
+    target: object  # "DEFAULT" | "NAMED" | "ALL" | PyTerm (also DROP)
+    silent: bool = False
+
+
+@dataclass(frozen=True)
+class Create:
+    graph: object  # no-op: graphs exist implicitly in the quads layout
+    silent: bool = False
+
+
+@dataclass(frozen=True)
+class LoadOp:
+    source: str  # file path/IRI; format by extension (.nt/.nq/.ttl/.rdf)
+    graph: object | None = None
+    silent: bool = False
+
+
 from kineo_spark.expr import Expr  # noqa: E402  (circular-safe: types only)

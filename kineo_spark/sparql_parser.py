@@ -747,27 +747,39 @@ class Parser:
             return A.ConstructQuery(body, template)
         self.expect_op("{")
         self._in_template = True
-        template: list[A.TriplePattern] = []
-        while not self.op("}"):
+        template = self._template_triples()
+        self.expect_op("}")
+        self._in_template = False
+        body = self._where_and_modifiers_simple()
+        return A.ConstructQuery(body, tuple(template))
+
+    def _template_triples(self, stop_kw: tuple[str, ...] = ()) -> list[A.TriplePattern]:
+        """TriplesTemplate: '.'-separated triples with ';'/',' lists,
+        ending before '}' or any keyword in ``stop_kw`` (not consumed)."""
+        out: list[A.TriplePattern] = []
+        while True:
+            t = self.peek()
+            if t.kind == "EOF" or (t.kind == "OP" and t.text == "}"):
+                break
+            if t.kind == "KW" and t.text.upper() in stop_kw:
+                break
             s = self._node()
             while True:
                 p = self._node() if self.peek().kind == "VAR" else self._term()
                 o = self._node()
-                template.append(A.TriplePattern(s, p, o))
+                out.append(A.TriplePattern(s, p, o))
                 while self.op(","):
-                    template.append(A.TriplePattern(s, p, self._node()))
+                    out.append(A.TriplePattern(s, p, self._node()))
                 if self.op(";"):
                     if self.peek().kind == "OP" and self.peek().text in ("}", "."):
                         break
                     continue
                 break
             self.op(".")
-        if self._pending:  # [ … ] in template
-            template.extend(self._pending)
+        if self._pending:  # [ … ] / ( … ) in template
+            out.extend(self._pending)
             self._pending = []
-        self._in_template = False
-        body = self._where_and_modifiers_simple()
-        return A.ConstructQuery(body, tuple(template))
+        return out
 
     def _describe_query(self) -> A.DescribeQuery:
         self.expect_kw("DESCRIBE")
@@ -789,10 +801,163 @@ class Parser:
         return A.DescribeQuery(body, tuple(nodes))
 
 
+    # -- SPARQL 1.1 Update (extension; ops in algebra.py) -----------------
+    def parse_update(self) -> list:
+        """UpdateUnit: ';'-separated operations, each with its own
+        (accumulating) prologue."""
+        ops: list = []
+        while True:
+            self._prologue()
+            t = self.peek()
+            if t.kind == "EOF":
+                break
+            word = t.text.upper() if t.kind == "KW" else ""
+            if word == "INSERT":
+                self.next()
+                if self.kw("DATA"):
+                    ops.append(A.InsertData(tuple(self._quad_block(ground=True))))
+                else:
+                    ops.append(self._modify_tail((), self._quad_templates(), None))
+            elif word == "DELETE":
+                self.next()
+                ops.append(self._delete_tail(None))
+            elif word == "WITH":
+                self.next()
+                g = self._term()
+                if self.kw("DELETE"):
+                    ops.append(self._delete_tail(g, kw_consumed=True))
+                else:
+                    self.expect_kw("INSERT")
+                    ops.append(self._modify_tail((), self._quad_templates(), g))
+            elif word in ("CLEAR", "DROP"):
+                self.next()
+                silent = self.kw("SILENT")
+                ops.append(A.Clear(self._graph_ref(), silent))
+            elif word == "CREATE":
+                self.next()
+                silent = self.kw("SILENT")
+                self.expect_kw("GRAPH")
+                ops.append(A.Create(self._term(), silent))
+            elif word == "LOAD":
+                self.next()
+                silent = self.kw("SILENT")
+                src = self._term()
+                g = None
+                if self.kw("INTO"):
+                    self.expect_kw("GRAPH")
+                    g = self._term()
+                ops.append(A.LoadOp(src.lex, g, silent))
+            else:
+                raise SyntaxError(f"expected update operation, got {t}")
+            if not self.op(";"):
+                break
+        if self.peek().kind != "EOF":
+            raise SyntaxError(f"trailing input at {self.peek()}")
+        return ops
+
+    def _delete_tail(self, with_graph, kw_consumed: bool = False):
+        """After DELETE: DATA { }, WHERE { } shorthand, or
+        template [INSERT template] WHERE pattern."""
+        if not kw_consumed and self.kw("DATA"):
+            quads = tuple(self._quad_block(ground=True))
+            self._no_bnodes(quads)
+            return A.DeleteData(quads)
+        if self.kw("WHERE"):
+            # DELETE WHERE { pattern }: the pattern is its own template
+            pats = tuple(self._quad_block(ground=False))
+            self._no_bnodes(pats)
+            return A.Modify(pats, (), _quads_algebra(pats), with_graph)
+        dels = self._quad_templates()
+        self._no_bnodes(dels)
+        ins = self._quad_templates() if self.kw("INSERT") else ()
+        return self._modify_tail(dels, ins, with_graph)
+
+    def _modify_tail(self, dels, ins, with_graph):
+        self.expect_kw("WHERE")
+        return A.Modify(dels, ins, self._group_graph_pattern(), with_graph)
+
+    def _graph_ref(self):
+        if self.kw("GRAPH"):
+            return self._term()
+        for word in ("DEFAULT", "NAMED", "ALL"):
+            if self.kw(word):
+                return word
+        raise SyntaxError(
+            f"expected GRAPH <iri> | DEFAULT | NAMED | ALL, got {self.peek()}")
+
+    def _quad_templates(self) -> tuple:
+        return tuple(self._quad_block(ground=False))
+
+    def _quad_block(self, ground: bool) -> list:
+        """QuadPattern / QuadData: {{ triples (GRAPH g {{ triples }})* }}
+        → list of (TriplePattern, graph-node | None)."""
+        self.expect_op("{")
+        self._in_template = True
+        quads: list = []
+        while True:
+            if self.op("}"):
+                break
+            if self.kw("GRAPH"):
+                if self.peek().kind == "VAR" and not ground:
+                    g = A.Var(self.next().text[1:])
+                else:
+                    g = self._term()
+                self.expect_op("{")
+                for tp in self._template_triples():
+                    quads.append((tp, g))
+                self.expect_op("}")
+                self.op(".")
+            else:
+                for tp in self._template_triples(stop_kw=("GRAPH",)):
+                    quads.append((tp, None))
+        self._in_template = False
+        if ground:
+            for tp, g in quads:
+                if any(isinstance(n, A.Var) for n in (tp.s, tp.p, tp.o, g)):
+                    raise SyntaxError("variables are not allowed in DATA blocks")
+        return quads
+
+    def _no_bnodes(self, quads) -> None:
+        from kineo_spark.model import KIND_BLANK
+        for tp, _g in quads:
+            for node in (tp.s, tp.p, tp.o):
+                if isinstance(node, PyTerm) and node.kind == KIND_BLANK:
+                    raise SyntaxError(
+                        "blank nodes cannot appear in DELETE templates (§3.1.3)")
+
+
+def _quads_algebra(quads, active_graph=None) -> A.Algebra:
+    """Quad templates → pattern algebra (for the DELETE WHERE shorthand):
+    default-graph triples form a BGP, GRAPH-scoped groups wrap in
+    NamedGraph, all joined."""
+    groups: list[tuple[object, list]] = []
+    for tp, g in quads:
+        for kg, lst in groups:
+            if kg == g:
+                lst.append(tp)
+                break
+        else:
+            groups.append((g, [tp]))
+    parts = [
+        A.NamedGraph(g, A.BGP(tuple(tps))) if g is not None else A.BGP(tuple(tps))
+        for g, tps in groups
+    ]
+    out = parts[0] if parts else A.JoinIdentity()
+    for p in parts[1:]:
+        out = A.Join(out, p)
+    return out
+
+
 def parse_query(text: str):
     """SPARQL text → query-form dataclass (SelectQuery / AskQuery /
     ConstructQuery / DescribeQuery)."""
     return Parser(text).parse_query()
+
+
+def parse_update(text: str) -> list:
+    """SPARQL 1.1 Update text → list of update-operation dataclasses
+    (InsertData / DeleteData / Modify / Clear / Create / LoadOp)."""
+    return Parser(text).parse_update()
 
 
 def _as_path(p) -> A.Path:
