@@ -322,3 +322,34 @@ def sparql_rdfxml_roundtrip(spark, sf_dir) -> DataFrame:
     return reloaded.groupBy(F.col("p_lex").alias("p")).agg(
         F.count(F.lit(1)).alias("n")
     )
+
+
+@q("sparql_update_modify",
+   "SELECT n_name AS name, r_name AS region FROM nation "
+   "JOIN region ON n_regionkey = r_regionkey")
+def sparql_update_modify(spark, sf_dir) -> DataFrame:
+    """SPARQL 1.1 Update end to end (extension — the reference declares
+    sparqlUpdate11 but never evaluates it, QueryPlanner.swift:1075-1076):
+    build a GraphStore over the nation+region quads, run a DELETE/INSERT
+    WHERE that denormalizes each nation's region name onto the nation
+    row, then query the POST-state. The oracle is the equivalent join on
+    the original tables."""
+    from kineo_spark.store import RelationalQuadStore
+    from kineo_spark.update import GraphStore
+
+    quads = RelationalQuadStore(
+        spark, sf_dir, tables=["nation", "region"]).quads()
+    gs = GraphStore(spark, quads).update(
+        "DELETE { ?n <urn:fk:nation:n_regionkey> ?r } "
+        "INSERT { ?n <urn:col:nation:region_name> ?rn } "
+        "WHERE { ?n <urn:fk:nation:n_regionkey> ?r . "
+        "?r <urn:col:region:r_name> ?rn }"
+    )
+    res = gs.query(
+        "SELECT ?name ?region WHERE { "
+        "?n <urn:col:nation:n_name> ?name . "
+        "?n <urn:col:nation:region_name> ?region }"
+    )
+    return extract(res.bindings, {
+        "name": ("name", "lex"), "region": ("region", "lex"),
+    })

@@ -80,6 +80,21 @@ def main() -> int:
             print(r.line)
         return 0
 
+    if cmd == "update":
+        # SPARQL 1.1 Update against a parquet quadstore (extension; the
+        # post-state rewrites only the affected graph partitions'
+        # layout via the partitioned overwrite in create())
+        from kineo_spark.sources.stores_ext import ParquetQuadStore
+        from kineo_spark.update import GraphStore
+
+        store = ParquetQuadStore(spark, target)
+        # GraphStore checkpoints each op eagerly, so the post-state no
+        # longer depends on the files being overwritten
+        gs = GraphStore(spark, store.quads()).update(rest[0])
+        ParquetQuadStore.create(spark, gs.quads, target)
+        print(f"updated {target}: {gs.quads.count()} quads")
+        return 0
+
     print(__doc__)
     return 2
 
