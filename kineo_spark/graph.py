@@ -95,11 +95,21 @@ def _edge_keys(edges: DataFrame) -> DataFrame:
 
 
 def connected_components(edges: DataFrame, max_iterations: int = 50) -> DataFrame:
+    """Undirected connected components over (src, dst) TERM edges.
+    Returns (node, component) where component is the minimum term-key
+    in the component. See connected_components_keyed for the algorithm."""
+    return connected_components_keyed(_edge_keys(edges), max_iterations)
+
+
+def connected_components_keyed(
+    edges: DataFrame, max_iterations: int = 50
+) -> DataFrame:
     """Undirected connected components by iterative hash-min label
-    propagation. Returns (node, component) where component is the
-    minimum term-key in the component. Converges in O(diameter) rounds;
-    each round is one shuffle."""
-    e = _edge_keys(edges)
+    propagation over plain-typed (src, dst) keys (longs, strings, …).
+    Returns (node, component) where component is the minimum key in the
+    component. Converges in O(diameter) rounds; each round is one
+    shuffle."""
+    e = edges.select("src", "dst").dropDuplicates(["src", "dst"])
     sym = e.unionByName(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
     sym = sym.dropDuplicates(["src", "dst"]).localCheckpoint(eager=True)
     labels = (

@@ -36,6 +36,45 @@ def exact_dedup(
     )
 
 
+def prefix_key(text: Column, k: int = 5) -> Column:
+    """First-k normalized words — a cheap blocking/cluster key for
+    boilerplate and near-header duplicates (prefix dedup)."""
+    return F.array_join(
+        F.slice(F.split(F.lower(F.trim(text)), r"\s+"), 1, k), " ")
+
+
+def dedup_clusters(
+    df: DataFrame, id_col: str, text_col: str = "text",
+    key: Column | None = None,
+) -> DataFrame:
+    """Duplicate CLUSTERS via connected components + canonical member.
+
+    Pair generators (exact fingerprints here; MinHash/SimHash verified
+    pairs in the approximate pipelines) emit edges; transitive grouping
+    needs a connected-components pass — A~B and B~C must collapse into
+    one cluster even when A~C was never emitted. Edges are built as
+    in-group CHAINS (id → next id), so components genuinely propagate
+    labels over multiple hops rather than reading them off a star.
+    Returns (id, canon) for every clustered doc, canon = min id —
+    singletons are absent (nothing to dedup).
+
+    At 100 TB: edges are O(duplicates), the CC loop shuffles only
+    (id, label) longs, and convergence is O(cluster diameter) —
+    chains make that the worst case; real dup clusters are denser."""
+    from kineo_spark.graph import connected_components_keyed
+    from pyspark.sql import Window
+
+    if key is None:
+        key = fingerprint(F.col(text_col))  # exact-duplicate clusters
+    h = df.select(F.col(id_col).alias("id"), key.alias("__fp"))
+    w = Window.partitionBy("__fp").orderBy("id")
+    chain = h.withColumn("__prev", F.lag("id").over(w)).filter(
+        F.col("__prev").isNotNull())
+    edges = chain.select(F.col("__prev").alias("src"), F.col("id").alias("dst"))
+    cc = connected_components_keyed(edges)
+    return cc.select(F.col("node").alias(id_col), F.col("component").alias("canon"))
+
+
 def shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
     """(id, gram) distinct pairs."""
     return (

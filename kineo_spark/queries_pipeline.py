@@ -439,3 +439,75 @@ def pipe_pagerank(spark, sf_dir) -> DataFrame:
 
 
 QUERIES["pipe_pagerank"] = pipe_pagerank  # rows-only: no ORACLES entry
+
+
+# ---------------------------------------------------------------------------
+# Deterministic sampling / splits / shard packing / dedup clustering
+# ---------------------------------------------------------------------------
+
+_MD5_ID = "md5(CAST(doc_id AS VARCHAR))"
+
+
+@q("pipe_sample_stratified",
+   f"SELECT doc_id, lang FROM documents WHERE {_MD5_ID} < "
+   "CASE lang WHEN 'en' THEN '80000000' WHEN 'de' THEN '40000000' "
+   "ELSE '19999999' END")
+def pipe_sample_stratified(spark, sf_dir) -> DataFrame:
+    """Domain mixing: per-language keep-rates (en 50%, de 25%, rest 10%)
+    via md5 hash-gating — one shuffle-free filter pass, stable across
+    runs/partitionings; the oracle reproduces the exact picks because a
+    zero-padded hex compare IS the bucket compare."""
+    from kineo_spark.pipeline import sampling
+    docs = read_table(spark, sf_dir, "documents")
+    out = sampling.stratified_sample(
+        docs, "doc_id", "lang", {"en": 0.5, "de": 0.25}, default_rate=0.1)
+    return out.select("doc_id", "lang")
+
+
+@q("pipe_hash_split",
+   f"SELECT doc_id, CASE WHEN {_MD5_ID} < 'cccccccc' THEN 'train' "
+   f"WHEN {_MD5_ID} < 'e6666665' THEN 'val' "
+   f"WHEN {_MD5_ID} < 'fffffffe' THEN 'test' END AS split "
+   f"FROM documents WHERE {_MD5_ID} < 'fffffffe'")
+def pipe_hash_split(spark, sf_dir) -> DataFrame:
+    """Disjoint stable train/val/test split (80/10/10) by hash range —
+    every doc lands in exactly one split regardless of cluster layout."""
+    from kineo_spark.pipeline import sampling
+    docs = read_table(spark, sf_dir, "documents")
+    out = sampling.hash_split(
+        docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1})
+    return out.select("doc_id", "split")
+
+
+@q("pipe_pack_shards",
+   "SELECT doc_id, lang, CAST(FLOOR(COALESCE(SUM(n_chars) OVER ("
+   "PARTITION BY lang ORDER BY doc_id "
+   "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 5000.0) "
+   "AS BIGINT) AS shard FROM documents")
+def pipe_pack_shards(spark, sf_dir) -> DataFrame:
+    """Token-budget sharding: contiguous ~5000-char shards per language
+    in deterministic doc_id order (running-sum window; per-group sort
+    so the packing parallelizes across strata at corpus scale)."""
+    from kineo_spark.pipeline import sampling
+    docs = read_table(spark, sf_dir, "documents")
+    out = sampling.pack_shards(
+        docs, "doc_id", "n_chars", 5000, partition_by="lang")
+    return out.select("doc_id", "lang", "shard")
+
+
+_PREFIX5 = (r"array_to_string(string_split_regex(lower(trim(text)), "
+            r"'\s+')[1:5], ' ')")
+
+
+@q("pipe_dedup_clusters",
+   f"SELECT doc_id, MIN(doc_id) OVER (PARTITION BY {_PREFIX5}) AS canon "
+   f"FROM documents QUALIFY COUNT(*) OVER (PARTITION BY {_PREFIX5}) > 1")
+def pipe_dedup_clusters(spark, sf_dir) -> DataFrame:
+    """Duplicate clusters: connected components over in-group chain
+    edges + canonical member (min id) — the transitive-grouping step
+    every pair-generating dedup needs (dedup.dedup_clusters). Keyed on
+    the first-5-word prefix (prefix dedup) so the synthetic corpus,
+    which has no full-text duplicates, still yields real clusters."""
+    docs = read_table(spark, sf_dir, "documents")
+    return dedup.dedup_clusters(
+        docs, "doc_id", key=dedup.prefix_key(F.col("text"), 5))
