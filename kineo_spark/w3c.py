@@ -28,6 +28,7 @@ from kineo_spark.model import IRI_DT, RDF_NS
 
 MF = "http://www.w3.org/2001/sw/DataAccess/tests/test-manifest#"
 QT = "http://www.w3.org/2001/sw/DataAccess/tests/test-query#"
+UT = "http://www.w3.org/2009/sparql/tests/test-update#"
 
 KIND_IRI, KIND_BLANK, KIND_LITERAL = 0, 1, 2
 
@@ -88,7 +89,14 @@ def manifest_entries(manifest_path: str) -> list[TestEntry]:
             action = one(t, MF + "action")
             result = one(t, MF + "result")
             qp = one(action, QT + "query") if action else None
+            if qp is None and action:
+                qp = one(action, UT + "request")  # UpdateEvaluationTest
             dp = one(action, QT + "data") if action else None
+            if dp is None and action:
+                dp = one(action, UT + "data")
+            # update results wrap the expected graph: mf:result [ ut:data <g> ]
+            if result is not None and one(result, UT + "data") is not None:
+                result = one(result, UT + "data")
             entries.append(TestEntry(
                 iri=t[1],
                 name=name[1] if name else t[1],
@@ -187,6 +195,8 @@ def run_entry(spark, entry: TestEntry) -> TestOutcome:
     try:
         with open(entry.query_path) as fh:
             query_text = fh.read()
+        if entry.type.endswith("UpdateEvaluationTest"):
+            return _run_update_entry(spark, entry, query_text)
         if entry.data_path:
             if entry.data_path.endswith((".rdf", ".xml")):
                 from kineo_spark.sources.rdfxml import load_rdfxml
@@ -241,6 +251,42 @@ def run_entry(spark, entry: TestEntry) -> TestOutcome:
         return TestOutcome(entry, ok, detail)
     except Exception as e:  # noqa: BLE001 — conformance failure, not crash
         return TestOutcome(entry, False, f"{type(e).__name__}: {e}")
+
+
+def _run_update_entry(spark, entry: TestEntry, request: str) -> TestOutcome:
+    """UpdateEvaluationTest (rdf-tests ut: vocabulary): load ut:data
+    into the default graph, apply the ut:request through GraphStore,
+    compare the post-state DEFAULT graph against the expected graph by
+    bnode isomorphism. (The reference never evaluates updates — this
+    extends its conformance bar to the update surface.)"""
+    from pyspark.sql import functions as F
+
+    from kineo_spark.sources.turtle import load_turtle
+    from kineo_spark.update import DEFAULT_GRAPH, GraphStore
+
+    if entry.data_path:
+        quads = load_turtle(spark, entry.data_path)
+    else:
+        quads = None
+    gs = GraphStore(spark, quads).update(request)
+    post = gs.quads.filter(F.col("g_lex") == DEFAULT_GRAPH)
+
+    def graph_rows(flat) -> list[dict]:
+        return [
+            {"s": (q["s_kind"], q["s_lex"], None, None),
+             "p": (KIND_IRI, q["p_lex"], None, None),
+             "o": (q["o_kind"], q["o_lex"],
+                   q["o_dt"] if q["o_kind"] == KIND_LITERAL else None,
+                   q["o_lang"] if q["o_kind"] == KIND_LITERAL else None)}
+            for q in flat.collect()
+        ]
+
+    exp_rows = graph_rows(load_turtle(spark, entry.result_path))
+    act_rows = graph_rows(post)
+    ok = rows_isomorphic(exp_rows, act_rows)
+    return TestOutcome(entry, ok, "" if ok else
+                       f"post-state differs: expected {len(exp_rows)} "
+                       f"triples, got {len(act_rows)}")
 
 
 def run_manifest(spark, manifest_path: str) -> list[TestOutcome]:

@@ -12,11 +12,12 @@ ENTRIES = (manifest_entries("/root/repo/tests/w3c/manifest.ttl")
            + manifest_entries("/root/repo/tests/w3c/manifest2.ttl")
            + manifest_entries("/root/repo/tests/w3c/manifest3.ttl")
            + manifest_entries("/root/repo/tests/w3c/manifest4.ttl")
-           + manifest_entries("/root/repo/tests/w3c/manifest5.ttl"))
+           + manifest_entries("/root/repo/tests/w3c/manifest5.ttl")
+           + manifest_entries("/root/repo/tests/w3c/manifest6.ttl"))
 
 
 def test_manifest_parsed():
-    assert len(ENTRIES) == 77
+    assert len(ENTRIES) == 87
     assert all(e.query_path and e.result_path for e in ENTRIES)
 
 

@@ -15,9 +15,10 @@ def main() -> int:
     from kineo_spark.session import get_spark
     from kineo_spark.w3c import run_manifest
 
-    manifests = sys.argv[1:] or ["/root/repo/tests/w3c/manifest.ttl",
-                                 "/root/repo/tests/w3c/manifest2.ttl",
-                                 "/root/repo/tests/w3c/manifest3.ttl"]
+    manifests = sys.argv[1:] or [
+        f"/root/repo/tests/w3c/manifest{n}.ttl"
+        for n in ("", "2", "3", "4", "5", "6")
+    ]
     spark = get_spark("w3c", cpus=8)
     lines = ["# W3C-format conformance results", ""]
     n_pass = n_fail = 0
