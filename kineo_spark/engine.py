@@ -49,6 +49,13 @@ class Engine:
             return QueryResult("triples", triples=describe(self.compiler, q))
         raise ValueError(f"unsupported query form {type(q).__name__}")
 
+    def explain(self, sparql: str, mode: str = "formatted") -> str:
+        """Parsed algebra + rewritten algebra + Catalyst plan (the analog
+        of ``kineo explain``, kineo-cli/main.swift:275-333)."""
+        from kineo_spark.explain import explain as _explain
+
+        return _explain(self, sparql, mode)
+
     def serialize(self, result: QueryResult, accept: str = "application/sparql-results+json") -> str:
         from kineo_spark import serializers as ser
 

@@ -1,0 +1,140 @@
+"""Query explanation: algebra serialization + Spark physical plans.
+
+Analog of the reference's ``kineo explain`` subcommand
+(/root/reference/Sources/kineo-cli/main.swift:275-333), which prints the
+parsed query (``q.serialize()``) followed by the serialized physical
+query plan (``plan.serialize(depth:)``, SPARQL/QueryPlan.swift:147-247).
+
+Here the "physical plan" is Catalyst's: after lowering the algebra to a
+DataFrame we ask Spark for its formatted plan, which is the plan that
+actually runs (with AQE re-planning at runtime). The algebra sections
+show the two IRs we own — parsed and rewritten — so a user can see the
+custom pre-passes (path expansion, filter/constant folds) separately
+from what Catalyst does.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+from kineo_spark import algebra as A
+from kineo_spark.model import PyTerm
+
+# ---------------------------------------------------------------------------
+# Algebra serialization (reference: Query.serialize / Algebra.serialize)
+# ---------------------------------------------------------------------------
+
+_INDENT = "  "
+
+
+def _compact(v: Any) -> str:
+    """One-line rendering for pattern/expression-ish values."""
+    if isinstance(v, A.Var):
+        return f"?{v.name}" if v.binding else f"?[{v.name}]"
+    if isinstance(v, PyTerm):
+        return v.n3()
+    if isinstance(v, A.QuadPattern):
+        return " ".join(_compact(n) for _, n in v.nodes())
+    if isinstance(v, A.TriplePattern):
+        return " ".join(_compact(n) for n in (v.s, v.p, v.o))
+    if isinstance(v, str):
+        return repr(v)
+    if isinstance(v, (list, tuple)):
+        return "[" + ", ".join(_compact(x) for x in v) + "]"
+    if dataclasses.is_dataclass(v) and not isinstance(v, type):
+        fields = [
+            f"{f.name}={_compact(getattr(v, f.name))}"
+            for f in dataclasses.fields(v)
+            if getattr(v, f.name) != f.default
+        ]
+        name = type(v).__name__
+        return f"{name}({', '.join(fields)})" if fields else name
+    return repr(v)
+
+
+def _is_tree(v: Any) -> bool:
+    return isinstance(v, (A.Algebra, A.SelectQuery, A.AskQuery,
+                          A.ConstructQuery, A.DescribeQuery))
+
+
+def serialize_algebra(node: Any, depth: int = 0) -> str:
+    """Indented tree rendering of an algebra (or query-form) node,
+    shaped like the reference's ``QueryPlan.serialize(depth:)``."""
+    pad = _INDENT * depth
+    if not dataclasses.is_dataclass(node) or isinstance(node, type):
+        return f"{pad}{_compact(node)}\n"
+
+    scalars: list[str] = []
+    children: list[Any] = []
+    for f in dataclasses.fields(node):
+        v = getattr(node, f.name)
+        if _is_tree(v):
+            children.append(v)
+        elif isinstance(v, (list, tuple)) and any(_is_tree(x) for x in v):
+            children.extend(x for x in v if _is_tree(x))
+            rest = [x for x in v if not _is_tree(x)]
+            if rest:
+                scalars.append(f"{f.name}={_compact(rest)}")
+        elif v != f.default:
+            scalars.append(f"{f.name}={_compact(v)}")
+
+    head = type(node).__name__
+    if scalars:
+        head += "(" + ", ".join(scalars) + ")"
+    out = f"{pad}{head}\n"
+    for c in children:
+        out += serialize_algebra(c, depth + 1)
+    return out
+
+
+def serialize_query(q: Any) -> str:
+    return serialize_algebra(q)
+
+
+# ---------------------------------------------------------------------------
+# Spark plan capture
+# ---------------------------------------------------------------------------
+
+
+def spark_plan_string(df, mode: str = "formatted") -> str:
+    """Catalyst's explain output as a string (what ``df.explain(mode)``
+    prints). Modes: simple | extended | codegen | cost | formatted."""
+    sc = df.sparkSession.sparkContext
+    return sc._jvm.PythonSQLUtils.explainString(  # type: ignore[union-attr]
+        df._jdf.queryExecution(), mode
+    )
+
+
+def explain(engine, sparql: str, mode: str = "formatted") -> str:
+    """Full explanation: parsed algebra, rewritten algebra, Spark plan.
+
+    ``engine`` is a kineo_spark.engine.Engine. The Spark section compiles
+    the query but does not execute it (plans only), matching the
+    reference Explain subcommand's behavior of planning without
+    evaluating (kineo-cli/main.swift:312-331).
+    """
+    from kineo_spark import forms
+    from kineo_spark.rewrite import rewrite
+    from kineo_spark.sparql_parser import parse_query
+
+    q = parse_query(sparql)
+    out = ["Parsed query:", serialize_query(q).rstrip()]
+
+    rewritten = rewrite(q.algebra)
+    out += ["", "Rewritten algebra:", serialize_algebra(rewritten).rstrip()]
+
+    if isinstance(q, A.SelectQuery):
+        df = forms.select(engine.compiler, A.SelectQuery(rewritten, q.variables))
+    elif isinstance(q, A.AskQuery):
+        forms._prepare(engine.compiler, q)
+        df = engine.compiler.compile(rewritten).df.limit(1)
+    elif isinstance(q, A.ConstructQuery):
+        df = forms.construct(engine.compiler, A.ConstructQuery(rewritten, q.template))
+    elif isinstance(q, A.DescribeQuery):
+        df = forms.describe(engine.compiler, q)
+    else:  # pragma: no cover - parser only produces the four forms
+        raise ValueError(f"unsupported query form {type(q).__name__}")
+
+    out += ["", f"Spark plan [{mode}]:", spark_plan_string(df, mode).rstrip()]
+    return "\n".join(out) + "\n"

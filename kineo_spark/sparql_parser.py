@@ -291,12 +291,27 @@ class Parser:
         if self.op("^"):
             inv = True
         if self.op("!"):
-            self.expect_op("(")
-            iris = [self._path_primary_iri()]
-            while self.op("|"):
-                iris.append(self._path_primary_iri())
-            self.expect_op(")")
-            p: A.Path = A.PNps(tuple(iris))
+            # PathNegatedPropertySet ::= PathOneInPropertySet
+            #   | '(' (PathOneInPropertySet ('|' PathOneInPropertySet)*)? ')'
+            # where PathOneInPropertySet ::= iri | 'a' | '^' (iri|'a').
+            # Mixed forward/inverse members decompose per SPARQL 1.1 §9.1:
+            # !(p1|..|^q1|..) = alt(nps({p_i}), inv(nps({q_j}))).
+            members: list[tuple[bool, object]] = []
+            if self.op("("):
+                members.append(self._path_one_in_property_set())
+                while self.op("|"):
+                    members.append(self._path_one_in_property_set())
+                self.expect_op(")")
+            else:
+                members.append(self._path_one_in_property_set())
+            fwd = tuple(iri for neg, iri in members if not neg)
+            bwd = tuple(iri for neg, iri in members if neg)
+            if fwd and bwd:
+                p: A.Path = A.PAlt(A.PNps(fwd), A.PInv(A.PNps(bwd)))
+            elif bwd:
+                p = A.PInv(A.PNps(bwd))
+            else:
+                p = A.PNps(fwd)
         elif self.op("("):
             p = _as_path(self._path_alt())
             self.expect_op(")")
@@ -312,6 +327,10 @@ class Parser:
         if inv:
             p = A.PInv(_as_path(p))
         return p
+
+    def _path_one_in_property_set(self) -> tuple[bool, object]:
+        inv = bool(self.op("^"))
+        return inv, self._path_primary_iri()
 
     def _path_primary_iri(self):
         t = self.peek()

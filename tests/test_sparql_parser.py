@@ -261,3 +261,27 @@ def test_base_relative_iri_resolution(spark):
     while not hasattr(bgp, "patterns"):
         bgp = bgp.child
     assert bgp.patterns[0].s.lex == "http://example.org/data/item1"
+
+
+def test_parse_nps_inverse_members():
+    """!(p|^q) decomposes to alt(nps(p-set), inv(nps(q-set)))
+    (SPARQL 1.1 §9.1 PathOneInPropertySet; reference parses via
+    SPARQLSyntax PathNegatedPropertySet)."""
+    from kineo_spark import algebra as A
+    from kineo_spark.sparql_parser import parse_query
+
+    q = parse_query("SELECT * WHERE { ?s !(<http://ex/p>|^<http://ex/q>) ?o }")
+    pat = q.algebra
+    while not isinstance(pat, A.PathPattern):
+        (pat,) = [getattr(pat, f.name) for f in __import__("dataclasses").fields(pat)
+                  if isinstance(getattr(pat, f.name), A.Algebra)]
+    p = pat.path
+    assert isinstance(p, A.PAlt)
+    assert isinstance(p.lhs, A.PNps) and p.lhs.iris[0].lex == "http://ex/p"
+    assert isinstance(p.rhs, A.PInv) and isinstance(p.rhs.path, A.PNps)
+    assert p.rhs.path.iris[0].lex == "http://ex/q"
+
+    # bare (unparenthesized) forms
+    q2 = parse_query("SELECT * WHERE { ?s !<http://ex/p> ?o }")
+    q3 = parse_query("SELECT * WHERE { ?s !^<http://ex/p> ?o }")
+    assert q2 is not None and q3 is not None

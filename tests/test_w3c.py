@@ -17,7 +17,7 @@ ENTRIES = (manifest_entries("/root/repo/tests/w3c/manifest.ttl")
 
 
 def test_manifest_parsed():
-    assert len(ENTRIES) == 87
+    assert len(ENTRIES) == 88
     assert all(e.query_path and e.result_path for e in ENTRIES)
 
 

@@ -7,6 +7,11 @@ Usage:
   python tools/kineo_cli.py load  STORE_PATH FILE [...]     # .nt/.nq/.ttl
   python tools/kineo_cli.py query STORE_PATH 'SELECT ...' [--format MIME]
   python tools/kineo_cli.py qfile STORE_PATH QUERY_FILE [--format MIME]
+  python tools/kineo_cli.py explain STORE_PATH 'SELECT ...' [--mode MODE]
+  python tools/kineo_cli.py graphs STORE_PATH               # list graph IRIs
+  python tools/kineo_cli.py dataset STORE_PATH              # describe dataset
+  python tools/kineo_cli.py parse  - 'SELECT ...' [--simplify]  # algebra dump
+  python tools/kineo_cli.py repl  STORE_PATH                # interactive
   python tools/kineo_cli.py dump  STORE_PATH                # N-Quads to stdout
   python tools/kineo_cli.py rel-query SF_DIR 'SELECT ...'   # driver tables
 """
@@ -29,6 +34,28 @@ def main() -> int:
         rest = rest[:i] + rest[i + 2:]
 
     sys.path.insert(0, "/root/repo")
+
+    if cmd == "parse":
+        # kineo-parse analog (/root/reference/Sources/kineo-parse/main.swift):
+        # parse the query and print its algebra; --simplify additionally
+        # runs the rewrite passes (SPARQLQueryRewriter.simplify analog).
+        # No SparkSession needed.
+        from kineo_spark import algebra as A
+        from kineo_spark.explain import serialize_algebra, serialize_query
+        from kineo_spark.rewrite import rewrite
+        from kineo_spark.sparql_parser import parse_query
+
+        simplify = "--simplify" in rest
+        text = rest[0] if rest and rest[0] != "--simplify" else target
+        if text == "-":
+            text = sys.stdin.read()
+        q = parse_query(text)
+        print(serialize_query(q), end="")
+        if simplify and hasattr(q, "algebra"):
+            print("# simplified:")
+            print(serialize_algebra(rewrite(q.algebra)), end="")
+        return 0
+
     from kineo_spark import get_spark
     from kineo_spark.engine import Engine
 
@@ -69,6 +96,70 @@ def main() -> int:
         engine = Engine(store)
         result = engine.query(text)
         print(engine.serialize(result, fmt))
+        return 0
+
+    if cmd == "explain":
+        # kineo explain analog (kineo-cli/main.swift:275-333): parsed
+        # query + the plan that will run (Catalyst's, not a custom cost
+        # search — SURVEY §4.2: Catalyst replaces the planner wholesale)
+        from kineo_spark.sources.stores_ext import ParquetQuadStore
+
+        mode = "formatted"
+        if "--mode" in rest:
+            i = rest.index("--mode")
+            mode = rest[i + 1]
+            rest = rest[:i] + rest[i + 2:]
+        store = ParquetQuadStore(spark, target)
+        print(Engine(store).explain(rest[0], mode))
+        return 0
+
+    if cmd in ("graphs", "dataset"):
+        # kineo graphs / kineo dataset analogs
+        # (kineo-cli/main.swift:336-391)
+        from pyspark.sql import functions as F
+        from kineo_spark.sources.stores_ext import ParquetQuadStore
+
+        store = ParquetQuadStore(spark, target)
+        names = [
+            r.g for r in store.quads()
+            .select(F.col("g_lex").alias("g")).distinct().orderBy("g").collect()
+        ]
+        if cmd == "graphs":
+            for g in names:
+                print(g)
+        else:
+            print("Dataset:")
+            print("\tDefault graphs:")
+            for g in names[:1]:
+                print(f"\t\t{g}")
+            if len(names) > 1:
+                print("\tNamed graphs:")
+                for g in names[1:]:
+                    print(f"\t\t{g}")
+        return 0
+
+    if cmd == "repl":
+        # kineo repl analog (kineo-cli/main.swift:152-239): read SPARQL
+        # queries (or 'explain QUERY') interactively until 'exit'
+        from kineo_spark.sources.stores_ext import ParquetQuadStore
+
+        engine = Engine(ParquetQuadStore(spark, target))
+        while True:
+            try:
+                line = input("kineo> ").strip()
+            except EOFError:
+                break
+            if line in ("exit", "quit"):
+                break
+            if not line:
+                continue
+            try:
+                if line.startswith("explain "):
+                    print(engine.explain(line[len("explain "):]))
+                else:
+                    print(engine.serialize(engine.query(line), fmt))
+            except Exception as e:  # noqa: BLE001 — REPL keeps going
+                print(f"*** {e}")
         return 0
 
     if cmd == "dump":
