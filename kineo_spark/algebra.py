@@ -333,23 +333,29 @@ class Subquery(Algebra):
 class SelectQuery:
     algebra: Algebra
     variables: tuple[str, ...] = ()  # empty = SELECT *
+    # FROM / FROM NAMED clauses: () = none, else (defaults, named) with
+    # each a tuple of graph-IRI strings (SPARQL 1.1 §13.2)
+    dataset: tuple = ()
 
 
 @dataclass(frozen=True)
 class AskQuery:
     algebra: Algebra
+    dataset: tuple = ()
 
 
 @dataclass(frozen=True)
 class ConstructQuery:
     algebra: Algebra
     template: tuple[TriplePattern, ...] = ()
+    dataset: tuple = ()
 
 
 @dataclass(frozen=True)
 class DescribeQuery:
     algebra: Algebra
     nodes: tuple[Node, ...] = ()
+    dataset: tuple = ()
 
 
 # SPARQL 1.1 Update operations (EXTENSION: the reference declares

@@ -37,6 +37,18 @@ class Engine:
 
     def query(self, sparql: str) -> QueryResult:
         q = parse_query(sparql)
+        return self.evaluate(q)
+
+    def evaluate(self, q) -> QueryResult:
+        if getattr(q, "dataset", ()):
+            # FROM / FROM NAMED: evaluate against a store scoped to
+            # exactly the described dataset (SPARQL 1.1 §13.2)
+            from kineo_spark.store import DatasetGraphStore
+
+            defaults, named = q.dataset
+            scoped = Engine(DatasetGraphStore(self.store, defaults, named))
+            import dataclasses
+            return scoped.evaluate(dataclasses.replace(q, dataset=()))
         if isinstance(q, A.SelectQuery):
             q = A.SelectQuery(rewrite(q.algebra), q.variables)
             return QueryResult("select", bindings=select(self.compiler, q))

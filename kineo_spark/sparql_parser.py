@@ -27,7 +27,7 @@ _TOKEN_RE = re.compile(
     | (?P<LANGTAG>@[A-Za-z]+(?:-[A-Za-z0-9]+)*)
     | (?P<NUM>[+-]?(?:\d+\.\d*|\.\d+|\d+)(?:[eE][+-]?\d+)?)
     | (?P<BNODE>_:[A-Za-z0-9_]+)
-    | (?P<PNAME>[A-Za-z_][A-Za-z0-9_.-]*?:[A-Za-z0-9_.%-]*)
+    | (?P<PNAME>(?:[A-Za-z_][A-Za-z0-9_.-]*)?:[A-Za-z0-9_.%-]*)
     | (?P<KW>[A-Za-z_][A-Za-z0-9_]*)
     | (?P<OP>\^\^|&&|\|\||!=|<=|>=|[{}()\[\].,;*+?/|^!<>=-])
     """,
@@ -100,6 +100,9 @@ class Parser:
         # triples produced by blank-node property lists / collections,
         # collected by the enclosing triples block
         self._pending: list[A.TriplePattern] = []
+        self._pending_paths: list[A.PathPattern] = []
+        # FROM / FROM NAMED clauses of the top-level query form
+        self._dataset: tuple = ()
         # inside a CONSTRUCT template, bnodes stay constants (instantiated
         # fresh per solution); in patterns they are non-distinguished vars
         self._in_template = False
@@ -144,7 +147,8 @@ class Parser:
             return self._select_query(top=True)
         if word == "ASK":
             self.next()
-            return A.AskQuery(self._where_and_modifiers_simple())
+            return A.AskQuery(self._where_and_modifiers_simple(),
+                              dataset=self._dataset)
         if word == "CONSTRUCT":
             return self._construct_query()
         if word == "DESCRIBE":
@@ -165,8 +169,6 @@ class Parser:
     # -- terms ------------------------------------------------------------
     def _resolve_pname(self, text: str) -> PyTerm:
         pfx, _, local = text.partition(":")
-        if pfx == "" and local == "" :
-            raise SyntaxError("bad prefixed name")
         ns = self.prefixes.get(pfx)
         if ns is None:
             raise SyntaxError(f"unknown prefix {pfx}:")
@@ -185,12 +187,7 @@ class Parser:
         if t.kind == "BNODE":
             return blank(t.text[2:])
         if t.kind == "NUM":
-            txt = t.text
-            if re.match(r"^[+-]?\d+$", txt):
-                return lit(int(txt))
-            if "e" in txt.lower():
-                return PyTerm(2, txt, "double")
-            return PyTerm(2, txt, "decimal")
+            return self._num_literal(t.text)
         if t.kind == "STRING":
             raw = t.text
             if raw.startswith(("'''", '"""')):
@@ -214,6 +211,13 @@ class Parser:
             return iri(RDF_TYPE)
         raise SyntaxError(f"expected term, got {t}")
 
+    def _num_literal(self, txt: str) -> PyTerm:
+        if re.match(r"^[+-]?\d+$", txt):
+            return lit(int(txt))
+        if "e" in txt.lower():
+            return PyTerm(2, txt, "double")
+        return PyTerm(2, txt, "decimal")
+
     def _fresh_bn(self) -> A.Var:
         # 'bn-…' cannot collide with user variables: '-' is not legal in
         # a SPARQL VARNAME. SELECT * drops these (forms.select_plan).
@@ -235,15 +239,33 @@ class Parser:
             b = self._fresh_bn()
             if self.op("]"):
                 return b
-            # blank-node property list: [ p1 o1 , o1b ; p2 o2 ]
+            # blank-node property list: [ p1 o1 , o1b ; p2 o2 ] — each
+            # verb may be a var, an iri, or a full property path
             while True:
-                if self.peek().kind == "VAR":
+                t2 = self.peek()
+                cur_path = None
+                if t2.kind == "VAR":
                     pred = A.Var(self.next().text[1:])
-                else:
+                elif (t2.kind in ("IRI", "PNAME")
+                      or (t2.kind == "KW" and t2.text == "a")) \
+                        and not self._lookahead_path():
                     pred = self._term()
-                self._pending.append(A.TriplePattern(b, pred, self._node()))
-                while self.op(","):
+                else:
+                    p = self._path()
+                    if isinstance(p, PyTerm):
+                        pred = p
+                    else:
+                        cur_path = p
+                if cur_path is not None:
+                    self._pending_paths.append(
+                        A.PathPattern(b, cur_path, self._node()))
+                    while self.op(","):
+                        self._pending_paths.append(
+                            A.PathPattern(b, cur_path, self._node()))
+                else:
                     self._pending.append(A.TriplePattern(b, pred, self._node()))
+                    while self.op(","):
+                        self._pending.append(A.TriplePattern(b, pred, self._node()))
                 if self.op(";"):
                     if self.peek().kind == "OP" and self.peek().text == "]":
                         break
@@ -384,6 +406,15 @@ class Parser:
                 e = ECall("+", (e, self._mul_expr()))
             elif self.op("-"):
                 e = ECall("-", (e, self._mul_expr()))
+            elif (self.peek().kind == "NUM" and self.peek().text[0] in "+-"):
+                # grammar rule [116] AdditiveExpression: a signed numeric
+                # literal ('?a+1', '?a-2.5') is an implicit +/- term
+                t = self.next()
+                rhs: Expr = EConst(self._num_literal(t.text.lstrip("+")))
+                op = "-" if t.text[0] == "-" else "+"
+                if op == "-":
+                    rhs = EConst(self._num_literal(t.text[1:]))
+                e = ECall(op, (e, rhs))
             else:
                 return e
 
@@ -629,6 +660,9 @@ class Parser:
         if self._pending:  # bnode property lists / collections expand here
             triples.extend(self._pending)
             self._pending = []
+        if self._pending_paths:  # paths inside bnode property lists
+            parts.extend(self._pending_paths)
+            self._pending_paths = []
         out: A.Algebra | None = A.BGP(tuple(triples)) if triples else None
         for p in parts:
             out = p if out is None else A.Join(out, p)
@@ -665,6 +699,8 @@ class Parser:
                 proj.append((var.text[1:], e))
             else:
                 break
+        if top:
+            self._dataset_clause()
         self.expect_kw("WHERE") if (self.peek().kind == "KW" and self.peek().text.upper() == "WHERE") else None
         body = self._group_graph_pattern()
 
@@ -748,9 +784,22 @@ class Parser:
             alg = A.Reduced(alg)
         if limit is not None or offset:
             alg = A.Slice(alg, offset or 0, limit)
-        return A.SelectQuery(alg, tuple(out_vars) if not star else ())
+        return A.SelectQuery(alg, tuple(out_vars) if not star else (),
+                             dataset=self._dataset if top else ())
+
+    def _dataset_clause(self) -> None:
+        """DatasetClause* : ('FROM' ('NAMED'? IRIref))* — recorded on the
+        query form; Engine scopes the store to exactly this dataset
+        (SPARQL 1.1 §13.2; reference: Query.dataset via SPARQLSyntax)."""
+        defaults: list[str] = []
+        named: list[str] = []
+        while self.kw("FROM"):
+            (named if self.kw("NAMED") else defaults).append(self._term().lex)
+        if defaults or named:
+            self._dataset = (tuple(defaults), tuple(named))
 
     def _where_and_modifiers_simple(self) -> A.Algebra:
+        self._dataset_clause()
         if self.peek().kind == "KW" and self.peek().text.upper() == "WHERE":
             self.next()
         return self._group_graph_pattern()
@@ -760,17 +809,18 @@ class Parser:
         if not (self.peek().kind == "OP" and self.peek().text == "{"):
             # CONSTRUCT WHERE { triples } shorthand: the WHERE pattern is
             # also the template (spec restricts it to plain triples)
+            self._dataset_clause()
             self.expect_kw("WHERE")
             body = self._group_graph_pattern()
             template = tuple(_collect_triples(body))
-            return A.ConstructQuery(body, template)
+            return A.ConstructQuery(body, template, dataset=self._dataset)
         self.expect_op("{")
         self._in_template = True
         template = self._template_triples()
         self.expect_op("}")
         self._in_template = False
         body = self._where_and_modifiers_simple()
-        return A.ConstructQuery(body, tuple(template))
+        return A.ConstructQuery(body, tuple(template), dataset=self._dataset)
 
     def _template_triples(self, stop_kw: tuple[str, ...] = ()) -> list[A.TriplePattern]:
         """TriplesTemplate: '.'-separated triples with ';'/',' lists,
@@ -812,12 +862,13 @@ class Parser:
                 nodes.append(self._term())
             else:
                 break
+        self._dataset_clause()
         body = A.JoinIdentity()
         if self.peek().kind == "KW" and self.peek().text.upper() == "WHERE" or (
             self.peek().kind == "OP" and self.peek().text == "{"
         ):
             body = self._where_and_modifiers_simple()
-        return A.DescribeQuery(body, tuple(nodes))
+        return A.DescribeQuery(body, tuple(nodes), dataset=self._dataset)
 
 
     # -- SPARQL 1.1 Update (extension; ops in algebra.py) -----------------

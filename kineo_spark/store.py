@@ -147,6 +147,68 @@ class QuadsDataFrameStore(QuadStore):
         return _assign(pattern, terms, q)
 
 
+class DatasetGraphStore(QuadStore):
+    """FROM / FROM NAMED dataset scoping over any base store
+    (SPARQL 1.1 §13.2; reference: Dataset handling in
+    SimpleQueryEvaluation's activeGraph threading).
+
+    The query's default graph is the MERGE of the FROM graphs — a graph,
+    so identical triples from different source graphs collapse to one —
+    and GRAPH patterns range over exactly the FROM NAMED set. When only
+    one clause kind is present the other side is empty, per spec.
+
+    Scan dispatch uses the compiler's graph-position convention: a
+    non-binding graph var = default-graph scan; a binding var or
+    constant = named-graph scan. The g_lex filter sits directly above
+    the base quads DataFrame, so for parquet-backed stores it reaches
+    the scan as a pushed filter.
+    """
+
+    DEFAULT_MARKER = "urn:g:default"
+
+    def __init__(self, base: QuadStore, default_graphs, named_graphs):
+        self.spark = base.spark
+        self._base = base
+        self._default = tuple(default_graphs)
+        self._named = tuple(named_graphs)
+
+    def _default_quads(self) -> DataFrame:
+        df = self._base.quads().filter(F.col("g_lex").isin(list(self._default)))
+        cols = [c for c in df.columns if c != "g_lex"]
+        # merge semantics: project away the source graph, dedupe triples
+        return (df.select(*cols)
+                .dropDuplicates(["s_kind", "s_lex", "p_lex",
+                                 "o_kind", "o_lex", "o_dt", "o_lang"])
+                .withColumn("g_lex", F.lit(self.DEFAULT_MARKER)))
+
+    def _named_quads(self) -> DataFrame:
+        return self._base.quads().filter(F.col("g_lex").isin(list(self._named)))
+
+    def scan(self, pattern: A.QuadPattern) -> DataFrame:
+        g = pattern.g
+        if isinstance(g, A.Var) and not g.binding:
+            df = self._default_quads() if self._default else self._empty()
+        else:
+            df = self._named_quads() if self._named else self._empty()
+        return QuadsDataFrameStore(self.spark, df).scan(pattern)
+
+    def _empty(self) -> DataFrame:
+        return self.spark.createDataFrame([], QUADS_SCHEMA)
+
+    def quads(self) -> DataFrame:
+        parts = []
+        if self._default:
+            parts.append(self._default_quads())
+        if self._named:
+            parts.append(self._named_quads())
+        if not parts:
+            return self._empty()
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+
 # ---------------------------------------------------------------------------
 # Relational (vertical-partitioned) store over the driver tables
 # ---------------------------------------------------------------------------

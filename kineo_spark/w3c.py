@@ -41,6 +41,9 @@ class TestEntry:
     query_path: str
     data_path: str | None
     result_path: str | None
+    # qt:graphData files — each loads into a named graph whose name is
+    # the file IRI (rdf-tests dataset-test convention)
+    graph_data: tuple = ()
 
 
 @dataclass
@@ -94,6 +97,9 @@ def manifest_entries(manifest_path: str) -> list[TestEntry]:
             dp = one(action, QT + "data") if action else None
             if dp is None and action:
                 dp = one(action, UT + "data")
+            gds = tuple(
+                g[1] for g in idx.get(action, {}).get(QT + "graphData", [])
+            ) if action else ()
             # update results wrap the expected graph: mf:result [ ut:data <g> ]
             if result is not None and one(result, UT + "data") is not None:
                 result = one(result, UT + "data")
@@ -104,6 +110,7 @@ def manifest_entries(manifest_path: str) -> list[TestEntry]:
                 query_path=_path_of(qp[1]) if qp else None,
                 data_path=_path_of(dp[1]) if dp else None,
                 result_path=_path_of(result[1]) if result else None,
+                graph_data=gds,
             ))
             node = one(node, RDF_NS + "rest")
     return entries
@@ -195,19 +202,42 @@ def run_entry(spark, entry: TestEntry) -> TestOutcome:
     try:
         with open(entry.query_path) as fh:
             query_text = fh.read()
+        if entry.graph_data and "BASE" not in query_text:
+            # spec: the query's base IRI is its document IRI — needed so
+            # relative FROM/FROM NAMED IRIs resolve to the graphData names
+            query_text = (f"BASE <file://{os.path.dirname(entry.query_path)}/>\n"
+                          + query_text)
         if entry.type.endswith("UpdateEvaluationTest"):
             return _run_update_entry(spark, entry, query_text)
-        if entry.data_path:
-            if entry.data_path.endswith((".rdf", ".xml")):
+        def _load(path: str, graph: str = "urn:g:default"):
+            if path.endswith((".rdf", ".xml")):
                 from kineo_spark.sources.rdfxml import load_rdfxml
-                quads = load_rdfxml(spark, entry.data_path,
-                                    base="file://" + entry.data_path)
-            elif entry.data_path.endswith((".nt", ".nq")):
+                return load_rdfxml(spark, path, base="file://" + path)
+            if path.endswith((".nt", ".nq")):
                 from kineo_spark.sources.ntriples import load_ntriples
-                quads = load_ntriples(spark, entry.data_path)
-            else:
-                quads = load_turtle(spark, entry.data_path)
+                return load_ntriples(spark, path)
+            return load_turtle(spark, path, default_graph=graph)
+
+        parts = []
+        if entry.data_path:
+            parts.append(_load(entry.data_path))
+        # qt:graphData <f> loads f into the named graph <f> (rdf-tests
+        # dataset-test convention; graph name = the file IRI)
+        for g_iri in entry.graph_data:
+            parts.append(_load(_path_of(g_iri), graph=g_iri))
+        if parts:
+            quads = parts[0]
+            for p in parts[1:]:
+                quads = quads.unionByName(p)
             store = QuadsDataFrameStore(spark, quads)
+            if entry.graph_data:
+                # exact dataset semantics: default graph = qt:data only,
+                # GRAPH ranges over exactly the qt:graphData graphs
+                from kineo_spark.store import DatasetGraphStore
+                store = DatasetGraphStore(
+                    store,
+                    ("urn:g:default",) if entry.data_path else (),
+                    entry.graph_data)
         else:
             store = QuadsDataFrameStore.from_rows(spark, [])
         result = Engine(store).query(query_text)

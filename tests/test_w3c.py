@@ -13,11 +13,12 @@ ENTRIES = (manifest_entries("/root/repo/tests/w3c/manifest.ttl")
            + manifest_entries("/root/repo/tests/w3c/manifest3.ttl")
            + manifest_entries("/root/repo/tests/w3c/manifest4.ttl")
            + manifest_entries("/root/repo/tests/w3c/manifest5.ttl")
-           + manifest_entries("/root/repo/tests/w3c/manifest6.ttl"))
+           + manifest_entries("/root/repo/tests/w3c/manifest6.ttl")
+           + manifest_entries("/root/repo/tests/w3c/manifest7.ttl"))
 
 
 def test_manifest_parsed():
-    assert len(ENTRIES) == 88
+    assert len(ENTRIES) == 92
     assert all(e.query_path and e.result_path for e in ENTRIES)
 
 
