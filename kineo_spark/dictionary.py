@@ -230,10 +230,12 @@ class IdEncodedView:
     _CACHE: dict[int, "IdEncodedView"] = {}
 
     # dictionaries at or below this row count broadcast into materialize
-    # joins (~100 B/term struct → ~500 MB worst case, well inside the
-    # driver heap); above it, per-var shuffle joins on 8-byte id keys —
-    # the 100 TB layout, where the dictionary is billions of terms
-    BROADCAST_TERMS = 5_000_000
+    # joins (~100 B/term struct → ~100 MB worst case — a broadcast build
+    # is paid PER QUERY, so it must stay cheap); above it, the melt path
+    # joins adaptively: AQE broadcasts whichever side is actually small
+    # at runtime — bindings after a selective query, never the
+    # billions-of-terms dictionary of the 100 TB regime
+    BROADCAST_TERMS = 1_000_000
 
     def __init__(self, store):
         dictionary, id_quads = encode_quads(store.quads())
@@ -277,6 +279,10 @@ def id_compiler(store, **kw):
             # None = materialize every var (safe default when no
             # prepare() ran — e.g. DESCRIBE or direct compile calls)
             self._needed: frozenset[str] | None = None
+            # vars whose materialization an enclosing _filter defers:
+            # their value predicates run on the DICTIONARY and come back
+            # as id semi-joins, so the BGP below must keep them as ids
+            self._mask: frozenset[str] = frozenset()
 
         def prepare(self, query) -> None:
             """Pre-query analysis hook (forms.* call it with the full
@@ -297,6 +303,18 @@ def id_compiler(store, **kw):
                 proj = None
             self._needed = needed_value_vars(alg, proj)
 
+        def _c(self, node, g):
+            # single-pattern nodes route through the ID path too (the
+            # base compiler scans them term-mode directly)
+            if isinstance(node, A.Triple):
+                return self._bgp(A.BGP((node.pattern,)), g)
+            if isinstance(node, A.Quad):
+                p = node.pattern
+                return self._bgp(A.BGP((A.TriplePattern(p.s, p.p, p.o),)),
+                                 p.g if not isinstance(p.g, A.Var)
+                                 or p.g.binding else g)
+            return super()._c(node, g)
+
         def _bgp(self, node: A.BGP, g):
             if not node.patterns:
                 return self._join_identity()
@@ -310,14 +328,133 @@ def id_compiler(store, **kw):
                 # count is the match count
                 return Plan(ids, frozenset())
             certain = frozenset(set().union(*[p.variables() for p in quads]))
-            mat_vars = None if self._needed is None else \
-                [v for v in ids.columns if v in self._needed]
+            if self._needed is None:
+                mat_vars = None if not self._mask else \
+                    [v for v in ids.columns if v not in self._mask]
+            else:
+                mat_vars = [v for v in ids.columns
+                            if v in self._needed and v not in self._mask]
             mat = materialize(ids, self._idview.dictionary,
                               broadcast_dict=self._idview.broadcast,
                               vars=mat_vars)
             id_keep = frozenset() if mat_vars is None else \
-                frozenset(v for v in ids.columns if v not in self._needed)
+                frozenset(v for v in ids.columns if v not in set(mat_vars))
             return Plan(mat, certain, id_keep)
+
+        def _filter(self, node: A.Filter, g):
+            """Value-filter pushdown into ID space (the dictionary-
+            encoding payoff the reference gets from IDQueryPlan's
+            materialization boundary): a single-var conjunct evaluates
+            ONCE against the dictionary (n_terms rows) instead of per
+            binding row, and the qualifying ids filter the BGP output as
+            an equi-semi-join — so the full materialize never runs on
+            rows the filter would discard. At 100 TB this is the
+            difference between materializing every candidate row and
+            materializing only survivors."""
+            from kineo_spark.compiler import Plan
+            from kineo_spark.expr import (
+                ECall, EExists, compile_filter_condition, expr_vars,
+            )
+
+            e = node.expr
+            if isinstance(e, EExists):
+                return super()._filter(node, g)
+
+            def conjuncts(x):
+                # FILTER(a && b) ≡ FILTER(a) FILTER(b): a row survives
+                # iff every conjunct's EBV is true (false/error drop)
+                if isinstance(x, ECall) and x.op == "&&":
+                    return [c for a in x.args for c in conjuncts(a)]
+                return [x]
+
+            def deterministic(x) -> bool:
+                # RAND/UUID/STRUUID/BNODE draw per binding ROW — they
+                # must not evaluate per dictionary term
+                if isinstance(x, ECall):
+                    if x.op.upper() in ("RAND", "UUID", "STRUUID", "BNODE"):
+                        return False
+                    return all(deterministic(a) for a in x.args)
+                return True
+
+            def selective(x) -> bool:
+                # dictionary semi-joins pay off only when few terms
+                # qualify: equality/IN/sameTerm/string-match pin a small
+                # id set, while a range like ?bal > 7500 qualifies every
+                # numeric term in the GLOBAL dictionary (measured: 49%
+                # of all terms at sf0.1) — a million-row ok-set plus an
+                # extra pivot stage loses to just materializing the
+                # column at the BGP (measured 6s → 16s on the 3-hop
+                # bench when ranges were pushed; reverted)
+                return isinstance(x, ECall) and x.op.upper() in (
+                    "=", "IN", "SAMETERM", "STRSTARTS", "STRENDS",
+                    "CONTAINS", "REGEX", "LANGMATCHES")
+
+            pushable: list[tuple[object, str]] = []
+            residual: list[object] = []
+            residual_vars: set[str] = set()
+            for c_ in conjuncts(e):
+                vs: set[str] = set()
+                sub: list = []
+                expr_vars(c_, vs, sub)
+                if (len(vs) == 1 and not sub and deterministic(c_)
+                        and selective(c_)):
+                    pushable.append((c_, next(iter(vs))))
+                else:
+                    residual.append(c_)
+                    residual_vars |= vs
+            # don't defer a var that must materialize anyway: one a
+            # residual conjunct reads, or one the CHILD subtree itself
+            # reads (an Extend or inner Filter between here and the BGP)
+            child_needs = needed_value_vars(node.child, ())
+            if child_needs is None:  # unknown subtree: no deferral
+                return super()._filter(node, g)
+            blocked = residual_vars | set(child_needs)
+            residual += [c_ for c_, v in pushable if v in blocked]
+            pushable = [(c_, v) for c_, v in pushable if v not in blocked]
+            if not pushable:
+                return super()._filter(node, g)
+
+            mask = frozenset(v for _, v in pushable)
+            outer = self._mask
+            self._mask = outer | mask
+            try:
+                child = self._c(node.child, g)
+            finally:
+                self._mask = outer
+
+            df, id_vars = child.df, set(child.id_vars)
+            d = self._idview.dictionary
+            term_col = term_struct(
+                F.col("kind").cast("tinyint"), F.col("lex"), F.col("dt"),
+                F.col("lang"), F.col("num"))
+            from kineo_spark.compiler import _env
+            for c_, v in pushable:
+                # guard: only certainly-bound vars — an unbound var must
+                # reach the expression as NULL (BOUND/COALESCE may pass
+                # it), which a semi-join on ids cannot express
+                if v in id_vars and v in child.certain and v in df.columns:
+                    cond = compile_filter_condition(c_, {v: term_col})
+                    ok = d.where(cond).select(F.col("id").alias("__okid"))
+                    df = df.join(ok, df[v] == F.col("__okid"), "left_semi")
+                else:
+                    residual.append(c_)
+
+            # survivors-only materialize of the deferred vars the query
+            # still reads, plus anything a late residual needs
+            for c_ in residual:
+                expr_vars(c_, residual_vars, [])
+            to_mat = [v for v in df.columns if v in id_vars
+                      and (v in residual_vars
+                           or (v in mask and (self._needed is None
+                                              or v in self._needed)))]
+            if to_mat:
+                df = materialize(df, d,
+                                 broadcast_dict=self._idview.broadcast,
+                                 vars=to_mat)
+                id_vars -= set(to_mat)
+            for c_ in residual:
+                df = df.filter(compile_filter_condition(c_, _env(df)))
+            return Plan(df, child.certain, frozenset(id_vars))
 
     return IdCompiler(store, **kw)
 
@@ -370,15 +507,26 @@ def materialize(bindings: DataFrame, dictionary: DataFrame,
                 .withColumnRenamed(f"__dterm_{v}", v)
             )
         return df.select(*all_vars)
-    if broadcast_dict:
-        d = F.broadcast(d)
     b = bindings.withColumn("__rid", F.monotonically_increasing_id())
     long = b.select(
         "__rid", *keep,
         F.posexplode(F.array(*[F.col(v) for v in mat])).alias("__pos", "__tid"),
     )
-    j = long.join(d, long["__tid"] == d["id"], "left") \
-            .select("__rid", "__pos", *keep, "term")
+    # INNER join with the null ids (OPTIONAL-unbound) split out and
+    # unioned back: a left join pins the dictionary as the build-less
+    # side, forcing a full-dictionary shuffle however small the
+    # bindings are; inner lets AQE broadcast whichever side is actually
+    # small at runtime (selective query → bindings broadcast, dictionary
+    # is one streamed scan of the cached table; huge bindings → SMJ,
+    # the right 100 TB shape)
+    from kineo_spark.model import TERM_SCHEMA
+    nn = long.where(F.col("__tid").isNotNull())
+    j = nn.join(d, nn["__tid"] == d["id"], "inner") \
+          .select("__rid", "__pos", *keep, "term") \
+          .unionByName(
+              long.where(F.col("__tid").isNull()).select(
+                  "__rid", "__pos", *keep,
+                  F.lit(None).cast(TERM_SCHEMA).alias("term")))
     # exactly one (possibly-null) term per (__rid, __pos): max() picks it
     aggs = [
         F.max(F.when(F.col("__pos") == i, F.col("term"))).alias(v)

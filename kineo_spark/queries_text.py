@@ -321,3 +321,24 @@ _reg("sparql_text_reduced", """
   }
 """, {"segment": ("segment", "lex"), "nation": ("nat", "lex")},
      "sparql_reduced")
+
+# -- FROM / FROM NAMED dataset scoping (SPARQL 1.1 §13.2) ------------------
+# these have their own oracle SQL (no algebra twin: datasets are a
+# text-level construct routed through Engine → DatasetGraphStore)
+
+_reg("sparql_text_from_graph", """
+  SELECT ?name ?comment FROM <urn:g:nation> WHERE {
+    ?n <urn:col:nation:n_name> ?name ;
+       <urn:col:nation:n_comment> ?comment .
+  }
+""", {"name": ("name", "lex"), "comment": ("comment", "lex")}, None)
+ORACLES["sparql_text_from_graph"] = (
+    "SELECT n_name AS name, n_comment AS comment FROM nation")
+
+_reg("sparql_text_from_named", """
+  SELECT ?g ?name FROM NAMED <urn:g:region> WHERE {
+    GRAPH ?g { ?r <urn:col:region:r_name> ?name }
+  }
+""", {"g": ("g", "lex"), "name": ("name", "lex")}, None)
+ORACLES["sparql_text_from_named"] = (
+    "SELECT 'urn:g:region' AS g, r_name AS name FROM region")

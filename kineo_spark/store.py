@@ -175,11 +175,14 @@ class DatasetGraphStore(QuadStore):
     def _default_quads(self) -> DataFrame:
         df = self._base.quads().filter(F.col("g_lex").isin(list(self._default)))
         cols = [c for c in df.columns if c != "g_lex"]
-        # merge semantics: project away the source graph, dedupe triples
-        return (df.select(*cols)
-                .dropDuplicates(["s_kind", "s_lex", "p_lex",
-                                 "o_kind", "o_lex", "o_dt", "o_lang"])
-                .withColumn("g_lex", F.lit(self.DEFAULT_MARKER)))
+        df = df.select(*cols)
+        if len(self._default) > 1:
+            # merge semantics: identical triples from different source
+            # graphs collapse to one (a graph is a set). Single-graph
+            # FROM skips the dedup shuffle — a graph merges to itself.
+            df = df.dropDuplicates(["s_kind", "s_lex", "p_lex",
+                                    "o_kind", "o_lex", "o_dt", "o_lang"])
+        return df.withColumn("g_lex", F.lit(self.DEFAULT_MARKER))
 
     def _named_quads(self) -> DataFrame:
         return self._base.quads().filter(F.col("g_lex").isin(list(self._named)))

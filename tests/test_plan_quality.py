@@ -73,3 +73,19 @@ def test_dedup_ops_have_no_cross_join(spark, queries):
 def test_knn_broadcasts_query_side(spark, queries):
     plan = _plan(queries["pipe_knn_bruteforce"](spark, SF))
     assert "BroadcastExchange" in plan
+
+
+def test_id_mode_selective_filter_pushes_to_dictionary(spark, queries):
+    """ID-mode SELECTIVE value filters (equality/IN/string-match)
+    evaluate on the dictionary and come back as id semi-joins BEFORE
+    materialization: the plan shows a LeftSemi join (the 100 TB
+    property: only filter survivors materialize). Range predicates
+    deliberately do NOT push (the global dictionary makes them
+    non-selective — see dictionary.py selective())."""
+    plan = _plan(queries["sparql_id_expr_strings"](spark, SF))
+    assert "LeftSemi" in plan
+
+
+def test_id_mode_range_filter_not_pushed(spark, queries):
+    plan = _plan(queries["sparql_id_filter_order_limit"](spark, SF))
+    assert "LeftSemi" not in plan
