@@ -327,13 +327,13 @@ _reg("sparql_text_reduced", """
 # text-level construct routed through Engine → DatasetGraphStore)
 
 _reg("sparql_text_from_graph", """
-  SELECT ?name ?comment FROM <urn:g:nation> WHERE {
+  SELECT ?name ?key FROM <urn:g:nation> WHERE {
     ?n <urn:col:nation:n_name> ?name ;
-       <urn:col:nation:n_comment> ?comment .
+       <urn:col:nation:n_nationkey> ?key .
   }
-""", {"name": ("name", "lex"), "comment": ("comment", "lex")}, None)
+""", {"name": ("name", "lex"), "key": ("key", "int")}, None)
 ORACLES["sparql_text_from_graph"] = (
-    "SELECT n_name AS name, n_comment AS comment FROM nation")
+    "SELECT n_name AS name, CAST(n_nationkey AS BIGINT) AS key FROM nation")
 
 _reg("sparql_text_from_named", """
   SELECT ?g ?name FROM NAMED <urn:g:region> WHERE {
