@@ -110,6 +110,16 @@ class Compiler:
         if isinstance(node, A.BGP):
             return self._bgp(node, g)
         if isinstance(node, A.Join):
+            # local ⋈ SERVICE: bind-join (federation §2.4) — ship the
+            # LHS's distinct shared bindings as a VALUES block so the
+            # endpoint returns only joinable rows, not its whole pattern
+            if isinstance(node.rhs, A.Service):
+                from kineo_spark.service import eval_service_bound
+                left = self._c(node.lhs, g)
+                right = eval_service_bound(self, node.rhs, left)
+                if right is None:
+                    right = self._c(node.rhs, g)
+                return self._join(left, right)
             return self._join(self._c(node.lhs, g), self._c(node.rhs, g))
         if isinstance(node, A.LeftJoin):
             return self._left_join(self._c(node.lhs, g), self._c(node.rhs, g), node.expr)

@@ -75,3 +75,79 @@ def eval_service(compiler, node: A.Service):
         if node.silent:
             return Plan(compiler.spark.range(1).drop("id"), frozenset())
         raise
+
+
+# -- bound join (SPARQL 1.1 Federated Query §2.4) ---------------------------
+
+# max distinct LHS bindings shipped in the VALUES block; beyond it the
+# unconstrained fetch is usually cheaper than a huge remote VALUES (and
+# some endpoints cap query size)
+BIND_JOIN_MAX = 500
+
+
+def _algebra_vars(n, out: set) -> None:
+    """Binding variables mentioned anywhere under an algebra node."""
+    import dataclasses
+
+    if isinstance(n, A.Var):
+        if n.binding:
+            out.add(n.name)
+        return
+    if dataclasses.is_dataclass(n) and not isinstance(n, type):
+        for f in dataclasses.fields(n):
+            _algebra_vars(getattr(n, f.name), out)
+    elif isinstance(n, (list, tuple)):
+        for x in n:
+            _algebra_vars(x, out)
+
+
+def eval_service_bound(compiler, node: A.Service, left_plan):
+    """Bind-join: constrain the remote query with a ``VALUES`` block of
+    the LHS's distinct shared bindings (the federation §2.4 pattern the
+    reference realizes by looping bindings through SPARQLClient).
+    Returns the remote Plan, or None to fall back to the unconstrained
+    fetch (no shared vars, too many bindings, or bnodes — which have no
+    cross-endpoint identity and cannot be shipped)."""
+    from kineo_spark.compiler import Plan
+    from kineo_spark.model import PyTerm
+
+    svars: set[str] = set()
+    _algebra_vars(node.child, svars)
+    shared = sorted(v for v in left_plan.certain
+                    if v in svars and v in left_plan.df.columns
+                    and v not in left_plan.id_vars)
+    if not shared:
+        return None
+    try:
+        rows = (left_plan.df.select(*shared).distinct()
+                .limit(BIND_JOIN_MAX + 1).collect())
+    except Exception:
+        return None
+    if len(rows) > BIND_JOIN_MAX or not rows:
+        return None
+    pyrows = []
+    for r in rows:
+        terms = []
+        for v in shared:
+            t = r[v]
+            if t is None:
+                terms.append(None)
+            elif t["kind"] == KIND_BLANK:
+                return None
+            else:
+                terms.append(PyTerm(t["kind"], t["lex"], t["dt"], t["lang"]))
+        pyrows.append(tuple(terms))
+    constrained = A.Join(
+        A.Table(tuple(shared), tuple(pyrows)), node.child)
+    try:
+        from kineo_spark.sparql_text import algebra_to_sparql
+
+        variables, rrows = fetch_bindings(
+            node.endpoint, algebra_to_sparql(constrained))
+        schema = T.StructType(
+            [T.StructField(v, TERM_SCHEMA) for v in variables])
+        return Plan(compiler.spark.createDataFrame(rrows, schema), frozenset())
+    except Exception:
+        if node.silent:
+            return Plan(compiler.spark.range(1).drop("id"), frozenset())
+        raise

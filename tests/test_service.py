@@ -78,6 +78,26 @@ def test_service_join(local_store, endpoint):
     assert any("name" in c for c in _MockSparql.captured)
 
 
+def test_service_bind_join_ships_values(local_store, endpoint):
+    """local ⋈ SERVICE runs as a bind-join (federation §2.4): the remote
+    query carries a VALUES block of the LHS's distinct shared bindings,
+    so the endpoint only returns joinable rows."""
+    _MockSparql.captured.clear()
+    rows = Engine(local_store).query(f"""
+      PREFIX ex: <{EX}>
+      SELECT ?name ?age WHERE {{
+        ?person ex:age ?age .
+        SERVICE <{endpoint}> {{ ?person ex:name ?name }}
+      }}
+    """).bindings.collect()
+    assert len(rows) == 1 and rows[0]["name"]["lex"] == "Alice Remote"
+    from urllib.parse import unquote_plus
+    sent = [unquote_plus(c) for c in _MockSparql.captured]
+    assert any("VALUES (?person)" in q for q in sent), sent
+    # both local subjects shipped, remote pattern constrained to them
+    assert any("alice" in q and "carol" in q for q in sent)
+
+
 def test_service_silent_error(local_store):
     rows = Engine(local_store).query(f"""
       PREFIX ex: <{EX}>
