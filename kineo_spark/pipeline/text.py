@@ -164,3 +164,27 @@ def contamination(docs: DataFrame, probes: DataFrame,
         F.col(text_col).contains(F.col(probe_col)),
         "inner",
     )
+
+
+def chunk_documents(df: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id", size: int = 200,
+                    stride: int = 150) -> DataFrame:
+    """Sliding-window character chunking — the training-data op that
+    turns documents into model-context-sized pieces. Pure Column
+    (sequence + explode + substr): one narrow pass, no shuffle, no
+    Python — at 100 TB chunking is a full-corpus map and must stay
+    inside whole-stage codegen. Overlap = size - stride."""
+    starts = F.sequence(
+        F.lit(0),
+        F.greatest(F.length(F.col(text_col)) - 1, F.lit(0)),
+        F.lit(stride),
+    )
+    return (
+        df.select(id_col, F.explode(starts).alias("__start"), text_col)
+        .select(
+            id_col,
+            F.col("__start").cast("long").alias("chunk_start"),
+            F.col(text_col).substr(F.col("__start") + 1, F.lit(size)).alias("chunk"),
+        )
+        .withColumn("chunk_len", F.length("chunk").cast("long"))
+    )

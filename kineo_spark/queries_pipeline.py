@@ -511,3 +511,14 @@ def pipe_dedup_clusters(spark, sf_dir) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents")
     return dedup.dedup_clusters(
         docs, "doc_id", key=dedup.prefix_key(F.col("text"), 5))
+
+
+@q("pipe_chunk_documents",
+   "SELECT doc_id, CAST(i AS BIGINT) AS chunk_start, "
+   "substring(text, CAST(i AS INT)+1, 200) AS chunk, "
+   "CAST(length(substring(text, CAST(i AS INT)+1, 200)) AS BIGINT) AS chunk_len "
+   "FROM documents, unnest(generate_series(0, greatest(length(text)-1, 0), 150)) AS t(i)")
+def pipe_chunk_documents(spark, sf_dir) -> DataFrame:
+    """Sliding-window chunking over the documents corpus (size=200,
+    stride=150 → 50-char overlap)."""
+    return text.chunk_documents(read_table(spark, sf_dir, "documents"))

@@ -274,3 +274,25 @@ def test_range_frame_peers(spark):
     got = sorted((r.x.num, r.s.num) for r in out.collect())
     # x=1: frame [0,2] → 1+2+2=5 ; x=2 (both): frame [1,3] → 5 ; x=10: 10
     assert got == [(1.0, 5.0), (2.0, 5.0), (2.0, 5.0), (10.0, 10.0)]
+
+
+def test_chunk_documents_overlap_and_coverage(spark):
+    """Chunk windows: stride spacing, size cap, overlap = size - stride,
+    and full coverage (every char of the doc appears in some chunk)."""
+    from kineo_spark.pipeline import text as tx
+
+    doc = "abcdefghij" * 35  # 350 chars
+    df = spark.createDataFrame([(1, doc), (2, ""), (3, "short")],
+                               "doc_id long, text string")
+    rows = {(r.doc_id, r.chunk_start): r for r in
+            tx.chunk_documents(df, size=200, stride=150).collect()}
+    # 350 chars -> starts 0, 150, 300
+    assert sorted(s for d, s in rows if d == 1) == [0, 150, 300]
+    assert rows[(1, 0)].chunk == doc[0:200]
+    assert rows[(1, 150)].chunk == doc[150:350]
+    assert rows[(1, 300)].chunk == doc[300:350]
+    # 50-char overlap between consecutive chunks
+    assert rows[(1, 0)].chunk[-50:] == rows[(1, 150)].chunk[:50]
+    # empty doc -> single empty chunk; short doc -> one whole-doc chunk
+    assert rows[(2, 0)].chunk == "" and rows[(2, 0)].chunk_len == 0
+    assert rows[(3, 0)].chunk == "short"

@@ -151,3 +151,26 @@ def test_watermark_drops_late_rows(spark):
         .coalesce(1).write.mode("append").parquet(src)
     r2 = _run()
     assert r2 == r1
+
+
+def test_streaming_document_chunking_equals_batch(spark):
+    """The text pipeline (chunking + token counts) is stateless Column
+    code, so it runs unchanged on a document STREAM: availableNow over a
+    parquet doc source must produce exactly the batch chunks."""
+    import tempfile
+
+    from kineo_spark.pipeline import text as tx
+
+    d = tempfile.mkdtemp(prefix="kineo_docs_")
+    docs = read_table(spark, SF, "documents").select("doc_id", "text").limit(200)
+    docs.coalesce(2).write.mode("overwrite").parquet(d)
+
+    batch = tx.chunk_documents(spark.read.parquet(d)).collect()
+    sdf = tx.chunk_documents(
+        spark.readStream.schema("doc_id long, text string").parquet(d))
+    q = (sdf.writeStream.format("memory").queryName("chunk_stream")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    stream = spark.table("chunk_stream").collect()
+    assert sorted((r.doc_id, r.chunk_start, r.chunk) for r in stream) == \
+           sorted((r.doc_id, r.chunk_start, r.chunk) for r in batch)
