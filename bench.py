@@ -44,6 +44,8 @@ HEADLINE = [
     "pipe_langid",
     "pipe_sessionize",
     "pipe_tumbling_window",
+    # round-2: full-corpus chunking map (pure-Column explode throughput)
+    "pipe_chunk_documents",
 ]
 
 # round-1 per-query minima, corrected for the two host-noise spikes the
