@@ -84,8 +84,15 @@ def construct(compiler: Compiler, q: A.ConstructQuery) -> DataFrame:
                 cols.append(
                     (df[node.name] if node.name in df.columns else F.lit(None).cast(TERM_SCHEMA)).alias(name)
                 )
+        # ill-formed instantiations are skipped, not errors (SPARQL 1.1
+        # §16.2: a literal subject or a non-IRI predicate drops the
+        # triple; reference TriplePattern.bind semantics)
+        from kineo_spark.model import KIND_IRI, KIND_LITERAL
         t = df.select(*cols).filter(
-            F.col("s").isNotNull() & F.col("p").isNotNull() & F.col("o").isNotNull()
+            F.col("s").isNotNull() & F.col("p").isNotNull()
+            & F.col("o").isNotNull()
+            & (F.col("s")["kind"] != KIND_LITERAL)
+            & (F.col("p")["kind"] == KIND_IRI)
         )
         parts.append(t)
     out = parts[0]

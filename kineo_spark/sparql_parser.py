@@ -547,7 +547,16 @@ class Parser:
                 self.expect_kw("AS")
                 var = self.next()
                 self.expect_op(")")
-                acc = A.Extend(acc or A.JoinIdentity(), e, var.text[1:])
+                vname = var.text[1:]
+                # §10.1 / grammar note 12: the BIND target must not be
+                # already in scope in the group up to this point
+                if acc is not None:
+                    in_scope: set[str] = set()
+                    _scope_vars(acc, in_scope)
+                    if vname in in_scope:
+                        raise SyntaxError(
+                            f"BIND would re-assign in-scope variable ?{vname}")
+                acc = A.Extend(acc or A.JoinIdentity(), e, vname)
             elif word == "VALUES":
                 self.next()
                 join(self._values_clause())
@@ -1028,6 +1037,37 @@ def parse_update(text: str) -> list:
     """SPARQL 1.1 Update text → list of update-operation dataclasses
     (InsertData / DeleteData / Modify / Clear / Create / LoadOp)."""
     return Parser(text).parse_update()
+
+
+def _scope_vars(n, out: set) -> None:
+    """Binding variables in scope of an algebra subtree (§18.2.1-ish:
+    good enough for the BIND re-assignment check — anything a pattern
+    may bind counts)."""
+    import dataclasses
+
+    if isinstance(n, A.Var):
+        if n.binding:
+            out.add(n.name)
+        return
+    if isinstance(n, A.Subquery):
+        out.update(n.query.variables)
+        return
+    if isinstance(n, A.Extend):  # BIND binder is a plain string
+        out.add(n.name)
+        _scope_vars(n.child, out)
+        return
+    if isinstance(n, A.Table):  # VALUES binders are plain strings
+        out.update(n.variables)
+        return
+    if dataclasses.is_dataclass(n) and not isinstance(n, type):
+        for f in dataclasses.fields(n):
+            v = getattr(n, f.name)
+            if isinstance(v, (A.Algebra, A.Var, list, tuple)) or (
+                    dataclasses.is_dataclass(v) and not isinstance(v, type)):
+                _scope_vars(v, out)
+    elif isinstance(n, (list, tuple)):
+        for x in n:
+            _scope_vars(x, out)
 
 
 def _as_path(p) -> A.Path:

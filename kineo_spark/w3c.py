@@ -103,6 +103,9 @@ def manifest_entries(manifest_path: str) -> list[TestEntry]:
             # update results wrap the expected graph: mf:result [ ut:data <g> ]
             if result is not None and one(result, UT + "data") is not None:
                 result = one(result, UT + "data")
+            # syntax tests: mf:action IS the query document itself
+            if qp is None and action and (ttype and "SyntaxTest" in ttype[1]):
+                qp = action
             entries.append(TestEntry(
                 iri=t[1],
                 name=name[1] if name else t[1],
@@ -202,6 +205,18 @@ def run_entry(spark, entry: TestEntry) -> TestOutcome:
     try:
         with open(entry.query_path) as fh:
             query_text = fh.read()
+        if "SyntaxTest" in entry.type:
+            # Positive/NegativeSyntaxTest(11): parse only, no data
+            from kineo_spark.sparql_parser import parse_query
+            negative = "Negative" in entry.type
+            try:
+                parse_query(query_text)
+                ok = not negative
+                detail = "" if ok else "parsed but should be rejected"
+            except Exception as pe:  # noqa: BLE001
+                ok = negative
+                detail = "" if ok else f"rejected: {pe}"
+            return TestOutcome(entry, ok, detail)
         if entry.graph_data and "BASE" not in query_text:
             # spec: the query's base IRI is its document IRI — needed so
             # relative FROM/FROM NAMED IRIs resolve to the graphData names

@@ -14,12 +14,14 @@ ENTRIES = (manifest_entries("/root/repo/tests/w3c/manifest.ttl")
            + manifest_entries("/root/repo/tests/w3c/manifest4.ttl")
            + manifest_entries("/root/repo/tests/w3c/manifest5.ttl")
            + manifest_entries("/root/repo/tests/w3c/manifest6.ttl")
-           + manifest_entries("/root/repo/tests/w3c/manifest7.ttl"))
+           + manifest_entries("/root/repo/tests/w3c/manifest7.ttl")
+           + manifest_entries("/root/repo/tests/w3c/manifest8.ttl"))
 
 
 def test_manifest_parsed():
-    assert len(ENTRIES) == 92
-    assert all(e.query_path and e.result_path for e in ENTRIES)
+    assert len(ENTRIES) == 97
+    assert all(e.query_path for e in ENTRIES)
+    assert all(e.result_path for e in ENTRIES if "SyntaxTest" not in e.type)
 
 
 @pytest.mark.parametrize("entry", ENTRIES, ids=[e.iri.split("#")[-1] for e in ENTRIES])
