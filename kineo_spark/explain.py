@@ -121,6 +121,14 @@ def explain(engine, sparql: str, mode: str = "formatted") -> str:
     q = parse_query(sparql)
     out = ["Parsed query:", serialize_query(q).rstrip()]
 
+    if getattr(q, "dataset", ()):
+        # plan against the FROM/FROM NAMED-scoped store, like query()
+        from kineo_spark.engine import Engine
+        from kineo_spark.store import DatasetGraphStore
+
+        defaults, named = q.dataset
+        engine = Engine(DatasetGraphStore(engine.store, defaults, named))
+
     rewritten = rewrite(q.algebra)
     out += ["", "Rewritten algebra:", serialize_algebra(rewritten).rstrip()]
 
