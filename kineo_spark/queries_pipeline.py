@@ -522,3 +522,53 @@ def pipe_chunk_documents(spark, sf_dir) -> DataFrame:
     """Sliding-window chunking over the documents corpus (size=200,
     stride=150 → 50-char overlap)."""
     return text.chunk_documents(read_table(spark, sf_dir, "documents"))
+
+
+_CLEAN_ORACLE = f"""
+WITH feat AS (
+  SELECT doc_id, lang, {_PREFIX5} AS k,
+    {_NTOK} AS n_tokens,
+    CASE WHEN {_NTOK} > 0 THEN
+      CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE) / {_NTOK}
+    END AS mean_token_len,
+    CAST(len(regexp_extract_all(text, '([0-9])', 1)) AS DOUBLE)
+      / greatest(length(text), 1) AS digit_ratio,
+    CAST(len(regexp_extract_all(lower(text), '{_sw_pat("en")}', 1)) AS DOUBLE)
+      / greatest({_NTOK}, 1) AS stopword_ratio
+  FROM documents
+), scored AS (
+  SELECT doc_id, lang, k, CAST(n_tokens AS BIGINT) AS n_tokens,
+    (CASE WHEN n_tokens >= 10 AND n_tokens <= 100000 THEN 1.0 ELSE 0.0 END
+     + CASE WHEN mean_token_len >= 2 AND mean_token_len <= 12 THEN 1.0 ELSE 0.0 END
+     + CASE WHEN digit_ratio < 0.2 THEN 1.0 ELSE 0.0 END
+     + CASE WHEN stopword_ratio > 0.0 THEN 1.0 ELSE 0.0 END) / 4.0 AS quality_score
+  FROM feat
+)
+SELECT doc_id, lang, n_tokens, quality_score FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY k ORDER BY quality_score DESC, n_tokens DESC, doc_id) AS rn
+  FROM scored WHERE quality_score >= 0.75
+) WHERE rn = 1
+"""
+
+@q("pipe_corpus_clean", _CLEAN_ORACLE)
+def pipe_corpus_clean(spark, sf_dir) -> DataFrame:
+    """The full cleaning cascade a training corpus runs, as ONE
+    composed pipeline: quality scoring (pure Column) -> threshold
+    filter -> prefix-cluster keep-best (one window pass per cluster
+    key). Every stage is shuffle-minimal: scoring is a map, the
+    keep-best is a single hash-partitioned window — the shape that
+    survives 100 TB."""
+    from pyspark.sql import Window
+
+    docs = read_table(spark, sf_dir, "documents")
+    feat = text.quality_features(docs)
+    keyed = (feat.filter(F.col("quality_score") >= 0.75)
+             .withColumn("__k", dedup.prefix_key(F.col("text"), 5)))
+    w = Window.partitionBy("__k").orderBy(
+        F.col("quality_score").desc(), F.col("n_tokens").desc(), F.col("doc_id"))
+    return (keyed.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .select("doc_id", "lang",
+                    F.col("n_tokens").cast("long").alias("n_tokens"),
+                    "quality_score"))
