@@ -712,6 +712,18 @@ class Parser:
             self._dataset_clause()
         self.expect_kw("WHERE") if (self.peek().kind == "KW" and self.peek().text.upper() == "WHERE") else None
         body = self._group_graph_pattern()
+        # §18.2.4.4-adjacent scope rule (same clause as BIND, grammar
+        # note 12/13): SELECT (expr AS ?v) may not re-assign a var that
+        # the WHERE pattern binds, nor one an earlier AS introduced
+        assigned = [n for n, ex in proj if ex is not None]
+        if assigned:
+            in_scope: set[str] = set()
+            _scope_vars(body, in_scope)
+            for i, n in enumerate(assigned):
+                if n in in_scope or n in assigned[:i]:
+                    raise SyntaxError(
+                        f"SELECT expression would re-assign in-scope "
+                        f"variable ?{n}")
 
         groups: list[Expr] = []
         group_names: list[str] = []
