@@ -55,3 +55,46 @@ def test_numeric_shadow_matches_lexical(n):
     t = lit(n)
     assert t.num == float(n)
     assert t.lex == str(n)
+
+
+# -- SPARQL text roundtrip: algebra -> serialize -> parse -> same shape ----
+
+_var = st.sampled_from(["s", "o", "x", "y"])
+
+
+def _tp_strategy():
+    from kineo_spark import algebra as A
+
+    node = st.one_of(_var.map(A.Var), _iri_str.map(iri),
+                     st.integers(min_value=0, max_value=99).map(lit))
+    return st.tuples(st.one_of(_var.map(A.Var), _iri_str.map(iri)),
+                     _iri_str.map(iri), node).map(
+        lambda t: A.TriplePattern(*t))
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(_tp_strategy(), min_size=1, max_size=4))
+def test_bgp_roundtrips_through_sparql_text(tps):
+    """algebra → SPARQL text (sparql_text serializer, also the SERVICE
+    wire format) → parser → the same BGP triples."""
+    from kineo_spark import algebra as A
+    from kineo_spark.sparql_text import algebra_to_sparql
+    from kineo_spark.sparql_parser import parse_query
+
+    bgp = A.BGP(tuple(tps))
+    q = parse_query(algebra_to_sparql(bgp))
+
+    def collect(n, out):
+        if isinstance(n, A.BGP):
+            out.extend(n.patterns)
+        elif isinstance(n, (A.Triple,)):
+            out.append(n.pattern)
+        else:
+            import dataclasses
+            for f in dataclasses.fields(n):
+                v = getattr(n, f.name)
+                if isinstance(v, A.Algebra):
+                    collect(v, out)
+    got: list = []
+    collect(q.algebra, got)
+    assert sorted(map(repr, got)) == sorted(map(repr, tps))
