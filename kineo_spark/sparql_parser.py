@@ -741,6 +741,14 @@ class Parser:
                     self.expect_kw("AS")
                     var = self.next()
                     self.expect_op(")")
+                    # same scope rule as BIND / SELECT AS: the GROUP BY
+                    # binder must be a fresh variable
+                    gscope: set[str] = set()
+                    _scope_vars(body, gscope)
+                    if var.text[1:] in gscope or var.text[1:] in group_names:
+                        raise SyntaxError(
+                            f"GROUP BY expression would re-assign "
+                            f"in-scope variable {var.text}")
                     groups.append(e)
                     group_names.append(var.text[1:])
                 else:
