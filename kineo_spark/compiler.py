@@ -85,10 +85,14 @@ def _all(conds: list[Column]) -> Column:
 
 class Compiler:
     def __init__(self, store: QuadStore, max_path_iterations: int = 64,
-                 path_strategy: str = "seminaive"):
+                 path_strategy: str = "seminaive", plans_only: bool = False):
         self.store = store
         self.spark: SparkSession = store.spark
         self.max_path_iterations = max_path_iterations
+        # plans_only=True keeps compilation side-effect free (no Spark
+        # jobs, no network I/O): SERVICE compiles to an empty placeholder
+        # and the bind-join probe is skipped. Used by explain().
+        self.plans_only = plans_only
         # 'seminaive' (frontier⋈edges, work-efficient; seeded BFS for
         # bound endpoints) or 'doubling' (R∪R∘R recursive squaring:
         # ⌈log2 d⌉ rounds — the choice for high-diameter graphs where
@@ -116,7 +120,9 @@ class Compiler:
             if isinstance(node.rhs, A.Service):
                 from kineo_spark.service import eval_service_bound
                 left = self._c(node.lhs, g)
-                right = eval_service_bound(self, node.rhs, left)
+                right = None
+                if not self.plans_only:  # probe runs a job + HTTP fetch
+                    right = eval_service_bound(self, node.rhs, left)
                 if right is None:
                     right = self._c(node.rhs, g)
                 return self._join(left, right)

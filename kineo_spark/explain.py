@@ -132,17 +132,26 @@ def explain(engine, sparql: str, mode: str = "formatted") -> str:
     rewritten = rewrite(q.algebra)
     out += ["", "Rewritten algebra:", serialize_algebra(rewritten).rstrip()]
 
-    if isinstance(q, A.SelectQuery):
-        df = forms.select(engine.compiler, A.SelectQuery(rewritten, q.variables))
-    elif isinstance(q, A.AskQuery):
-        forms._prepare(engine.compiler, q)
-        df = engine.compiler.compile(rewritten).df.limit(1)
-    elif isinstance(q, A.ConstructQuery):
-        df = forms.construct(engine.compiler, A.ConstructQuery(rewritten, q.template))
-    elif isinstance(q, A.DescribeQuery):
-        df = forms.describe(engine.compiler, q)
-    else:  # pragma: no cover - parser only produces the four forms
-        raise ValueError(f"unsupported query form {type(q).__name__}")
+    # plans-only contract: compiling for explain must not run Spark jobs
+    # or network I/O (SERVICE placeholders, no bind-join probe)
+    prev_plans_only = engine.compiler.plans_only
+    engine.compiler.plans_only = True
+    try:
+        if isinstance(q, A.SelectQuery):
+            df = forms.select(engine.compiler,
+                              A.SelectQuery(rewritten, q.variables))
+        elif isinstance(q, A.AskQuery):
+            forms._prepare(engine.compiler, q)
+            df = engine.compiler.compile(rewritten).df.limit(1)
+        elif isinstance(q, A.ConstructQuery):
+            df = forms.construct(engine.compiler,
+                                 A.ConstructQuery(rewritten, q.template))
+        elif isinstance(q, A.DescribeQuery):
+            df = forms.describe(engine.compiler, q)
+        else:  # pragma: no cover - parser only produces the four forms
+            raise ValueError(f"unsupported query form {type(q).__name__}")
+    finally:
+        engine.compiler.plans_only = prev_plans_only
 
     out += ["", f"Spark plan [{mode}]:", spark_plan_string(df, mode).rstrip()]
     return "\n".join(out) + "\n"

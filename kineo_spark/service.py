@@ -65,6 +65,14 @@ def eval_service(compiler, node: A.Service):
     from kineo_spark.compiler import Plan
     from kineo_spark.sparql_text import algebra_to_sparql
 
+    if getattr(compiler, "plans_only", False):
+        # side-effect-free planning (explain()): no HTTP. Placeholder
+        # empty result with the SERVICE pattern's variables.
+        svars: set[str] = set()
+        _algebra_vars(node.child, svars)
+        schema = T.StructType(
+            [T.StructField(v, TERM_SCHEMA) for v in sorted(svars)])
+        return Plan(compiler.spark.createDataFrame([], schema), frozenset())
     try:
         sparql = algebra_to_sparql(node.child)
         variables, rows = fetch_bindings(node.endpoint, sparql)
@@ -119,6 +127,9 @@ def eval_service_bound(compiler, node: A.Service, left_plan):
     if not shared:
         return None
     try:
+        # the LHS DataFrame is consumed twice (VALUES probe here, then
+        # the actual join) — persist so the probe's work is reused
+        left_plan.df = left_plan.df.persist()
         rows = (left_plan.df.select(*shared).distinct()
                 .limit(BIND_JOIN_MAX + 1).collect())
     except Exception:

@@ -408,13 +408,23 @@ class Parser:
                 e = ECall("-", (e, self._mul_expr()))
             elif (self.peek().kind == "NUM" and self.peek().text[0] in "+-"):
                 # grammar rule [116] AdditiveExpression: a signed numeric
-                # literal ('?a+1', '?a-2.5') is an implicit +/- term
+                # literal ('?a+1', '?a-2.5') is an implicit +/- term whose
+                # sign binds to the literal: '?v-2*3' = ?v + ((-2)*3).
                 t = self.next()
-                rhs: Expr = EConst(self._num_literal(t.text.lstrip("+")))
-                op = "-" if t.text[0] == "-" else "+"
-                if op == "-":
-                    rhs = EConst(self._num_literal(t.text[1:]))
-                e = ECall(op, (e, rhs))
+                sign = -1 if t.text[0] == "-" else 1
+                rhs: Expr = EConst(self._num_literal(t.text.lstrip("+-")))
+                if sign < 0:
+                    rhs = ECall("NEG", (rhs,))
+                # rule [116]: the signed literal may carry a
+                # ('*'|'/' UnaryExpression)* multiplicative tail
+                while True:
+                    if self.op("*"):
+                        rhs = ECall("*", (rhs, self._unary_expr()))
+                    elif self.op("/"):
+                        rhs = ECall("/", (rhs, self._unary_expr()))
+                    else:
+                        break
+                e = ECall("+", (e, rhs))
             else:
                 return e
 
@@ -1060,11 +1070,17 @@ def parse_update(text: str) -> list:
 
 
 def _scope_vars(n, out: set) -> None:
-    """Binding variables in scope of an algebra subtree (§18.2.1-ish:
-    good enough for the BIND re-assignment check — anything a pattern
-    may bind counts)."""
+    """Binding variables in scope of an algebra subtree (SPARQL 1.1
+    §18.2.1). Precisely: MINUS contributes only its lhs's vars; filter
+    expressions (including EXISTS sub-patterns, which compile to
+    SemiJoin rhs) contribute nothing; Expr subtrees are never
+    descended."""
     import dataclasses
 
+    if isinstance(n, Expr):
+        # Filter/LeftJoin expressions (and EXISTS patterns inside them)
+        # contribute no in-scope variables (§18.2.1).
+        return
     if isinstance(n, A.Var):
         if n.binding:
             out.add(n.name)
@@ -1079,9 +1095,17 @@ def _scope_vars(n, out: set) -> None:
     if isinstance(n, A.Table):  # VALUES binders are plain strings
         out.update(n.variables)
         return
+    if isinstance(n, A.Minus):  # §18.2.1: in-scope(Minus(P1,P2)) = P1 only
+        _scope_vars(n.lhs, out)
+        return
+    if isinstance(n, A.SemiJoin):  # FILTER (NOT) EXISTS: rhs is expr-scope
+        _scope_vars(n.lhs, out)
+        return
     if dataclasses.is_dataclass(n) and not isinstance(n, type):
         for f in dataclasses.fields(n):
             v = getattr(n, f.name)
+            if isinstance(v, Expr):
+                continue
             if isinstance(v, (A.Algebra, A.Var, list, tuple)) or (
                     dataclasses.is_dataclass(v) and not isinstance(v, type)):
                 _scope_vars(v, out)

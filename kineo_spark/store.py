@@ -37,6 +37,7 @@ from pyspark.sql import types as T
 
 from kineo_spark import algebra as A
 from kineo_spark.model import (
+    KIND_BLANK,
     KIND_IRI,
     KIND_LITERAL,
     PyTerm,
@@ -174,12 +175,27 @@ class DatasetGraphStore(QuadStore):
 
     def _default_quads(self) -> DataFrame:
         df = self._base.quads().filter(F.col("g_lex").isin(list(self._default)))
+        if len(self._default) > 1:
+            # RDF *merge* (§13.2), not set-union: blank nodes from
+            # different FROM graphs are distinct, so standardize them
+            # apart by suffixing the bnode label with the source-graph
+            # index before deduplicating.
+            idx = F.array_position(
+                F.array(*[F.lit(g) for g in self._default]), F.col("g_lex"))
+            sfx = F.concat(F.lit("+g"), idx.cast("string"))
+            for pos in ("s", "o"):
+                df = df.withColumn(
+                    f"{pos}_lex",
+                    F.when(F.col(f"{pos}_kind") == KIND_BLANK,
+                           F.concat(F.col(f"{pos}_lex"), sfx))
+                    .otherwise(F.col(f"{pos}_lex")))
         cols = [c for c in df.columns if c != "g_lex"]
         df = df.select(*cols)
         if len(self._default) > 1:
-            # merge semantics: identical triples from different source
-            # graphs collapse to one (a graph is a set). Single-graph
-            # FROM skips the dedup shuffle — a graph merges to itself.
+            # merge semantics: identical ground triples from different
+            # source graphs collapse to one (a graph is a set). Single-
+            # graph FROM skips the dedup shuffle — a graph merges to
+            # itself.
             df = df.dropDuplicates(["s_kind", "s_lex", "p_lex",
                                     "o_kind", "o_lex", "o_dt", "o_lang"])
         return df.withColumn("g_lex", F.lit(self.DEFAULT_MARKER))

@@ -217,18 +217,28 @@ def run_entry(spark, entry: TestEntry) -> TestOutcome:
                 ok = negative
                 detail = "" if ok else f"rejected: {pe}"
             return TestOutcome(entry, ok, detail)
-        if entry.graph_data and "BASE" not in query_text:
+        import re as _re
+        if entry.graph_data and not _re.search(
+                r"(?im)^\s*BASE\b", query_text):
             # spec: the query's base IRI is its document IRI — needed so
-            # relative FROM/FROM NAMED IRIs resolve to the graphData names
+            # relative FROM/FROM NAMED IRIs resolve to the graphData names.
+            # Token-level match: a query merely *containing* the word BASE
+            # (comment, IRI) must still get the injection.
             query_text = (f"BASE <file://{os.path.dirname(entry.query_path)}/>\n"
                           + query_text)
         if entry.type.endswith("UpdateEvaluationTest"):
             return _run_update_entry(spark, entry, query_text)
         def _load(path: str, graph: str = "urn:g:default"):
+            from pyspark.sql import functions as F
             if path.endswith((".rdf", ".xml")):
                 from kineo_spark.sources.rdfxml import load_rdfxml
-                return load_rdfxml(spark, path, base="file://" + path)
-            if path.endswith((".nt", ".nq")):
+                df = load_rdfxml(spark, path, base="file://" + path)
+                return df.withColumn("g_lex", F.lit(graph))
+            if path.endswith(".nt"):
+                from kineo_spark.sources.ntriples import load_ntriples
+                df = load_ntriples(spark, path)
+                return df.withColumn("g_lex", F.lit(graph))
+            if path.endswith(".nq"):  # quads carry their own graph names
                 from kineo_spark.sources.ntriples import load_ntriples
                 return load_ntriples(spark, path)
             return load_turtle(spark, path, default_graph=graph)
