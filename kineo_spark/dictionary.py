@@ -99,6 +99,19 @@ def _const_id(term: PyTerm):
     )
 
 
+def id_of_term_col(t):
+    """Dictionary id of a term-struct Column — the same xxhash64 key the
+    encoder assigns (encode_quads), so ids computed directly from a
+    native-parquet star scan agree with ids from the 4×long layout.
+    This is what lets ID mode reuse term mode's star-collapsed scans:
+    a multi-column parquet read plus a per-row hash REPLACES a
+    per-pattern scan + dictionary join, with no re-encode pass."""
+    return F.xxhash64(
+        t["kind"].cast("string"), t["lex"],
+        F.coalesce(t["dt"], F.lit("")), F.coalesce(t["lang"], F.lit("")),
+    )
+
+
 def scan_ids(id_quads: DataFrame, pattern: A.QuadPattern) -> DataFrame:
     """Pattern scan in ID space: bound positions filter on longs,
     variables project long columns (IDQuadPlan, IDQueryPlan.swift:11-81)."""
@@ -275,7 +288,6 @@ def id_compiler(store, **kw):
     class IdCompiler(Compiler):
         def __init__(self, store_, **kw_):
             super().__init__(store_, **kw_)
-            self._idview = IdEncodedView.for_store(store_)
             # None = materialize every var (safe default when no
             # prepare() ran — e.g. DESCRIBE or direct compile calls)
             self._needed: frozenset[str] | None = None
@@ -283,6 +295,14 @@ def id_compiler(store, **kw):
             # their value predicates run on the DICTIONARY and come back
             # as id semi-joins, so the BGP below must keep them as ids
             self._mask: frozenset[str] = frozenset()
+
+        @property
+        def _idview(self) -> IdEncodedView:
+            # lazy: a query whose BGPs all star-collapse computes ids
+            # with a per-row hash straight off the parquet scan and
+            # never touches the encoded view — so it must not pay the
+            # (cached, but non-trivial) encode pass either
+            return IdEncodedView.for_store(self.store)
 
         def prepare(self, query) -> None:
             """Pre-query analysis hook (forms.* call it with the full
@@ -315,31 +335,89 @@ def id_compiler(store, **kw):
                                  or p.g.binding else g)
             return super()._c(node, g)
 
+        def _is_id_var(self, v: str) -> bool:
+            """Global per-query representation rule: a var rides as an
+            8-byte id iff the query never reads its VALUE (or a filter
+            deferral masked it). Every binder applies the same rule, so
+            any two plans sharing the var agree on representation."""
+            if v in self._mask:
+                return True
+            return self._needed is not None and v not in self._needed
+
         def _bgp(self, node: A.BGP, g):
+            """ID-space BGP with star-join collapse (same plan SHAPE as
+            term mode — the fix for the round-2 perf_weak finding):
+            patterns sharing a subject become ONE native parquet
+            multi-column scan (store.scan_star), after which join-only
+            vars are hashed to dictionary ids (id_of_term_col) so
+            cross-star joins move 8-byte longs — the ID-mode shuffle
+            win — while value vars keep their term structs straight
+            from the scan, no dictionary join at all. Patterns that
+            can't collapse fall back to per-pattern 4×long scans with
+            lazy dictionary materialization (IDQueryPlan →
+            MaterializeTermsPlan boundary). Reference analog: star
+            joins over spog index order, IDQueryPlanner.swift:88-94."""
             if not node.patterns:
                 return self._join_identity()
             quads = [
                 A.QuadPattern(tp.s, tp.p, tp.o, self._active_graph(g))
                 for tp in node.patterns
             ]
-            ids = bgp_ids(self._idview.id_quads, quads)
-            if not ids.columns:
-                # all-constant BGP (ASK-style): zero-var bindings, row
-                # count is the match count
-                return Plan(ids, frozenset())
-            certain = frozenset(set().union(*[p.variables() for p in quads]))
-            if self._needed is None:
-                mat_vars = None if not self._mask else \
-                    [v for v in ids.columns if v not in self._mask]
-            else:
-                mat_vars = [v for v in ids.columns
-                            if v in self._needed and v not in self._mask]
-            mat = materialize(ids, self._idview.dictionary,
-                              broadcast_dict=self._idview.broadcast,
-                              vars=mat_vars)
-            id_keep = frozenset() if mat_vars is None else \
-                frozenset(v for v in ids.columns if v not in set(mat_vars))
-            return Plan(mat, certain, id_keep)
+            plans: list[Plan] = []
+            rest: list[A.QuadPattern] = quads
+            if hasattr(self.store, "scan_star"):
+                groups: dict[object, list[A.QuadPattern]] = {}
+                order: list[object] = []
+                for qp in quads:
+                    key = (("v", qp.s.name) if isinstance(qp.s, A.Var)
+                           else ("t", qp.s.key()))
+                    if key not in groups:
+                        groups[key] = []
+                        order.append(key)
+                    groups[key].append(qp)
+                rest = []
+                for key in order:
+                    grp = groups[key]
+                    df = self.store.scan_star(grp) if len(grp) >= 2 else None
+                    if df is None and len(grp) == 1:
+                        # single pattern: native per-pattern scan, same
+                        # hash-at-scan id currency (term mode's _scan
+                        # with join-only vars converted to 8-byte ids)
+                        df = self.store.scan(grp[0])
+                    if df is None:
+                        rest.extend(grp)
+                        continue
+                    certain = frozenset(
+                        set().union(*[p.variables() for p in grp]))
+                    id_vs = frozenset(
+                        v for v in certain
+                        if v in df.columns and self._is_id_var(v))
+                    for v in id_vs:
+                        df = df.withColumn(v, id_of_term_col(df[v]))
+                    plans.append(Plan(df, certain, id_vs))
+            if rest:
+                ids = bgp_ids(self._idview.id_quads, rest)
+                if not ids.columns:
+                    # all-constant BGP (ASK-style): zero-var bindings,
+                    # row count is the match count
+                    plans.append(Plan(ids, frozenset()))
+                else:
+                    certain = frozenset(
+                        set().union(*[p.variables() for p in rest]))
+                    mat_vars = [v for v in ids.columns
+                                if not self._is_id_var(v)]
+                    mat = materialize(
+                        ids, self._idview.dictionary,
+                        broadcast_dict=self._idview.broadcast,
+                        vars=mat_vars)
+                    plans.append(Plan(
+                        mat, certain,
+                        frozenset(v for v in ids.columns
+                                  if v not in set(mat_vars))))
+            out = plans[0]
+            for p in plans[1:]:
+                out = self._join(out, p)
+            return out
 
         def _filter(self, node: A.Filter, g):
             """Value-filter pushdown into ID space (the dictionary-
@@ -358,6 +436,15 @@ def id_compiler(store, **kw):
 
             e = node.expr
             if isinstance(e, EExists):
+                return super()._filter(node, g)
+            if hasattr(self.store, "scan_star"):
+                # native-scan stores: term values come straight off the
+                # parquet scan (star-collapse above) and string/equality
+                # predicates push into the scan itself — a dictionary
+                # semi-join would ADD a join to a filter parquet already
+                # evaluates. The dictionary deferral only pays on 4×long
+                # quad layouts, where a value filter otherwise forces a
+                # per-row materialize join first.
                 return super()._filter(node, g)
 
             def conjuncts(x):

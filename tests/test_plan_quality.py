@@ -75,15 +75,40 @@ def test_knn_broadcasts_query_side(spark, queries):
     assert "BroadcastExchange" in plan
 
 
-def test_id_mode_selective_filter_pushes_to_dictionary(spark, queries):
-    """ID-mode SELECTIVE value filters (equality/IN/string-match)
-    evaluate on the dictionary and come back as id semi-joins BEFORE
-    materialization: the plan shows a LeftSemi join (the 100 TB
-    property: only filter survivors materialize). Range predicates
+def test_id_mode_native_store_filter_reaches_scan(spark, queries):
+    """ID mode over a native-scan store (star-collapse + hash-at-scan):
+    string predicates reach the parquet scan like term mode — no
+    dictionary semi-join detour, no dictionary encode pass at all."""
+    plan = _plan(queries["sparql_id_expr_strings"](spark, SF))
+    assert "LeftSemi" not in plan
+    assert "PushedFilters: [" in plan
+
+
+def test_id_mode_selective_filter_pushes_to_dictionary(spark, fixture_store):
+    """ID mode over a 4×long quad layout (no native scans): SELECTIVE
+    value filters (equality/IN/string-match) evaluate on the dictionary
+    and come back as id semi-joins BEFORE materialization — the 100 TB
+    property that only filter survivors materialize. Range predicates
     deliberately do NOT push (the global dictionary makes them
     non-selective — see dictionary.py selective())."""
-    plan = _plan(queries["sparql_id_expr_strings"](spark, SF))
-    assert "LeftSemi" in plan
+    from kineo_spark import algebra as A
+    from kineo_spark.dictionary import id_compiler
+    from kineo_spark.expr import v, c, fn
+    from kineo_spark.forms import select
+    from kineo_spark.model import iri, lit
+
+    comp = id_compiler(fixture_store)
+    tp = A.TriplePattern
+    alg = A.Filter(
+        A.BGP((tp(A.Var("s"), iri("http://xmlns.com/foaf/0.1/name"),
+                  A.Var("n")),)),
+        fn("STRSTARTS", v("n"), c(lit("Ber"))),
+    )
+    q = A.SelectQuery(alg, ("n",))
+    comp.prepare(q)
+    df = select(comp, q)
+    assert "LeftSemi" in _plan(df)
+    assert [r["n"]["lex"] for r in df.collect()] == ["Berlin"]
 
 
 def test_id_mode_range_filter_not_pushed(spark, queries):
