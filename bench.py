@@ -36,6 +36,9 @@ HEADLINE = [
     # round-2: full text path and dictionary-encoded mode
     "sparql_text_bgp_3hop_join",
     "sparql_id_bgp_3hop_join",
+    # round-3: ID-space property paths (id-long edge fetch + long-pair
+    # closure + survivor-only materialize) vs the term twin above
+    "sparql_id_path_alt_plus",
     # LLM-pipeline surface
     "pipe_dedup_exact",
     "pipe_dedup_ngram_jaccard",
@@ -114,7 +117,8 @@ def main() -> None:
         times[name] = best
         if best >= 0:
             sw1 = _shuffle_write_bytes(spark)
-            if name.endswith("bgp_3hop_join") and sw0 >= 0 and sw1 >= 0:
+            if (name.endswith("bgp_3hop_join") or name.endswith("path_alt_plus")) \
+                    and sw0 >= 0 and sw1 >= 0:
                 extras[f"shuffle_mb_{name}"] = round((sw1 - sw0) / 1e6, 2)
             print(f"# {name}: {best}s ({n} rows)", file=sys.stderr)
             base = R1_BASELINE.get(name)

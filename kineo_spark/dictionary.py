@@ -197,9 +197,12 @@ def needed_value_vars(alg: A.Algebra, projection: tuple[str, ...] | None):
                     return False
             return walk(n.child)
         if isinstance(n, A.PathPattern):
-            for t in (n.subject, n.object, n.graph):
-                if isinstance(t, A.Var):
-                    need.add(t.name)  # struct binder (paths.eval_path)
+            # endpoint vars follow the global projection rule: the
+            # ID-mode path evaluator (paths._eval_path_ids) can emit
+            # them as raw dictionary ids, so join-only endpoints stay
+            # 8-byte longs into the enclosing joins
+            if isinstance(n.graph, A.Var) and n.graph.binding:
+                need.add(n.graph.name)
             return True
         if isinstance(n, A.Subquery):
             q = n.query

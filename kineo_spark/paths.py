@@ -103,10 +103,30 @@ def _closure(compiler, edges: DataFrame, max_iterations: int,
                          F.col("__o").alias("__n"), F.col("__ok").alias("__nk")))
         .dropDuplicates(["__k"])
     )
+    seed_col = F.xxhash64(F.lit(seed_key)) if seed_key is not None else None
+    acc = _closure_pairs(ek, max_iterations, seed_col, reverse, strategy)
+    na = nodes.select(F.col("__k").alias("__ka"), F.col("__n").alias("__s"),
+                      F.col("__nk").alias("__sk"))
+    nb = nodes.select(F.col("__k").alias("__kb"), F.col("__n").alias("__o"),
+                      F.col("__nk").alias("__ok"))
+    out = (
+        acc.join(na, acc["__a"] == na["__ka"], "inner")
+        .join(nb, acc["__b"] == nb["__kb"], "inner")
+    )
+    return out.select("__s", "__o", "__sk", "__ok")
+
+
+def _closure_pairs(ek: DataFrame, max_iterations: int,
+                   seed_col=None, reverse: bool = False,
+                   strategy: str = "seminaive") -> DataFrame:
+    """The pure long-pair fixpoint: input and output are (__a, __b)
+    8-byte key pairs — shared by the term path (keys = xxhash64 of the
+    injective term key) and the ID path (keys = dictionary ids). All
+    shuffles inside the loop move 16 B/row at any scale."""
     if reverse:
         ek = ek.select(F.col("__b").alias("__a"), F.col("__a").alias("__b"))
     ek = ek.localCheckpoint(eager=True)
-    if seed_key is None and strategy == "doubling":
+    if seed_col is None and strategy == "doubling":
         # Path-doubling (recursive squaring): R_{k+1} = R_k ∪ R_k∘R_k
         # covers every path length ≤ 2^(k+1), so a diameter-d graph
         # converges in ⌈log2 d⌉ rounds instead of d. Each round joins
@@ -131,8 +151,8 @@ def _closure(compiler, edges: DataFrame, max_iterations: int,
             raise RuntimeError(
                 f"path closure did not converge in {max_iterations} iterations")
     else:
-        if seed_key is not None:
-            frontier = ek.filter(F.col("__a") == F.xxhash64(F.lit(seed_key)))
+        if seed_col is not None:
+            frontier = ek.filter(F.col("__a") == seed_col)
         else:
             frontier = ek
         acc = frontier.localCheckpoint(eager=True)
@@ -154,15 +174,7 @@ def _closure(compiler, edges: DataFrame, max_iterations: int,
                 f"path closure did not converge in {max_iterations} iterations")
     if reverse:
         acc = acc.select(F.col("__b").alias("__a"), F.col("__a").alias("__b"))
-    na = nodes.select(F.col("__k").alias("__ka"), F.col("__n").alias("__s"),
-                      F.col("__nk").alias("__sk"))
-    nb = nodes.select(F.col("__k").alias("__kb"), F.col("__n").alias("__o"),
-                      F.col("__nk").alias("__ok"))
-    out = (
-        acc.join(na, acc["__a"] == na["__ka"], "inner")
-        .join(nb, acc["__b"] == nb["__kb"], "inner")
-    )
-    return out.select("__s", "__o", "__sk", "__ok")
+    return acc
 
 
 def _term_pair(compiler, t: PyTerm) -> DataFrame:
@@ -197,8 +209,179 @@ def _graph_nodes(compiler, graph) -> DataFrame:
     )
 
 
+# -- ID-space path evaluation ------------------------------------------------
+# Reference: IDPathPlans — paths run entirely on dictionary ids and
+# materialize terms once at the top (IDQueryPlan.swift:802-1225).
+
+
+def _id_edges_for(compiler, path: A.Path, graph) -> DataFrame:
+    """One-step relation as (__a, __b) dictionary-id longs computed
+    straight off the scans (id_of_term_col hash-at-scan): no term
+    structs and no key strings enter any path shuffle — Catalyst prunes
+    the scan down to the columns the two hashes read."""
+    from kineo_spark.dictionary import id_of_term_col
+
+    if isinstance(path, A.PLink):
+        sv, ov = A.Var("__ps"), A.Var("__po")
+        df = compiler._scan(A.QuadPattern(sv, path.iri, ov, graph)).df
+        return df.select(id_of_term_col(df["__ps"]).alias("__a"),
+                         id_of_term_col(df["__po"]).alias("__b"))
+    if isinstance(path, A.PInv):
+        inner = _id_edges_for(compiler, path.path, graph)
+        return inner.select(inner["__b"].alias("__a"),
+                            inner["__a"].alias("__b"))
+    if isinstance(path, A.PSeq):
+        l = _id_edges_for(compiler, path.lhs, graph)
+        r = _id_edges_for(compiler, path.rhs, graph).select(
+            F.col("__a").alias("__ma"), F.col("__b").alias("__rb"))
+        j = l.join(r, l["__b"] == F.col("__ma"), "inner")
+        return j.select(l["__a"], F.col("__rb").alias("__b"))
+    if isinstance(path, A.PAlt):
+        return _id_edges_for(compiler, path.lhs, graph).unionByName(
+            _id_edges_for(compiler, path.rhs, graph))
+    if isinstance(path, A.PNps):
+        sv, pv, ov = A.Var("__ps"), A.Var("__pp"), A.Var("__po")
+        df = compiler._scan(A.QuadPattern(sv, pv, ov, graph)).df
+        df = df.filter(~df["__pp"]["lex"].isin([t.lex for t in path.iris]))
+        return df.select(id_of_term_col(df["__ps"]).alias("__a"),
+                         id_of_term_col(df["__po"]).alias("__b"))
+    if isinstance(path, (A.PPlus, A.PStar, A.PZeroOrOne)):
+        raise ValueError("nested closure paths must go through eval_path")
+    raise NotImplementedError(type(path).__name__)
+
+
+def _id_nodes_for(compiler, path: A.Path, graph) -> DataFrame:
+    """(__k id, __n term) map covering every node the path's edges can
+    touch — joined back ONCE, only against the ids that survive the
+    closure and endpoint filters (survivor-only materialization)."""
+    from kineo_spark.dictionary import id_of_term_col
+
+    if isinstance(path, (A.PInv, A.PPlus, A.PStar, A.PZeroOrOne)):
+        return _id_nodes_for(compiler, path.path, graph)
+    if isinstance(path, (A.PSeq, A.PAlt)):
+        return _id_nodes_for(compiler, path.lhs, graph).unionByName(
+            _id_nodes_for(compiler, path.rhs, graph))
+    if isinstance(path, A.PLink):
+        sv, ov = A.Var("__ps"), A.Var("__po")
+        df = compiler._scan(A.QuadPattern(sv, path.iri, ov, graph)).df
+        s, o = df["__ps"], df["__po"]
+    elif isinstance(path, A.PNps):
+        sv, pv, ov = A.Var("__ps"), A.Var("__pp", binding=False), A.Var("__po")
+        df = compiler._scan(A.QuadPattern(sv, pv, ov, graph)).df
+        s, o = df["__ps"], df["__po"]
+    else:
+        raise NotImplementedError(type(path).__name__)
+    return df.select(id_of_term_col(s).alias("__k"), s.alias("__n")) \
+        .unionByName(df.select(id_of_term_col(o).alias("__k"), o.alias("__n")))
+
+
+def _id_graph_nodes(compiler, graph) -> DataFrame:
+    """(__k, __n) over every subject/object in the graph (zero-length
+    endpoints for unbound ``p*`` / ``p?``)."""
+    from kineo_spark.dictionary import id_of_term_col
+
+    sv, pv, ov = A.Var("__ps"), A.Var("__pp", binding=False), A.Var("__po")
+    df = compiler._scan(A.QuadPattern(sv, pv, ov, graph)).df
+    return (
+        df.select(id_of_term_col(df["__ps"]).alias("__k"),
+                  df["__ps"].alias("__n"))
+        .unionByName(df.select(id_of_term_col(df["__po"]).alias("__k"),
+                               df["__po"].alias("__n")))
+        .dropDuplicates(["__k"])
+    )
+
+
+def _eval_path_ids(compiler, node: A.PathPattern, graph) -> "Plan":
+    """ID-mode property paths: edges fetch as dictionary-id longs, the
+    closure iterates on longs (16 B/row shuffles), endpoint constants
+    filter as id equality, and terms materialize from a node map only
+    for the variables the query actually reads — join-only endpoint
+    vars stay 8-byte ids into the enclosing joins. Reference:
+    IDPathPlans + MaterializeTermsPlan boundary, IDQueryPlan.swift:
+    802-1225."""
+    from kineo_spark.compiler import Plan
+    from kineo_spark.dictionary import _const_id
+
+    path = node.path
+    spark = compiler.spark
+    seed_term, seed_rev = None, False
+    if isinstance(node.subject, PyTerm):
+        seed_term = node.subject
+    elif isinstance(node.object, PyTerm):
+        seed_term, seed_rev = node.object, True
+    seed_col = _const_id(seed_term) if seed_term is not None else None
+    strategy = getattr(compiler, "path_strategy", "seminaive")
+
+    def zero_pairs() -> DataFrame:
+        if seed_term is not None:
+            return spark.range(1).select(
+                _const_id(seed_term).alias("__a"),
+                _const_id(seed_term).alias("__b"))
+        n = _id_graph_nodes(compiler, graph)
+        return n.select(F.col("__k").alias("__a"), F.col("__k").alias("__b"))
+
+    zero_used = False
+    if isinstance(path, A.PPlus):
+        ek = _id_edges_for(compiler, path.path, graph) \
+            .dropDuplicates(["__a", "__b"])
+        pairs = _closure_pairs(ek, compiler.max_path_iterations, seed_col,
+                               seed_rev, strategy)
+        inner = path.path
+    elif isinstance(path, A.PStar):
+        ek = _id_edges_for(compiler, path.path, graph) \
+            .dropDuplicates(["__a", "__b"])
+        plus = _closure_pairs(ek, compiler.max_path_iterations, seed_col,
+                              seed_rev, strategy)
+        pairs = plus.unionByName(zero_pairs()).dropDuplicates(["__a", "__b"])
+        inner, zero_used = path.path, True
+    elif isinstance(path, A.PZeroOrOne):
+        one = _id_edges_for(compiler, path.path, graph) \
+            .dropDuplicates(["__a", "__b"])
+        pairs = one.unionByName(zero_pairs()).dropDuplicates(["__a", "__b"])
+        inner, zero_used = path.path, True
+    else:
+        pairs = _id_edges_for(compiler, path, graph)  # bag semantics
+        inner = path
+
+    df = pairs
+    out_cols: dict[str, str] = {}
+    certain: set[str] = set()
+    for endpoint, colname in ((node.subject, "__a"), (node.object, "__b")):
+        if isinstance(endpoint, PyTerm):
+            df = df.filter(F.col(colname) == _const_id(endpoint))
+        else:
+            if endpoint.name in out_cols:  # same var both ends
+                df = df.filter(F.col("__a") == F.col("__b"))
+            elif endpoint.binding:
+                out_cols[endpoint.name] = colname
+                certain.add(endpoint.name)
+    df = df.select(*[F.col(c).alias(n) for n, c in out_cols.items()])
+
+    mat = [v for v in out_cols if not compiler._is_id_var(v)]
+    if mat:
+        nodes = _id_nodes_for(compiler, inner, graph)
+        if zero_used and seed_term is None:
+            nodes = nodes.unionByName(_id_graph_nodes(compiler, graph))
+        if seed_term is not None:
+            nodes = nodes.unionByName(spark.range(1).select(
+                _const_id(seed_term).alias("__k"),
+                seed_term.as_column().alias("__n")))
+        nodes = nodes.dropDuplicates(["__k"])
+        for v in mat:
+            nv = nodes.select(F.col("__k").alias(f"__k_{v}"),
+                              F.col("__n").alias(f"__n_{v}"))
+            df = (df.join(nv, df[v] == F.col(f"__k_{v}"), "inner")
+                  .drop(v, f"__k_{v}")
+                  .withColumnRenamed(f"__n_{v}", v))
+    return Plan(df.select(*out_cols.keys()), frozenset(certain),
+                frozenset(v for v in out_cols if v not in set(mat)))
+
+
 def eval_path(compiler, node: A.PathPattern, graph) -> "Plan":
     from kineo_spark.compiler import Plan
+
+    if hasattr(compiler, "_is_id_var"):  # ID-mode compiler
+        return _eval_path_ids(compiler, node, graph)
 
     path = node.path
     # bound endpoint → seed the closure BFS there instead of computing

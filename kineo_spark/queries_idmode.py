@@ -10,9 +10,10 @@ MaterializedQueryPlan.swift:11-61). The oracle SQL is shared with the
 term-mode twin, so the driver hash-checks that both execution modes
 agree with DuckDB.
 
-Only BGP-bearing families are twinned: property paths and window
-functions never route through ``_bgp`` (they share one code path in
-both modes), so an id twin would re-test the same plan.
+BGP-bearing and path-bearing families are twinned (paths have a
+dedicated ID-space evaluator, paths._eval_path_ids). Window functions
+share one code path in both modes, so an id twin would re-test the
+same plan.
 """
 
 from __future__ import annotations
@@ -47,6 +48,14 @@ _TWINNED = [
     "sparql_expr_datetime",
     "sparql_expr_conditional",
     "sparql_reduced",
+    # property paths now have a dedicated ID-space evaluator
+    # (paths._eval_path_ids: id-long edge fetch, long-pair closure,
+    # survivor-only term materialization) — twin the whole family
+    "sparql_path_seq",
+    "sparql_path_inverse",
+    "sparql_path_alt_plus",
+    "sparql_path_zero_or_one",
+    "sparql_path_nps",
 ]
 
 
