@@ -85,7 +85,8 @@ def _all(conds: list[Column]) -> Column:
 
 class Compiler:
     def __init__(self, store: QuadStore, max_path_iterations: int = 64,
-                 path_strategy: str = "seminaive", plans_only: bool = False):
+                 path_strategy: str = "seminaive", plans_only: bool = False,
+                 cs_stats: bool = False):
         self.store = store
         self.spark: SparkSession = store.spark
         self.max_path_iterations = max_path_iterations
@@ -93,6 +94,12 @@ class Compiler:
         # jobs, no network I/O): SERVICE compiles to an empty placeholder
         # and the bind-join probe is skipped. Used by explain().
         self.plans_only = plans_only
+        # cs_stats=True answers qualifying ungrouped COUNT star queries
+        # from characteristic-set statistics as a constant table, never
+        # scanning the quads (Diomede's stats shortcut,
+        # DiomedeQuadStore.swift:14-97 — gated there on the stats being
+        # accurate, here on explicit opt-in, the ANALYZE TABLE analog).
+        self.cs_stats = cs_stats
         # 'seminaive' (frontier⋈edges, work-efficient; seeded BFS for
         # bound endpoints) or 'doubling' (R∪R∘R recursive squaring:
         # ⌈log2 d⌉ rounds — the choice for high-diameter graphs where
@@ -520,6 +527,11 @@ class Compiler:
     # -- aggregation ------------------------------------------------------
     def _aggregate(self, node: A.Aggregate, g: A.Node | None) -> Plan:
         from kineo_spark.aggregates import compile_aggregate
+        if self.cs_stats and not self.plans_only:
+            from kineo_spark.stats import try_count_star_plan
+            plan = try_count_star_plan(self, node, g)
+            if plan is not None:
+                return plan
         child = self._c(node.child, g)
         return compile_aggregate(self, node, child)
 

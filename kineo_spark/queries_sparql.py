@@ -34,14 +34,14 @@ def set_mode(mode: str) -> None:
     _MODE = mode
 
 
-def compiler_for(spark: SparkSession, sf_dir: str) -> Compiler:
+def compiler_for(spark: SparkSession, sf_dir: str, **kw) -> Compiler:
     key = (id(spark), sf_dir)
     if key not in _STORES:
         _STORES[key] = RelationalQuadStore(spark, sf_dir)
     if _MODE == "id":
         from kineo_spark.dictionary import id_compiler
-        return id_compiler(_STORES[key])
-    return Compiler(_STORES[key])
+        return id_compiler(_STORES[key], **kw)
+    return Compiler(_STORES[key], **kw)
 
 
 def tp(s, p, o) -> A.TriplePattern:
@@ -745,6 +745,27 @@ def sparql_describe(spark, sf_dir) -> DataFrame:
     return df.select(
         df["s"]["lex"].alias("s"), df["p"]["lex"].alias("p"), df["o"]["lex"].alias("o")
     )
+
+
+@q("sparql_count_star_stats",
+   "SELECT CAST(COUNT(*) AS BIGINT) AS n FROM customer")
+def sparql_count_star_stats(spark, sf_dir) -> DataFrame:
+    """Stats-driven COUNT-star shortcut: an ungrouped COUNT(*) over a
+    simple star answers from characteristic-set statistics as a
+    constant table — the final plan contains NO quads scan (asserted in
+    test_plan_quality.py). Reference: Diomede's
+    characteristicSetSatisfiableCountPlan, DiomedeQuadStore.swift:
+    14-97."""
+    comp = compiler_for(spark, sf_dir, cs_stats=True)
+    alg = A.Aggregate(
+        A.BGP((
+            tp("cust", col("customer", "c_name"), "name"),
+            tp("cust", col("customer", "c_acctbal"), "bal"),
+        )),
+        groups=(), group_names=(),
+        aggs=(("n", A.AggSpec("COUNT*")),),
+    )
+    return extract(select(comp, A.SelectQuery(alg)), {"n": ("n", "int")})
 
 
 @q("sparql_graph_stats",

@@ -1,0 +1,173 @@
+"""Characteristic-set statistics and the stats-driven COUNT shortcut.
+
+Reference: Diomede answers whole ``COUNT(*)`` star queries from its
+characteristic sets as a constant TablePlan, never touching the quads
+(/root/reference/Sources/Kineo/QuadStore/DiomedeQuadStore.swift:14-97:
+``characteristicSetSatisfiableCountPlan`` handles COUNT(*), COUNT(?v)
+and COUNT(DISTINCT ?star_subject) over a simple star — one unbound
+subject variable, bound predicates, distinct unbound object vars).
+
+Spark-native version: the characteristic sets are computed with ONE
+aggregation job over the quads (groupBy subject → predicate multiset →
+groupBy predicate-set) and the resulting statistics — a few rows per
+distinct predicate-set, bounded by schema shape, not data size — live
+driver-side. At 100 TB this is the classic metadata move: the stats
+job runs once at load/compaction time (like ANALYZE TABLE), and
+qualifying COUNT queries answer in O(#characteristic sets) on the
+driver with zero executor work.
+
+Exactness: COUNT(DISTINCT subject) is always exact (a subject's
+predicate set determines exactly one characteristic set). COUNT(*) of
+a k-pattern star is ``Σ_cs subjects(cs) × Π_p m_p(cs)`` which is exact
+only when every subject in the set has the same per-predicate
+multiplicity (min == max); otherwise we DECLINE (return None) and the
+normal plan runs — the shortcut never answers with an estimate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from kineo_spark import algebra as A
+from kineo_spark.model import PyTerm
+
+
+class CharacteristicSets:
+    """Per-graph characteristic-set statistics for a QuadStore."""
+
+    _CACHE: dict[int, "CharacteristicSets"] = {}
+
+    def __init__(self, store):
+        q = store.quads()
+        sp = (q.groupBy("g_lex", "s_kind", "s_lex", "p_lex")
+              .agg(F.count(F.lit(1)).alias("n")))
+        cs = (sp.groupBy("g_lex", "s_kind", "s_lex")
+              .agg(F.sort_array(
+                  F.collect_list(F.struct("p_lex", "n"))).alias("pn")))
+        per_cs = (
+            cs.select("g_lex",
+                      F.transform("pn", lambda e: e["p_lex"]).alias("cs"),
+                      F.explode("pn").alias("e"))
+            .groupBy("g_lex", "cs", F.col("e.p_lex").alias("p"))
+            .agg(F.sum("e.n").alias("tot"), F.min("e.n").alias("mn"),
+                 F.max("e.n").alias("mx"),
+                 F.count(F.lit(1)).alias("subjects"))
+        )
+        # one collect: (graph, cs) → {p: (tot, mn, mx)}, subjects
+        sets: dict[tuple[str, tuple[str, ...]], dict] = {}
+        for r in per_cs.collect():
+            key = (r["g_lex"], tuple(r["cs"]))
+            ent = sets.setdefault(key, {"subjects": r["subjects"], "p": {}})
+            ent["p"][r["p"]] = (r["tot"], r["mn"], r["mx"])
+        self._sets = sets
+
+    @classmethod
+    def for_store(cls, store) -> "CharacteristicSets":
+        key = id(store)
+        if key not in cls._CACHE:
+            cls._CACHE[key] = cls(store)
+        return cls._CACHE[key]
+
+    def count_star(self, preds: list[str], graph_lex: str | None,
+                   distinct_subject: bool = False) -> int | None:
+        """COUNT over a simple star with the given bound predicate
+        lexicals; ``graph_lex=None`` spans every graph. Returns None
+        when the stats cannot give an EXACT answer."""
+        need = set(preds)
+        total = 0
+        for (g, cs), ent in self._sets.items():
+            if graph_lex is not None and g != graph_lex:
+                continue
+            if not need.issubset(set(cs)):
+                continue
+            if distinct_subject:
+                total += ent["subjects"]
+                continue
+            prod = ent["subjects"]
+            for p in preds:
+                tot, mn, mx = ent["p"][p]
+                if mn != mx:
+                    return None  # non-uniform multiplicity: not exact
+                prod *= mn
+            total += prod
+        return total
+
+
+def _star_shape(child: A.Algebra):
+    """If ``child`` is a simple star BGP (one unbound subject var, all
+    predicates bound IRIs, object vars unbound and non-repeating),
+    return (predicate lexicals, bound graph lexical or None, subject
+    var, object vars); else None. Mirrors
+    characteristicSetSatisfiableCardinality's guards."""
+    graph_lex = None
+    if isinstance(child, A.NamedGraph):
+        if not isinstance(child.graph, PyTerm):
+            return None  # GRAPH ?g: grouped per graph — not a plain count
+        graph_lex = child.graph.lex
+        child = child.child
+    if isinstance(child, A.Triple):
+        child = A.BGP((child.pattern,))
+    if not isinstance(child, A.BGP) or not child.patterns:
+        return None
+    subj = None
+    preds: list[str] = []
+    ovars: list[str] = []
+    for tp in child.patterns:
+        if not isinstance(tp.s, A.Var) or not isinstance(tp.o, A.Var):
+            return None
+        if subj is None:
+            subj = tp.s.name
+        elif tp.s.name != subj:
+            return None  # not a single star
+        if not isinstance(tp.p, PyTerm) or tp.p.kind != 0:
+            return None
+        if tp.o.name == subj:
+            return None  # object shares the subject var: a join, not a star
+        preds.append(tp.p.lex)
+        ovars.append(tp.o.name)
+    if len(set(ovars)) != len(ovars):
+        return None  # repeated object var is an implicit join
+    return preds, graph_lex, subj, ovars
+
+
+def try_count_star_plan(compiler, node: A.Aggregate, g):
+    """The planner hook: ungrouped single COUNT over a simple star →
+    constant TablePlan from characteristic sets (DiomedeQuadStore.swift:
+    45-76), or None to fall through to the normal plan. Never runs an
+    executor job at answer time; the stats themselves are a cached
+    one-off per store."""
+    from kineo_spark.expr import EVar
+
+    if node.groups or len(node.aggs) != 1:
+        return None
+    name, spec = node.aggs[0]
+    star = _star_shape(node.child)
+    if star is None:
+        return None
+    preds, graph_lex, subj, ovars = star
+    # outer graph context: a bound active graph scopes the count; an
+    # unbound/default context spans the store (RelationalQuadStore's
+    # default graph is the union of the per-table graphs)
+    if graph_lex is None and isinstance(g, PyTerm):
+        graph_lex = g.lex
+    distinct_subject = False
+    if spec.op == "COUNT*" and not spec.distinct:
+        pass
+    elif spec.op == "COUNT" and isinstance(spec.expr, EVar) \
+            and spec.expr.name in {subj, *ovars}:
+        if spec.distinct:
+            if spec.expr.name != subj:
+                return None  # only the star subject is provably distinct
+            distinct_subject = True
+        # non-distinct COUNT(?v) over a star: every var is always bound
+        # in every row, so it equals COUNT(*)
+    else:
+        return None
+
+    stats = CharacteristicSets.for_store(compiler.store)
+    card = stats.count_star(preds, graph_lex, distinct_subject)
+    if card is None:
+        return None
+    from kineo_spark.model import lit as _lit
+
+    return compiler._table(A.Table((name,), ((_lit(card),),)))

@@ -84,6 +84,52 @@ def test_id_mode_native_store_filter_reaches_scan(spark, queries):
     assert "PushedFilters: [" in plan
 
 
+def test_count_star_stats_no_quads_scan(spark, queries):
+    """Stats-driven COUNT-star shortcut (DiomedeQuadStore.swift:14-97):
+    the final plan is a constant local table — no parquet scan at all."""
+    df = queries["sparql_count_star_stats"](spark, SF)
+    plan = _plan(df)
+    assert "FileScan" not in plan
+    assert "LocalTableScan" in plan or "ExistingRDD" in plan
+    # and it is the right constant
+    import duckdb
+    exp = duckdb.sql(f"SELECT count(*) FROM '{SF}/customer.parquet'").fetchone()[0]
+    assert df.collect()[0]["n"] == exp
+
+
+def test_count_star_stats_semantics(spark, fixture_store):
+    """Driver-side characteristic-set arithmetic: COUNT(*) multiplies
+    per-predicate multiplicities; COUNT(DISTINCT subject) sums subject
+    counts; non-uniform multiplicity declines (returns None)."""
+    from kineo_spark.stats import CharacteristicSets
+
+    import pyspark.sql.functions as F
+    from kineo_spark.store import QuadsDataFrameStore
+
+    EX = "http://example.org/"
+    G = "urn:g:default"
+    rows = [
+        # s1: p×2, q×1 ; s2: p×1, q×1  (same CS {p,q}, non-uniform p)
+        (0, EX + "s1", EX + "p", 0, EX + "a", None, None, None, G),
+        (0, EX + "s1", EX + "p", 0, EX + "b", None, None, None, G),
+        (0, EX + "s1", EX + "q", 0, EX + "c", None, None, None, G),
+        (0, EX + "s2", EX + "p", 0, EX + "d", None, None, None, G),
+        (0, EX + "s2", EX + "q", 0, EX + "e", None, None, None, G),
+        # s3: only q (different CS)
+        (0, EX + "s3", EX + "q", 0, EX + "f", None, None, None, G),
+    ]
+    store = QuadsDataFrameStore.from_rows(spark, rows)
+    cs = CharacteristicSets(store)
+    # q alone: uniform (1 per subject) → 2 + 1 = 3 rows
+    assert cs.count_star([EX + "q"], None) == 3
+    # p is non-uniform within its CS → decline
+    assert cs.count_star([EX + "p"], None) is None
+    # DISTINCT subject is always exact
+    assert cs.count_star([EX + "p", EX + "q"], None,
+                         distinct_subject=True) == 2
+    assert cs.count_star([EX + "q"], None, distinct_subject=True) == 3
+
+
 def test_id_mode_selective_filter_pushes_to_dictionary(spark, fixture_store):
     """ID mode over a 4×long quad layout (no native scans): SELECTIVE
     value filters (equality/IN/string-match) evaluate on the dictionary
