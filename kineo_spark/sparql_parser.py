@@ -801,6 +801,43 @@ class Parser:
         aggs = self._aggs
         self._aggs = outer_aggs
 
+        # §19.8 aggregate-projection restriction: in an aggregate query
+        # (any aggregate, or GROUP BY), only grouped variables and
+        # aggregate results may appear outside aggregate functions —
+        # in the projection or in HAVING. (Reference grammar enforces
+        # this via swift-sparql-syntax's projection validation.)
+        if aggs or groups:
+            from kineo_spark.expr import expr_vars
+
+            if star:
+                raise SyntaxError("SELECT * cannot be used with GROUP BY "
+                                  "or aggregates")
+            allowed = set(group_names) | {n for n, _ in aggs}
+            aliases: set[str] = set()
+            for n, e in proj:
+                if e is None:
+                    if n not in allowed:
+                        raise SyntaxError(
+                            f"SELECT ?{n}: variable is neither aggregated "
+                            f"nor mentioned in GROUP BY")
+                else:
+                    vs: set[str] = set()
+                    expr_vars(e, vs, [])
+                    bad = vs - allowed - aliases
+                    if bad:
+                        raise SyntaxError(
+                            f"SELECT expression references ungrouped, "
+                            f"non-aggregated variable ?{sorted(bad)[0]}")
+                    aliases.add(n)
+            if having is not None:
+                vs = set()
+                expr_vars(having, vs, [])
+                bad = vs - allowed - aliases
+                if bad:
+                    raise SyntaxError(
+                        f"HAVING references ungrouped, non-aggregated "
+                        f"variable ?{sorted(bad)[0]}")
+
         alg = body
         if aggs or groups:
             alg = A.Aggregate(alg, tuple(groups), tuple(group_names), tuple(aggs))
