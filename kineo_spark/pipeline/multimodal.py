@@ -1,16 +1,31 @@
-"""Multimodal column plumbing: image/audio/video as opaque binary columns
-with typed metadata, processed by Arrow-batched pandas iterators.
+"""Multimodal columns: image/audio/video as opaque binary columns with
+typed metadata, processed by Arrow-batched pandas iterators.
 
-The decode step is STUBBED (PIL/librosa/ffmpeg are not in this
-container): ``decode_fn="fake"`` runs a deterministic byte-level feature
-extractor so the Spark-side plumbing — schema, batching, partitioning,
-UDF signature — is real and tested; ``decode_fn="real"`` raises
-NotImplementedError at the clearly marked point where an image/audio
-library call belongs.
+The IMAGE decode path is REAL (pure stdlib, no PIL needed):
+
+* ``parse_image_header`` reads width/height/format from magic bytes for
+  PNG (IHDR), JPEG (SOF marker walk), GIF and BMP.
+* ``decode_png_gray`` fully decodes 8-bit grayscale PNGs: chunk walk,
+  zlib-inflate of the concatenated IDAT stream, and scanline
+  un-filtering for all five PNG filter types (None/Sub/Up/Average/
+  Paeth).
+* ``synthetic_media`` fabricates deterministic real PNG payloads (the
+  container has no media files), so decode is exercised end-to-end:
+  the encoder writes dimensions into the PNG, the decoder must parse
+  them back out, and the pixel gradient round-trips bit-exact.
+
+Audio/video decode remains an honest stub (librosa/ffmpeg are not in
+this container); the Spark-side plumbing — schema, batching, UDF
+signature — is identical to the working image path.
+
+Reference parity: the reference has no media pipeline; this module is
+the training-data-pipeline extension requested by the build brief.
 """
 
 from __future__ import annotations
 
+import struct
+import zlib
 from typing import Iterator
 
 import pandas as pd
@@ -34,14 +49,154 @@ FEATURE_SCHEMA = T.StructType(
         T.StructField("media_id", T.LongType()),
         T.StructField("kind", T.StringType()),
         T.StructField("n_bytes", T.LongType()),
+        T.StructField("format", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
         T.StructField("feature", T.ArrayType(T.FloatType())),
     ]
 )
 
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+
+# ---------------------------------------------------------------------------
+# Header parsing (magic bytes -> format/width/height), pure stdlib
+# ---------------------------------------------------------------------------
+
+def parse_image_header(content: bytes | None) -> tuple[str | None, int | None, int | None]:
+    """Return (format, width, height) parsed from the payload's magic
+    bytes, or (None, None, None) if the format is not recognized."""
+    if not content or len(content) < 10:
+        return (None, None, None)
+    # PNG: 8-byte magic, then IHDR chunk: len(4) 'IHDR'(4) W(4) H(4) ...
+    if content[:8] == _PNG_MAGIC and len(content) >= 24 and content[12:16] == b"IHDR":
+        w, h = struct.unpack(">II", content[16:24])
+        return ("png", w, h)
+    # JPEG: SOI then marker segments; dims live in the first SOF marker.
+    if content[:2] == b"\xff\xd8":
+        i = 2
+        n = len(content)
+        while i + 4 <= n:
+            if content[i] != 0xFF:
+                i += 1
+                continue
+            marker = content[i + 1]
+            if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                i += 2  # standalone markers have no length field
+                continue
+            if i + 4 > n:
+                break
+            seg_len = struct.unpack(">H", content[i + 2:i + 4])[0]
+            # SOF0..SOF15 minus DHT(C4)/DAC(CC)/JPG(C8)
+            if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                if i + 9 <= n:
+                    h, w = struct.unpack(">HH", content[i + 5:i + 9])
+                    return ("jpeg", w, h)
+                break
+            i += 2 + seg_len
+        return ("jpeg", None, None)
+    # GIF: 6-byte signature then little-endian u16 logical screen dims.
+    if content[:6] in (b"GIF87a", b"GIF89a"):
+        w, h = struct.unpack("<HH", content[6:10])
+        return ("gif", w, h)
+    # BMP: 'BM', dims at offsets 18/22 (BITMAPINFOHEADER, little-endian i32).
+    if content[:2] == b"BM" and len(content) >= 26:
+        w, h = struct.unpack("<ii", content[18:26])
+        return ("bmp", w, abs(h))
+    return (None, None, None)
+
+
+# ---------------------------------------------------------------------------
+# Minimal PNG codec for 8-bit grayscale (encode + full pixel decode)
+# ---------------------------------------------------------------------------
+
+def _png_chunk(tag: bytes, data: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(data)) + tag + data
+        + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+    )
+
+
+def encode_png_gray(width: int, height: int, pixel_fn) -> bytes:
+    """Encode an 8-bit grayscale PNG; ``pixel_fn(x, y) -> 0..255``."""
+    raw = bytearray()
+    for y in range(height):
+        raw.append(0)  # filter type None per scanline
+        for x in range(width):
+            raw.append(pixel_fn(x, y) & 0xFF)
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)
+    return (
+        _PNG_MAGIC
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def decode_png_gray(content: bytes) -> tuple[int, int, bytes]:
+    """Decode an 8-bit grayscale PNG to (width, height, pixels) where
+    pixels is row-major bytes. Supports all five scanline filters."""
+    if content[:8] != _PNG_MAGIC:
+        raise ValueError("not a PNG")
+    width = height = None
+    idat = bytearray()
+    i = 8
+    while i + 8 <= len(content):
+        (length,) = struct.unpack(">I", content[i:i + 4])
+        tag = content[i + 4:i + 8]
+        data = content[i + 8:i + 8 + length]
+        if tag == b"IHDR":
+            width, height, bit_depth, color_type = struct.unpack(">IIBB", data[:10])
+            if bit_depth != 8 or color_type != 0:
+                raise ValueError("only 8-bit grayscale PNGs are supported")
+        elif tag == b"IDAT":
+            idat += data
+        elif tag == b"IEND":
+            break
+        i += 12 + length  # len + tag + data + crc
+    if width is None:
+        raise ValueError("PNG missing IHDR")
+    raw = zlib.decompress(bytes(idat))
+    stride = width  # bytes per scanline, bpp=1
+    out = bytearray(width * height)
+    prev = bytes(width)
+    for y in range(height):
+        off = y * (stride + 1)
+        ftype = raw[off]
+        line = bytearray(raw[off + 1:off + 1 + stride])
+        if ftype == 1:  # Sub
+            for x in range(1, stride):
+                line[x] = (line[x] + line[x - 1]) & 0xFF
+        elif ftype == 2:  # Up
+            for x in range(stride):
+                line[x] = (line[x] + prev[x]) & 0xFF
+        elif ftype == 3:  # Average
+            for x in range(stride):
+                left = line[x - 1] if x else 0
+                line[x] = (line[x] + ((left + prev[x]) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            for x in range(stride):
+                a = line[x - 1] if x else 0
+                b = prev[x]
+                c = prev[x - 1] if x else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                line[x] = (line[x] + pred) & 0xFF
+        elif ftype != 0:
+            raise ValueError(f"bad PNG filter type {ftype}")
+        out[y * width:(y + 1) * width] = line
+        prev = bytes(line)
+    return (width, height, bytes(out))
+
+
+# ---------------------------------------------------------------------------
+# Feature extraction over binary media columns
+# ---------------------------------------------------------------------------
 
 def _fake_features(content: bytes, dim: int = 8) -> list[float]:
-    """Deterministic stand-in for a decoder+encoder: byte histogram
-    moments. Replace with a real model call when libs are available."""
+    """Deterministic stand-in for a learned encoder: byte histogram
+    moments over the raw payload (no decode)."""
     if content is None:
         return [0.0] * dim
     acc = [0.0] * dim
@@ -51,29 +206,64 @@ def _fake_features(content: bytes, dim: int = 8) -> list[float]:
     return [round(x / n, 6) for x in acc]
 
 
+def _pixel_histogram(pixels: bytes, dim: int) -> list[float]:
+    """Normalized ``dim``-bin intensity histogram over decoded pixels —
+    a real feature of the real decoded image."""
+    bins = [0] * dim
+    for p in pixels:
+        bins[p * dim // 256] += 1
+    n = max(len(pixels), 1)
+    return [round(b / n, 6) for b in bins]
+
+
 def extract_features(
-    media: DataFrame, decode_fn: str = "fake", dim: int = 8, batch_size: int = 256
+    media: DataFrame, decode_fn: str = "real", dim: int = 8, batch_size: int = 256
 ) -> DataFrame:
     """mapInPandas feature extraction over binary media columns. The
     Arrow batch shape (iterator of pdf chunks) is exactly what a real
-    GPU-encoder stage needs: batch the payloads, call the model once per
-    chunk, emit fixed-size vectors."""
+    GPU-encoder stage needs: batch the payloads, run the decoder once
+    per chunk, emit fixed-size vectors.
+
+    decode_fn="real": parse the image header (PNG/JPEG/GIF/BMP magic
+    bytes) and, for grayscale PNGs, fully decode the pixels and emit an
+    intensity histogram. Audio/video rows raise NotImplementedError —
+    the remaining honest stub (no codec libs in this container).
+    decode_fn="fake": byte-level moments, no decode (any payload kind).
+    """
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if decode_fn == "real":
-                # >>> real decoder goes here (PIL.Image.open /
-                # librosa.load / av.open) — not available in this env <<<
-                raise NotImplementedError(
-                    "real media decoding requires image/audio libraries "
-                    "not present in this container"
-                )
-            feats = pdf["content"].map(lambda c: _fake_features(c, dim))
+            fmts, widths, heights, feats = [], [], [], []
+            for kind, content in zip(pdf["kind"], pdf["content"]):
+                if decode_fn == "real":
+                    if kind != "image":
+                        # >>> audio/video decoder goes here (librosa.load /
+                        # av.open) — libs not present in this container <<<
+                        raise NotImplementedError(
+                            f"real {kind} decoding requires codec libraries "
+                            "not present in this container"
+                        )
+                    fmt, w, h = parse_image_header(content)
+                    if fmt == "png":
+                        dw, dh, pixels = decode_png_gray(content)
+                        feats.append(_pixel_histogram(pixels, dim))
+                        w, h = dw, dh
+                    else:
+                        feats.append(_fake_features(content, dim))
+                else:
+                    fmt, w, h = parse_image_header(content)
+                    feats.append(_fake_features(content, dim))
+                fmts.append(fmt)
+                widths.append(w)
+                heights.append(h)
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
                     "kind": pdf["kind"],
                     "n_bytes": pdf["content"].map(lambda c: 0 if c is None else len(c)),
+                    "format": fmts,
+                    "width": pd.array(widths, dtype="Int32"),
+                    "height": pd.array(heights, dtype="Int32"),
                     "feature": feats,
                 }
             )
@@ -81,18 +271,54 @@ def extract_features(
     return media.mapInPandas(run, schema=FEATURE_SCHEMA)
 
 
+# ---------------------------------------------------------------------------
+# Synthetic media (deterministic REAL PNGs derived from the documents table)
+# ---------------------------------------------------------------------------
+
 def synthetic_media(spark, documents: DataFrame, kind: str = "image") -> DataFrame:
-    """Derive a deterministic media table from the documents table (the
-    container has no real media files): payload = utf-8 text bytes."""
-    return documents.select(
-        F.col("doc_id").alias("media_id"),
-        F.lit(kind).alias("kind"),
-        F.encode(F.col("text"), "utf-8").alias("content"),
-        F.lit("application/octet-stream").alias("mime"),
-        F.lit(None).cast("int").alias("width"),
-        F.lit(None).cast("int").alias("height"),
-        F.lit(None).cast("long").alias("duration_ms"),
-    )
+    """Derive a deterministic media table from documents (the container
+    ships no media files). For kind="image" each row carries a REAL
+    grayscale PNG whose dimensions are arithmetic in doc_id —
+    width = 1 + doc_id % 64, height = 1 + (doc_id * 7) % 64 — so an
+    SQL oracle can verify what the decoder extracts. Other kinds carry
+    the utf-8 text bytes as an opaque payload."""
+    if kind != "image":
+        return documents.select(
+            F.col("doc_id").alias("media_id"),
+            F.lit(kind).alias("kind"),
+            F.encode(F.col("text"), "utf-8").alias("content"),
+            F.lit("application/octet-stream").alias("mime"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.lit(None).cast("long").alias("duration_ms"),
+        )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads, widths, heights = [], [], []
+            for doc_id in pdf["doc_id"]:
+                did = int(doc_id)
+                w = 1 + did % 64
+                h = 1 + (did * 7) % 64
+                seed = did % 251
+                payloads.append(
+                    encode_png_gray(w, h, lambda x, y: (x * 3 + y * 5 + seed) % 256)
+                )
+                widths.append(w)
+                heights.append(h)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"],
+                    "kind": "image",
+                    "content": payloads,
+                    "mime": "image/png",
+                    "width": pd.array(widths, dtype="Int32"),
+                    "height": pd.array(heights, dtype="Int32"),
+                    "duration_ms": pd.array([None] * len(widths), dtype="Int64"),
+                }
+            )
+
+    return documents.select("doc_id").mapInPandas(gen, schema=MEDIA_SCHEMA)
 
 
 def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:

@@ -332,17 +332,23 @@ def pipe_top_users_by_value(spark, sf_dir) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Multimodal plumbing (decode stubbed; Spark-side shape is real)
+# Multimodal: REAL image decode (pure-stdlib PNG codec in mapInPandas)
 # ---------------------------------------------------------------------------
 
+# synthetic_media encodes a real grayscale PNG per document with
+# dimensions arithmetic in doc_id; extract_features(decode_fn="real")
+# must parse them back out of the bytes (PNG IHDR + full pixel decode),
+# so the oracle verifies the decoder, not a pass-through.
 @q("pipe_multimodal_features",
-   "SELECT doc_id AS media_id, 'image' AS kind, CAST(strlen(text) AS BIGINT) AS n_bytes "
+   "SELECT doc_id AS media_id, 'image' AS kind, 'png' AS format, "
+   "CAST(1 + doc_id % 64 AS INT) AS width, "
+   "CAST(1 + (doc_id * 7) % 64 AS INT) AS height "
    "FROM documents")
 def pipe_multimodal_features(spark, sf_dir) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents")
     media = multimodal.synthetic_media(spark, docs)
-    feats = multimodal.extract_features(media, decode_fn="fake")
-    return feats.select("media_id", "kind", "n_bytes")
+    feats = multimodal.extract_features(media, decode_fn="real")
+    return feats.select("media_id", "kind", "format", "width", "height")
 
 
 # ---------------------------------------------------------------------------

@@ -144,9 +144,95 @@ def test_multimodal_plumbing(spark, docs):
     # determinism
     again = multimodal.extract_features(media, decode_fn="fake", dim=8).collect()
     assert sorted(r.media_id for r in rows) == sorted(r.media_id for r in again)
-    # real decode path is a clearly-marked stub
+
+
+def test_multimodal_real_decode(spark, docs):
+    """The real decode path parses dims out of actual PNG bytes and the
+    decoded pixel histogram is a genuine feature of the image."""
+    media = multimodal.synthetic_media(spark, docs.limit(20))
+    rows = multimodal.extract_features(media, decode_fn="real", dim=8).collect()
+    assert len(rows) == 20
+    for r in rows:
+        assert r.format == "png"
+        assert r.width == 1 + r.media_id % 64
+        assert r.height == 1 + (r.media_id * 7) % 64
+        assert len(r.feature) == 8
+        assert abs(sum(r.feature) - 1.0) < 1e-3  # histogram sums to ~1
+    # audio/video decode is still an honest stub
+    blob = multimodal.synthetic_media(spark, docs.limit(2), kind="audio")
     with pytest.raises(Exception):
-        multimodal.extract_features(media, decode_fn="real").collect()
+        multimodal.extract_features(blob, decode_fn="real").collect()
+
+
+def test_png_codec_roundtrip():
+    """Pure-python codec: encode -> decode round-trips pixels bit-exact,
+    and the decoder handles all five PNG scanline filter types."""
+    import struct as _struct
+    import zlib as _zlib
+
+    w, h = 13, 9
+    px = lambda x, y: (x * 7 + y * 11) % 256
+    blob = multimodal.encode_png_gray(w, h, px)
+    fmt, pw, ph = multimodal.parse_image_header(blob)
+    assert (fmt, pw, ph) == ("png", w, h)
+    dw, dh, pixels = multimodal.decode_png_gray(blob)
+    assert (dw, dh) == (w, h)
+    assert list(pixels) == [px(x, y) for y in range(h) for x in range(w)]
+
+    # hand-filter the same image with Sub/Up/Average/Paeth scanlines and
+    # check the decoder reconstructs identical pixels
+    rows = [[px(x, y) for x in range(w)] for y in range(h)]
+    raw = bytearray()
+    prev = [0] * w
+    for y, line in enumerate(rows):
+        ftype = [1, 2, 3, 4][y % 4]
+        raw.append(ftype)
+        for x in range(w):
+            a = line[x - 1] if x else 0
+            b = prev[x]
+            c = prev[x - 1] if x else 0
+            if ftype == 1:
+                raw.append((line[x] - a) & 0xFF)
+            elif ftype == 2:
+                raw.append((line[x] - b) & 0xFF)
+            elif ftype == 3:
+                raw.append((line[x] - ((a + b) >> 1)) & 0xFF)
+            else:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                raw.append((line[x] - pred) & 0xFF)
+        prev = line
+    ihdr = _struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+    blob2 = (
+        b"\x89PNG\r\n\x1a\n"
+        + multimodal._png_chunk(b"IHDR", ihdr)
+        + multimodal._png_chunk(b"IDAT", _zlib.compress(bytes(raw)))
+        + multimodal._png_chunk(b"IEND", b"")
+    )
+    dw2, dh2, pixels2 = multimodal.decode_png_gray(blob2)
+    assert (dw2, dh2) == (w, h)
+    assert pixels2 == pixels
+
+
+def test_image_header_formats():
+    """Header parser handles JPEG / GIF / BMP magic-byte layouts."""
+    import struct as _struct
+
+    # minimal JPEG: SOI, APP0, DHT (must be skipped), SOF0 with dims
+    app0 = b"\xff\xe0" + _struct.pack(">H", 16) + b"JFIF\x00" + b"\x00" * 9
+    dht = b"\xff\xc4" + _struct.pack(">H", 5) + b"\x00\x00\x00"
+    sof0 = b"\xff\xc0" + _struct.pack(">H", 11) + b"\x08" + _struct.pack(">HH", 480, 640) + b"\x01\x11\x00"
+    jpeg = b"\xff\xd8" + app0 + dht + sof0 + b"\xff\xd9"
+    assert multimodal.parse_image_header(jpeg) == ("jpeg", 640, 480)
+
+    gif = b"GIF89a" + _struct.pack("<HH", 320, 200) + b"\x00" * 4
+    assert multimodal.parse_image_header(gif) == ("gif", 320, 200)
+
+    bmp = b"BM" + b"\x00" * 16 + _struct.pack("<ii", 800, -600) + b"\x00" * 8
+    assert multimodal.parse_image_header(bmp) == ("bmp", 800, 600)
+
+    assert multimodal.parse_image_header(b"not an image at all") == (None, None, None)
 
 
 def test_ntriples_roundtrip(spark, fixture_store):
