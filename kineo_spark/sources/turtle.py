@@ -21,15 +21,20 @@ from pyspark.sql import DataFrame, SparkSession
 
 from kineo_spark.model import IRI_DT, KIND_BLANK, KIND_IRI, KIND_LITERAL, NUMERIC_DTS, QUADS_SCHEMA, RDF_NS
 
+# NUM follows the Turtle grammar exactly: DOUBLE has an exponent,
+# DECIMAL requires digits after the point, so "1." lexes as the integer
+# 1 followed by the '.' statement terminator (not as a number).
+# PNAME local parts may contain dots but cannot END with one, so a
+# trailing '.' after a prefixed name is always the statement terminator.
 _TOKEN = re.compile(
     r"""
       (?P<WS>\s+|\#[^\n]*)
     | (?P<IRI><[^<>]*>)
     | (?P<STRING>'''(?:.|\n)*?'''|\"\"\"(?:.|\n)*?\"\"\"|'(?:[^'\\]|\\.)*'|"(?:[^"\\]|\\.)*")
     | (?P<LANGTAG>@[A-Za-z]+(?:-[A-Za-z0-9]+)*)
-    | (?P<NUM>[+-]?(?:\d+\.\d*|\.\d+|\d+)(?:[eE][+-]?\d+)?)
-    | (?P<BNODE>_:[A-Za-z0-9_.-]+)
-    | (?P<PNAME>[A-Za-z_][A-Za-z0-9_.-]*?:[A-Za-z0-9_.:%-]*|:[A-Za-z0-9_.%-]*)
+    | (?P<NUM>[+-]?(?:(?:\d+\.\d*|\.\d+|\d+)[eE][+-]?\d+|\d*\.\d+|\d+))
+    | (?P<BNODE>_:[A-Za-z0-9_.-]*[A-Za-z0-9_-])
+    | (?P<PNAME>[A-Za-z_][A-Za-z0-9_.-]*?:(?:[A-Za-z0-9_.:%-]*[A-Za-z0-9_:%-])?|:(?:[A-Za-z0-9_.%-]*[A-Za-z0-9_%-])?)
     | (?P<KW>@?[A-Za-z_][A-Za-z0-9_]*)
     | (?P<OP>\^\^|[{}()\[\].,;])
     """,
@@ -68,7 +73,8 @@ def _mk(kind, lex, dt=None, lang=None):
 
 
 class TurtleParser:
-    def __init__(self, text: str, default_graph: str = "urn:g:default", base: str = ""):
+    def __init__(self, text: str, default_graph: str = "urn:g:default", base: str = "",
+                 prefixes: dict[str, str] | None = None, anon_prefix: str = ""):
         self.toks = []
         pos = 0
         while pos < len(text):
@@ -80,11 +86,14 @@ class TurtleParser:
                 self.toks.append((m.lastgroup, m.group()))
         self.toks.append(("EOF", ""))
         self.i = 0
-        self.prefixes: dict[str, str] = {}
+        self.prefixes: dict[str, str] = dict(prefixes) if prefixes else {}
         self.base = base
         self.quads: list[tuple] = []
         self.graph = default_graph
         self.default_graph = default_graph
+        # distributed parse: per-chunk prefix keeps fresh bnode labels
+        # globally unique across independently-parsed statement chunks
+        self.anon_prefix = anon_prefix
         self._anon = 0
 
     # token helpers
@@ -162,7 +171,7 @@ class TurtleParser:
 
     def _fresh_bnode(self):
         self._anon += 1
-        return _mk(KIND_BLANK, f"genid{self._anon}")
+        return _mk(KIND_BLANK, f"genid{self.anon_prefix}{self._anon}")
 
     def _subject(self):
         k, v = self.peek()
@@ -276,6 +285,177 @@ def load_turtle(
             text = fh.read()
     quads = TurtleParser(text, default_graph, base=base).parse()
     return spark.createDataFrame(quads, QUADS_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Distributed Turtle subset (statement-parallel, like ntriples.py)
+# ---------------------------------------------------------------------------
+#
+# Turtle is context-sensitive in exactly two ways that block naive line
+# parallelism: the prefix table, and statements spanning lines. The
+# distributed path handles both for the common subset:
+#   * all @prefix/@base directives sit in the file header (parsed on the
+#     driver once, broadcast to executors);
+#   * no triple-quoted (multi-line) strings and no TriG graph blocks —
+#     then every statement terminator '.' falls at a line end, so lines
+#     group into statements by a quote/IRI-aware per-line scan plus a
+#     per-partition running count (no global window, no driver loop).
+# Files outside the subset fall back to the driver-side full parser with
+# identical results. At 100 TB the flow is: one scan pass for
+# per-partition statement counts (collects #partitions ints), one pass
+# assigning statement ids, one shuffle on stmt_id to reassemble
+# multi-line statements, then an Arrow-batched parse of each statement
+# chunk. Skew-free: a statement is almost always a single line.
+
+_DIRECTIVE_RE = re.compile(r"^\s*(?:@prefix|@base|PREFIX|BASE)\b", re.IGNORECASE)
+
+
+def _scan_line(line: str) -> tuple[bool, str | None]:
+    """Scan one physical line outside any cross-line state. Returns
+    (ends_statement, unsupported_reason). ends_statement is True iff the
+    last significant character (outside strings/IRIs/comments) is '.'."""
+    i, n = 0, len(line)
+    last = ""
+    while i < n:
+        ch = line[i]
+        if ch == "#":
+            break  # comment to end of line
+        if ch in "'\"":
+            if line[i:i + 3] in ("'''", '"""'):
+                return (False, "triple-quoted string")
+            j = i + 1
+            while j < n:
+                if line[j] == "\\":
+                    j += 2
+                    continue
+                if line[j] == ch:
+                    break
+                j += 1
+            else:
+                return (False, "unterminated string (multi-line?)")
+            if j >= n:
+                return (False, "unterminated string (multi-line?)")
+            i = j + 1
+            last = ch
+            continue
+        if ch == "<":
+            j = line.find(">", i + 1)
+            if j < 0:
+                return (False, "unterminated IRI")
+            i = j + 1
+            last = ">"
+            continue
+        if ch in "{}":
+            return (False, "TriG graph block")
+        if not ch.isspace():
+            last = ch
+        i += 1
+    return (last == ".", None)
+
+
+def _read_header(path: str) -> tuple[dict[str, str], str, int]:
+    """Driver-side: consume leading directive lines (plus blanks and
+    comments). Returns (prefixes, base, n_header_lines)."""
+    prefixes: dict[str, str] = {}
+    base = ""
+    n_header = 0
+    with open(path) as fh:
+        for line in fh:
+            stripped = line.strip()
+            if stripped and not stripped.startswith("#"):
+                if not _DIRECTIVE_RE.match(stripped):
+                    break
+                p = TurtleParser(stripped, base=base, prefixes=prefixes)
+                p.parse()
+                prefixes.update(p.prefixes)
+                base = p.base or base
+            n_header += 1
+    return prefixes, base, n_header
+
+
+def load_turtle_distributed(
+    spark: SparkSession, path: str, default_graph: str = "urn:g:default",
+    base: str = "",
+) -> DataFrame:
+    """Statement-parallel Turtle load for the header-directives subset;
+    transparently falls back to the driver-side parser otherwise."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    prefixes, base, n_header = _read_header(path)
+
+    # Pass 1: per-line scan; per-partition statement-end counts.
+    lines = spark.sparkContext.textFile(path)  # partition order = file order
+    body = (
+        lines.zipWithIndex()
+        .filter(lambda t: t[1] >= n_header)
+        .map(lambda t: (t[1], t[0], _scan_line(t[0])))
+    )
+    body = body.cache()
+
+    def part_stats(pid, it):
+        ends = 0
+        bad = None
+        for _, line, (e, reason) in it:
+            if reason and bad is None:
+                bad = reason
+            if _DIRECTIVE_RE.match(line) and bad is None:
+                bad = "mid-file directive"
+            ends += 1 if e else 0
+        yield (pid, ends, bad)
+
+    stats = sorted(body.mapPartitionsWithIndex(part_stats).collect())
+    reasons = [b for _, _, b in stats if b]
+    if reasons:
+        body.unpersist()
+        # outside the distributed subset: full-grammar driver-side parse
+        return load_turtle(spark, path, default_graph, base=base)
+
+    offsets = {}
+    acc = 0
+    for pid, ends, _ in stats:
+        offsets[pid] = acc
+        acc += ends
+
+    # Pass 2: assign statement ids (count of statement-ends before the line).
+    def assign(pid, it):
+        sid = offsets[pid]
+        for idx, line, (e, _) in it:
+            yield (sid, idx, line)
+            if e:
+                sid += 1
+
+    parts_df = spark.createDataFrame(
+        body.mapPartitionsWithIndex(assign), "stmt_id long, idx long, line string"
+    )
+    body.unpersist()
+
+    # Reassemble multi-line statements: one shuffle on stmt_id.
+    stmts = parts_df.groupBy("stmt_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("idx", "line"))), lambda s: s["line"]
+            ),
+            "\n",
+        ).alias("text")
+    )
+
+    out_schema = QUADS_SCHEMA
+
+    def parse_chunk(batches):
+        for pdf in batches:
+            rows = []
+            for sid, text in zip(pdf["stmt_id"], pdf["text"]):
+                if not text.strip():
+                    continue
+                p = TurtleParser(
+                    text, default_graph, base=base, prefixes=prefixes,
+                    anon_prefix=f"s{sid}_",
+                )
+                rows.extend(p.parse())
+            yield pd.DataFrame(rows, columns=[f.name for f in out_schema.fields])
+
+    return stmts.mapInPandas(parse_chunk, schema=out_schema)
 
 
 def serialize_turtle(quads: DataFrame, prefixes: dict[str, str] | None = None) -> str:

@@ -57,3 +57,83 @@ def test_turtle_serializer_roundtrip(spark):
     assert "geo:lat" in text
     back = load_turtle(spark, text)
     assert back.count() == quads.count()
+
+
+# ---------------------------------------------------------------------------
+# Distributed statement-parallel loader
+# ---------------------------------------------------------------------------
+
+DIST_TTL = """\
+@prefix ex: <http://example.org/> .
+@prefix rdfs: <http://www.w3.org/2000/01/rdf-schema#> .
+# a comment in the header
+
+ex:a ex:p ex:b .
+ex:a ex:q "dot . inside # string" ;
+     ex:r 1.5, 2 .
+ex:b rdfs:label "b"@en .
+ex:c ex:list ( ex:a ex:b ) .
+ex:d ex:props [ ex:w 1 ; ex:h 2 ] .
+ex:e ex:iri <http://example.org/path.with#dots> . # trailing comment
+ex:p1.2x ex:p 1.
+"""
+
+
+def _canon(rows):
+    """Quad multiset with bnode labels wiped (fresh-bnode names differ
+    between the driver and distributed parsers by construction)."""
+    out = []
+    for r in rows:
+        s_lex = "_b_" if r.s_kind == 1 else r.s_lex
+        o_lex = "_b_" if r.o_kind == 1 else r.o_lex
+        out.append((r.s_kind, s_lex, r.p_lex, r.o_kind, o_lex, r.o_dt, r.o_lang, r.o_num, r.g_lex))
+    return sorted(out)
+
+
+def test_turtle_distributed_matches_driver(spark, tmp_path):
+    from kineo_spark.sources.turtle import load_turtle_distributed
+
+    p = tmp_path / "dist.ttl"
+    p.write_text(DIST_TTL)
+    drv = load_turtle(spark, str(p)).collect()
+    dist = load_turtle_distributed(spark, str(p)).collect()
+    assert _canon(dist) == _canon(drv)
+    # multi-line statement (';' continuation) reassembled correctly
+    qs = [r for r in dist if r.p_lex == "http://example.org/r"]
+    assert sorted(r.o_lex for r in qs) == ["1.5", "2"]
+    # "1." = integer 1 + terminator, and PNAME locals may contain dots
+    one = [r for r in dist if r.s_lex == "http://example.org/p1.2x"]
+    assert len(one) == 1 and one[0].o_lex == "1" and one[0].o_dt == "integer"
+
+
+def test_turtle_distributed_fallback(spark, tmp_path):
+    from kineo_spark.sources.turtle import load_turtle_distributed
+
+    # triple-quoted string is outside the distributed subset: must fall
+    # back to the driver parser and still produce identical quads
+    text = '@prefix ex: <http://example.org/> .\nex:a ex:p """multi\nline""" .\n'
+    p = tmp_path / "fb.ttl"
+    p.write_text(text)
+    rows = load_turtle_distributed(spark, str(p)).collect()
+    assert len(rows) == 1
+    assert rows[0].o_lex == "multi\nline"
+
+
+def test_turtle_distributed_100k(spark, tmp_path):
+    from kineo_spark.sources.turtle import load_turtle_distributed
+
+    n = 100_000
+    p = tmp_path / "big.ttl"
+    with open(p, "w") as fh:
+        fh.write("@prefix ex: <http://example.org/> .\n")
+        for i in range(n):
+            if i % 10 == 0:  # every 10th statement spans two lines
+                fh.write(f'ex:s{i} ex:p "v{i}" ;\n    ex:q {i} .\n')
+            else:
+                fh.write(f'ex:s{i} ex:p "v{i}" .\n')
+    df = load_turtle_distributed(spark, str(p))
+    assert df.count() == n + n // 10
+    # spot-check content through an aggregate, not a collect
+    from pyspark.sql import functions as F
+    total = df.filter(F.col("o_dt") == "integer").agg(F.sum("o_num")).first()[0]
+    assert int(total) == sum(i for i in range(n) if i % 10 == 0)
