@@ -353,3 +353,43 @@ def sparql_update_modify(spark, sf_dir) -> DataFrame:
     return extract(res.bindings, {
         "name": ("name", "lex"), "region": ("region", "lex"),
     })
+
+
+@q("sparql_stream_select",
+   "SELECT 'urn:t:events:' || CAST(event_id AS VARCHAR) AS e, value AS v "
+   "FROM events WHERE event_type = 'purchase' AND value > 50")
+def sparql_stream_select(spark, sf_dir) -> DataFrame:
+    """Continuous SPARQL (extension — the reference has no streaming,
+    SURVEY §2.11): compile a SELECT with a 2-pattern BGP self-join +
+    FILTER against the STREAMING events→quads DataFrame, drain it with
+    an availableNow trigger, and return the flat bindings. The oracle is
+    the equivalent relational filter — proving the incremental plan
+    emits exactly the batch answer."""
+    import uuid
+
+    from kineo_spark.streaming import events as se
+    from kineo_spark.streaming import sparql as ss
+
+    # micro-batch file source over the same parquet the oracle reads
+    # (single-file source: glob-filter the table dir; ts is raw nanos-
+    # as-long under the session's parquet config but quads don't use it)
+    events = (
+        spark.readStream
+        .schema("event_id long, ts long, user_id long, "
+                "event_type string, value double, props string")
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    quads = se.events_to_quads(events)
+    bindings = ss.continuous_query(spark, quads, """
+      SELECT ?e ?v WHERE {
+        ?e <urn:col:events:event_type> "purchase" .
+        ?e <urn:col:events:value> ?v .
+        FILTER(?v > 50)
+      }
+    """)
+    name = f"t_stream_sel_{uuid.uuid4().hex[:8]}"
+    out = ss.run_available_now(bindings, name, timeout_s=300)
+    return out.select(
+        F.col("e")["lex"].alias("e"), F.col("v")["num"].alias("v")
+    )

@@ -174,3 +174,57 @@ def test_streaming_document_chunking_equals_batch(spark):
     stream = spark.table("chunk_stream").collect()
     assert sorted((r.doc_id, r.chunk_start, r.chunk) for r in stream) == \
            sorted((r.doc_id, r.chunk_start, r.chunk) for r in batch)
+
+
+def test_streaming_sparql_select_twin(spark, event_dir):
+    """Continuous SPARQL: the same SELECT (2-pattern BGP join + FILTER)
+    compiled against the quad STREAM emits exactly the batch answer."""
+    from kineo_spark.engine import Engine
+    from kineo_spark.store import QuadsDataFrameStore
+    from kineo_spark.streaming import sparql as ss
+
+    q = """
+      SELECT ?e ?v WHERE {
+        ?e <urn:col:events:event_type> "purchase" .
+        ?e <urn:col:events:value> ?v .
+        FILTER(?v > 50)
+      }
+    """
+    # batch twin over the identical quads
+    batch_quads = se.events_to_quads(spark.read.parquet(event_dir))
+    want = Engine(QuadsDataFrameStore(spark, batch_quads)).query(q).bindings
+    want_set = sorted((r["e"]["lex"], r["v"]["lex"]) for r in want.collect())
+    assert len(want_set) > 0
+
+    stream_quads = se.events_to_quads(se.stream_events(spark, event_dir))
+    got = ss.run_available_now(
+        ss.continuous_query(spark, stream_quads, q), "t_sparql_sel"
+    )
+    got_set = sorted((r["e"]["lex"], r["v"]["lex"]) for r in got.collect())
+    assert got_set == want_set
+
+
+def test_streaming_sparql_construct_twin(spark, event_dir):
+    """Continuous CONSTRUCT emits the same triples as the batch run."""
+    from kineo_spark.engine import Engine
+    from kineo_spark.store import QuadsDataFrameStore
+    from kineo_spark.streaming import sparql as ss
+
+    q = """
+      PREFIX ex: <urn:ex:>
+      CONSTRUCT { ?e ex:spent ?v } WHERE {
+        ?e <urn:col:events:event_type> "purchase" .
+        ?e <urn:col:events:value> ?v .
+      }
+    """
+    batch_quads = se.events_to_quads(spark.read.parquet(event_dir))
+    want = Engine(QuadsDataFrameStore(spark, batch_quads)).query(q).triples
+    want_set = sorted((r["s"]["lex"], r["p"]["lex"], r["o"]["lex"]) for r in want.collect())
+    assert len(want_set) > 0
+
+    stream_quads = se.events_to_quads(se.stream_events(spark, event_dir))
+    got = ss.run_available_now(
+        ss.continuous_query(spark, stream_quads, q), "t_sparql_cons"
+    )
+    got_set = sorted((r["s"]["lex"], r["p"]["lex"], r["o"]["lex"]) for r in got.collect())
+    assert got_set == want_set
