@@ -61,6 +61,14 @@ class Engine:
             return QueryResult("triples", triples=describe(self.compiler, q))
         raise ValueError(f"unsupported query form {type(q).__name__}")
 
+    def query_simple(self, dsl: str) -> QueryResult:
+        """Evaluate a query in the reference's line-oriented stack DSL
+        (SimpleParser/QueryParser.swift:12-288) — see
+        kineo_spark.simple_parser for the grammar."""
+        from kineo_spark.simple_parser import parse_simple_query
+
+        return self.evaluate(parse_simple_query(dsl))
+
     def explain(self, sparql: str, mode: str = "formatted") -> str:
         """Parsed algebra + rewritten algebra + Catalyst plan (the analog
         of ``kineo explain``, kineo-cli/main.swift:275-333)."""
