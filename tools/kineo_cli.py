@@ -14,6 +14,7 @@ Usage:
   python tools/kineo_cli.py repl  STORE_PATH                # interactive
   python tools/kineo_cli.py dump  STORE_PATH                # N-Quads to stdout
   python tools/kineo_cli.py rel-query SF_DIR 'SELECT ...'   # driver tables
+  python tools/kineo_cli.py simple STORE_PATH FILE|'DSL'    # stack DSL (QueryParser.swift analog)
 """
 
 from __future__ import annotations
@@ -82,9 +83,11 @@ def main() -> int:
         print(f"loaded {quads.count()} quads into {target}")
         return 0
 
-    if cmd in ("query", "qfile", "rel-query"):
+    if cmd in ("query", "qfile", "rel-query", "simple"):
+        import os
+
         text = rest[0]
-        if cmd == "qfile":
+        if cmd == "qfile" or (cmd == "simple" and os.path.exists(text)):
             with open(rest[0]) as fh:
                 text = fh.read()
         if cmd == "rel-query":
@@ -94,7 +97,7 @@ def main() -> int:
             from kineo_spark.sources.stores_ext import ParquetQuadStore
             store = ParquetQuadStore(spark, target)
         engine = Engine(store)
-        result = engine.query(text)
+        result = engine.query_simple(text) if cmd == "simple" else engine.query(text)
         print(engine.serialize(result, fmt))
         return 0
 
