@@ -578,3 +578,90 @@ def pipe_corpus_clean(spark, sf_dir) -> DataFrame:
             .select("doc_id", "lang",
                     F.col("n_tokens").cast("long").alias("n_tokens"),
                     "quality_score"))
+
+
+# ---------------------------------------------------------------------------
+# Temporal joins & rollups (as-of join, range join, hypertable rollup)
+# ---------------------------------------------------------------------------
+
+@q("pipe_asof_join",
+   "SELECT p.event_id, v.view_id FROM "
+   "(SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p "
+   "ASOF LEFT JOIN "
+   "(SELECT user_id, ts, MAX(event_id) AS view_id FROM events "
+   " WHERE event_type = 'view' GROUP BY user_id, ts) v "
+   "ON p.user_id = v.user_id AND p.ts >= v.ts")
+def pipe_asof_join(spark, sf_dir) -> DataFrame:
+    """Point-in-time-correct as-of join: each purchase gets the same
+    user's most recent prior (or simultaneous) view. One shuffle on
+    user_id via union-tag + running last() — the oracle is DuckDB's
+    native ASOF JOIN. Right side deduplicated per (user, ts) for
+    deterministic ties."""
+    from kineo_spark.pipeline import temporal
+
+    events = read_table(spark, sf_dir, "events")
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts")
+    views = (
+        events.filter(F.col("event_type") == "view")
+        .groupBy("user_id", "ts").agg(F.max("event_id").alias("view_id"))
+    )
+    out = temporal.asof_join(purchases, views, on="user_id",
+                             left_ts="ts", right_ts="ts")
+    return out.select("event_id", "view_id")
+
+
+@q("pipe_range_join",
+   "SELECT p.event_id, COUNT(v.event_id) AS n_views FROM "
+   "(SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p "
+   "LEFT JOIN "
+   "(SELECT event_id, user_id, ts FROM events WHERE event_type = 'view') v "
+   "ON p.user_id = v.user_id "
+   "AND v.ts >= p.ts - INTERVAL 30 MINUTE AND v.ts <= p.ts "
+   "GROUP BY p.event_id")
+def pipe_range_join(spark, sf_dir) -> DataFrame:
+    """Interval join without a nested-loop plan: views within the 30
+    minutes before each purchase, via time-bin equi-join + exact
+    filter. Left-join semantics recovered by re-joining counts onto the
+    probe side (purchases with zero views report 0)."""
+    from kineo_spark.pipeline import temporal
+
+    events = read_table(spark, sf_dir, "events")
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts")
+    views = events.filter(F.col("event_type") == "view").select(
+        "event_id", "user_id", "ts")
+    matched = temporal.range_join(
+        purchases, views, on="user_id", before_s=1800, after_s=0)
+    counts = matched.groupBy("event_id").agg(
+        F.count(F.lit(1)).alias("n_views"))
+    return (
+        purchases.select("event_id")
+        .join(counts, on="event_id", how="left")
+        .select("event_id", F.coalesce("n_views", F.lit(0)).alias("n_views"))
+    )
+
+
+@q("pipe_rollup_hierarchy",
+   "SELECT 'hour' AS level, date_trunc('hour', ts) AS bucket_start, "
+   "COUNT(*) AS n, CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS sum_value "
+   "FROM events GROUP BY date_trunc('hour', ts) "
+   "UNION ALL "
+   "SELECT 'day', date_trunc('day', ts), COUNT(*), "
+   "CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) "
+   "FROM events GROUP BY date_trunc('day', ts)")
+def pipe_rollup_hierarchy(spark, sf_dir) -> DataFrame:
+    """Hypertable-style continuous aggregate: hour buckets scan the raw
+    events once; day buckets reaggregate the hour partials (never the
+    raw table). Decimal accumulation keeps the sums order-independent
+    so the day-from-hours reaggregation is bit-exact vs the oracle's
+    direct day GROUP BY."""
+    from kineo_spark.pipeline import temporal
+
+    events = read_table(spark, sf_dir, "events").withColumn(
+        "value", F.col("value").cast("decimal(25,6)"))
+    out = temporal.rollup_hierarchy(
+        events, ts="ts", levels=("hour", "day"), aggs={"value": "sum"})
+    return out.select(
+        "level", "bucket_start", "n",
+        F.col("sum_value").cast("double").alias("sum_value"))
