@@ -665,3 +665,54 @@ def pipe_rollup_hierarchy(spark, sf_dir) -> DataFrame:
     return out.select(
         "level", "bucket_start", "n",
         F.col("sum_value").cast("double").alias("sum_value"))
+
+
+# Repetition filters (Gopher-style): the synthetic corpus is single-line
+# prose, so the query INJECTS structure first (duplicated line, bullet
+# line, ellipsis line — same expression in the oracle) and the features
+# must quantify exactly what was injected plus the text's own bigrams.
+_REP_ORACLE = r"""
+WITH synth AS (
+  SELECT doc_id,
+         text || chr(10) || text || chr(10) || '- bullet item' || chr(10)
+              || 'trailing thought...' AS s
+  FROM documents
+), lines AS (
+  SELECT doc_id, [x for x in string_split(s, chr(10)) if len(trim(x)) > 0] AS ls, s
+  FROM synth
+), words AS (
+  SELECT doc_id, ls, string_split_regex(trim(s), '\s+') AS w FROM lines
+), grams AS (
+  SELECT doc_id, ls,
+         [w[i] || ' ' || w[i+1] for i in generate_series(1, len(w) - 1)] AS gs
+  FROM words
+), capped AS (
+  SELECT doc_id, ls, gs[1:150] AS g FROM grams
+)
+SELECT doc_id,
+       len(ls) AS n_lines,
+       ROUND(1.0 - CAST(len(list_distinct(ls)) AS DOUBLE) / len(ls), 6) AS dup_line_frac,
+       ROUND(CAST(len([x for x in ls if regexp_matches(trim(x), '^[-*•]')]) AS DOUBLE)
+             / len(ls), 6) AS bullet_frac,
+       ROUND(CAST(len([x for x in ls if regexp_matches(trim(x), '\.\.\.$')]) AS DOUBLE)
+             / len(ls), 6) AS ellipsis_frac,
+       ROUND(CAST(list_max([len([x for x in g if x = d]) for d in list_distinct(g)]) AS DOUBLE)
+             / len(g), 6) AS top_bigram_frac
+FROM capped
+"""
+
+@q("pipe_repetition", _REP_ORACLE)
+def pipe_repetition(spark, sf_dir) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    synth = docs.select(
+        "doc_id",
+        F.concat_ws(
+            "\n", F.col("text"), F.col("text"),
+            F.lit("- bullet item"), F.lit("trailing thought..."),
+        ).alias("text"),
+    )
+    feats = text.repetition_features(synth, max_grams=150)
+    return feats.select(
+        "doc_id", "n_lines", "dup_line_frac", "bullet_frac",
+        "ellipsis_frac", "top_bigram_frac",
+    )

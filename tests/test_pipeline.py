@@ -382,3 +382,23 @@ def test_chunk_documents_overlap_and_coverage(spark):
     # empty doc -> single empty chunk; short doc -> one whole-doc chunk
     assert rows[(2, 0)].chunk == "" and rows[(2, 0)].chunk_len == 0
     assert rows[(3, 0)].chunk == "short"
+
+
+def test_repetition_features(spark):
+    rows = [
+        (1, "alpha beta\nalpha beta\n- item one\nwrap up..."),
+        (2, "x y " * 30),              # "y x" / "x y" repeats dominate
+        (3, "all distinct words here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in text.repetition_features(df).collect()}
+    r1 = got[1]
+    assert r1.n_lines == 4
+    assert r1.dup_line_frac == 0.25     # one of four lines duplicated
+    assert r1.bullet_frac == 0.25
+    assert r1.ellipsis_frac == 0.25
+    r2 = got[2]
+    assert r2.top_bigram_frac > 0.4     # repeated phrase dominates
+    r3 = got[3]
+    assert r3.dup_line_frac == 0.0
+    assert r3.top_bigram_frac <= 0.4    # 3 distinct bigrams, max share 1/3
