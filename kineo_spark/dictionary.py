@@ -642,12 +642,22 @@ def persist_id_layout(view: "IdEncodedView", name: str, buckets: int = 64,
       too-big-to-broadcast materialize join shuffles only the bindings
       side.
 
+    Each side is repartitioned on its bucket key first so every bucket
+    is written as exactly ONE file: Spark's scan only reports per-bucket
+    sort order in that case, and that report is what lets the merge join
+    skip its Sort — shuffle-free AND sort-free star joins, the full
+    IDQueryPlanner.swift:88-94 "exploit index order" analog. (With
+    multiple files per bucket the Exchange still disappears but Catalyst
+    re-sorts each partition.)
+
     In production the tables live in a shared metastore; local sessions
     use the in-memory catalog (pass ``path`` to control file placement).
     """
-    qw = view.id_quads.write.format("parquet").mode("overwrite") \
+    qw = view.id_quads.repartition(buckets, "s") \
+        .write.format("parquet").mode("overwrite") \
         .bucketBy(buckets, "s").sortBy("s")
-    tw = view.dictionary.write.format("parquet").mode("overwrite") \
+    tw = view.dictionary.repartition(buckets, "id") \
+        .write.format("parquet").mode("overwrite") \
         .bucketBy(buckets, "id").sortBy("id")
     if path:
         qw = qw.option("path", f"{path}/{name}_quads")

@@ -29,6 +29,12 @@ _RUNTIME_CONFS = {
     # Deeply nested SPARQL expressions compile to nested lambda bindings
     # (expr._let_deep); each nesting level costs analyzer iterations.
     "spark.sql.analyzer.maxIterations": "500",
+    # Bucketed+sorted ID layouts (dictionary.persist_id_layout) are
+    # written one-file-per-bucket; let the scan report that sort order
+    # so merge joins skip their Sort (the IDOrderedQuadPlan analog).
+    # The flag only adds a planning-time file-count check — Spark still
+    # refuses to claim ordering for multi-file buckets.
+    "spark.sql.legacy.bucketedTableScan.outputOrdering": "true",
 }
 
 

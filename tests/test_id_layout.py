@@ -52,6 +52,11 @@ def test_star_join_no_shuffle(spark, layout, fixture_store):
         ids = bgp_ids(layout.id_quads, pats)
         plan = _plan(ids)
         assert "Exchange" not in plan, plan
+        # one-file-per-bucket write + bucketed-scan ordering: the merge
+        # join also skips its Sort (full index-order exploitation,
+        # IDQueryPlanner.swift:88-94)
+        import re as _re
+        assert not _re.search(r"\bSort \[", plan), plan
         # same bindings as the in-memory id view
         view = IdEncodedView.for_store(fixture_store)
         expect = bgp_ids(view.id_quads, pats).count()
