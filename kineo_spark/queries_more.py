@@ -393,3 +393,29 @@ def sparql_stream_select(spark, sf_dir) -> DataFrame:
     return out.select(
         F.col("e")["lex"].alias("e"), F.col("v")["num"].alias("v")
     )
+
+
+@q("sparql_window_median",
+   "SELECT o_orderkey AS orderkey, "
+   "CAST(median(o_totalprice) OVER (PARTITION BY o_custkey) AS DOUBLE) AS med "
+   "FROM orders")
+def sparql_window_median(spark, sf_dir) -> DataFrame:
+    """Custom window function via the registry (extension — the
+    reference throws on custom windows, MaterializedQueryPlan.swift:
+    942-943): per-customer median order value over an unbounded frame.
+    Median is pure selection (+ one midpoint average), so Spark and
+    DuckDB agree bit-exactly — no accumulation-order drift."""
+    comp = compiler_for(spark, sf_dir)
+    alg = A.Window(
+        A.BGP((
+            tp("ord", col("orders", "o_orderkey"), "okey"),
+            tp("ord", fk("orders", "o_custkey"), "cust"),
+            tp("ord", col("orders", "o_totalprice"), "price"),
+        )),
+        functions=(
+            ("med", A.WindowSpec("MEDIAN", expr=v("price"), partition=(v("cust"),))),
+        ),
+    )
+    return extract(select(comp, A.SelectQuery(alg, ("okey", "med"))), {
+        "orderkey": ("okey", "int"), "med": ("med", "num"),
+    })

@@ -85,7 +85,44 @@ def compile_window(node: A.Window, child) -> "Plan":
                 from kineo_spark.expr import str_term
                 coll = F.collect_list(value["lex"]).over(wf)
                 col = str_term(F.concat_ws(spec.separator or " ", coll))
+            elif op in _CUSTOM_WINDOWS:
+                col = _CUSTOM_WINDOWS[op](spec, value, wf)
             else:
                 raise ValueError(f"unknown window function {op}")
         out = out.withColumn(var, col)
     return Plan(out, child.certain, child.id_vars)
+
+
+# ---------------------------------------------------------------------------
+# Custom window functions — EXTENSION past the reference, which throws
+# "unimplemented" on custom windows (MaterializedQueryPlan.swift:942-943).
+# Registry mirrors the extension-function-by-IRI registry in expr.py: a
+# registered callable gets (spec, value term column, frame window) and
+# returns a term-struct Column. Registered functions can be pure Column
+# expressions (JVM, whole-stage codegen) or Arrow-batched pandas
+# GROUPED_AGG UDFs applied .over(window) — both compose with the same
+# partition/order/frame machinery above.
+# ---------------------------------------------------------------------------
+
+_CUSTOM_WINDOWS: dict = {}
+
+
+def register_window_function(name: str, fn) -> None:
+    """Register ``fn(spec, value, frame_window) -> Column`` under a name
+    (use an IRI for namespacing, as with expr extension functions)."""
+    _CUSTOM_WINDOWS[name] = fn
+
+
+def _w_geometric_mean(spec: A.WindowSpec, value, wf):
+    num = F.when(is_numeric_term(value), value["num"])
+    g = F.exp(F.avg(F.ln(num)).over(wf))
+    return num_term(g.cast("double"), F.lit("double"))
+
+
+def _w_median(spec: A.WindowSpec, value, wf):
+    num = F.when(is_numeric_term(value), value["num"])
+    return num_term(F.median(num).over(wf).cast("double"), F.lit("double"))
+
+
+register_window_function("GEOMETRIC_MEAN", _w_geometric_mean)
+register_window_function("MEDIAN", _w_median)
