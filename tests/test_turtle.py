@@ -137,3 +137,27 @@ def test_turtle_distributed_100k(spark, tmp_path):
     from pyspark.sql import functions as F
     total = df.filter(F.col("o_dt") == "integer").agg(F.sum("o_num")).first()[0]
     assert int(total) == sum(i for i in range(n) if i % 10 == 0)
+
+
+def test_load_rdf_dispatch(spark, tmp_path):
+    """Combined format dispatch (RDFParserCombined analog): extension
+    routing plus content sniffing for unknown extensions."""
+    from kineo_spark.sources import load_rdf
+
+    ttl = '@prefix ex: <http://example.org/> .\nex:a ex:p ex:b .\n'
+    nt = '<http://example.org/a> <http://example.org/p> <http://example.org/b> .\n'
+    xml = ('<?xml version="1.0"?>\n'
+           '<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#" '
+           'xmlns:ex="http://example.org/">\n'
+           '<rdf:Description rdf:about="http://example.org/a">'
+           '<ex:p rdf:resource="http://example.org/b"/>'
+           '</rdf:Description>\n</rdf:RDF>\n')
+    expect = ("http://example.org/a", "http://example.org/p", "http://example.org/b")
+
+    for name, content in [("d.ttl", ttl), ("d.nt", nt), ("d.rdf", xml),
+                          ("noext_ttl", ttl), ("noext_nt", nt), ("noext_xml", xml)]:
+        p = tmp_path / name
+        p.write_text(content)
+        rows = load_rdf(spark, str(p)).collect()
+        assert len(rows) == 1, name
+        assert (rows[0].s_lex, rows[0].p_lex, rows[0].o_lex) == expect, name

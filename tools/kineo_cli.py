@@ -15,6 +15,7 @@ Usage:
   python tools/kineo_cli.py dump  STORE_PATH                # N-Quads to stdout
   python tools/kineo_cli.py rel-query SF_DIR 'SELECT ...'   # driver tables
   python tools/kineo_cli.py simple STORE_PATH FILE|'DSL'    # stack DSL (QueryParser.swift analog)
+  python tools/kineo_cli.py client ENDPOINT_URL 'SELECT ...'  # kineo-client analog: remote store, local eval
 """
 
 from __future__ import annotations
@@ -63,15 +64,14 @@ def main() -> int:
     spark = get_spark("kineo-cli")
 
     if cmd == "load":
-        from kineo_spark.sources.ntriples import load_ntriples
-        from kineo_spark.sources.turtle import load_turtle
+        from kineo_spark.sources import load_rdf
         from kineo_spark.sources.stores_ext import ParquetQuadStore
         import os
 
         files = rest
         quads = None
         for f in files:
-            q = load_turtle(spark, f) if f.endswith((".ttl", ".trig")) else load_ntriples(spark, f)
+            q = load_rdf(spark, f)
             quads = q if quads is None else quads.unionByName(q)
         if quads is None:
             print("no input files")
@@ -99,6 +99,16 @@ def main() -> int:
         engine = Engine(store)
         result = engine.query_simple(text) if cmd == "simple" else engine.query(text)
         print(engine.serialize(result, fmt))
+        return 0
+
+    if cmd == "client":
+        # kineo-client analog (kineo-client/main.swift:21-120): evaluate
+        # the query locally against a remote SPARQL endpoint store —
+        # every pattern scan becomes a remote pattern query.
+        from kineo_spark.sources.stores_ext import SparqlEndpointStore
+
+        engine = Engine(SparqlEndpointStore(spark, target))
+        print(engine.serialize(engine.query(rest[0]), fmt))
         return 0
 
     if cmd == "explain":
