@@ -26,17 +26,21 @@ from kineo_spark.model import IRI_DT, KIND_BLANK, KIND_IRI, KIND_LITERAL, NUMERI
 # 1 followed by the '.' statement terminator (not as a number).
 # PNAME local parts may contain dots but cannot END with one, so a
 # trailing '.' after a prefixed name is always the statement terminator.
+# Name character classes are the full Unicode PN_CHARS ranges (shared
+# with the SPARQL tokenizer) — ex:名前, ex:café etc. parse.
+from kineo_spark.sparql_parser import _PNB, _PNC, _PNU  # noqa: E402
+
 _TOKEN = re.compile(
-    r"""
+    rf"""
       (?P<WS>\s+|\#[^\n]*)
     | (?P<IRI><[^<>]*>)
     | (?P<STRING>'''(?:.|\n)*?'''|\"\"\"(?:.|\n)*?\"\"\"|'(?:[^'\\]|\\.)*'|"(?:[^"\\]|\\.)*")
     | (?P<LANGTAG>@[A-Za-z]+(?:-[A-Za-z0-9]+)*)
     | (?P<NUM>[+-]?(?:(?:\d+\.\d*|\.\d+|\d+)[eE][+-]?\d+|\d*\.\d+|\d+))
-    | (?P<BNODE>_:[A-Za-z0-9_.-]*[A-Za-z0-9_-])
-    | (?P<PNAME>[A-Za-z_][A-Za-z0-9_.-]*?:(?:[A-Za-z0-9_.:%-]*[A-Za-z0-9_:%-])?|:(?:[A-Za-z0-9_.%-]*[A-Za-z0-9_%-])?)
+    | (?P<BNODE>_:[{_PNU}0-9][{_PNC}.]*(?<!\.)|_:[{_PNU}0-9])
+    | (?P<PNAME>[{_PNU}][{_PNC}.]*?:(?:[{_PNC}.:%]*[{_PNC}:%])?|:(?:[{_PNC}.%]*[{_PNC}%])?)
     | (?P<KW>@?[A-Za-z_][A-Za-z0-9_]*)
-    | (?P<OP>\^\^|[{}()\[\].,;])
+    | (?P<OP>\^\^|[{{}}()\[\].,;])
     """,
     re.VERBOSE,
 )

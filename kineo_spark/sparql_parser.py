@@ -18,18 +18,29 @@ from kineo_spark import algebra as A
 from kineo_spark.expr import ECall, EConst, EExists, EVar, Expr, fn as mkfn
 from kineo_spark.model import DT_IRI, IRI_DT, PyTerm, blank, iri, lit
 
+# SPARQL 1.1 grammar [164] PN_CHARS_BASE: names and variables admit
+# the full Unicode identifier ranges (non-ASCII names, e.g. Japanese
+# or accented prefixed names and variables).
+_PNB = ("A-Za-z"
+        "\u00C0-\u00D6\u00D8-\u00F6\u00F8-\u02FF"
+        "\u0370-\u037D\u037F-\u1FFF\u200C-\u200D"
+        "\u2070-\u218F\u2C00-\u2FEF\u3001-\uD7FF"
+        "\uF900-\uFDCF\uFDF0-\uFFFD\U00010000-\U000EFFFF")
+_PNU = _PNB + "_"                       # [165] PN_CHARS_U
+_PNC = _PNU + "0-9\\-\u00B7\u0300-\u036F\u203F-\u2040"  # [167] PN_CHARS
+
 _TOKEN_RE = re.compile(
-    r"""
+    rf"""
       (?P<WS>\s+|\#[^\n]*)
     | (?P<IRI><[^<>\s]*>)
     | (?P<STRING>'''(?:.|\n)*?'''|\"\"\"(?:.|\n)*?\"\"\"|'(?:[^'\\]|\\.)*'|"(?:[^"\\]|\\.)*")
-    | (?P<VAR>[?$][A-Za-z_][A-Za-z0-9_]*)
+    | (?P<VAR>[?$][{_PNU}0-9][{_PNC}]*)
     | (?P<LANGTAG>@[A-Za-z]+(?:-[A-Za-z0-9]+)*)
     | (?P<NUM>[+-]?(?:\d+\.\d*|\.\d+|\d+)(?:[eE][+-]?\d+)?)
-    | (?P<BNODE>_:[A-Za-z0-9_]+)
-    | (?P<PNAME>(?:[A-Za-z_][A-Za-z0-9_.-]*)?:[A-Za-z0-9_.%-]*)
+    | (?P<BNODE>_:[{_PNU}0-9][{_PNC}]*)
+    | (?P<PNAME>(?:[{_PNB}][{_PNC}.]*)?:[{_PNC}.%]*)
     | (?P<KW>[A-Za-z_][A-Za-z0-9_]*)
-    | (?P<OP>\^\^|&&|\|\||!=|<=|>=|[{}()\[\].,;*+?/|^!<>=-])
+    | (?P<OP>\^\^|&&|\|\||!=|<=|>=|[{{}}()\[\].,;*+?/|^!<>=-])
     """,
     re.VERBOSE,
 )
