@@ -45,15 +45,27 @@ _TOKEN_RE = re.compile(
     re.VERBOSE,
 )
 
-_ESC = {"n": "\n", "t": "\t", "r": "\r", '"': '"', "'": "'", "\\": "\\"}
+_ESC = {"n": "\n", "t": "\t", "r": "\r", "b": "\b", "f": "\f",
+        '"': '"', "'": "'", "\\": "\\"}
 
 
 def _unescape(s: str) -> str:
+    """SPARQL string escapes: ECHAR ([159]) plus \\uXXXX / \\UXXXXXXXX
+    codepoint escapes ([36] in the grammar's codepoint-escape note)."""
     out, i = [], 0
     while i < len(s):
         ch = s[i]
         if ch == "\\" and i + 1 < len(s):
-            out.append(_ESC.get(s[i + 1], s[i + 1]))
+            nxt = s[i + 1]
+            if nxt == "u" and i + 6 <= len(s):
+                out.append(chr(int(s[i + 2:i + 6], 16)))
+                i += 6
+                continue
+            if nxt == "U" and i + 10 <= len(s):
+                out.append(chr(int(s[i + 2:i + 10], 16)))
+                i += 10
+                continue
+            out.append(_ESC.get(nxt, nxt))
             i += 2
         else:
             out.append(ch)
