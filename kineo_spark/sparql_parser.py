@@ -38,12 +38,20 @@ _TOKEN_RE = re.compile(
     | (?P<LANGTAG>@[A-Za-z]+(?:-[A-Za-z0-9]+)*)
     | (?P<NUM>[+-]?(?:\d+\.\d*|\.\d+|\d+)(?:[eE][+-]?\d+)?)
     | (?P<BNODE>_:[{_PNU}0-9][{_PNC}]*)
-    | (?P<PNAME>(?:[{_PNB}][{_PNC}.]*)?:[{_PNC}.%]*)
+    | (?P<PNAME>(?:[{_PNB}][{_PNC}.]*)?:(?:(?:[{_PNC}.:%]|\\[_~.\-!$&'()*+,;=/?\#@%])*(?:[{_PNC}:%]|\\[_~.\-!$&'()*+,;=/?\#@%]))?)
     | (?P<KW>[A-Za-z_][A-Za-z0-9_]*)
     | (?P<OP>\^\^|&&|\|\||!=|<=|>=|[{{}}()\[\].,;*+?/|^!<>=-])
     """,
     re.VERBOSE,
 )
+
+def _u_decode(s: str) -> str:
+    r"""Codepoint escapes only (\uXXXX / \UXXXXXXXX) — IRIs admit these
+    but not ECHARs."""
+    def rep(m):
+        return chr(int(m.group(1)[1:], 16))
+    return re.sub(r"\\(u[0-9A-Fa-f]{4}|U[0-9A-Fa-f]{8})", rep, s)
+
 
 _ESC = {"n": "\n", "t": "\t", "r": "\r", "b": "\b", "f": "\f",
         '"': '"', "'": "'", "\\": "\\"}
@@ -195,12 +203,14 @@ class Parser:
         ns = self.prefixes.get(pfx)
         if ns is None:
             raise SyntaxError(f"unknown prefix {pfx}:")
+        # PN_LOCAL_ESC ([173]): backslash-escaped punctuation is literal
+        local = re.sub(r"\\(.)", r"\1", local)
         return iri(ns + local)
 
     def _term(self) -> PyTerm:
         t = self.next()
         if t.kind == "IRI":
-            val = t.text[1:-1]
+            val = _u_decode(t.text[1:-1])
             if self.base and not re.match(r"^[A-Za-z][A-Za-z0-9+.-]*:", val):
                 from urllib.parse import urljoin
                 val = urljoin(self.base, val)
