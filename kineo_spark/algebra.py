@@ -384,6 +384,7 @@ class Modify:
     insert: tuple
     where: Algebra
     with_graph: object | None = None  # WITH <g>: active graph + template default
+    dataset: tuple = ()  # USING / USING NAMED: (defaults, named) lex tuples
 
 
 @dataclass(frozen=True)
@@ -395,6 +396,16 @@ class Clear:
 @dataclass(frozen=True)
 class Create:
     graph: object  # no-op: graphs exist implicitly in the quads layout
+    silent: bool = False
+
+
+@dataclass(frozen=True)
+class GraphMgmt:
+    """COPY / MOVE / ADD (SPARQL 1.1 Update §3.2.3-3.2.5): whole-graph
+    data movement between the default graph and named graphs."""
+    op: str            # "COPY" | "MOVE" | "ADD"
+    src: object        # "DEFAULT" | PyTerm
+    dst: object
     silent: bool = False
 
 

@@ -1017,6 +1017,13 @@ class Parser:
                 silent = self.kw("SILENT")
                 self.expect_kw("GRAPH")
                 ops.append(A.Create(self._term(), silent))
+            elif word in ("COPY", "MOVE", "ADD"):
+                self.next()
+                silent = self.kw("SILENT")
+                s = self._graph_or_default()
+                self.expect_kw("TO")
+                d = self._graph_or_default()
+                ops.append(A.GraphMgmt(word, s, d, silent))
             elif word == "LOAD":
                 self.next()
                 silent = self.kw("SILENT")
@@ -1052,8 +1059,21 @@ class Parser:
         return self._modify_tail(dels, ins, with_graph)
 
     def _modify_tail(self, dels, ins, with_graph):
+        # UsingClause* : ('USING' 'NAMED'? iri)* — the WHERE dataset
+        defaults: list[str] = []
+        named: list[str] = []
+        while self.kw("USING"):
+            (named if self.kw("NAMED") else defaults).append(self._term().lex)
+        dataset = (tuple(defaults), tuple(named)) if defaults or named else ()
         self.expect_kw("WHERE")
-        return A.Modify(dels, ins, self._group_graph_pattern(), with_graph)
+        return A.Modify(dels, ins, self._group_graph_pattern(), with_graph,
+                        dataset)
+
+    def _graph_or_default(self):
+        if self.kw("DEFAULT"):
+            return "DEFAULT"
+        self.kw("GRAPH")  # optional keyword before the IRI
+        return self._term()
 
     def _graph_ref(self):
         if self.kw("GRAPH"):

@@ -167,7 +167,13 @@ def apply_op(
             _ground_rows(op.quads, default_graph), QUADS_SCHEMA)
         return _anti(quads, dels)
     if isinstance(op, A.Modify):
-        comp = Compiler(QuadsDataFrameStore(spark, quads))
+        store = QuadsDataFrameStore(spark, quads)
+        if op.dataset:
+            # USING / USING NAMED scope the WHERE evaluation (§3.1.5.3)
+            from kineo_spark.store import DatasetGraphStore
+
+            store = DatasetGraphStore(store, *op.dataset)
+        comp = Compiler(store)
         bindings = comp.compile(rewrite(op.where), op.with_graph).df
         tmpl_g = op.with_graph.lex if op.with_graph is not None else default_graph
         dels = _instantiate(bindings, op.delete, tmpl_g)
@@ -189,6 +195,21 @@ def apply_op(
         return quads.filter(F.col("g_lex") != t.lex)
     if isinstance(op, A.Create):
         return quads  # graphs exist implicitly in the quads layout
+    if isinstance(op, A.GraphMgmt):
+        # graphs exist implicitly in the quads layout, so an empty source
+        # copies/moves nothing (Create is a no-op for the same reason)
+        lex = lambda x: default_graph if x == "DEFAULT" else x.lex  # noqa: E731
+        src_g, dst_g = lex(op.src), lex(op.dst)
+        if src_g == dst_g:
+            return quads
+        moved = quads.filter(F.col("g_lex") == src_g).withColumn(
+            "g_lex", F.lit(dst_g))
+        keep = quads.filter(F.col("g_lex") != dst_g)
+        if op.op == "ADD":
+            return _union_set(quads, moved)
+        if op.op == "MOVE":
+            keep = keep.filter(F.col("g_lex") != src_g)
+        return _union_set(keep, moved)
     if isinstance(op, A.LoadOp):
         try:
             return _union_set(quads, _load_source(spark, op, default_graph))

@@ -1,0 +1,3 @@
+PREFIX ex: <http://example.org/>
+INSERT DATA { GRAPH ex:g { ex:x ex:p ex:y } } ;
+ADD GRAPH ex:g TO DEFAULT
