@@ -45,15 +45,56 @@ def _term_from_json(d: dict):
     return (KIND_LITERAL, val, dt, None, num)
 
 
+_SRX_NS = "{http://www.w3.org/2005/sparql-results#}"
+
+
+def _parse_srx(body: bytes):
+    """application/sparql-results+xml reader (the writer lives in
+    serializers.py; SPARQLClient.swift negotiates both formats)."""
+    import xml.etree.ElementTree as ET
+
+    root = ET.fromstring(body)
+    variables = [
+        v.get("name") for v in root.findall(f"{_SRX_NS}head/{_SRX_NS}variable")
+    ]
+    rows = []
+    for res in root.findall(f"{_SRX_NS}results/{_SRX_NS}result"):
+        byname = {}
+        for b in res.findall(f"{_SRX_NS}binding"):
+            child = list(b)[0]
+            tag = child.tag.rsplit("}", 1)[-1]
+            if tag == "uri":
+                byname[b.get("name")] = {"type": "uri", "value": child.text or ""}
+            elif tag == "bnode":
+                byname[b.get("name")] = {"type": "bnode", "value": child.text or ""}
+            else:
+                d = {"type": "literal", "value": child.text or ""}
+                lang = child.get("{http://www.w3.org/XML/1998/namespace}lang")
+                if lang:
+                    d["xml:lang"] = lang
+                if child.get("datatype"):
+                    d["datatype"] = child.get("datatype")
+                byname[b.get("name")] = d
+        rows.append(tuple(_term_from_json(byname.get(v)) for v in variables))
+    return variables, rows
+
+
 def fetch_bindings(endpoint: str, sparql: str, timeout: int = 30):
-    """POST a SPARQL query, parse application/sparql-results+json."""
+    """POST a SPARQL query; parse sparql-results+json or +xml by the
+    response Content-Type (content negotiation, SPARQLClient.swift:
+    101-189)."""
     data = urllib.parse.urlencode({"query": sparql}).encode()
     req = urllib.request.Request(
         endpoint, data=data,
-        headers={"Accept": "application/sparql-results+json"},
+        headers={"Accept": "application/sparql-results+json, "
+                           "application/sparql-results+xml;q=0.9"},
     )
     with urllib.request.urlopen(req, timeout=timeout) as resp:
-        payload = json.load(resp)
+        ctype = (resp.headers.get("Content-Type") or "").split(";")[0].strip()
+        body = resp.read()
+    if ctype == "application/sparql-results+xml":
+        return _parse_srx(body)
+    payload = json.loads(body)
     variables = payload["head"]["vars"]
     rows = []
     for b in payload["results"]["bindings"]:

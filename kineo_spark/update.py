@@ -140,17 +140,9 @@ def _load_source(spark: SparkSession, op: A.LoadOp, default_graph: str) -> DataF
     if path.startswith("file://"):
         path = path[len("file://"):]
     graph = op.graph.lex if op.graph is not None else default_graph
-    low = path.lower()
-    if low.endswith((".nt", ".nq")):
-        from kineo_spark.sources.ntriples import load_ntriples
-        return load_ntriples(spark, path, default_graph=graph)
-    if low.endswith((".ttl", ".trig")):
-        from kineo_spark.sources.turtle import load_turtle
-        return load_turtle(spark, path, default_graph=graph)
-    if low.endswith((".rdf", ".xml")):
-        from kineo_spark.sources.rdfxml import load_rdfxml
-        return load_rdfxml(spark, path, default_graph=graph)
-    raise ValueError(f"unsupported LOAD format: {path}")
+    from kineo_spark.sources import load_rdf
+
+    return load_rdf(spark, path, default_graph=graph)
 
 
 def apply_op(

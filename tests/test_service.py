@@ -190,3 +190,51 @@ def test_endpoint_store_scan_and_join(spark, pattern_endpoint):
     # one HTTP query per pattern, predicate bound in each
     assert sum("knows" in c for c in _MockPatternEndpoint.captured) >= 1
     assert sum("name" in c for c in _MockPatternEndpoint.captured) >= 1
+
+
+class _MockSparqlXml(http.server.BaseHTTPRequestHandler):
+    def do_POST(self):
+        self.rfile.read(int(self.headers["Content-Length"]))
+        data = (
+            '<?xml version="1.0"?>'
+            '<sparql xmlns="http://www.w3.org/2005/sparql-results#">'
+            '<head><variable name="person"/><variable name="name"/></head>'
+            '<results>'
+            f'<result><binding name="person"><uri>{EX}alice</uri></binding>'
+            '<binding name="name"><literal xml:lang="en">Alice XML</literal>'
+            '</binding></result>'
+            f'<result><binding name="person"><uri>{EX}bob</uri></binding>'
+            '<binding name="name"><literal datatype='
+            '"http://www.w3.org/2001/XMLSchema#string">Bob XML</literal>'
+            '</binding></result>'
+            '</results></sparql>'
+        ).encode()
+        self.send_response(200)
+        self.send_header("Content-Type", "application/sparql-results+xml; charset=utf-8")
+        self.send_header("Content-Length", str(len(data)))
+        self.end_headers()
+        self.wfile.write(data)
+
+    def log_message(self, *a):
+        pass
+
+
+def test_service_xml_results(local_store):
+    """A server answering in sparql-results+xml parses identically to
+    the JSON path (content negotiation by response Content-Type)."""
+    srv = http.server.HTTPServer(("127.0.0.1", 0), _MockSparqlXml)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        from kineo_spark.service import fetch_bindings
+
+        variables, rows = fetch_bindings(
+            f"http://127.0.0.1:{srv.server_address[1]}/sparql",
+            "SELECT ?person ?name WHERE { ?person <urn:name> ?name }")
+        assert variables == ["person", "name"]
+        m = {r[0][1]: r[1] for r in rows}
+        assert m[EX + "alice"][1] == "Alice XML"
+        assert m[EX + "alice"][3] == "en"       # lang tag preserved
+        assert m[EX + "bob"][1] == "Bob XML"
+    finally:
+        srv.shutdown()
