@@ -97,3 +97,21 @@ def pack_shards(
         F.lit(0),
     )
     return df.withColumn(col, F.floor(before / F.lit(budget)))
+
+
+def upsample(df: DataFrame, key: str, factor: float, col: str = "epoch") -> DataFrame:
+    """Deterministic fractional up/down-sampling for training mixtures:
+    each row appears floor(factor) times, plus one more time for the
+    stable hash-gated fraction frac(factor) of keys — e.g. factor=2.3
+    repeats every row twice and a stable 30% of rows a third time
+    (how data mixtures express 'see this source ~2.3 epochs'). A
+    factor < 1 downsamples. Output rows carry a 1-based ``col`` epoch
+    number. Pure Column explode — no RNG, no shuffle, repeats are
+    co-located with their source row."""
+    base = int(factor)
+    frac = factor - base
+    n = (F.lit(base)
+         + (hash_bucket(F.col(key)) < F.lit(threshold(frac))).cast("int"))
+    seq = F.when(n >= 1, F.sequence(F.lit(1), n)).otherwise(
+        F.array().cast("array<int>"))
+    return df.withColumn(col, F.explode(seq))

@@ -716,3 +716,32 @@ def pipe_repetition(spark, sf_dir) -> DataFrame:
         "doc_id", "n_lines", "dup_line_frac", "bullet_frac",
         "ellipsis_frac", "top_bigram_frac",
     )
+
+
+@q("pipe_upsample_mixture",
+   "WITH n AS (SELECT doc_id, 2 + CASE WHEN "
+   "CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) "
+   "< 1288490188 THEN 1 ELSE 0 END AS reps FROM documents) "
+   "SELECT doc_id, unnest(generate_series(1, reps)) AS epoch FROM n")
+def pipe_upsample_mixture(spark, sf_dir) -> DataFrame:
+    """Deterministic fractional upsampling (factor 2.3): every doc
+    appears twice, a stable md5-gated 30% of docs appear a third time —
+    the oracle reproduces the identical picks from the same hash."""
+    from kineo_spark.pipeline import sampling
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id")
+    return sampling.upsample(docs, "doc_id", 2.3).select(
+        "doc_id", F.col("epoch").cast("long").alias("epoch"))
+
+
+@q("pipe_normalize_nfc",
+   "SELECT doc_id, nfc_normalize(text || ' cafe' || chr(769)) AS norm "
+   "FROM documents")
+def pipe_normalize_nfc(spark, sf_dir) -> DataFrame:
+    """Unicode NFC normalization: inject a decomposed sequence (e +
+    combining acute) and normalize — both engines must produce the
+    precomposed form. Dedup fingerprints depend on this."""
+    docs = read_table(spark, sf_dir, "documents")
+    dirty = docs.select(
+        "doc_id", F.concat(F.col("text"), F.lit(" cafe\u0301")).alias("text"))
+    return text.normalize_text(dirty).select("doc_id", "norm")

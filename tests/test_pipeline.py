@@ -402,3 +402,13 @@ def test_repetition_features(spark):
     r3 = got[3]
     assert r3.dup_line_frac == 0.0
     assert r3.top_bigram_frac <= 0.4    # 3 distinct bigrams, max share 1/3
+
+
+def test_normalize_text_forms(spark):
+    rows = [(1, "café"), (2, "café"), (3, None), (4, "ﬁn")]  # ligature
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    nfc = {r.doc_id: r.norm for r in text.normalize_text(df).collect()}
+    assert nfc[1] == "café" and nfc[2] == "café" and nfc[3] is None
+    nfkc = {r.doc_id: r.norm
+            for r in text.normalize_text(df, form="NFKC").collect()}
+    assert nfkc[4] == "fin"  # compatibility decomposition expands ligatures
