@@ -49,6 +49,13 @@ HEADLINE = [
     "pipe_tumbling_window",
     # round-2: full-corpus chunking map (pure-Column explode throughput)
     "pipe_chunk_documents",
+    # round-3: temporal joins (one-shuffle as-of, bin-bucketed range),
+    # custom median window, continuous SPARQL drain, repetition filters
+    "pipe_asof_join",
+    "pipe_range_join",
+    "sparql_window_median",
+    "sparql_stream_select",
+    "pipe_repetition",
 ]
 
 # round-1 per-query minima, corrected for the two host-noise spikes the
@@ -117,8 +124,10 @@ def main() -> None:
         times[name] = best
         if best >= 0:
             sw1 = _shuffle_write_bytes(spark)
-            if (name.endswith("bgp_3hop_join") or name.endswith("path_alt_plus")) \
-                    and sw0 >= 0 and sw1 >= 0:
+            if sw0 >= 0 and sw1 >= 0:
+                # steady-state shuffle bytes for EVERY headline query —
+                # the per-operator scale signature (0 = mapper-only or
+                # broadcast-only; at 1000x data these grow linearly)
                 extras[f"shuffle_mb_{name}"] = round((sw1 - sw0) / 1e6, 2)
             print(f"# {name}: {best}s ({n} rows)", file=sys.stderr)
             base = R1_BASELINE.get(name)

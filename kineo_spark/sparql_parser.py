@@ -36,7 +36,7 @@ _TOKEN_RE = re.compile(
     | (?P<STRING>'''(?:.|\n)*?'''|\"\"\"(?:.|\n)*?\"\"\"|'(?:[^'\\]|\\.)*'|"(?:[^"\\]|\\.)*")
     | (?P<VAR>[?$][{_PNU}0-9][{_PNC}]*)
     | (?P<LANGTAG>@[A-Za-z]+(?:-[A-Za-z0-9]+)*)
-    | (?P<NUM>[+-]?(?:\d+\.\d*|\.\d+|\d+)(?:[eE][+-]?\d+)?)
+    | (?P<NUM>[+-]?(?:(?:\d+\.\d*|\.\d+|\d+)[eE][+-]?\d+|\d*\.\d+|\d+))
     | (?P<BNODE>_:[{_PNU}0-9][{_PNC}]*)
     | (?P<PNAME>(?:[{_PNB}][{_PNC}.]*)?:(?:(?:[{_PNC}.:%]|\\[_~.\-!$&'()*+,;=/?\#@%])*(?:[{_PNC}:%]|\\[_~.\-!$&'()*+,;=/?\#@%]))?)
     | (?P<KW>[A-Za-z_][A-Za-z0-9_]*)
