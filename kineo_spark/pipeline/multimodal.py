@@ -14,9 +14,15 @@ The IMAGE decode path is REAL (pure stdlib, no PIL needed):
   the encoder writes dimensions into the PNG, the decoder must parse
   them back out, and the pixel gradient round-trips bit-exact.
 
-Audio/video decode remains an honest stub (librosa/ffmpeg are not in
-this container); the Spark-side plumbing — schema, batching, UDF
-signature — is identical to the working image path.
+* ``decode_wav`` fully decodes RIFF/WAVE PCM audio (stdlib wave
+  module): sample rate, channels, samples, duration — features are a
+  real per-segment RMS energy profile of the decoded waveform.
+* ``parse_mp4_duration`` walks MP4 boxes to moov/mvhd for container
+  duration; ``encode_minimal_mp4`` fabricates valid containers.
+
+The ONE remaining stub is video FRAME pixel decode (``frame_pixels``):
+extracting pixels from an encoded video track requires a real codec
+(libav/ffmpeg), which this container does not ship.
 
 Reference parity: the reference has no media pipeline; this module is
 the training-data-pipeline extension requested by the build brief.
@@ -52,6 +58,7 @@ FEATURE_SCHEMA = T.StructType(
         T.StructField("format", T.StringType()),
         T.StructField("width", T.IntegerType()),
         T.StructField("height", T.IntegerType()),
+        T.StructField("duration_ms", T.LongType()),
         T.StructField("feature", T.ArrayType(T.FloatType())),
     ]
 )
@@ -191,6 +198,93 @@ def decode_png_gray(content: bytes) -> tuple[int, int, bytes]:
 
 
 # ---------------------------------------------------------------------------
+# WAV (PCM) codec and MP4 duration parse — pure stdlib
+# ---------------------------------------------------------------------------
+
+def encode_wav_pcm16(sample_rate: int, samples: list[int]) -> bytes:
+    """Mono 16-bit PCM WAV from integer samples (range -32768..32767)."""
+    import io
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sample_rate)
+        w.writeframes(struct.pack(f"<{len(samples)}h", *samples))
+    return buf.getvalue()
+
+
+def decode_wav(content: bytes) -> tuple[int, int, list[int], int]:
+    """Real audio decode (RIFF/WAVE via the stdlib wave module):
+    returns (sample_rate, n_channels, samples, duration_ms)."""
+    import io
+    import wave
+
+    with wave.open(io.BytesIO(content), "rb") as w:
+        rate = w.getframerate()
+        nch = w.getnchannels()
+        nframes = w.getnframes()
+        raw = w.readframes(nframes)
+    samples = list(struct.unpack(f"<{len(raw) // 2}h", raw))
+    duration_ms = nframes * 1000 // max(rate, 1)
+    return (rate, nch, samples, duration_ms)
+
+
+def _mp4_box(tag: bytes, payload: bytes) -> bytes:
+    return struct.pack(">I", 8 + len(payload)) + tag + payload
+
+
+def encode_minimal_mp4(duration_ms: int) -> bytes:
+    """Minimal valid MP4 container: ftyp + moov(mvhd) with timescale
+    1000 so mvhd duration IS milliseconds. Carries no media track —
+    enough structure for metadata parity; frame payloads would live in
+    mdat."""
+    ftyp = _mp4_box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isomiso2")
+    mvhd = _mp4_box(
+        b"mvhd",
+        struct.pack(">B3xIIII", 0, 0, 0, 1000, duration_ms) + b"\x00" * 80,
+    )
+    return ftyp + _mp4_box(b"moov", mvhd)
+
+
+def parse_mp4_duration(content: bytes) -> int | None:
+    """Walk top-level MP4 boxes to moov/mvhd; duration in ms (version-0
+    mvhd: timescale u32 + duration u32 at offset 12 into the payload)."""
+    i = 0
+    while i + 8 <= len(content):
+        (size,) = struct.unpack(">I", content[i:i + 4])
+        tag = content[i + 4:i + 8]
+        if size < 8:
+            return None
+        if tag == b"moov":
+            j = i + 8
+            end = i + size
+            while j + 8 <= end:
+                (bsize,) = struct.unpack(">I", content[j:j + 4])
+                if content[j + 4:j + 8] == b"mvhd" and bsize >= 28:
+                    timescale, duration = struct.unpack(
+                        ">II", content[j + 20:j + 28])
+                    return duration * 1000 // max(timescale, 1)
+                j += max(bsize, 8)
+            return None
+        i += size
+    return None
+
+
+def frame_pixels(content: bytes, frame_ts_ms: int) -> bytes:
+    """Video FRAME decode — the one remaining honest stub: extracting
+    pixel data from an encoded video track needs a real codec
+    (libav/ffmpeg), which this container does not ship. Metadata
+    (duration via mvhd) and the sampling plan are real; swap this
+    function for an av.open() call in a full environment."""
+    # >>> real frame decoder goes here (av.open / ffmpeg) <<<
+    raise NotImplementedError(
+        "video frame decoding requires codec libraries not present "
+        "in this container")
+
+
+# ---------------------------------------------------------------------------
 # Feature extraction over binary media columns
 # ---------------------------------------------------------------------------
 
@@ -216,6 +310,20 @@ def _pixel_histogram(pixels: bytes, dim: int) -> list[float]:
     return [round(b / n, 6) for b in bins]
 
 
+def _rms_profile(samples: list[int], dim: int) -> list[float]:
+    """Per-segment RMS energy over decoded PCM samples, normalized by
+    full scale — a real feature of the real decoded waveform."""
+    n = len(samples)
+    if n == 0:
+        return [0.0] * dim
+    out = []
+    for k in range(dim):
+        seg = samples[k * n // dim:(k + 1) * n // dim] or [0]
+        ms = sum(s * s for s in seg) / len(seg)
+        out.append(round((ms ** 0.5) / 32768.0, 6))
+    return out
+
+
 def extract_features(
     media: DataFrame, decode_fn: str = "real", dim: int = 8, batch_size: int = 256
 ) -> DataFrame:
@@ -224,25 +332,32 @@ def extract_features(
     GPU-encoder stage needs: batch the payloads, run the decoder once
     per chunk, emit fixed-size vectors.
 
-    decode_fn="real": parse the image header (PNG/JPEG/GIF/BMP magic
-    bytes) and, for grayscale PNGs, fully decode the pixels and emit an
-    intensity histogram. Audio/video rows raise NotImplementedError —
-    the remaining honest stub (no codec libs in this container).
+    decode_fn="real" decodes per modality, all pure stdlib:
+      image — PNG/JPEG/GIF/BMP header parse; grayscale PNG pixels fully
+        decoded, features = intensity histogram;
+      audio — RIFF/WAVE PCM fully decoded (wave module), features =
+        per-segment RMS energy profile, duration from the frame count;
+      video — container metadata (MP4 mvhd duration) parsed; FRAME
+        pixel decode is the one remaining stub (frame_pixels) — no
+        codec libraries in this container; features fall back to byte
+        moments.
     decode_fn="fake": byte-level moments, no decode (any payload kind).
     """
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            fmts, widths, heights, feats = [], [], [], []
+            fmts, widths, heights, durs, feats = [], [], [], [], []
             for kind, content in zip(pdf["kind"], pdf["content"]):
-                if decode_fn == "real":
-                    if kind != "image":
-                        # >>> audio/video decoder goes here (librosa.load /
-                        # av.open) — libs not present in this container <<<
-                        raise NotImplementedError(
-                            f"real {kind} decoding requires codec libraries "
-                            "not present in this container"
-                        )
+                fmt = w = h = dur = None
+                if decode_fn == "real" and kind == "audio":
+                    rate, nch, samples, dur = decode_wav(content)
+                    fmt = "wav"
+                    feats.append(_rms_profile(samples, dim))
+                elif decode_fn == "real" and kind == "video":
+                    dur = parse_mp4_duration(content)
+                    fmt = "mp4" if dur is not None else None
+                    feats.append(_fake_features(content, dim))
+                elif decode_fn == "real":
                     fmt, w, h = parse_image_header(content)
                     if fmt == "png":
                         dw, dh, pixels = decode_png_gray(content)
@@ -256,6 +371,7 @@ def extract_features(
                 fmts.append(fmt)
                 widths.append(w)
                 heights.append(h)
+                durs.append(dur)
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
@@ -264,6 +380,7 @@ def extract_features(
                     "format": fmts,
                     "width": pd.array(widths, dtype="Int32"),
                     "height": pd.array(heights, dtype="Int32"),
+                    "duration_ms": pd.array(durs, dtype="Int64"),
                     "feature": feats,
                 }
             )
@@ -279,10 +396,13 @@ def synthetic_media(spark, documents: DataFrame, kind: str = "image") -> DataFra
     """Derive a deterministic media table from documents (the container
     ships no media files). For kind="image" each row carries a REAL
     grayscale PNG whose dimensions are arithmetic in doc_id —
-    width = 1 + doc_id % 64, height = 1 + (doc_id * 7) % 64 — so an
-    SQL oracle can verify what the decoder extracts. Other kinds carry
-    the utf-8 text bytes as an opaque payload."""
-    if kind != "image":
+    width = 1 + doc_id % 64, height = 1 + (doc_id * 7) % 64; audio rows
+    carry real 8 kHz PCM WAVs with duration_ms = 100 + doc_id % 400;
+    video rows carry minimal MP4 containers with duration_ms =
+    1000 + (doc_id * 13) % 9000 — all arithmetic in doc_id so an SQL
+    oracle can verify what each decoder extracts. Other kinds carry the
+    utf-8 text bytes as an opaque payload."""
+    if kind not in ("image", "audio", "video"):
         return documents.select(
             F.col("doc_id").alias("media_id"),
             F.lit(kind).alias("kind"),
@@ -295,26 +415,42 @@ def synthetic_media(spark, documents: DataFrame, kind: str = "image") -> DataFra
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            payloads, widths, heights = [], [], []
+            payloads, widths, heights, durs, mimes = [], [], [], [], []
             for doc_id in pdf["doc_id"]:
                 did = int(doc_id)
-                w = 1 + did % 64
-                h = 1 + (did * 7) % 64
                 seed = did % 251
-                payloads.append(
-                    encode_png_gray(w, h, lambda x, y: (x * 3 + y * 5 + seed) % 256)
-                )
+                w = h = dur = None
+                if kind == "image":
+                    w = 1 + did % 64
+                    h = 1 + (did * 7) % 64
+                    payloads.append(
+                        encode_png_gray(w, h, lambda x, y: (x * 3 + y * 5 + seed) % 256)
+                    )
+                    mimes.append("image/png")
+                elif kind == "audio":
+                    dur = 100 + did % 400
+                    rate = 8000
+                    n = rate * dur // 1000
+                    samples = [(((i * 37 + seed) % 2048) - 1024) * 16
+                               for i in range(n)]
+                    payloads.append(encode_wav_pcm16(rate, samples))
+                    mimes.append("audio/wav")
+                else:
+                    dur = 1000 + (did * 13) % 9000
+                    payloads.append(encode_minimal_mp4(dur))
+                    mimes.append("video/mp4")
                 widths.append(w)
                 heights.append(h)
+                durs.append(dur)
             yield pd.DataFrame(
                 {
                     "media_id": pdf["doc_id"],
-                    "kind": "image",
+                    "kind": kind,
                     "content": payloads,
-                    "mime": "image/png",
+                    "mime": mimes,
                     "width": pd.array(widths, dtype="Int32"),
                     "height": pd.array(heights, dtype="Int32"),
-                    "duration_ms": pd.array([None] * len(widths), dtype="Int64"),
+                    "duration_ms": pd.array(durs, dtype="Int64"),
                 }
             )
 

@@ -745,3 +745,28 @@ def pipe_normalize_nfc(spark, sf_dir) -> DataFrame:
     dirty = docs.select(
         "doc_id", F.concat(F.col("text"), F.lit(" cafe\u0301")).alias("text"))
     return text.normalize_text(dirty).select("doc_id", "norm")
+
+
+@q("pipe_multimodal_audio",
+   "SELECT doc_id AS media_id, 'wav' AS format, "
+   "CAST(100 + doc_id % 400 AS BIGINT) AS duration_ms FROM documents")
+def pipe_multimodal_audio(spark, sf_dir) -> DataFrame:
+    """Real audio decode: synthetic_media writes genuine 8 kHz PCM WAVs
+    whose duration is arithmetic in doc_id; the decoder must recover it
+    from the RIFF frame count (not the metadata column)."""
+    docs = read_table(spark, sf_dir, "documents")
+    media = multimodal.synthetic_media(spark, docs, kind="audio")
+    feats = multimodal.extract_features(media.drop("duration_ms"), decode_fn="real")
+    return feats.select("media_id", "format", "duration_ms")
+
+
+@q("pipe_multimodal_video_meta",
+   "SELECT doc_id AS media_id, 'mp4' AS format, "
+   "CAST(1000 + (doc_id * 13) % 9000 AS BIGINT) AS duration_ms FROM documents")
+def pipe_multimodal_video_meta(spark, sf_dir) -> DataFrame:
+    """Video container metadata: MP4 mvhd duration parsed from real box
+    structure (frame pixel decode remains the one honest stub)."""
+    docs = read_table(spark, sf_dir, "documents")
+    media = multimodal.synthetic_media(spark, docs, kind="video")
+    feats = multimodal.extract_features(media.drop("duration_ms"), decode_fn="real")
+    return feats.select("media_id", "format", "duration_ms")

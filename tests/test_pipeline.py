@@ -158,10 +158,21 @@ def test_multimodal_real_decode(spark, docs):
         assert r.height == 1 + (r.media_id * 7) % 64
         assert len(r.feature) == 8
         assert abs(sum(r.feature) - 1.0) < 1e-3  # histogram sums to ~1
-    # audio/video decode is still an honest stub
-    blob = multimodal.synthetic_media(spark, docs.limit(2), kind="audio")
-    with pytest.raises(Exception):
-        multimodal.extract_features(blob, decode_fn="real").collect()
+    # audio: real WAV PCM decode — duration and RMS profile are real
+    audio = multimodal.synthetic_media(spark, docs.limit(5), kind="audio")
+    arows = multimodal.extract_features(audio, decode_fn="real", dim=4).collect()
+    for r in arows:
+        assert r.format == "wav"
+        assert r.duration_ms == 100 + r.media_id % 400
+        assert len(r.feature) == 4 and max(r.feature) > 0.1  # real signal energy
+    # video: container metadata (mvhd) parses; frame decode is the stub
+    video = multimodal.synthetic_media(spark, docs.limit(5), kind="video")
+    vrows = multimodal.extract_features(video, decode_fn="real").collect()
+    for r in vrows:
+        assert r.format == "mp4"
+        assert r.duration_ms == 1000 + (r.media_id * 13) % 9000
+    with pytest.raises(NotImplementedError):
+        multimodal.frame_pixels(b"\x00" * 64, 0)
 
 
 def test_png_codec_roundtrip():
