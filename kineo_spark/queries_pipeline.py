@@ -770,3 +770,20 @@ def pipe_multimodal_video_meta(spark, sf_dir) -> DataFrame:
     media = multimodal.synthetic_media(spark, docs, kind="video")
     feats = multimodal.extract_features(media.drop("duration_ms"), decode_fn="real")
     return feats.select("media_id", "format", "duration_ms")
+
+
+@q("pipe_frame_sample_plan",
+   "WITH m AS (SELECT doc_id, 1000 + (doc_id * 13) % 9000 AS dur FROM documents) "
+   "SELECT doc_id AS media_id, unnest(generate_series(0, dur, 1000)) AS frame_ts_ms "
+   "FROM m")
+def pipe_frame_sample_plan(spark, sf_dir) -> DataFrame:
+    """Video frame-sampling plan over REAL parsed durations: one row per
+    (video, frame_ts) at 1 s cadence — the partitioning shape a frame
+    decoder fans out over. Durations come from the MP4 mvhd parse, not
+    the metadata column."""
+    docs = read_table(spark, sf_dir, "documents")
+    media = multimodal.synthetic_media(spark, docs, kind="video")
+    decoded = multimodal.extract_features(media.drop("duration_ms"), decode_fn="real")
+    plan = multimodal.frame_sample_plan(
+        decoded.select("media_id", F.lit("video").alias("kind"), "duration_ms"))
+    return plan.select("media_id", F.col("frame_ts_ms").cast("long").alias("frame_ts_ms"))
