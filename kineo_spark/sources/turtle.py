@@ -38,7 +38,7 @@ _TOKEN = re.compile(
     | (?P<LANGTAG>@[A-Za-z]+(?:-[A-Za-z0-9]+)*)
     | (?P<NUM>[+-]?(?:(?:\d+\.\d*|\.\d+|\d+)[eE][+-]?\d+|\d*\.\d+|\d+))
     | (?P<BNODE>_:[{_PNU}0-9][{_PNC}.]*(?<!\.)|_:[{_PNU}0-9])
-    | (?P<PNAME>[{_PNU}][{_PNC}.]*?:(?:[{_PNC}.:%]*[{_PNC}:%])?|:(?:[{_PNC}.%]*[{_PNC}%])?)
+    | (?P<PNAME>[{_PNU}][{_PNC}.]*?:(?:(?:[{_PNC}.:%]|\\[_~.\-!$&'()*+,;=/?\#@%])*(?:[{_PNC}:%]|\\[_~.\-!$&'()*+,;=/?\#@%]))?|:(?:(?:[{_PNC}.%]|\\[_~.\-!$&'()*+,;=/?\#@%])*(?:[{_PNC}%]|\\[_~.\-!$&'()*+,;=/?\#@%]))?)
     | (?P<KW>@?[A-Za-z_][A-Za-z0-9_]*)
     | (?P<OP>\^\^|[{{}}()\[\].,;])
     """,
@@ -168,6 +168,8 @@ class TurtleParser:
             ns = self.prefixes.get(pfx)
             if ns is None:
                 raise SyntaxError(f"turtle: unknown prefix {pfx}:")
+            # PN_LOCAL_ESC: backslash-escaped punctuation is literal
+            local = re.sub(r"\\(.)", r"\1", local)
             return _mk(KIND_IRI, ns + local)
         if k == "BNODE":
             return _mk(KIND_BLANK, v[2:])
@@ -322,6 +324,10 @@ def _scan_line(line: str) -> tuple[bool, str | None]:
     last = ""
     while i < n:
         ch = line[i]
+        if ch == "\\" and i + 1 < n:
+            i += 2  # PN_LOCAL escape: next char is literal
+            last = line[i - 1]
+            continue
         if ch == "#":
             break  # comment to end of line
         if ch in "'\"":

@@ -28,13 +28,16 @@ _PNB = ("A-Za-z"
         "\uF900-\uFDCF\uFDF0-\uFFFD\U00010000-\U000EFFFF")
 _PNU = _PNB + "_"                       # [165] PN_CHARS_U
 _PNC = _PNU + "0-9\\-\u00B7\u0300-\u036F\u203F-\u2040"  # [167] PN_CHARS
+# [166] VARNAME: like PN_CHARS but WITHOUT the hyphen — ?v-18 is
+# the variable ?v minus 18, not a variable named "v-18"
+_VARC = _PNU + "0-9\u00B7\u0300-\u036F\u203F-\u2040"
 
 _TOKEN_RE = re.compile(
     rf"""
       (?P<WS>\s+|\#[^\n]*)
     | (?P<IRI><[^<>\s]*>)
     | (?P<STRING>'''(?:.|\n)*?'''|\"\"\"(?:.|\n)*?\"\"\"|'(?:[^'\\]|\\.)*'|"(?:[^"\\]|\\.)*")
-    | (?P<VAR>[?$][{_PNU}0-9][{_PNC}]*)
+    | (?P<VAR>[?$][{_PNU}0-9][{_VARC}]*)
     | (?P<LANGTAG>@[A-Za-z]+(?:-[A-Za-z0-9]+)*)
     | (?P<NUM>[+-]?(?:(?:\d+\.\d*|\.\d+|\d+)[eE][+-]?\d+|\d*\.\d+|\d+))
     | (?P<BNODE>_:[{_PNU}0-9][{_PNC}]*)
