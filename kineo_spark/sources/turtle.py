@@ -363,13 +363,30 @@ def _scan_line(line: str) -> tuple[bool, str | None]:
     return (last == ".", None)
 
 
+def _header_file(path: str) -> str:
+    """The file whose head carries the prologue: the path itself, or the
+    lexicographically first file of a directory input (sc.textFile
+    reads directory parts in that order)."""
+    import os
+
+    if not os.path.isdir(path):
+        return path
+    names = sorted(
+        n for n in os.listdir(path)
+        if not n.startswith((".", "_")) and os.path.isfile(os.path.join(path, n))
+    )
+    if not names:
+        raise FileNotFoundError(f"no files in {path}")
+    return os.path.join(path, names[0])
+
+
 def _read_header(path: str) -> tuple[dict[str, str], str, int]:
     """Driver-side: consume leading directive lines (plus blanks and
     comments). Returns (prefixes, base, n_header_lines)."""
     prefixes: dict[str, str] = {}
     base = ""
     n_header = 0
-    with open(path) as fh:
+    with open(_header_file(path)) as fh:
         for line in fh:
             stripped = line.strip()
             if stripped and not stripped.startswith("#"):
@@ -419,6 +436,16 @@ def load_turtle_distributed(
     if reasons:
         body.unpersist()
         # outside the distributed subset: full-grammar driver-side parse
+        import os
+
+        if os.path.isdir(path):
+            text = "".join(
+                open(os.path.join(path, n)).read()
+                for n in sorted(os.listdir(path))
+                if not n.startswith((".", "_"))
+                and os.path.isfile(os.path.join(path, n))
+            )
+            return load_turtle(spark, text, default_graph, base=base)
         return load_turtle(spark, path, default_graph, base=base)
 
     offsets = {}

@@ -161,3 +161,23 @@ def test_load_rdf_dispatch(spark, tmp_path):
         rows = load_rdf(spark, str(p)).collect()
         assert len(rows) == 1, name
         assert (rows[0].s_lex, rows[0].p_lex, rows[0].o_lex) == expect, name
+
+
+def test_turtle_distributed_directory(spark, tmp_path):
+    """Directory inputs: prologue read from the first part file, lines
+    indexed across parts in order, statements spanning parts handled."""
+    from kineo_spark.sources.turtle import load_turtle_distributed
+
+    (tmp_path / "part-000").write_text(
+        "@prefix ex: <http://e/> .\n"
+        + "".join(f"ex:a{i} ex:p {i} .\n" for i in range(50)))
+    (tmp_path / "part-001").write_text(
+        "".join(f"ex:b{i} ex:p {i} ;\n  ex:q {i * 2} .\n" for i in range(50)))
+    df = load_turtle_distributed(spark, str(tmp_path))
+    assert df.count() == 150
+    # directives beyond the first file force the driver fallback, which
+    # concatenates the parts — same answer
+    (tmp_path / "part-002").write_text(
+        "@prefix ex2: <http://f/> .\nex2:x ex2:p ex2:y .\n")
+    df2 = load_turtle_distributed(spark, str(tmp_path))
+    assert df2.count() == 151
