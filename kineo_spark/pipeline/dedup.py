@@ -261,3 +261,98 @@ def simhash_near_pairs(
         .distinct()
         .filter(F.col("distance") <= max_distance)
     )
+
+
+def gram_occurrences(
+    df: DataFrame, id_col: str, text_col: str = "text", k: int = 8
+) -> DataFrame:
+    """Positioned k-gram occurrences: (doc_id, pos, gh) with 1-based
+    token position and an 8-byte xxhash64 gram key.
+
+    The hash (not the gram string) is the join/shuffle key — at corpus
+    scale the shuffle moves 16-byte rows instead of ~60-byte shingle
+    strings. Collisions over 2^64 are negligible next to the exact
+    verify the caller does on span extents.
+    """
+    from kineo_spark.pipeline.text import tokens
+
+    toks = df.select(
+        F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("w")
+    ).filter(F.size("w") >= k)
+    idx = F.sequence(F.lit(1), F.size("w") - (k - 1))
+    gram = F.transform(idx, lambda i: F.array_join(F.slice("w", i, k), " "))
+    return toks.select(
+        "doc_id", F.posexplode(gram).alias("off", "gram")
+    ).select(
+        "doc_id", (F.col("off") + 1).alias("pos"), F.xxhash64("gram").alias("gh")
+    )
+
+
+def exact_substring_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    k: int = 8,
+    min_tokens: int = 15,
+    max_gram_freq: int | None = None,
+) -> DataFrame:
+    """ExactSubstr-style span dedup (Lee et al. 2021, "Deduplicating
+    Training Data Makes Language Models Better"): find every maximal
+    token span of >= min_tokens words shared verbatim by two documents.
+
+    Reference analog: none (the reference is a SPARQL engine); this is
+    part of the LLM-pipeline extension mandated alongside SURVEY §2.
+
+    Plan shape (the 100 TB story):
+    1. one linear pass explodes positioned k-grams, keyed by xxhash64
+       (``gram_occurrences``) — no driver state, ~16 B shuffle rows;
+    2. candidate generation is a self **equi-join on the gram hash**
+       (the suffix-array of the paper re-expressed relationally); the
+       optional ``max_gram_freq`` cap drops stop-grams whose freq²
+       join blowup would dominate, same knob as ``ngram_jaccard_pairs``;
+    3. matching occurrences merge into maximal spans with zero extra
+       joins: matches on one alignment share a diagonal
+       (pos_a - pos_b); consecutive runs on a diagonal collapse via the
+       classic gaps-and-islands window (pos_a - row_number()).
+
+    Returns (id_a, id_b, start_a, start_b, span_tokens), 1-based starts.
+    """
+    from pyspark.sql import Window
+
+    grams = gram_occurrences(df, id_col, text_col, k)
+    if max_gram_freq is not None:
+        hot = (
+            grams.groupBy("gh").count()
+            .filter(F.col("count") > max_gram_freq).select("gh")
+        )
+        grams = grams.join(F.broadcast(hot), "gh", "left_anti")
+    a = grams.alias("a")
+    b = grams.alias("b")
+    m = (
+        a.join(b, F.col("a.gh") == F.col("b.gh"))
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.col("a.pos").alias("pos_a"),
+            F.col("b.pos").alias("pos_b"),
+        )
+        .withColumn("diag", F.col("pos_a") - F.col("pos_b"))
+    )
+    w = Window.partitionBy("id_a", "id_b", "diag").orderBy("pos_a")
+    isl = m.withColumn("isl", F.col("pos_a") - F.row_number().over(w))
+    return (
+        isl.groupBy("id_a", "id_b", "diag", "isl")
+        .agg(
+            F.min("pos_a").alias("start_a"),
+            F.min("pos_b").alias("start_b"),
+            (F.max("pos_a") - F.min("pos_a") + F.lit(k)).alias("span_tokens"),
+        )
+        .filter(F.col("span_tokens") >= min_tokens)
+        .select(
+            "id_a", "id_b",
+            F.col("start_a").cast("long").alias("start_a"),
+            F.col("start_b").cast("long").alias("start_b"),
+            F.col("span_tokens").cast("long").alias("span_tokens"),
+        )
+    )

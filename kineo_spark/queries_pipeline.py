@@ -86,6 +86,42 @@ def pipe_dedup_simhash(spark, sf_dir) -> DataFrame:
     return dedup.simhash_near_pairs(docs, "doc_id", max_distance=10)
 
 
+_EXACT_SUBSTR_CTE = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(text), '\s+'),
+                     x -> len(x) > 0) AS w
+  FROM documents
+), grams AS (
+  SELECT doc_id, u.pos, u.gram FROM (
+    SELECT doc_id,
+           unnest([{'pos': i, 'gram': array_to_string(w[i:i+7], ' ')}
+                   for i in generate_series(1, len(w) - 7)]) AS u
+    FROM toks WHERE len(w) >= 8)
+), m AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.pos AS pos_a, b.pos AS pos_b,
+         a.pos - b.pos AS diag
+  FROM grams a JOIN grams b ON a.gram = b.gram AND a.doc_id < b.doc_id
+), isl AS (
+  SELECT *, pos_a - row_number()
+      OVER (PARTITION BY id_a, id_b, diag ORDER BY pos_a) AS isl
+  FROM m
+)
+SELECT id_a, id_b, MIN(pos_a) AS start_a, MIN(pos_b) AS start_b,
+       MAX(pos_a) - MIN(pos_a) + 8 AS span_tokens
+FROM isl GROUP BY id_a, id_b, diag, isl
+HAVING MAX(pos_a) - MIN(pos_a) + 8 >= 15
+"""
+
+
+@q("pipe_exact_substring_spans", _EXACT_SUBSTR_CTE)
+def pipe_exact_substring_spans(spark, sf_dir) -> DataFrame:
+    """Maximal >=15-token spans shared verbatim between document pairs
+    (ExactSubstr dedup, Lee et al. 2021)."""
+    docs = read_table(spark, sf_dir, "documents")
+    return dedup.exact_substring_spans(docs, "doc_id", k=8, min_tokens=15)
+
+
 @q("pipe_fingerprint",
    f"SELECT md5({_NORM}) AS fp, COUNT(*) AS n FROM documents GROUP BY 1")
 def pipe_fingerprint(spark, sf_dir) -> DataFrame:

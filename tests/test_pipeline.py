@@ -423,3 +423,43 @@ def test_normalize_text_forms(spark):
     nfkc = {r.doc_id: r.norm
             for r in text.normalize_text(df, form="NFKC").collect()}
     assert nfkc[4] == "fin"  # compatibility decomposition expands ligatures
+
+
+def test_exact_substring_spans_ground_truth(spark):
+    # Hand-built corpus: d1/d2 share one 6-token run, d3 shares nothing
+    # long enough, d4 duplicates d1 entirely (span = whole doc).
+    shared = "the quick brown fox jumps over"
+    rows = [
+        (1, f"alpha beta {shared} gamma delta epsilon"),
+        (2, f"zero {shared} one two three four five six"),
+        (3, "the quick brown cat sits under a tree all day long here"),
+        (4, f"alpha beta {shared} gamma delta epsilon"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        (r.id_a, r.id_b): (r.start_a, r.start_b, r.span_tokens)
+        for r in dedup.exact_substring_spans(
+            df, "doc_id", k=3, min_tokens=6
+        ).collect()
+    }
+    # d1 vs d2: shared run starts at token 3 in d1, token 2 in d2, len 6
+    assert got[(1, 2)] == (3, 2, 6)
+    assert got[(2, 4)] == (2, 3, 6)
+    # identical docs: full 11-token span from position 1
+    assert got[(1, 4)] == (1, 1, 11)
+    # d3 only shares "the quick brown" (3 tokens) — below min_tokens
+    assert not any(3 in k for k in got)
+
+
+def test_exact_substring_spans_island_split(spark):
+    # Two separate shared runs on the same diagonal must yield two spans.
+    a = "one two three four BREAK1 five six seven eight"
+    b = "one two three four BREAK2 five six seven eight"
+    df = spark.createDataFrame([(1, a), (2, b)], ["doc_id", "text"])
+    got = sorted(
+        (r.start_a, r.span_tokens)
+        for r in dedup.exact_substring_spans(
+            df, "doc_id", k=2, min_tokens=4
+        ).collect()
+    )
+    assert got == [(1, 4), (6, 4)]
