@@ -56,6 +56,9 @@ HEADLINE = [
     "sparql_window_median",
     "sparql_stream_select",
     "pipe_repetition",
+    # round-3: suffix-array-style span dedup (positioned k-gram equi-join
+    # + gaps-and-islands merge)
+    "pipe_exact_substring_spans",
 ]
 
 # round-1 per-query minima, corrected for the two host-noise spikes the

@@ -153,6 +153,13 @@ def is_string_lit(t: Column) -> Column:
     return (t["kind"] == KIND_LITERAL) & t["dt"].isin("string", "langString")
 
 
+def _is_simple_string(t: Column) -> Column:
+    """simple / xsd:string literal WITHOUT a language tag — the required
+    first-argument domain of STRDT/STRLANG (§17.4.2.7-8): a lang-tagged
+    literal is a type error, not a coercible string."""
+    return (t["kind"] == KIND_LITERAL) & (t["dt"] == "string") & t["lang"].isNull()
+
+
 def str_args_compatible(a: Column, b: Column) -> Column:
     """SPARQL 17.4.3.1.2 argument compatibility for the two-argument
     string builtins (CONTAINS/STRSTARTS/STRENDS/STRBEFORE/STRAFTER):
@@ -184,6 +191,24 @@ def bool_term(b: Column) -> Column:
     """Wrap a (nullable) boolean Column as an xsd:boolean term; NULL stays
     NULL (error)."""
     return lit_bool_col(b)
+
+
+def _regex_pattern(pat: Column, flags: Column | None) -> Column:
+    """XPath fn:matches flags (§17.4.3.14: s m i x q) → a Java-regex
+    pattern. s/m/i/x have inline Java forms; `q` (literal match) does
+    not — it is lowered by backslash-escaping every metacharacter. An
+    unrecognized flag is a type error (NULL pattern, so the row drops)
+    rather than an executor PatternSyntaxException."""
+    if flags is None:
+        return pat
+    quoted = F.regexp_replace(pat, r"([.\[\]{}()*+?\\^$|])", r"\\$1")
+    body = F.when(flags.contains("q"), quoted).otherwise(pat)
+    inline = F.regexp_replace(flags, "q", "")
+    out = F.when(
+        F.length(inline) > 0,
+        F.concat(F.lit("(?"), inline, F.lit(")"), body),
+    ).otherwise(body)
+    return F.when(flags.rlike("^[smixq]*$"), out)
 
 
 def eq_terms(a: Column, b: Column) -> Column:
@@ -331,9 +356,20 @@ def _dispatch_call(e: ECall, a: list[Column], env: dict[str, Column]) -> Column:
     if op == "COALESCE":
         return F.coalesce(*a)
     if op in ("IN", "NOT_IN"):
-        cond = F.lit(False)
+        # §17.4.1.9: IN is an ||-chain of `=` — a branch error only
+        # surfaces when no other branch matches (true||err = true,
+        # false||err = err); NOT IN is its 3-valued negation.
+        any_true = F.lit(False)
+        any_err = F.lit(False)
         for x in a[1:]:
-            cond = cond | F.coalesce(eq_terms(a[0], x), F.lit(False))
+            eq = eq_terms(a[0], x)
+            any_true = any_true | F.coalesce(eq, F.lit(False))
+            any_err = any_err | eq.isNull()
+        cond = (
+            F.when(any_true, F.lit(True))
+            .when(any_err, _NULL_B())
+            .otherwise(F.lit(False))
+        )
         inner = F.when(a[0].isNull(), _NULL_B()).otherwise(cond)
         return bool_term(~inner if op == "NOT_IN" else inner)
     if op == "BOUND":
@@ -434,12 +470,11 @@ def _dispatch_call(e: ECall, a: list[Column], env: dict[str, Column]) -> Column:
             lex = F.substring(a[0]["lex"], start, F.lit(1 << 30))
         return str_term(F.when(is_string_lit(a[0]), lex), like=a[0])
     if op == "REPLACE":
-        lex = F.regexp_replace(a[0]["lex"], a[1]["lex"], a[2]["lex"])
+        pat = _regex_pattern(a[1]["lex"], a[3]["lex"] if len(a) > 3 else None)
+        lex = F.regexp_replace(a[0]["lex"], pat, a[2]["lex"])
         return str_term(F.when(is_string_lit(a[0]), lex), like=a[0])
     if op == "REGEX":
-        pat = a[1]["lex"]
-        if len(a) > 2:
-            pat = F.concat(F.lit("(?"), a[2]["lex"], F.lit(")"), pat)
+        pat = _regex_pattern(a[1]["lex"], a[2]["lex"] if len(a) > 2 else None)
         return bool_term(F.when(is_string_lit(a[0]), F.regexp_like(a[0]["lex"], pat)))
     if op in ("STRBEFORE", "STRAFTER"):
         pos = F.instr(a[0]["lex"], a[1]["lex"])
@@ -496,13 +531,13 @@ def _dispatch_call(e: ECall, a: list[Column], env: dict[str, Column]) -> Column:
             F.lit(None).cast("string"),
             F.when(tok.isin(*NUMERIC_DTS), a[0]["lex"].cast("double")),
         )
-        return F.when(is_string_lit(a[0]) & (a[1]["kind"] == KIND_IRI), t)
+        return F.when(_is_simple_string(a[0]) & (a[1]["kind"] == KIND_IRI), t)
     if op == "STRLANG":
         t = term_struct(
             F.lit(KIND_LITERAL).cast("tinyint"), a[0]["lex"], F.lit("langString"),
             a[1]["lex"], F.lit(None).cast("double"),
         )
-        return F.when(is_string_lit(a[0]) & is_string_lit(a[1]), t)
+        return F.when(_is_simple_string(a[0]) & _is_simple_string(a[1]), t)
     if op == "UUID":
         return iri_col(F.concat(F.lit("urn:uuid:"), F.expr("uuid()")))
     if op == "STRUUID":

@@ -178,16 +178,28 @@ class Parser:
         t = self.peek()
         word = t.text.upper() if t.kind == "KW" else ""
         if word == "SELECT":
-            return self._select_query(top=True)
-        if word == "ASK":
+            form = self._select_query(top=True)
+        elif word == "ASK":
             self.next()
-            return A.AskQuery(self._where_and_modifiers_simple(),
+            form = A.AskQuery(self._where_and_modifiers_simple(),
                               dataset=self._dataset)
-        if word == "CONSTRUCT":
-            return self._construct_query()
-        if word == "DESCRIBE":
-            return self._describe_query()
-        raise SyntaxError(f"expected query form, got {t}")
+        elif word == "CONSTRUCT":
+            form = self._construct_query()
+        elif word == "DESCRIBE":
+            form = self._describe_query()
+        else:
+            raise SyntaxError(f"expected query form, got {t}")
+        # grammar [1]: Query ::= Prologue (...Query) ValuesClause —
+        # the final VALUES joins the WHERE pattern (§18.2.4.6). SELECT
+        # consumes its own (grammar [8] SubSelect shares the clause).
+        if self.kw("VALUES"):
+            import dataclasses
+
+            form = dataclasses.replace(
+                form, algebra=A.Join(form.algebra, self._values_clause()))
+        if self.peek().kind != "EOF":
+            raise SyntaxError(f"unexpected trailing tokens: {self.peek()}")
+        return form
 
     def _prologue(self):
         while True:
@@ -834,6 +846,11 @@ class Parser:
             if self.kw("OFFSET"):
                 offset = int(self.next().text)
 
+        # grammar [8]/[28]: trailing ValuesClause — joined onto the
+        # grouped/aggregated pattern before SELECT expressions and the
+        # §18.2.5 modifiers (§18.2.4.6 final VALUES clause)
+        vals_table = self._values_clause() if self.kw("VALUES") else None
+
         aggs = self._aggs
         self._aggs = outer_aggs
 
@@ -877,6 +894,8 @@ class Parser:
         alg = body
         if aggs or groups:
             alg = A.Aggregate(alg, tuple(groups), tuple(group_names), tuple(aggs))
+        if vals_table is not None:
+            alg = A.Join(alg, vals_table)
         # projection expressions → Extend (before HAVING so it can
         # reference projection aliases of aggregates)
         out_vars: list[str] = []

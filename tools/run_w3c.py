@@ -17,7 +17,7 @@ def main() -> int:
 
     manifests = sys.argv[1:] or [
         f"/root/repo/tests/w3c/manifest{n}.ttl"
-        for n in ("", "2", "3", "4", "5", "6", "7", "8", "9")
+        for n in ("", "2", "3", "4", "5", "6", "7", "8", "9", "10")
     ]
     spark = get_spark("w3c", cpus=8)
     lines = ["# W3C-format conformance results", ""]
