@@ -122,6 +122,68 @@ def pipe_exact_substring_spans(spark, sf_dir) -> DataFrame:
     return dedup.exact_substring_spans(docs, "doc_id", k=8, min_tokens=15)
 
 
+_TFIDF_CTE = r"""
+WITH toks AS (
+  SELECT doc_id, len(w) AS dl, unnest(w) AS term FROM (
+    SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                               x -> len(x) > 0) AS w
+    FROM documents)
+), tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2
+), dfreq AS (
+  SELECT term, COUNT(*) AS df FROM tf GROUP BY 1
+), n AS (SELECT COUNT(*) AS n FROM documents),
+scored AS (
+  SELECT doc_id, term, tf * ln(CAST(n.n AS DOUBLE) / df) AS raw
+  FROM tf JOIN dfreq USING (term) CROSS JOIN n
+)
+SELECT doc_id, term, ROUND(raw, 6) AS score FROM scored
+QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY raw DESC, term) <= 5
+"""
+
+
+@q("pipe_tfidf_top_terms", _TFIDF_CTE)
+def pipe_tfidf_top_terms(spark, sf_dir) -> DataFrame:
+    """Top-5 characteristic terms per document by tf-idf."""
+    from kineo_spark.pipeline import ranking
+    docs = read_table(spark, sf_dir, "documents")
+    return ranking.tfidf_top_terms(docs, "doc_id", k=5)
+
+
+_BM25_CTE = r"""
+WITH toks AS (
+  SELECT doc_id, len(w) AS dl, unnest(w) AS term FROM (
+    SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                               x -> len(x) > 0) AS w
+    FROM documents)
+), tf AS (
+  SELECT doc_id, dl, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2, 3
+), dfreq AS (
+  SELECT term, COUNT(*) AS df FROM tf GROUP BY 1
+), stats AS (
+  SELECT (SELECT COUNT(*) FROM documents) AS n,
+         (SELECT AVG(dl) FROM (SELECT DISTINCT doc_id, dl FROM tf)) AS avgdl
+), scored AS (
+  SELECT doc_id,
+         SUM(ln(1.0 + (n - df + 0.5) / (df + 0.5))
+             * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))) AS raw
+  FROM tf JOIN dfreq USING (term) CROSS JOIN stats
+  WHERE term IN ('spark', 'window', 'hash')
+  GROUP BY doc_id
+)
+SELECT doc_id, ROUND(raw, 6) AS score FROM scored
+ORDER BY raw DESC, doc_id LIMIT 20
+"""
+
+
+@q("pipe_bm25_scores", _BM25_CTE)
+def pipe_bm25_scores(spark, sf_dir) -> DataFrame:
+    """BM25 top-20 documents for a fixed 3-term query."""
+    from kineo_spark.pipeline import ranking
+    docs = read_table(spark, sf_dir, "documents")
+    return ranking.bm25_scores(docs, ["spark", "window", "hash"], "doc_id")
+
+
 @q("pipe_fingerprint",
    f"SELECT md5({_NORM}) AS fp, COUNT(*) AS n FROM documents GROUP BY 1")
 def pipe_fingerprint(spark, sf_dir) -> DataFrame:

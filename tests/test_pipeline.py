@@ -463,3 +463,39 @@ def test_exact_substring_spans_island_split(spark):
         ).collect()
     )
     assert got == [(1, 4), (6, 4)]
+
+
+def test_tfidf_and_bm25_ground_truth(spark):
+    import math
+
+    rows = [
+        (1, "apple banana apple"),
+        (2, "banana cherry"),
+        (3, "cherry cherry date apple"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    from kineo_spark.pipeline import ranking
+
+    got = {
+        (r.doc_id, r.term): r.score
+        for r in ranking.tfidf_top_terms(df, "doc_id", k=10).collect()
+    }
+    # doc 1: apple tf=2 df=2 -> 2*ln(3/2); banana tf=1 df=2 -> ln(3/2)
+    assert abs(got[(1, "apple")] - round(2 * math.log(3 / 2), 6)) < 1e-9
+    assert abs(got[(1, "banana")] - round(math.log(3 / 2), 6)) < 1e-9
+    # date appears only in doc 3: idf = ln(3/1)
+    assert abs(got[(3, "date")] - round(math.log(3.0), 6)) < 1e-9
+
+    scored = ranking.bm25_scores(df, ["apple"], "doc_id", top=3).collect()
+    # apple: df=2, N=3 -> idf = ln(1 + 1.5/2.5); dl = 3,2,4, avgdl = 3
+    idf = math.log(1 + (3 - 2 + 0.5) / (2 + 0.5))
+    def bm25(tf, dl):
+        return idf * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / 3.0))
+    want = {1: round(bm25(2, 3), 6), 3: round(bm25(1, 4), 6)}
+    got_b = {r.doc_id: r.score for r in scored}
+    assert got_b.keys() == want.keys()
+    for d in want:
+        assert abs(got_b[d] - want[d]) < 1e-9
+    # ranking order: doc 1 (tf=2) above doc 3
+    assert scored[0].doc_id == 1
