@@ -356,3 +356,60 @@ def exact_substring_spans(
             F.col("span_tokens").cast("long").alias("span_tokens"),
         )
     )
+
+
+def cross_substring_spans(
+    corpus: DataFrame,
+    probes: DataFrame,
+    corpus_id: str,
+    probe_id: str,
+    text_col: str = "text",
+    k: int = 8,
+    min_tokens: int = 15,
+) -> DataFrame:
+    """Cross-table ExactSubstr: maximal >= min_tokens token spans shared
+    verbatim between a corpus document and a benchmark/probe document —
+    token-level decontamination that, unlike the substring scan
+    (``text.contamination``), still fires when the probe is embedded
+    with different surrounding whitespace/casing context or only
+    partially quoted.
+
+    Same plan shape as ``exact_substring_spans`` (hash-keyed k-gram
+    equi-join + gaps-and-islands merge), but the join is corpus×probes,
+    so its cost is bounded by the (small) probe side's gram postings.
+    Returns (corpus_id, probe_id, start_corpus, start_probe,
+    span_tokens), 1-based token starts.
+    """
+    from pyspark.sql import Window
+
+    ga = gram_occurrences(corpus, corpus_id, text_col, k)
+    gb = gram_occurrences(probes, probe_id, text_col, k)
+    m = (
+        ga.alias("a")
+        .join(gb.alias("b"), F.col("a.gh") == F.col("b.gh"))
+        .select(
+            F.col("a.doc_id").alias("cid"),
+            F.col("b.doc_id").alias("pid"),
+            F.col("a.pos").alias("pos_a"),
+            F.col("b.pos").alias("pos_b"),
+        )
+        .withColumn("diag", F.col("pos_a") - F.col("pos_b"))
+    )
+    w = Window.partitionBy("cid", "pid", "diag").orderBy("pos_a")
+    isl = m.withColumn("isl", F.col("pos_a") - F.row_number().over(w))
+    return (
+        isl.groupBy("cid", "pid", "diag", "isl")
+        .agg(
+            F.min("pos_a").alias("start_corpus"),
+            F.min("pos_b").alias("start_probe"),
+            (F.max("pos_a") - F.min("pos_a") + F.lit(k)).alias("span_tokens"),
+        )
+        .filter(F.col("span_tokens") >= min_tokens)
+        .select(
+            F.col("cid").alias("corpus_id"),
+            F.col("pid").alias("probe_id"),
+            F.col("start_corpus").cast("long").alias("start_corpus"),
+            F.col("start_probe").cast("long").alias("start_probe"),
+            F.col("span_tokens").cast("long").alias("span_tokens"),
+        )
+    )

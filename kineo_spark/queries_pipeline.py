@@ -184,6 +184,47 @@ def pipe_bm25_scores(spark, sf_dir) -> DataFrame:
     return ranking.bm25_scores(docs, ["spark", "window", "hash"], "doc_id")
 
 
+_DECONTAM_CTE = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(text), '\s+'),
+                     x -> len(x) > 0) AS w
+  FROM documents
+), grams AS (
+  SELECT doc_id, u.pos, u.gram FROM (
+    SELECT doc_id,
+           unnest([{'pos': i, 'gram': array_to_string(w[i:i+5], ' ')}
+                   for i in generate_series(1, len(w) - 5)]) AS u
+    FROM toks WHERE len(w) >= 6)
+), m AS (
+  SELECT a.doc_id AS cid, b.doc_id AS pid, a.pos AS pos_a, b.pos AS pos_b,
+         a.pos - b.pos AS diag
+  FROM grams a JOIN grams b ON a.gram = b.gram
+  WHERE a.doc_id % 20 != 0 AND b.doc_id % 20 = 0
+), isl AS (
+  SELECT *, pos_a - row_number()
+      OVER (PARTITION BY cid, pid, diag ORDER BY pos_a) AS isl
+  FROM m
+)
+SELECT cid AS corpus_id, pid AS probe_id,
+       MIN(pos_a) AS start_corpus, MIN(pos_b) AS start_probe,
+       MAX(pos_a) - MIN(pos_a) + 6 AS span_tokens
+FROM isl GROUP BY cid, pid, diag, isl
+HAVING MAX(pos_a) - MIN(pos_a) + 6 >= 12
+"""
+
+
+@q("pipe_decontaminate_spans", _DECONTAM_CTE)
+def pipe_decontaminate_spans(spark, sf_dir) -> DataFrame:
+    """Token-level decontamination: shared >=12-token spans between the
+    corpus and a held-out pseudo-benchmark slice (doc_id % 20 == 0)."""
+    docs = read_table(spark, sf_dir, "documents")
+    probes = docs.filter(F.col("doc_id") % 20 == 0)
+    corpus = docs.filter(F.col("doc_id") % 20 != 0)
+    return dedup.cross_substring_spans(corpus, probes, "doc_id", "doc_id",
+                                       k=6, min_tokens=12)
+
+
 @q("pipe_fingerprint",
    f"SELECT md5({_NORM}) AS fp, COUNT(*) AS n FROM documents GROUP BY 1")
 def pipe_fingerprint(spark, sf_dir) -> DataFrame:

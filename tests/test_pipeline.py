@@ -499,3 +499,19 @@ def test_tfidf_and_bm25_ground_truth(spark):
         assert abs(got_b[d] - want[d]) < 1e-9
     # ranking order: doc 1 (tf=2) above doc 3
     assert scored[0].doc_id == 1
+
+
+def test_cross_substring_spans_decontamination(spark):
+    corpus = spark.createDataFrame(
+        [(1, "intro words the exact benchmark question text appears here verbatim today"),
+         (2, "nothing in common with any benchmark at all whatsoever here")],
+        ["doc_id", "text"])
+    probes = spark.createDataFrame(
+        [(901, "the exact benchmark question text appears here")],
+        ["probe_id", "text"])
+    got = dedup.cross_substring_spans(
+        corpus, probes, "doc_id", "probe_id", k=3, min_tokens=7).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (r.corpus_id, r.probe_id) == (1, 901)
+    assert (r.start_corpus, r.start_probe, r.span_tokens) == (3, 1, 7)
