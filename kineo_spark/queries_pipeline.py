@@ -225,6 +225,41 @@ def pipe_decontaminate_spans(spark, sf_dir) -> DataFrame:
                                        k=6, min_tokens=12)
 
 
+@q("pipe_events_props_agg", """
+SELECT event_type,
+       SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
+       COUNT(*) AS n
+FROM events
+WHERE CAST(json_extract(props, '$.k') AS BIGINT) >= 50
+GROUP BY event_type
+""")
+def pipe_events_props_agg(spark, sf_dir) -> DataFrame:
+    """Semi-structured props: parse the JSON payload JVM-side
+    (get_json_object -> whole-stage codegen, no Python) and aggregate.
+    At scale the JSON parse is a per-row map over the scan — no
+    shuffle added beyond the final aggregation."""
+    ev = read_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .filter(F.col("k") >= 50)
+        .groupBy("event_type")
+        .agg(F.sum("k").alias("sum_k"), F.count(F.lit(1)).alias("n"))
+    )
+
+
+@q("pipe_bpe_vocab", None)  # iterative (driver-coordinated merges) -> rows-only
+def pipe_bpe_vocab(spark, sf_dir) -> DataFrame:
+    """BPE tokenizer training: 10 merges learned from the corpus, final
+    subword vocabulary with frequencies. Iterative by nature (each merge
+    depends on the last), so it has no SQL twin; determinism + exact
+    agreement with a pure-Python reference BPE is pytest-proven
+    (tests/test_bpe.py)."""
+    from kineo_spark.pipeline import bpe
+    docs = read_table(spark, sf_dir, "documents")
+    return bpe.bpe_vocab(docs, n_merges=10)
+
+
 @q("pipe_fingerprint",
    f"SELECT md5({_NORM}) AS fp, COUNT(*) AS n FROM documents GROUP BY 1")
 def pipe_fingerprint(spark, sf_dir) -> DataFrame:
