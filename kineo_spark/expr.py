@@ -212,16 +212,31 @@ def _regex_pattern(pat: Column, flags: Column | None) -> Column:
 
 
 def eq_terms(a: Column, b: Column) -> Column:
-    """SPARQL '=' value equality: numeric/temporal/boolean by value with
-    type promotion; everything else term identity (Expression.swift:903-957
-    value path + sameTerm fallback)."""
+    """SPARQL '=' value equality (§17.4.1.7 RDFterm-equal +
+    the §17.3 operator table; reference sparqlCompare,
+    Expression.swift:903-957): numeric/temporal/boolean pairs compare
+    by value with type promotion, string-ish pairs of the same language
+    by lexical form, IRIs/blanks by identity. Two LITERALS outside any
+    value table that are not the same term are a type ERROR (NULL), not
+    false — e.g. "abc" = 1, "a"@en = "a", or unknown datatypes."""
     both_num = is_numeric_term(a) & is_numeric_term(b)
     both_tmp = is_temporal_term(a) & is_temporal_term(b)
     both_bool = (a["dt"] == "boolean") & (b["dt"] == "boolean")
+    both_plain = (
+        is_string_lit(a) & is_string_lit(b)
+        & (
+            (a["lang"].isNull() & b["lang"].isNull())
+            | (a["lang"] == b["lang"])
+        )
+    )
+    both_lit = (a["kind"] == KIND_LITERAL) & (b["kind"] == KIND_LITERAL)
+    same = term_key(a) == term_key(b)
     return (
         F.when(a.isNull() | b.isNull(), _NULL_B())
         .when(both_num | both_tmp | both_bool, a["num"] == b["num"])
-        .otherwise(term_key(a) == term_key(b))
+        .when(both_plain, a["lex"] == b["lex"])
+        .when(both_lit, F.when(same, F.lit(True)).otherwise(_NULL_B()))
+        .otherwise(same)
     )
 
 
@@ -653,7 +668,10 @@ def compile_filter_condition(e: Expr, env: dict[str, Column]) -> Column:
             if op == "=":
                 return _eq_cond(a, b)
             if op == "!=":
-                return ~_eq_cond(a, b)
+                # NOT-like: under strict RDFterm-equal an incomparable
+                # literal pair is an error (drop), but ~_eq_cond would
+                # keep it — use the exact three-valued path
+                return eq_terms(a, b).eqNullSafe(F.lit(False))
             both_valued = _valued(a) & _valued(b)
             both_str = is_string_lit(a) & is_string_lit(b)
             num_cmp = {

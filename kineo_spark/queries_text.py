@@ -342,3 +342,29 @@ _reg("sparql_text_from_named", """
 """, {"g": ("g", "lex"), "name": ("name", "lex")}, None)
 ORACLES["sparql_text_from_named"] = (
     "SELECT 'urn:g:region' AS g, r_name AS name FROM region")
+
+
+# -- round-3 parser/expression features with their own oracles -------------
+
+_reg("sparql_text_values_final", """
+  SELECT ?name ?segment WHERE {
+    ?c <urn:col:customer:c_name> ?name ;
+       <urn:col:customer:c_mktsegment> ?segment .
+  }
+  VALUES ?segment { "BUILDING" "MACHINERY" }
+""", {"name": ("name", "lex"), "segment": ("segment", "lex")}, None)
+ORACLES["sparql_text_values_final"] = (
+    "SELECT c_name AS name, c_mktsegment AS segment FROM customer "
+    "WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')"
+)
+
+_reg("sparql_text_regex_flags", """
+  SELECT ?name WHERE {
+    ?c <urn:col:customer:c_name> ?name
+    FILTER(REGEX(?name, "customer#00000001", "iq"))
+  }
+""", {"name": ("name", "lex")}, None)
+ORACLES["sparql_text_regex_flags"] = (
+    "SELECT c_name AS name FROM customer "
+    "WHERE contains(lower(c_name), 'customer#00000001')"
+)

@@ -160,3 +160,32 @@ def test_id_mode_selective_filter_pushes_to_dictionary(spark, fixture_store):
 def test_id_mode_range_filter_not_pushed(spark, queries):
     plan = _plan(queries["sparql_id_filter_order_limit"](spark, SF))
     assert "LeftSemi" not in plan
+
+
+def test_span_dedup_joins_on_gram_hash(spark, queries):
+    # candidate generation must be an equi-join (hash keys), never a
+    # cross product; the windowed island merge adds no extra join
+    for name in ("pipe_exact_substring_spans", "pipe_decontaminate_spans"):
+        plan = _plan(queries[name](spark, SF))
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+        assert plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin") \
+            + plan.count("BroadcastHashJoin") >= 1, name
+
+
+def test_ranking_broadcasts_corpus_scalars(spark, queries):
+    # N / avgdl / df tables ride as broadcasts; the only allowed
+    # nested-loop is the single-row scalar crossJoin
+    for name in ("pipe_tfidf_top_terms", "pipe_bm25_scores"):
+        plan = _plan(queries[name](spark, SF))
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastExchange" in plan, name
+
+
+def test_events_json_filter_prunes_columns(spark, queries):
+    # the JSON aggregation must read only (event_type, props)
+    plan = _plan(queries["pipe_events_props_agg"](spark, SF))
+    assert "CartesianProduct" not in plan
+    scan = plan[plan.index("FileScan"):].split("\n")[0]
+    assert "event_type" in scan and "props" in scan
+    assert "user_id" not in scan and "value" not in scan
