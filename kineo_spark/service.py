@@ -79,21 +79,53 @@ def _parse_srx(body: bytes):
     return variables, rows
 
 
+def _parse_tsv(body: bytes):
+    """text/tab-separated-values results (SPARQLTSVParser,
+    SPARQLTSV.swift:103-153): header of ?var names, rows of
+    Turtle/N-Triples-encoded terms, unbound = empty cell. Each cell is
+    parsed as a Turtle object — the same `<> <> cell .` trick the
+    reference uses."""
+    from kineo_spark.sources.turtle import TurtleParser
+
+    lines = [ln for ln in body.decode("utf-8").split("\n") if ln != ""]
+    if not lines:
+        return [], []
+    variables = [h.lstrip("?") for h in lines[0].split("\t")]
+    rows = []
+    for ln in lines[1:]:
+        row = []
+        for c in ln.split("\t"):
+            if c == "":
+                row.append(None)
+                continue
+            tp = TurtleParser(f"<urn:x> <urn:x> {c} .")
+            tp.parse()
+            _k0, _s, _p, k, lex, dt, lang, num, _g = tp.quads[0]
+            row.append((k, lex, dt, lang, num))
+        row += [None] * (len(variables) - len(row))
+        rows.append(tuple(row[: len(variables)]))
+    return variables, rows
+
+
 def fetch_bindings(endpoint: str, sparql: str, timeout: int = 30):
-    """POST a SPARQL query; parse sparql-results+json or +xml by the
-    response Content-Type (content negotiation, SPARQLClient.swift:
-    101-189)."""
+    """POST a SPARQL query; parse sparql-results+json, +xml or
+    text/tab-separated-values by the response Content-Type (content
+    negotiation, SPARQLClient.swift:101-189; TSV parser parity with
+    SPARQLTSV.swift:103-153)."""
     data = urllib.parse.urlencode({"query": sparql}).encode()
     req = urllib.request.Request(
         endpoint, data=data,
         headers={"Accept": "application/sparql-results+json, "
-                           "application/sparql-results+xml;q=0.9"},
+                           "application/sparql-results+xml;q=0.9, "
+                           "text/tab-separated-values;q=0.8"},
     )
     with urllib.request.urlopen(req, timeout=timeout) as resp:
         ctype = (resp.headers.get("Content-Type") or "").split(";")[0].strip()
         body = resp.read()
     if ctype == "application/sparql-results+xml":
         return _parse_srx(body)
+    if ctype == "text/tab-separated-values":
+        return _parse_tsv(body)
     payload = json.loads(body)
     variables = payload["head"]["vars"]
     rows = []

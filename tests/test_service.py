@@ -238,3 +238,63 @@ def test_service_xml_results(local_store):
         assert m[EX + "bob"][1] == "Bob XML"
     finally:
         srv.shutdown()
+
+
+class _MockSparqlTsv(http.server.BaseHTTPRequestHandler):
+    def do_POST(self):
+        self.rfile.read(int(self.headers.get("Content-Length", 0)))
+        body = (
+            "?person\t?name\n"
+            f"<{EX}alice>\t\"Alice TSV\"@en\n"
+            f"<{EX}bob>\t\"Bob TSV\"\n"
+            f"<{EX}carol>\t42\n"
+            f"<{EX}dave>\t\n"          # unbound ?name
+        ).encode()
+        self.send_response(200)
+        self.send_header("Content-Type", "text/tab-separated-values; charset=utf-8")
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+    def log_message(self, *a):  # quiet
+        pass
+
+
+def test_service_tsv_results(local_store):
+    """A server answering in TSV parses like the JSON path: header of
+    ?vars, Turtle-encoded cells, empty cell = unbound
+    (SPARQLTSV.swift:103-153 parity)."""
+    srv = http.server.HTTPServer(("127.0.0.1", 0), _MockSparqlTsv)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        from kineo_spark.service import fetch_bindings
+
+        variables, rows = fetch_bindings(
+            f"http://127.0.0.1:{srv.server_address[1]}/sparql",
+            "SELECT ?person ?name WHERE { ?person <urn:name> ?name }")
+        assert variables == ["person", "name"]
+        m = {r[0][1]: r[1] for r in rows}
+        assert m[EX + "alice"][1] == "Alice TSV"
+        assert m[EX + "alice"][3] == "en"
+        assert m[EX + "bob"][1] == "Bob TSV"
+        assert m[EX + "carol"][2] == "integer" and m[EX + "carol"][4] == 42.0
+        assert m[EX + "dave"] is None
+    finally:
+        srv.shutdown()
+
+
+def test_tsv_roundtrip_through_serializer(spark, local_store):
+    """to_sparql_tsv output re-parses to the same terms."""
+    from kineo_spark.serializers import to_sparql_tsv
+    from kineo_spark.service import _parse_tsv
+    from kineo_spark.engine import Engine
+
+    eng = Engine(local_store)
+    r = eng.query("SELECT ?s ?name WHERE { ?s <urn:name> ?name }")
+    tsv = to_sparql_tsv(r.bindings)
+    variables, rows = _parse_tsv(tsv.encode())
+    assert variables == ["s", "name"]
+    got = {r_[0][1]: r_[1][1] for r_ in rows}
+    spark_rows = {row.s.lex: row.name.lex for row in r.bindings.collect()}
+    assert got == spark_rows
