@@ -413,3 +413,60 @@ def cross_substring_spans(
             F.col("span_tokens").cast("long").alias("span_tokens"),
         )
     )
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    k: int = 5,
+    w: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer et al. 2003, the MOSS
+    algorithm): slide a window of ``w`` consecutive k-gram hashes and
+    select each window's minimum (rightmost occurrence on ties). The
+    selected (pos, hash) set is a provably robust sketch: any match of
+    length >= w + k - 1 tokens is guaranteed to share a fingerprint,
+    while the sketch is ~2/(w+1) the size of the full gram stream.
+
+    Plan shape: one linear gram pass, one per-doc running-min window
+    (no shuffle beyond the doc partitioning), distinct. At corpus scale
+    the sketch — not the text — feeds the dedup join, cutting candidate
+    generation I/O by the winnowing density factor.
+
+    Returns (doc_id, pos, gh) distinct selected fingerprints; pos is
+    the 1-based token position of the selected gram, gh its md5 hex.
+    """
+    from pyspark.sql import Window
+    from kineo_spark.pipeline.text import tokens
+
+    # md5-hex gram keys (not xxhash64): the winnowing SELECTION depends
+    # on hash ordering, so an engine-portable hash keeps the sketch —
+    # and therefore the oracle — deterministic across engines. Swap in
+    # xxhash64 at corpus scale if the sketch never leaves Spark.
+    toks = df.select(
+        F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("w")
+    ).filter(F.size("w") >= k)
+    idx = F.sequence(F.lit(1), F.size("w") - (k - 1))
+    gram = F.transform(idx, lambda i: F.array_join(F.slice("w", i, k), " "))
+    grams = toks.select(
+        "doc_id", F.posexplode(gram).alias("off", "g")
+    ).select("doc_id", (F.col("off") + 1).alias("pos"), F.md5("g").alias("gh"))
+    n = grams.groupBy("doc_id").agg(F.max("pos").alias("n_grams"))
+    win = (
+        Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, w - 1)
+    )
+    # rightmost-min tie-break: lexicographic min of (gh, -pos)
+    sel = grams.withColumn(
+        "pick", F.min(F.struct(F.col("gh"), (-F.col("pos")).alias("np"))).over(win)
+    )
+    return (
+        sel.join(F.broadcast(n), "doc_id")
+        .filter(F.col("pos") <= F.col("n_grams") - (w - 1))  # full windows only
+        .select(
+            "doc_id",
+            (-F.col("pick.np")).cast("long").alias("pos"),
+            F.col("pick.gh").alias("gh"),
+        )
+        .distinct()
+    )

@@ -260,6 +260,39 @@ def pipe_bpe_vocab(spark, sf_dir) -> DataFrame:
     return bpe.bpe_vocab(docs, n_merges=10)
 
 
+_WINNOW_CTE = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(text), '\s+'),
+                     x -> len(x) > 0) AS w
+  FROM documents
+), grams AS (
+  SELECT doc_id, u.pos, md5(u.g) AS gh FROM (
+    SELECT doc_id,
+           unnest([{'pos': i, 'g': array_to_string(w[i:i+4], ' ')}
+                   for i in generate_series(1, len(w) - 4)]) AS u
+    FROM toks WHERE len(w) >= 5)
+), sel AS (
+  SELECT doc_id, pos,
+         MIN({'gh': gh, 'np': -pos}) OVER (
+           PARTITION BY doc_id ORDER BY pos
+           ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS pick,
+         MAX(pos) OVER (PARTITION BY doc_id) AS n_grams
+  FROM grams
+)
+SELECT DISTINCT doc_id, -(pick.np) AS pos, pick.gh AS gh
+FROM sel WHERE pos <= n_grams - 3
+"""
+
+
+@q("pipe_winnow_fingerprints", _WINNOW_CTE)
+def pipe_winnow_fingerprints(spark, sf_dir) -> DataFrame:
+    """Winnowing sketches (MOSS): windowed rightmost-min k-gram hashes,
+    guaranteed to share a fingerprint on any >= w+k-1 token match."""
+    docs = read_table(spark, sf_dir, "documents")
+    return dedup.winnow_fingerprints(docs, "doc_id", k=5, w=4)
+
+
 @q("pipe_fingerprint",
    f"SELECT md5({_NORM}) AS fp, COUNT(*) AS n FROM documents GROUP BY 1")
 def pipe_fingerprint(spark, sf_dir) -> DataFrame:

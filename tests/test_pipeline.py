@@ -515,3 +515,34 @@ def test_cross_substring_spans_decontamination(spark):
     r = got[0]
     assert (r.corpus_id, r.probe_id) == (1, 901)
     assert (r.start_corpus, r.start_probe, r.span_tokens) == (3, 1, 7)
+
+
+def test_winnow_fingerprints_reference(spark):
+    import hashlib
+
+    K, W = 3, 3
+    docs = [(1, "a b c d e f g h i j"), (2, "x y a b c d e z w q")]
+
+    def ref_winnow(text):
+        ws = text.split()
+        grams = [" ".join(ws[i:i + K]) for i in range(len(ws) - K + 1)]
+        hs = [hashlib.md5(g.encode()).hexdigest() for g in grams]
+        out = set()
+        for i in range(len(hs) - W + 1):
+            win = hs[i:i + W]
+            m = min(win)
+            # rightmost occurrence of the min
+            j = max(idx for idx, h in enumerate(win) if h == m)
+            out.add((i + j + 1, m))  # 1-based gram position
+        return out
+
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    got = {}
+    for r in dedup.winnow_fingerprints(df, "doc_id", k=K, w=W).collect():
+        got.setdefault(r.doc_id, set()).add((r.pos, r.gh))
+    for did, text in docs:
+        assert got[did] == ref_winnow(text), did
+    # winnowing guarantee: the shared 5-token run "a b c d e" is
+    # >= w + k - 1 = 5 tokens, so the sketches must intersect on it
+    shared = {h for _, h in got[1]} & {h for _, h in got[2]}
+    assert shared
