@@ -98,3 +98,56 @@ def bm25_scores(
         .limit(top)
         .select("doc_id", F.round("raw", 6).alias("score"))
     )
+
+
+def bigram_logprob(
+    df: DataFrame, id_col: str, text_col: str = "text"
+) -> DataFrame:
+    """CCNet-style LM quality score: per-document mean log-probability
+    under an add-one-smoothed bigram model trained on the corpus
+    itself. ln P(w2|w1) = ln((B(w1,w2)+1) / (U(w1)+V)).
+
+    Scale shape: two count aggregations (unigram, bigram) + one
+    equi-join of the doc bigram stream against the bigram table — the
+    LM "training" is the same shuffle the counts need anyway, and
+    scoring is join + aggregate, no Python, no driver state.
+
+    Returns (doc_id, n_bigrams, avg_logprob) rounded to 6 decimals.
+    """
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        tokens(F.lower(F.col(text_col))).alias("w"),
+    ).filter(F.size("w") >= 2)
+    bi = toks.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("w") - 2),
+                lambda i: F.struct(
+                    F.col("w")[i].alias("w1"), F.col("w")[i + 1].alias("w2")
+                ),
+            )
+        ).alias("b"),
+    ).select("doc_id", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+    uni = (
+        df.select(F.explode(tokens(F.lower(F.col(text_col)))).alias("w1"))
+        .groupBy("w1").agg(F.count(F.lit(1)).alias("u"))
+    )
+    vocab = uni.select(F.count(F.lit(1)).alias("v"))
+    bic = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("bc"))
+    scored = (
+        bi.join(bic, ["w1", "w2"])
+        .join(uni, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "doc_id",
+            F.log((F.col("bc") + F.lit(1.0)) / (F.col("u") + F.col("v"))).alias("lp"),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(F.avg("lp"), 6).alias("avg_logprob"),
+        )
+    )

@@ -115,3 +115,52 @@ def upsample(df: DataFrame, key: str, factor: float, col: str = "epoch") -> Data
     seq = F.when(n >= 1, F.sequence(F.lit(1), n)).otherwise(
         F.array().cast("array<int>"))
     return df.withColumn(col, F.explode(seq))
+
+
+def select_token_budget(
+    df: DataFrame,
+    budget: int,
+    quality_col: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact quality-greedy subset selection under a token budget: keep
+    the best documents (by ``quality_col`` descending, id ascending for
+    determinism) whose cumulative token count fits in ``budget``.
+
+    The naive formulation is ONE global cumulative-sum window — a
+    single-partition bottleneck at corpus scale. Instead the cumsum is
+    split hierarchically: a per-quality-bucket total (tiny table, its
+    prefix sum is O(#distinct qualities)) broadcast back, plus a
+    per-bucket windowed cumsum that parallelizes across buckets. The
+    result is bit-identical to the global window.
+
+    Returns (doc_id, quality, n_tokens, cum_tokens) for selected docs.
+    """
+    from pyspark.sql import Window
+
+    from kineo_spark.pipeline.text import token_count
+
+    d = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(quality_col).alias("q"),
+        token_count(F.col(text_col)).alias("n_tokens"),
+    )
+    per_bucket = d.groupBy("q").agg(F.sum("n_tokens").alias("bt"))
+    wb = Window.orderBy(F.desc("q")).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    bucket_prefix = per_bucket.select(
+        "q", F.coalesce(F.sum("bt").over(wb), F.lit(0)).alias("before")
+    )
+    wd = Window.partitionBy("q").orderBy("doc_id")
+    return (
+        d.join(F.broadcast(bucket_prefix), "q")
+        .withColumn("cum_tokens", F.col("before") + F.sum("n_tokens").over(wd))
+        .filter(F.col("cum_tokens") <= budget)
+        .select(
+            "doc_id", F.col("q").alias("quality"),
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.col("cum_tokens").cast("long").alias("cum_tokens"),
+        )
+    )

@@ -293,6 +293,62 @@ def pipe_winnow_fingerprints(spark, sf_dir) -> DataFrame:
     return dedup.winnow_fingerprints(docs, "doc_id", k=5, w=4)
 
 
+_LM_CTE = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                     x -> len(x) > 0) AS w
+  FROM documents
+), bi AS (
+  SELECT doc_id, u.w1, u.w2 FROM (
+    SELECT doc_id, unnest([{'w1': w[i], 'w2': w[i+1]}
+                           for i in generate_series(1, len(w) - 1)]) AS u
+    FROM toks WHERE len(w) >= 2)
+), uni AS (
+  SELECT w1, COUNT(*) AS u FROM (SELECT unnest(w) AS w1 FROM toks) GROUP BY 1
+), vocab AS (SELECT COUNT(*) AS v FROM uni),
+bic AS (SELECT w1, w2, COUNT(*) AS bc FROM bi GROUP BY 1, 2)
+SELECT doc_id, COUNT(*) AS n_bigrams,
+       ROUND(AVG(ln((bc + 1.0) / (u + v))), 6) AS avg_logprob
+FROM bi JOIN bic USING (w1, w2) JOIN uni USING (w1) CROSS JOIN vocab
+GROUP BY doc_id
+"""
+
+
+@q("pipe_lm_logprob", _LM_CTE)
+def pipe_lm_logprob(spark, sf_dir) -> DataFrame:
+    """CCNet-style quality score: mean add-one-smoothed bigram log-prob
+    per document under a corpus-trained LM."""
+    from kineo_spark.pipeline import ranking
+    docs = read_table(spark, sf_dir, "documents")
+    return ranking.bigram_logprob(docs, "doc_id")
+
+
+_BUDGET_CTE = r"""
+WITH d AS (
+  SELECT doc_id, n_chars AS quality,
+         len(list_filter(string_split_regex(trim(text), '\s+'),
+                         x -> len(x) > 0)) AS n_tokens
+  FROM documents
+)
+SELECT doc_id, quality, n_tokens,
+       SUM(n_tokens) OVER (ORDER BY quality DESC, doc_id) AS cum_tokens
+FROM d QUALIFY cum_tokens <= 20000
+"""
+
+
+@q("pipe_token_budget", _BUDGET_CTE)
+def pipe_token_budget(spark, sf_dir) -> DataFrame:
+    """Quality-greedy subset under a 20k-token budget — the oracle is
+    the naive global cumulative window; the Spark plan computes the
+    identical cut hierarchically (bucket prefix + per-bucket windows)
+    so no single-partition global sort exists at scale."""
+    from kineo_spark.pipeline import sampling
+    docs = read_table(spark, sf_dir, "documents")
+    return sampling.select_token_budget(
+        docs.withColumn("q", F.col("n_chars")), 20000, "q")
+
+
 @q("pipe_fingerprint",
    f"SELECT md5({_NORM}) AS fp, COUNT(*) AS n FROM documents GROUP BY 1")
 def pipe_fingerprint(spark, sf_dir) -> DataFrame:

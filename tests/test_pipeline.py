@@ -546,3 +546,47 @@ def test_winnow_fingerprints_reference(spark):
     # >= w + k - 1 = 5 tokens, so the sketches must intersect on it
     shared = {h for _, h in got[1]} & {h for _, h in got[2]}
     assert shared
+
+
+def test_token_budget_matches_global_window(spark):
+    import random
+
+    rng = random.Random(7)
+    rows = [(i, " ".join("tok" for _ in range(rng.randint(1, 30))),
+             rng.choice([1.0, 2.0, 3.0])) for i in range(200)]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "q"])
+
+    from kineo_spark.pipeline import sampling
+
+    got = {r.doc_id: r.cum_tokens
+           for r in sampling.select_token_budget(df, 800, "q").collect()}
+    # naive reference: one global cumsum ordered by (q desc, doc_id)
+    order = sorted(rows, key=lambda r: (-r[2], r[0]))
+    cum, want = 0, {}
+    for did, text, _q in order:
+        cum += len(text.split())
+        if cum <= 800:
+            want[did] = cum
+    assert got == want
+
+
+def test_bigram_logprob_hand_computed(spark):
+    import math
+
+    # corpus: "a b" x2 and "a c" -> U(a)=3,U(b)=2? no: tokens: a,b,a,b,a,c
+    df = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a c")], ["doc_id", "text"])
+    from kineo_spark.pipeline import ranking
+
+    got = {r.doc_id: (r.n_bigrams, r.avg_logprob)
+           for r in ranking.bigram_logprob(df, "doc_id").collect()}
+    V = 3  # vocab {a, b, c}
+    # bigram counts over docs: doc1 grams (a,b),(b,a),(a,b); doc2 (a,c)
+    B = {("a", "b"): 2, ("b", "a"): 1, ("a", "c"): 1}
+    U = {"a": 3, "b": 2, "c": 1}
+    def lp(w1, w2):
+        return math.log((B[(w1, w2)] + 1.0) / (U[w1] + V))
+    want1 = round((lp("a", "b") + lp("b", "a") + lp("a", "b")) / 3, 6)
+    want2 = round(lp("a", "c"), 6)
+    assert got[1] == (3, want1)
+    assert got[2] == (1, want2)
