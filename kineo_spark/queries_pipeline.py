@@ -349,6 +349,16 @@ def pipe_token_budget(spark, sf_dir) -> DataFrame:
         docs.withColumn("q", F.col("n_chars")), 20000, "q")
 
 
+@q("pipe_ann_pq", None)  # engine-trained codebooks -> rows-only
+def pipe_ann_pq(spark, sf_dir) -> DataFrame:
+    """Product-quantization ANN (Jegou et al. 2011): per-subspace
+    k-means codebooks, m-int codes, per-query distance LUTs, exact
+    cosine re-rank. Recall vs brute force is pytest-proven."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return similarity.pq_ann(emb, queries, "vec_id", "embedding", k=5)
+
+
 @q("pipe_fingerprint",
    f"SELECT md5({_NORM}) AS fp, COUNT(*) AS n FROM documents GROUP BY 1")
 def pipe_fingerprint(spark, sf_dir) -> DataFrame:

@@ -590,3 +590,32 @@ def test_bigram_logprob_hand_computed(spark):
     want2 = round(lp("a", "c"), 6)
     assert got[1] == (3, want1)
     assert got[2] == (1, want2)
+
+
+def test_pq_ann_recall_and_rerank_exactness(spark):
+    emb = read_table(spark, SF, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20)
+    exact = similarity.knn_bruteforce(emb, queries, "vec_id", "embedding", k=5)
+    approx = similarity.pq_ann(emb, queries, "vec_id", "embedding",
+                               k=5, m=8, codebook_k=16, rerank=10)
+    e = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    rows = approx.collect()
+    a = {(r.query_id, r.neighbor_id) for r in rows}
+    # compressed-scan + re-rank should recover most exact neighbors
+    assert len(e & a) / len(e) >= 0.5
+    # returned sims are EXACT cosines (the re-rank recomputes them):
+    # each must match brute force wherever the pair overlaps
+    esim = {(r.query_id, r.neighbor_id): r.sim for r in exact.collect()}
+    for r in rows:
+        if (r.query_id, r.neighbor_id) in esim:
+            assert abs(r.sim - esim[(r.query_id, r.neighbor_id)]) < 1e-9
+
+
+def test_pq_encode_shapes(spark):
+    emb = read_table(spark, SF, "embeddings").limit(50)
+    books = similarity.pq_train_codebooks(emb, "embedding", m=4, codebook_k=8)
+    assert len(books) == 4 and all(len(b) == 8 for b in books)
+    enc = similarity.pq_encode(emb, "vec_id", "embedding", books)
+    rows = enc.collect()
+    assert all(len(r.codes) == 4 for r in rows)
+    assert all(0 <= c < 8 for r in rows for c in r.codes)
