@@ -57,8 +57,10 @@ HEADLINE = [
     "sparql_stream_select",
     "pipe_repetition",
     # round-3: suffix-array-style span dedup (positioned k-gram equi-join
-    # + gaps-and-islands merge)
+    # + gaps-and-islands merge), winnowing sketches, tf-idf ranking
     "pipe_exact_substring_spans",
+    "pipe_winnow_fingerprints",
+    "pipe_tfidf_top_terms",
 ]
 
 # round-1 per-query minima, corrected for the two host-noise spikes the
