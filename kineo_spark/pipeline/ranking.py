@@ -151,3 +151,64 @@ def bigram_logprob(
             F.round(F.avg("lp"), 6).alias("avg_logprob"),
         )
     )
+
+
+def kn_bigram_logprob(
+    df: DataFrame, id_col: str, text_col: str = "text", discount: float = 0.75
+) -> DataFrame:
+    """Interpolated Kneser-Ney bigram scoring (Kneser & Ney 1995; the
+    smoothing KenLM-style perplexity filters use) — a sharper LM than
+    the add-one model in :func:`bigram_logprob`:
+
+        P(w2|w1) = (c(w1,w2) − D)/c(w1)
+                 + D·N1+(w1,·)/c(w1) · N1+(·,w2)/N1+(·,·)
+
+    where N1+(w1,·) counts distinct continuations of w1, N1+(·,w2)
+    distinct histories of w2 (the "continuation probability" — how
+    promiscuous a word is, not how frequent), and N1+(·,·) the distinct
+    bigram types. Scored on the training corpus itself every scored
+    bigram has c ≥ 1 > D, so the first term stays positive.
+
+    Scale shape: four count aggregations over the one exploded bigram
+    stream (all map-side combinable), then one join back — same shuffle
+    budget as training any count LM; scoring is join + aggregate, no
+    Python.
+
+    Returns (doc_id, n_bigrams, avg_kn_logprob) rounded to 6 decimals.
+    """
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        tokens(F.lower(F.col(text_col))).alias("w"),
+    ).filter(F.size("w") >= 2)
+    bi = toks.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("w") - 2),
+                lambda i: F.struct(
+                    F.col("w")[i].alias("w1"), F.col("w")[i + 1].alias("w2")
+                ),
+            )
+        ).alias("b"),
+    ).select("doc_id", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+    bic = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("bc"))
+    ctx = bic.groupBy("w1").agg(
+        F.sum("bc").alias("c1"), F.count(F.lit(1)).alias("fw")
+    )
+    cont = bic.groupBy("w2").agg(F.count(F.lit(1)).alias("bw"))
+    types = bic.agg(F.count(F.lit(1)).alias("nb"))
+    d = F.lit(discount)
+    prob = (F.col("bc") - d) / F.col("c1") + (
+        d * F.col("fw") / F.col("c1")
+    ) * (F.col("bw") / F.col("nb"))
+    scored = (
+        bi.join(bic, ["w1", "w2"])
+        .join(ctx, "w1")
+        .join(cont, "w2")
+        .crossJoin(F.broadcast(types))
+        .select("doc_id", F.log(prob).alias("lp"))
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.round(F.avg("lp"), 6).alias("avg_kn_logprob"),
+    )

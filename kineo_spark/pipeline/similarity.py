@@ -322,3 +322,52 @@ def pq_ann(
         .filter(F.col("rn") <= k)
         .select("query_id", "neighbor_id", "sim")
     )
+
+
+def semdedup(
+    df: DataFrame, id_col: str, vec_col: str,
+    n_clusters: int = 16, threshold: float = 0.95, seed: int = 42,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): semantic deduplication by
+    clustering embeddings (k-means) and pruning, WITHIN each cluster,
+    every document whose cosine similarity to a kept lower-id document
+    exceeds ``threshold``. All-pairs work is confined to clusters —
+    corpus²/n_clusters comparisons instead of corpus², and each
+    cluster's pair join is an equi-join on the cluster id, so at 100 TB
+    the knob is n_clusters (∝ corpus size) keeping per-cluster pair
+    counts bounded; no global all-pairs stage exists.
+
+    Drop rule (matching the paper's released implementation): a row is
+    a semantic duplicate iff SOME lower-id row in its cluster is within
+    ``threshold`` — deterministic, non-recursive, one pair join + one
+    aggregation.
+
+    Returns (id, cluster, keep) for every input row.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    base = df.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("vec"),
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias("features"),
+    )
+    model = KMeans(k=n_clusters, seed=seed, maxIter=10).fit(
+        base.select("features"))
+    assigned = model.transform(base).select(
+        "id", "vec", F.col("prediction").alias("cluster"))
+    a = assigned.select(F.col("id").alias("id_a"), F.col("vec").alias("va"),
+                        "cluster")
+    b = assigned.select(F.col("id").alias("id_b"), F.col("vec").alias("vb"),
+                        "cluster")
+    # duplicate edges within a cluster, oriented low-id -> high-id
+    edges = (
+        a.join(b, "cluster")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(cosine(F.col("va"), F.col("vb")) >= threshold)
+        .select("cluster", "id_a", "id_b")
+    )
+    dropped = edges.select("id_b").distinct()
+    return (
+        assigned.join(dropped, assigned.id == dropped.id_b, "left")
+        .select("id", "cluster", F.col("id_b").isNull().alias("keep"))
+    )

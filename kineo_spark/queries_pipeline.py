@@ -1060,3 +1060,167 @@ def pipe_frame_sample_plan(spark, sf_dir) -> DataFrame:
     plan = multimodal.frame_sample_plan(
         decoded.select("media_id", F.lit("video").alias("kind"), "duration_ms"))
     return plan.select("media_id", F.col("frame_ts_ms").cast("long").alias("frame_ts_ms"))
+
+
+# ---------------------------------------------------------------------------
+# Data selection (Gopher rules, caps, shuffle, DSIR) — selection.py
+# ---------------------------------------------------------------------------
+
+_GOPHER_CTE = r"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(text), '\s+'),
+                     x -> len(x) > 0) AS w,
+         list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                     x -> len(x) > 0) AS lw
+  FROM documents
+), feat AS (
+  SELECT doc_id AS id,
+         len(w) AS n_words,
+         CASE WHEN len(w) > 0 THEN ROUND(
+           CAST(list_sum(list_transform(w, x -> len(x))) AS DOUBLE) / len(w), 6)
+         END AS mean_word_len,
+         CASE WHEN len(w) > 0 THEN ROUND(
+           CAST(len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]')))
+                AS DOUBLE) / len(w), 6)
+         END AS alpha_frac,
+         len(list_filter(lw, x -> x IN
+             ('the','be','to','of','and','that','have','with'))) AS stop_hits
+  FROM t
+)
+SELECT id, n_words, mean_word_len, alpha_frac, stop_hits,
+       (n_words >= 20 AND n_words <= 100000) AS rule_words,
+       (mean_word_len >= 2.0 AND mean_word_len <= 10.0) AS rule_word_len,
+       (alpha_frac >= 0.8) AS rule_alpha,
+       (stop_hits >= 2) AS rule_stop,
+       ((n_words >= 20 AND n_words <= 100000)
+        AND (mean_word_len >= 2.0 AND mean_word_len <= 10.0)
+        AND (alpha_frac >= 0.8) AND (stop_hits >= 2)) AS keep
+FROM feat
+"""
+
+
+@q("pipe_gopher_rules", _GOPHER_CTE)
+def pipe_gopher_rules(spark, sf_dir) -> DataFrame:
+    """Gopher-style per-rule quality booleans + keep conjunction."""
+    from kineo_spark.pipeline import selection
+    docs = read_table(spark, sf_dir, "documents")
+    return selection.gopher_rules(docs)
+
+
+@q("pipe_cap_per_source",
+   "SELECT source, id, rank_in_source FROM ("
+   "  SELECT source, doc_id AS id, ROW_NUMBER() OVER ("
+   "    PARTITION BY source ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id"
+   "  ) AS rank_in_source FROM documents) WHERE rank_in_source <= 10")
+def pipe_cap_per_source(spark, sf_dir) -> DataFrame:
+    """Per-domain cap: a stable md5-ordered sample of ≤10 docs per
+    source (Common Crawl per-domain cap practice)."""
+    from kineo_spark.pipeline import selection
+    docs = read_table(spark, sf_dir, "documents")
+    return selection.cap_per_source(docs, cap=10)
+
+
+@q("pipe_global_shuffle",
+   "WITH k AS (SELECT doc_id AS id, "
+   "  md5('s1' || chr(31) || CAST(doc_id AS VARCHAR)) AS key FROM documents), "
+   "s AS (SELECT id, key, CAST(CAST(('0x' || substring(key, 1, 8)) AS BIGINT) "
+   "  % 8 AS INT) AS shard FROM k) "
+   "SELECT id, shard, CAST(ROW_NUMBER() OVER ("
+   "  PARTITION BY shard ORDER BY key, id) AS BIGINT) AS pos FROM s")
+def pipe_global_shuffle(spark, sf_dir) -> DataFrame:
+    """Deterministic training-order shuffle: seeded md5 order, 8 shards,
+    per-shard positions (no global sort)."""
+    from kineo_spark.pipeline import selection
+    docs = read_table(spark, sf_dir, "documents")
+    out = selection.global_shuffle(docs, seed="s1", n_shards=8)
+    return out.select("id", "shard", F.col("pos").cast("long").alias("pos"))
+
+
+_DSIR_CTE = r"""
+WITH toks AS (
+  SELECT doc_id, (lang = 'en') AS is_target,
+         list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                     x -> len(x) > 0) AS w
+  FROM documents
+), grams AS (
+  SELECT doc_id, is_target,
+         unnest([w[i] || ' ' || w[i+1]
+                 for i in generate_series(1, len(w) - 1)]) AS g
+  FROM toks WHERE len(w) >= 2
+), feats AS (
+  SELECT doc_id, is_target,
+         CAST(('0x' || substring(md5(g), 1, 8)) AS BIGINT) % 1024 AS b
+  FROM grams
+), raw AS (SELECT b, COUNT(*) AS rc FROM feats GROUP BY b),
+tgt AS (SELECT b, COUNT(*) AS tc FROM feats WHERE is_target GROUP BY b),
+tot AS (SELECT (SELECT SUM(rc) FROM raw) AS rn, (SELECT SUM(tc) FROM tgt) AS tn),
+tab AS (
+  SELECT b, ln((COALESCE(tc, 0) + 1.0) / (tn + 1024.0))
+           - ln((rc + 1.0) / (rn + 1024.0)) AS lr
+  FROM raw LEFT JOIN tgt USING (b) CROSS JOIN tot
+)
+SELECT doc_id AS id, COUNT(*) AS n_feats, ROUND(AVG(lr), 6) AS weight
+FROM feats JOIN tab USING (b) GROUP BY doc_id
+"""
+
+
+@q("pipe_dsir_weights", _DSIR_CTE)
+def pipe_dsir_weights(spark, sf_dir) -> DataFrame:
+    """DSIR hashed-bigram importance weights toward the lang='en'
+    slice as the target distribution."""
+    from kineo_spark.pipeline import selection
+    docs = read_table(spark, sf_dir, "documents")
+    return selection.dsir_weights(docs, F.col("lang") == "en")
+
+
+_KN_CTE = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                     x -> len(x) > 0) AS w
+  FROM documents
+), bi AS (
+  SELECT doc_id, u.w1, u.w2 FROM (
+    SELECT doc_id, unnest([{'w1': w[i], 'w2': w[i+1]}
+                           for i in generate_series(1, len(w) - 1)]) AS u
+    FROM toks WHERE len(w) >= 2)
+), bic AS (SELECT w1, w2, COUNT(*) AS bc FROM bi GROUP BY 1, 2),
+ctx AS (SELECT w1, SUM(bc) AS c1, COUNT(*) AS fw FROM bic GROUP BY 1),
+cont AS (SELECT w2, COUNT(*) AS bw FROM bic GROUP BY 1),
+types AS (SELECT COUNT(*) AS nb FROM bic)
+SELECT doc_id, COUNT(*) AS n_bigrams,
+       ROUND(AVG(ln((bc - 0.75) / c1 + (0.75 * fw / c1) * (bw / nb))), 6)
+         AS avg_kn_logprob
+FROM bi JOIN bic USING (w1, w2) JOIN ctx USING (w1) JOIN cont USING (w2)
+CROSS JOIN types
+GROUP BY doc_id
+"""
+
+
+@q("pipe_kn_logprob", _KN_CTE)
+def pipe_kn_logprob(spark, sf_dir) -> DataFrame:
+    """Interpolated Kneser-Ney bigram LM quality score (the smoothing
+    KenLM-based perplexity filters use)."""
+    from kineo_spark.pipeline import ranking
+    docs = read_table(spark, sf_dir, "documents")
+    return ranking.kn_bigram_logprob(docs, "doc_id")
+
+
+@q("pipe_semdedup", None)  # kmeans cells are engine-seeded → rows-only
+def pipe_semdedup(spark, sf_dir) -> DataFrame:
+    """SemDeDup semantic dedup: k-means clusters + intra-cluster cosine
+    pruning (keep flags per embedding)."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    out = similarity.semdedup(emb, "vec_id", "embedding", threshold=0.9)
+    return out.orderBy("id").select("id", "keep")
+
+
+@q("pipe_distinct_sketch", None)  # HLL estimates are engine-specific
+def pipe_distinct_sketch(spark, sf_dir) -> DataFrame:
+    """Mergeable per-source HLL sketches of distinct users; estimates
+    re-aggregate from stored kilobyte sketches, no rescan."""
+    from kineo_spark.pipeline import sketches
+    ev = read_table(spark, sf_dir, "events")
+    sk = sketches.sketch_by(ev, key="user_id", group="event_type")
+    return sketches.estimate(sk).orderBy("group")

@@ -1,0 +1,134 @@
+"""Tests for data-selection operators (selection.py), Kneser-Ney LM
+scoring (ranking.py), SemDeDup (similarity.py), and HLL sketch shards
+(sketches.py)."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from kineo_spark.pipeline import ranking, selection, similarity, sketches
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        # passes every Gopher rule
+        (1, "the cat and the dog have fun with all of that play "
+            "time in the big yard near the fence and more words here", "srcA"),
+        # too short
+        (2, "tiny doc", "srcA"),
+        # no stopwords
+        (3, " ".join(["zzz"] * 30), "srcB"),
+        # numbers only -> alpha fraction fails
+        (4, " ".join(str(i) for i in range(40)), "srcB"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, source string")
+
+
+def test_gopher_rules_per_rule(docs):
+    out = {r["id"]: r for r in selection.gopher_rules(docs).collect()}
+    assert out[1]["keep"] is True
+    assert out[2]["rule_words"] is False and out[2]["keep"] is False
+    assert out[3]["rule_stop"] is False and out[3]["keep"] is False
+    assert out[4]["rule_alpha"] is False and out[4]["keep"] is False
+    # feature values are sane
+    assert out[1]["n_words"] == 24
+    assert out[1]["stop_hits"] >= 2
+
+
+def test_cap_per_source_cap_and_determinism(spark):
+    df = spark.createDataFrame(
+        [(i, f"src{i % 3}") for i in range(100)], "doc_id long, source string"
+    )
+    a = selection.cap_per_source(df, cap=5).collect()
+    b = selection.cap_per_source(df.repartition(7), cap=5).collect()
+    assert sorted((r["source"], r["id"]) for r in a) == sorted(
+        (r["source"], r["id"]) for r in b
+    )
+    per = {}
+    for r in a:
+        per.setdefault(r["source"], []).append(r["rank_in_source"])
+    assert all(sorted(v) == list(range(1, 6)) for v in per.values())
+
+
+def test_global_shuffle_partition_invariance_and_coverage(spark):
+    df = spark.createDataFrame([(i,) for i in range(200)], "doc_id long")
+    a = selection.global_shuffle(df, seed="sX", n_shards=4).collect()
+    b = selection.global_shuffle(df.repartition(13), seed="sX", n_shards=4).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    # every id appears exactly once; positions are 1..n within shard
+    assert sorted(r["id"] for r in a) == list(range(200))
+    shards = {}
+    for r in a:
+        shards.setdefault(r["shard"], []).append(r["pos"])
+    for v in shards.values():
+        assert sorted(v) == list(range(1, len(v) + 1))
+    # a different seed produces a different order
+    c = selection.global_shuffle(df, seed="sY", n_shards=4).collect()
+    assert sorted(map(tuple, a)) != sorted(map(tuple, c))
+
+
+def test_dsir_weights_prefer_target_like_docs(spark):
+    # target docs share a distinctive bigram vocabulary
+    rows = [(i, "alpha beta gamma delta alpha beta", "t") for i in range(10)]
+    rows += [(i + 10, "omega psi chi phi omega psi", "r") for i in range(10)]
+    # one raw doc written in target language: should score high
+    rows.append((99, "alpha beta gamma delta", "r"))
+    df = spark.createDataFrame(rows, "doc_id long, text string, kind string")
+    w = {
+        r["id"]: r["weight"]
+        for r in selection.dsir_weights(df, F.col("kind") == "t").collect()
+    }
+    assert w[99] > w[10]  # target-like raw doc beats off-target raw doc
+    assert w[0] > w[10]
+
+
+def test_kn_bigram_logprob_hand_computed(spark):
+    # corpus: two docs; bigrams: (a b) x2 in doc1, (a b),(b a) in doc2
+    df = spark.createDataFrame(
+        [(1, "a b"), (2, "a b a")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in ranking.kn_bigram_logprob(df, "doc_id").collect()}
+    # counts: bc(a,b)=2, bc(b,a)=1; c1(a)=2, c1(b)=1; fw(a)=1, fw(b)=1
+    # bw(b)=1, bw(a)=1; nb=2; D=0.75
+    p_ab = (2 - 0.75) / 2 + (0.75 * 1 / 2) * (1 / 2)
+    p_ba = (1 - 0.75) / 1 + (0.75 * 1 / 1) * (1 / 2)
+    assert out[1]["n_bigrams"] == 1
+    assert out[1]["avg_kn_logprob"] == pytest.approx(math.log(p_ab), abs=1e-6)
+    want2 = (math.log(p_ab) + math.log(p_ba)) / 2
+    assert out[2]["avg_kn_logprob"] == pytest.approx(want2, abs=1e-6)
+
+
+def test_semdedup_drops_higher_id_twin(spark):
+    import random
+
+    rng = random.Random(7)
+    rows = []
+    for i in range(40):
+        rows.append((i, [rng.uniform(-1, 1) for _ in range(8)]))
+    # 100/101 duplicate vectors of ids 0/1 (cosine 1.0)
+    rows.append((100, [x * 2.0 for x in rows[0][1]]))
+    rows.append((101, list(rows[1][1])))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {
+        r["id"]: r["keep"]
+        for r in similarity.semdedup(
+            df, "vec_id", "embedding", n_clusters=4, threshold=0.99
+        ).collect()
+    }
+    assert out[0] is True and out[1] is True  # lowest-id member survives
+    assert out[100] is False and out[101] is False
+    assert len(out) == 42
+
+
+def test_hll_sketch_estimates_close_and_mergeable(spark):
+    rows = [(i, f"g{i % 4}") for i in range(5000)]
+    df = spark.createDataFrame(rows, "uid long, grp string")
+    sk = sketches.sketch_by(df, key="uid", group="grp")
+    est = {r["group"]: r["approx_distinct"] for r in sketches.estimate(sk).collect()}
+    for g, e in est.items():
+        assert abs(e - 1250) / 1250 < 0.05, (g, e)
+    merged = sketches.merge_estimate(sk).collect()[0]
+    assert merged["n_groups"] == 4 and merged["n_rows"] == 5000
+    assert abs(merged["approx_distinct"] - 5000) / 5000 < 0.05
