@@ -227,7 +227,11 @@ class Compiler:
             A.QuadPattern(tp.s, tp.p, tp.o, self._active_graph(g))
             for tp in node.patterns
         ]
-        plans: list[Plan] = []
+        stats = None
+        if self.cs_stats and not self.plans_only and hasattr(self.store, "quads"):
+            from kineo_spark.stats import CharacteristicSets
+            stats = CharacteristicSets.for_store(self.store)
+        units: list[tuple[Plan, float | None]] = []
         if hasattr(self.store, "scan_star"):
             groups: dict[object, list[A.QuadPattern]] = {}
             order: list[object] = []
@@ -243,15 +247,47 @@ class Compiler:
                 df = self.store.scan_star(grp) if len(grp) >= 2 else None
                 if df is not None:
                     certain = frozenset(set().union(*[p.variables() for p in grp]))
-                    plans.append(Plan(df, certain))
+                    units.append((
+                        Plan(df, certain),
+                        stats.estimate_star(grp) if stats else None,
+                    ))
                 else:
                     rest.extend(grp)
             quads = rest
-        plans.extend(self._scan(qp) for qp in quads)
+        units.extend(
+            (self._scan(qp), stats.estimate_pattern(qp) if stats else None)
+            for qp in quads
+        )
+        plans = self._order_units(units)
         out = plans[0]
         for p in plans[1:]:
             out = self._join(out, p)
         return out
+
+    def _order_units(self, units: list[tuple[Plan, float | None]]) -> list[Plan]:
+        """Greedy selectivity-driven join order (the reference plans ID
+        joins from store statistics — Diomede characteristic sets,
+        DiomedeQuadStore.swift:14-97; QueryPlanner.swift:449-457):
+        start from the smallest estimated input, then repeatedly join
+        the smallest CONNECTED unit (sharing a variable with what's
+        already joined) so no estimate-driven reorder introduces a
+        cross join the syntactic order didn't have. Catalyst cannot do
+        this itself: every quad scan looks alike to it (no per-predicate
+        NDV), so without these estimates join order is syntactic."""
+        if len(units) < 2 or any(est is None for _p, est in units):
+            return [p for p, _e in units]
+        remaining = [(p, est, i) for i, (p, est) in enumerate(units)]
+        remaining.sort(key=lambda u: (u[1], u[2]))
+        first = remaining.pop(0)
+        ordered = [first[0]]
+        joined = set(first[0].variables)
+        while remaining:
+            connected = [u for u in remaining if joined & set(u[0].variables)]
+            pick = min(connected or remaining, key=lambda u: (u[1], u[2]))
+            remaining.remove(pick)
+            ordered.append(pick[0])
+            joined |= set(pick[0].variables)
+        return ordered
 
     def _scan(self, pattern: A.QuadPattern) -> Plan:
         df = self.store.scan(pattern)

@@ -92,6 +92,74 @@ class CharacteristicSets:
             total += prod
         return total
 
+    # -- cardinality estimation (join-order cost model) -------------------
+    # The reference plans ID joins smallest-side-first using store
+    # statistics (Diomede characteristic sets, DiomedeQuadStore.swift:
+    # 14-97; planner cost hooks QueryPlanner.swift:449-457). These
+    # HEURISTIC estimates (never answers) drive the same greedy
+    # ordering for BGP joins in Compiler._bgp.
+
+    _BOUND_OBJECT_SELECTIVITY = 0.1
+
+    def total_triples(self, graph_lex: str | None = None) -> float:
+        t = 0.0
+        for (g, _cs), ent in self._sets.items():
+            if graph_lex is not None and g != graph_lex:
+                continue
+            t += sum(tot for tot, _mn, _mx in ent["p"].values())
+        return t
+
+    def estimate_pattern(self, qp: A.QuadPattern) -> float:
+        """Heuristic row estimate for one quad-pattern scan."""
+        graph_lex = qp.g.lex if isinstance(qp.g, PyTerm) else None
+        if isinstance(qp.p, PyTerm) and qp.p.kind == 0:
+            tot = subj = 0.0
+            for (g, cs), ent in self._sets.items():
+                if graph_lex is not None and g != graph_lex:
+                    continue
+                if qp.p.lex in ent["p"]:
+                    tot += ent["p"][qp.p.lex][0]
+                    subj += ent["subjects"]
+            est = tot
+            if not isinstance(qp.s, A.Var):  # bound subject: avg multiplicity
+                est = tot / max(subj, 1.0)
+        else:
+            est = self.total_triples(graph_lex)
+            if not isinstance(qp.s, A.Var):
+                est *= self._BOUND_OBJECT_SELECTIVITY
+        if not isinstance(qp.o, A.Var):
+            est *= self._BOUND_OBJECT_SELECTIVITY
+        return max(est, 1.0)
+
+    def estimate_star(self, patterns: list[A.QuadPattern]) -> float:
+        """Heuristic row estimate for a same-subject star: over each
+        characteristic set containing every bound predicate, subjects ×
+        ∏ average multiplicities."""
+        preds = []
+        for qp in patterns:
+            if not (isinstance(qp.p, A.Var)) and qp.p.kind == 0:
+                preds.append(qp.p.lex)
+            else:
+                return self.total_triples(None)  # unbound predicate: no cs view
+        graph_lex = patterns[0].g.lex if isinstance(patterns[0].g, PyTerm) else None
+        total = 0.0
+        need = set(preds)
+        for (g, cs), ent in self._sets.items():
+            if graph_lex is not None and g != graph_lex:
+                continue
+            if not need.issubset(set(cs)):
+                continue
+            prod = float(ent["subjects"])
+            for p in preds:
+                tot, _mn, _mx = ent["p"][p]
+                prod *= tot / max(ent["subjects"], 1)
+            total += prod
+        bound_obj = sum(1 for qp in patterns if not isinstance(qp.o, A.Var))
+        total *= self._BOUND_OBJECT_SELECTIVITY ** bound_obj
+        if not isinstance(patterns[0].s, A.Var):
+            total *= self._BOUND_OBJECT_SELECTIVITY
+        return max(total, 1.0)
+
 
 def _star_shape(child: A.Algebra):
     """If ``child`` is a simple star BGP (one unbound subject var, all
