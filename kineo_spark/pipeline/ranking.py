@@ -212,3 +212,23 @@ def kn_bigram_logprob(
         F.count(F.lit(1)).alias("n_bigrams"),
         F.round(F.avg("lp"), 6).alias("avg_kn_logprob"),
     )
+
+
+def ppl_buckets(
+    df: DataFrame, id_col: str, text_col: str = "text", n_buckets: int = 3
+) -> DataFrame:
+    """CCNet-style perplexity bucketing: rank documents by LM score
+    (Kneser-Ney bigram) and split into head/middle/tail quality
+    buckets. This oracle-exact form uses a global ntile for
+    deterministic assignment; the 100 TB path replaces it with
+    approx-percentile thresholds broadcast to a single filter pass —
+    same buckets up to boundary ties, no global sort.
+
+    Returns (doc_id, avg_kn_logprob, bucket) with bucket 1 = best.
+    """
+    scored = kn_bigram_logprob(df, id_col, text_col)
+    w = Window.orderBy(F.desc("avg_kn_logprob"), "doc_id")
+    return scored.select(
+        "doc_id", "avg_kn_logprob",
+        F.ntile(n_buckets).over(w).alias("bucket"),
+    )

@@ -164,3 +164,68 @@ def select_token_budget(
             F.col("cum_tokens").cast("long").alias("cum_tokens"),
         )
     )
+
+
+def pack_sequences(
+    df: DataFrame,
+    seq_len: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seed: str = "pack0",
+) -> DataFrame:
+    """Concat-and-chunk sequence packing (the GPT-style pretraining
+    layout): lay every document's tokens end-to-end in a deterministic
+    md5-shuffled order, then cut the stream into fixed ``seq_len``
+    training sequences. Emits one row per (document × sequence it
+    overlaps) with the exact slice coordinates a tokenizer worker needs
+    — no padding, no truncation, cross-document boundaries preserved by
+    the slice map.
+
+    The global token offset is the classic single-reducer cumsum trap;
+    here it is computed hierarchically (16 ordered hex buckets of the
+    order key: tiny per-bucket totals prefix-summed and broadcast, plus
+    a parallel within-bucket window), bit-identical to the naive global
+    window the oracle runs.
+
+    Returns (doc_id, seq_id, doc_slice_start, seq_offset, slice_len):
+    tokens[doc_slice_start : doc_slice_start+slice_len] of the document
+    land at seq_offset inside sequence seq_id.
+    """
+    from kineo_spark.pipeline.text import token_count
+
+    key = F.md5(F.concat_ws("\x1f", F.lit(seed), F.col(id_col).cast("string")))
+    d = df.select(
+        F.col(id_col).alias("doc_id"),
+        key.alias("key"),
+        F.substring(key, 1, 1).alias("bucket"),
+        token_count(F.col(text_col)).alias("n")
+    ).filter(F.col("n") > 0)
+    per_bucket = d.groupBy("bucket").agg(F.sum("n").alias("bt"))
+    wb = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    prefix = per_bucket.select(
+        "bucket", F.coalesce(F.sum("bt").over(wb), F.lit(0)).alias("before"))
+    wd = Window.partitionBy("bucket").orderBy("key", "doc_id")
+    placed = (
+        d.join(F.broadcast(prefix), "bucket")
+        .withColumn(
+            "start",
+            F.col("before")
+            + F.coalesce(
+                F.sum("n").over(wd.rowsBetween(Window.unboundedPreceding, -1)),
+                F.lit(0)),
+        )
+    )
+    L = F.lit(seq_len)
+    s0 = F.floor(F.col("start") / L)
+    s1 = F.floor((F.col("start") + F.col("n") - 1) / L)
+    out = placed.select(
+        "doc_id", "start", "n", F.explode(F.sequence(s0, s1)).alias("seq_id"))
+    lo = F.greatest(F.col("start"), F.col("seq_id") * L)
+    hi = F.least(F.col("start") + F.col("n"), (F.col("seq_id") + 1) * L)
+    return out.select(
+        "doc_id",
+        F.col("seq_id").cast("long").alias("seq_id"),
+        (lo - F.col("start")).cast("long").alias("doc_slice_start"),
+        (lo - F.col("seq_id") * L).cast("long").alias("seq_offset"),
+        (hi - lo).cast("long").alias("slice_len"),
+    )

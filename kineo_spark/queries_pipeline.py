@@ -1224,3 +1224,60 @@ def pipe_distinct_sketch(spark, sf_dir) -> DataFrame:
     ev = read_table(spark, sf_dir, "events")
     sk = sketches.sketch_by(ev, key="user_id", group="event_type")
     return sketches.estimate(sk).orderBy("group")
+
+
+_PACK_CTE = r"""
+WITH d AS (
+  SELECT doc_id,
+         md5('pack0' || chr(31) || CAST(doc_id AS VARCHAR)) AS key,
+         len(list_filter(string_split_regex(trim(text), '\s+'),
+                         x -> len(x) > 0)) AS n
+  FROM documents
+), p AS (
+  SELECT doc_id, n,
+         COALESCE(SUM(n) OVER (ORDER BY key, doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start
+  FROM d WHERE n > 0
+), e AS (
+  SELECT doc_id, start, n,
+         unnest(generate_series(CAST(start // 512 AS BIGINT),
+                                CAST((start + n - 1) // 512 AS BIGINT))) AS seq_id
+  FROM p
+)
+SELECT doc_id, CAST(seq_id AS BIGINT) AS seq_id,
+       CAST(greatest(start, seq_id * 512) - start AS BIGINT) AS doc_slice_start,
+       CAST(greatest(start, seq_id * 512) - seq_id * 512 AS BIGINT) AS seq_offset,
+       CAST(least(start + n, (seq_id + 1) * 512)
+            - greatest(start, seq_id * 512) AS BIGINT) AS slice_len
+FROM e
+"""
+
+
+@q("pipe_pack_sequences", _PACK_CTE)
+def pipe_pack_sequences(spark, sf_dir) -> DataFrame:
+    """Concat-and-chunk packing into 512-token training sequences; the
+    oracle is the naive global-window cumsum, the Spark plan computes it
+    hierarchically (16 ordered hash buckets)."""
+    from kineo_spark.pipeline import sampling
+    docs = read_table(spark, sf_dir, "documents")
+    return sampling.pack_sequences(docs, 512)
+
+
+# the KN scoring CTE minus the n_bigrams projection, wrapped in ntile
+_PPL_CTE = _KN_CTE.replace(
+    "SELECT doc_id, COUNT(*) AS n_bigrams,", "SELECT doc_id,")
+_PPL_SQL = f"""
+WITH scored AS ({_PPL_CTE})
+SELECT doc_id, avg_kn_logprob,
+       NTILE(3) OVER (ORDER BY avg_kn_logprob DESC, doc_id) AS bucket
+FROM scored
+"""
+
+
+@q("pipe_ppl_buckets", _PPL_SQL)
+def pipe_ppl_buckets(spark, sf_dir) -> DataFrame:
+    """CCNet perplexity head/middle/tail buckets over the KN bigram LM
+    score."""
+    from kineo_spark.pipeline import ranking
+    docs = read_table(spark, sf_dir, "documents")
+    return ranking.ppl_buckets(docs, "doc_id")

@@ -132,3 +132,60 @@ def test_hll_sketch_estimates_close_and_mergeable(spark):
     merged = sketches.merge_estimate(sk).collect()[0]
     assert merged["n_groups"] == 4 and merged["n_rows"] == 5000
     assert abs(merged["approx_distinct"] - 5000) / 5000 < 0.05
+
+
+def test_pack_sequences_tiling_invariants(spark):
+    from kineo_spark.pipeline import sampling
+    from kineo_spark.pipeline.text import token_count
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(["w"] * (3 + (i * 7) % 40))) for i in range(50)],
+        "doc_id long, text string",
+    )
+    L = 16
+    out = sampling.pack_sequences(docs, L).collect()
+    n_by_doc = {
+        r["doc_id"]: r["n"]
+        for r in docs.select("doc_id", token_count(F.col("text")).alias("n")).collect()
+    }
+    # every token of every doc lands exactly once
+    per_doc = {}
+    for r in out:
+        per_doc.setdefault(r["doc_id"], []).append(r)
+    for did, slices in per_doc.items():
+        slices.sort(key=lambda r: r["doc_slice_start"])
+        assert sum(s["slice_len"] for s in slices) == n_by_doc[did]
+        pos = 0
+        for s in slices:
+            assert s["doc_slice_start"] == pos
+            pos += s["slice_len"]
+    # every sequence except the last is exactly full with no overlap
+    per_seq = {}
+    for r in out:
+        per_seq.setdefault(r["seq_id"], []).append(r)
+    last = max(per_seq)
+    for sid, slices in per_seq.items():
+        slices.sort(key=lambda r: r["seq_offset"])
+        pos = 0
+        for s in slices:
+            assert s["seq_offset"] == pos
+            pos += s["slice_len"]
+        if sid != last:
+            assert pos == L
+    # deterministic across partitioning
+    out2 = sampling.pack_sequences(docs.repartition(11), L).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
+
+
+def test_ppl_buckets_sizes(spark):
+    from kineo_spark.pipeline import ranking
+
+    docs = spark.createDataFrame(
+        [(i, "a b c d e " + ("a b " * (i % 5))) for i in range(30)],
+        "doc_id long, text string",
+    )
+    out = ranking.ppl_buckets(docs, "doc_id").collect()
+    sizes = {}
+    for r in out:
+        sizes[r["bucket"]] = sizes.get(r["bucket"], 0) + 1
+    assert sorted(sizes) == [1, 2, 3] and all(v == 10 for v in sizes.values())
