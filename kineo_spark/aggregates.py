@@ -67,10 +67,18 @@ def _agg_column(spec: A.AggSpec, value: Column | None) -> Column:
         # AVG of integers is decimal per the spec, so SUM only. The flag
         # is one more cheap accumulator; error rows don't matter (the
         # result is already unbound then).
-        all_int = F.min(
-            F.when(~is_numeric_term(value), F.lit(1))
-            .when(value["dt"].isin("integer", "int", "long"), F.lit(1))
-            .otherwise(F.lit(0))
+        # widest operand type on the promotion lattice integer(0) <
+        # decimal(1) < float(2) < double(3): the op:numeric-add chain
+        # promotes pairwise, so the result type is the max over inputs
+        # (§18.5; Expression.swift resultType(for:withOperandType:)).
+        # One cheap max accumulator; error rows don't matter (the
+        # result is already unbound then).
+        widest = F.max(
+            F.when(~is_numeric_term(value), F.lit(0))
+            .when(value["dt"] == "double", F.lit(3))
+            .when(value["dt"] == "float", F.lit(2))
+            .when(value["dt"].isin("integer", "int", "long"), F.lit(0))
+            .otherwise(F.lit(1))
         )
         raw = total if op == "SUM" else total / cnt
         val = (
@@ -80,8 +88,12 @@ def _agg_column(spec: A.AggSpec, value: Column | None) -> Column:
         )
         dt = F.when(n_rows == 0, F.lit("integer"))
         if op == "SUM":
-            dt = dt.when(all_int == 1, F.lit("integer"))
-        dt = dt.otherwise(F.lit("decimal" if spec.exact else "double"))
+            dt = dt.when(widest == 0, F.lit("integer"))
+        else:  # AVG of integers is decimal per the spec
+            dt = dt.when(widest == 0, F.lit("decimal"))
+        dt = (dt.when(widest == 3, F.lit("double"))
+                .when(widest == 2, F.lit("float"))
+                .otherwise(F.lit("decimal")))
         return num_term(val, dt)
     if op in ("MIN", "MAX"):
         fn = F.min_by if op == "MIN" else F.max_by

@@ -455,6 +455,8 @@ def _dispatch_call(e: ECall, a: list[Column], env: dict[str, Column]) -> Column:
     if op == "LCASE":
         return str_term(F.when(is_string_lit(a[0]), F.lower(a[0]["lex"])), like=a[0])
     if op == "CONCAT":
+        if not a:  # CONCAT() is the empty simple literal (fn:concat)
+            return str_term(F.lit(""))
         lex = F.concat(*[F.when(is_string_lit(x), x["lex"]) for x in a])
         # all-same-language → keep it, else simple literal (:303-316)
         lang = a[0]["lang"]
@@ -478,11 +480,25 @@ def _dispatch_call(e: ECall, a: list[Column], env: dict[str, Column]) -> Column:
         return bool_term(F.when(str_args_compatible(a[0], a[1]),
                                 a[0]["lex"].endswith(a[1]["lex"])))
     if op == "SUBSTR":
-        start = _num_guard(a[1]).cast("int")
+        # XPath fn:substring semantics (17.4.3.3): characters at
+        # 1-based positions p with round(start) <= p < round(start) +
+        # round(len) — so start <= 0 clips from position 1 and SHORTENS
+        # the window (SUBSTR("hello", 0, 3) = "he"). fn:round rounds
+        # half toward +inf: floor(x + 0.5).
+        start = F.floor(_num_guard(a[1]) + F.lit(0.5)).cast("long")
+        lo = F.greatest(start, F.lit(1).cast("long"))
         if len(a) > 2:
-            lex = F.substring(a[0]["lex"], start, _num_guard(a[2]).cast("int"))
+            end = start + F.floor(_num_guard(a[2]) + F.lit(0.5)).cast("long")
+            cnt = F.greatest(end - lo, F.lit(0).cast("long"))
+            lex = F.when(
+                start.isNotNull() & cnt.isNotNull(),
+                F.substring(a[0]["lex"], lo.cast("int"), cnt.cast("int")),
+            )
         else:
-            lex = F.substring(a[0]["lex"], start, F.lit(1 << 30))
+            lex = F.when(
+                start.isNotNull(),
+                F.substring(a[0]["lex"], lo.cast("int"), F.lit(1 << 30)),
+            )
         return str_term(F.when(is_string_lit(a[0]), lex), like=a[0])
     if op == "REPLACE":
         pat = _regex_pattern(a[1]["lex"], a[3]["lex"] if len(a) > 3 else None)

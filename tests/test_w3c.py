@@ -17,11 +17,12 @@ ENTRIES = (manifest_entries("/root/repo/tests/w3c/manifest.ttl")
            + manifest_entries("/root/repo/tests/w3c/manifest7.ttl")
            + manifest_entries("/root/repo/tests/w3c/manifest8.ttl")
            + manifest_entries("/root/repo/tests/w3c/manifest9.ttl")
-           + manifest_entries("/root/repo/tests/w3c/manifest10.ttl"))
+           + manifest_entries("/root/repo/tests/w3c/manifest10.ttl")
+           + manifest_entries("/root/repo/tests/w3c/manifest11.ttl"))
 
 
 def test_manifest_parsed():
-    assert len(ENTRIES) == 150
+    assert len(ENTRIES) == 172
     assert all(e.query_path for e in ENTRIES)
     assert all(e.result_path for e in ENTRIES if "SyntaxTest" not in e.type)
 
