@@ -470,3 +470,26 @@ def winnow_fingerprints(
         )
         .distinct()
     )
+
+
+def dedup_against_corpus(
+    new: DataFrame, seen: DataFrame, id_col: str, text_col: str = "text"
+) -> DataFrame:
+    """Incremental exact dedup: drop rows of ``new`` whose normalized
+    fingerprint already exists in the ingested corpus ``seen`` (the
+    daily-crawl-vs-archive pattern). Expressed as an anti-join on the
+    fingerprint, so the semantics are exact.
+
+    100 TB shape: the join shuffles only fingerprints (16-byte md5
+    keys), never text; with a persisted corpus the fingerprint column
+    is a parquet column read straight off disk, and a broadcast Bloom
+    filter of the seen-side fingerprints drops most of the new batch
+    map-side before the shuffle (the anti-join stays for exactness —
+    Bloom alone would also drop false positives).
+
+    Returns the surviving (id, fp) rows of the new batch.
+    """
+    nf = new.select(F.col(id_col).alias("id"),
+                    fingerprint(F.col(text_col)).alias("fp"))
+    sf = seen.select(fingerprint(F.col(text_col)).alias("fp"))
+    return nf.join(sf, "fp", "left_anti")

@@ -1281,3 +1281,29 @@ def pipe_ppl_buckets(spark, sf_dir) -> DataFrame:
     from kineo_spark.pipeline import ranking
     docs = read_table(spark, sf_dir, "documents")
     return ranking.ppl_buckets(docs, "doc_id")
+
+
+@q("pipe_dedup_incremental",
+   f"WITH nf AS (SELECT doc_id AS id, md5({_NORM}) AS fp FROM documents "
+   f"            WHERE doc_id >= 250), "
+   f"sf AS (SELECT DISTINCT md5({_NORM}) AS fp FROM documents WHERE doc_id < 250) "
+   f"SELECT id, fp FROM nf WHERE fp NOT IN (SELECT fp FROM sf)")
+def pipe_dedup_incremental(spark, sf_dir) -> DataFrame:
+    """Incremental dedup of a 'new batch' (doc_id >= 250) against the
+    already-ingested corpus (doc_id < 250) by fingerprint anti-join."""
+    docs = read_table(spark, sf_dir, "documents")
+    return dedup.dedup_against_corpus(
+        docs.filter(F.col("doc_id") >= 250),
+        docs.filter(F.col("doc_id") < 250), "doc_id")
+
+
+@q("pipe_len_quantile_sketch", None)  # KLL estimates are engine-specific
+def pipe_len_quantile_sketch(spark, sf_dir) -> DataFrame:
+    """Mergeable per-source KLL sketches of document token counts;
+    p50/p90/p99 re-aggregate from stored kilobyte sketches."""
+    from kineo_spark.pipeline import sketches
+    from kineo_spark.pipeline.text import token_count
+    docs = read_table(spark, sf_dir, "documents").select(
+        "source", token_count(F.col("text")).alias("n_tokens"))
+    sk = sketches.kll_sketch_by(docs, value="n_tokens", group="source")
+    return sketches.kll_quantiles(sk).orderBy("group")

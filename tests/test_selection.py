@@ -189,3 +189,34 @@ def test_ppl_buckets_sizes(spark):
     for r in out:
         sizes[r["bucket"]] = sizes.get(r["bucket"], 0) + 1
     assert sorted(sizes) == [1, 2, 3] and all(v == 10 for v in sizes.values())
+
+
+def test_dedup_against_corpus_drops_known_fingerprints(spark):
+    from kineo_spark.pipeline import dedup
+
+    seen = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "delta epsilon")],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [(10, "Alpha  beta   GAMMA"),  # normalizes to a seen fingerprint
+         (11, "totally new text"),
+         (12, "delta epsilon")],
+        "doc_id long, text string",
+    )
+    out = sorted(r["id"] for r in dedup.dedup_against_corpus(new, seen, "doc_id").collect())
+    assert out == [11]
+
+
+def test_kll_quantile_sketches_close_and_mergeable(spark):
+    from kineo_spark.pipeline import sketches
+
+    rows = [(float(i % 1000), f"g{i % 4}") for i in range(8000)]
+    df = spark.createDataFrame(rows, "v double, grp string")
+    sk = sketches.kll_sketch_by(df, value="v", group="grp")
+    per = {r["group"]: r for r in sketches.kll_quantiles(sk).collect()}
+    for g, r in per.items():
+        assert abs(r["q50"] - 500) < 50 and abs(r["q99"] - 990) < 30
+    m = sketches.kll_merge_quantiles(sk).collect()[0]
+    assert m["n_groups"] == 4 and m["n_rows"] == 8000
+    assert abs(m["q50"] - 500) < 50 and abs(m["q90"] - 900) < 40
