@@ -1307,3 +1307,14 @@ def pipe_len_quantile_sketch(spark, sf_dir) -> DataFrame:
         "source", token_count(F.col("text")).alias("n_tokens"))
     sk = sketches.kll_sketch_by(docs, value="n_tokens", group="source")
     return sketches.kll_quantiles(sk).orderBy("group")
+
+
+@q("pipe_quality_classifier", None)  # LBFGS-trained weights → rows-only
+def pipe_quality_classifier(spark, sf_dir) -> DataFrame:
+    """Learned quality filter: hashed-ngram logistic regression trained
+    to recognize the lang='en' slice, scoring every document."""
+    from kineo_spark.pipeline import quality_model
+    docs = read_table(spark, sf_dir, "documents")
+    model = quality_model.train_quality_classifier(
+        docs, F.col("lang") == "en")
+    return quality_model.score_quality(model, docs).orderBy("id")

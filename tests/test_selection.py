@@ -220,3 +220,24 @@ def test_kll_quantile_sketches_close_and_mergeable(spark):
     m = sketches.kll_merge_quantiles(sk).collect()[0]
     assert m["n_groups"] == 4 and m["n_rows"] == 8000
     assert abs(m["q50"] - 500) < 50 and abs(m["q90"] - 900) < 40
+
+
+def test_quality_classifier_separates_synthetic_domains(spark):
+    from kineo_spark.pipeline import quality_model
+
+    rows = []
+    for i in range(60):
+        rows.append((i, "clean prose about science history art " * 4, 1))
+    for i in range(60, 120):
+        rows.append((i, "buy now click here spam casino win " * 4, 0))
+    df = spark.createDataFrame(rows, "doc_id long, text string, y int")
+    model = quality_model.train_quality_classifier(df, F.col("y") == 1)
+    scored = quality_model.score_quality(model, df).collect()
+    correct = sum(
+        1 for r in scored
+        if (r["predicted"] == 1) == (r["id"] < 60)
+    )
+    assert correct >= 118  # near-perfect on separable data
+    # scores are calibrated to the right side
+    ps = {r["id"]: r["p_good"] for r in scored}
+    assert ps[0] > 0.9 and ps[100] < 0.1
