@@ -61,6 +61,12 @@ HEADLINE = [
     "pipe_exact_substring_spans",
     "pipe_winnow_fingerprints",
     "pipe_tfidf_top_terms",
+    # round-3 (this session): data-selection + packing + LM scoring
+    "pipe_gopher_rules",
+    "pipe_dsir_weights",
+    "pipe_kn_logprob",
+    "pipe_pack_sequences",
+    "pipe_dedup_incremental",
 ]
 
 # round-1 per-query minima, corrected for the two host-noise spikes the

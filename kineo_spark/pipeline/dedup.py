@@ -76,9 +76,15 @@ def dedup_clusters(
 
 
 def shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
-    """(id, gram) distinct pairs."""
+    """(id, gram) distinct pairs. Tokens materialize as a column before
+    n-gram indexing (see text.ngrams_of: the inline form re-splits the
+    text per element access)."""
+    from kineo_spark.pipeline.text import ngrams_of, tokens
+
+    toks = df.select(F.col(id_col).alias("id"),
+                     tokens(F.col(text_col)).alias("__w"))
     return (
-        df.select(F.col(id_col).alias("id"), F.explode(word_ngrams(F.col(text_col), n)).alias("gram"))
+        toks.select("id", F.explode(ngrams_of(F.col("__w"), n)).alias("gram"))
         .distinct()
     )
 

@@ -229,3 +229,41 @@ def pack_sequences(
         (lo - F.col("seq_id") * L).cast("long").alias("seq_offset"),
         (hi - lo).cast("long").alias("slice_len"),
     )
+
+
+def temperature_sample(
+    df: DataFrame, key: str, strata: str, alpha: float = 0.5,
+) -> DataFrame:
+    """Temperature / alpha-sampling over strata (the multilingual
+    balancing rule of mBERT/XLM-R: sample stratum l with probability
+    ∝ n_l^alpha, alpha < 1 flattening the distribution): per-stratum
+    keep-rate = (n_l/n_min)^(alpha-1), anchored so the SMALLEST stratum
+    keeps 100% and every larger stratum is downsampled toward the
+    flattened target shares (sampling can only remove rows; upsampling
+    is `upsample`'s job). Deterministic md5 gating keeps the picks
+    stable and engine-portable.
+
+    The rate is rounded to 6 decimals BEFORE thresholding so any SQL
+    oracle computing the same formula lands on the identical integer
+    threshold (pow() across engines agrees to far more than 6 dp).
+
+    One count aggregation (broadcast back) + one filter pass — no
+    shuffle of the data itself. Returns the kept rows as
+    (id, stratum, rate).
+    """
+    d = df.select(F.col(key).alias("id"), F.col(strata).alias("stratum"))
+    counts = d.groupBy("stratum").agg(F.count(F.lit(1)).alias("n"))
+    nmin = counts.agg(F.min("n").alias("nmin"))
+    rates = counts.crossJoin(F.broadcast(nmin)).select(
+        "stratum",
+        F.round(
+            F.pow(F.col("n").cast("double") / F.col("nmin"),
+                  F.lit(alpha - 1.0)), 6,
+        ).alias("rate"),
+    )
+    thr = (F.col("rate") * F.lit(float(_BUCKETS))).cast("long")
+    return (
+        d.join(F.broadcast(rates), "stratum")
+        .filter(hash_bucket(F.col("id")) < thr)
+        .select("id", "stratum", "rate")
+    )

@@ -148,24 +148,11 @@ def global_shuffle(
     )
 
 
-def _bigram_buckets(text: Column, n_buckets: int) -> Column:
-    """Array of hashed-bigram feature buckets (DSIR's hashed n-gram
-    featurization): bucket = int(md5(w1␠w2)[:8], 16) mod n_buckets.
-    md5-based so any SQL engine reproduces the same buckets."""
-    w = tokens(F.lower(text))
-    grams = F.when(
-        F.size(w) >= 2,
-        F.transform(
-            F.sequence(F.lit(0), F.size(w) - 2),
-            lambda i: F.concat_ws(" ", w[i], w[i + 1]),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    return F.transform(
-        grams,
-        lambda g: (
-            F.conv(F.substring(F.md5(g), 1, 8), 16, 10).cast("long") % n_buckets
-        ),
-    )
+def _bucket_of(g: Column, n_buckets: int) -> Column:
+    """Hashed n-gram feature bucket (DSIR featurization):
+    int(md5(gram)[:8], 16) mod n_buckets — md5-based so any SQL engine
+    reproduces the same buckets."""
+    return F.conv(F.substring(F.md5(g), 1, 8), 16, 10).cast("long") % n_buckets
 
 
 def dsir_weights(
@@ -190,34 +177,45 @@ def dsir_weights(
 
     Returns (id, n_feats, weight) — weight rounded to 6 decimals.
     """
-    feats = df.select(
+    # materialize the token array as a real column BEFORE indexing into
+    # it: an inlined tokens() expression would re-split the document on
+    # every w[i] access inside the bigram lambda (O(len²) per doc)
+    toks = df.select(
         F.col(id_col).alias("id"),
         target.alias("is_target"),
-        F.explode(_bigram_buckets(F.col(text_col), n_buckets)).alias("b"),
+        tokens(F.lower(F.col(text_col))).alias("w"),
+    ).filter(F.size("w") >= 2)
+    feats = toks.select(
+        "id", "is_target",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("w") - 2),
+                lambda i: F.concat_ws(" ", F.col("w")[i], F.col("w")[i + 1]),
+            )
+        ).alias("g"),
+    ).select("id", "is_target", _bucket_of(F.col("g"), n_buckets).alias("b"))
+    # ONE aggregation pass yields both multinomials (raw count +
+    # conditional target count per bucket) — the exploded bigram stream
+    # is the expensive thing at corpus scale, so it is scanned exactly
+    # twice total: once here, once in the scoring join below.
+    tab_counts = feats.groupBy("b").agg(
+        F.count(F.lit(1)).alias("rc"),
+        F.count(F.when(F.col("is_target"), F.lit(1))).alias("tc"),
     )
-    raw = feats.groupBy("b").agg(F.count(F.lit(1)).alias("rc"))
-    tgt = feats.filter("is_target").groupBy("b").agg(F.count(F.lit(1)).alias("tc"))
-    totals = raw.agg(
-        F.sum("rc").alias("rn"),
-    ).crossJoin(tgt.agg(F.sum("tc").alias("tn")))
-    table = (
-        raw.join(tgt, "b", "left")
-        .crossJoin(F.broadcast(totals))
-        .select(
-            "b",
-            (
-                F.log(
-                    (F.coalesce(F.col("tc"), F.lit(0)) + F.lit(1.0))
-                    / (F.col("tn") + F.lit(float(n_buckets)))
-                )
-                - F.log(
-                    (F.col("rc") + F.lit(1.0)) / (F.col("rn") + F.lit(float(n_buckets)))
-                )
-            ).alias("lr"),
-        )
+    totals = tab_counts.agg(
+        F.sum("rc").alias("rn"), F.sum("tc").alias("tn"))
+    table = tab_counts.crossJoin(F.broadcast(totals)).select(
+        "b",
+        (
+            F.log((F.col("tc") + F.lit(1.0))
+                  / (F.col("tn") + F.lit(float(n_buckets))))
+            - F.log((F.col("rc") + F.lit(1.0))
+                    / (F.col("rn") + F.lit(float(n_buckets))))
+        ).alias("lr"),
     )
     return (
-        feats.join(F.broadcast(table), "b")
+        feats.select("id", "b")
+        .join(F.broadcast(table), "b")
         .groupBy("id")
         .agg(
             F.count(F.lit(1)).alias("n_feats"),

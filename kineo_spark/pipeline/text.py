@@ -31,14 +31,24 @@ def token_count(text: Column) -> Column:
     return F.size(tokens(text))
 
 
-def word_ngrams(text: Column, n: int = 3) -> Column:
-    """Array of space-joined word n-grams (shingles)."""
-    w = tokens(text)
+def ngrams_of(w: Column, n: int = 3) -> Column:
+    """Space-joined n-grams over an ALREADY-MATERIALIZED token-array
+    column. Callers must select the token array into a real column
+    first: passing an inline tokens() expression makes Catalyst
+    re-split the text on every w[i] access inside the lambda — O(len²)
+    per document (measured 18s → 2s on the DSIR featurizer)."""
     idx = F.sequence(F.lit(0), F.size(w) - n)
     gram = lambda i: F.concat_ws(" ", *[F.get(w, i + j) for j in range(n)])  # noqa: E731
     return F.when(F.size(w) >= n, F.transform(idx, gram)).otherwise(
         F.array().cast("array<string>")
     )
+
+
+def word_ngrams(text: Column, n: int = 3) -> Column:
+    """Array of space-joined word n-grams (shingles). Convenience
+    inline form — in per-row hot paths prefer selecting tokens() into
+    a column and calling ngrams_of (see its docstring)."""
+    return ngrams_of(tokens(text), n)
 
 
 def stopword_hits(text: Column, words: list[str]) -> Column:

@@ -1318,3 +1318,24 @@ def pipe_quality_classifier(spark, sf_dir) -> DataFrame:
     model = quality_model.train_quality_classifier(
         docs, F.col("lang") == "en")
     return quality_model.score_quality(model, docs).orderBy("id")
+
+
+@q("pipe_temperature_sample",
+   "WITH d AS (SELECT doc_id AS id, CAST(n_chars // 100 AS BIGINT) AS stratum "
+   "           FROM documents), "
+   "c AS (SELECT stratum, COUNT(*) AS n FROM d GROUP BY stratum), "
+   "m AS (SELECT MIN(n) AS nmin FROM c), "
+   "r AS (SELECT stratum, ROUND("
+   "        POW(CAST(n AS DOUBLE) / nmin, -0.5), 6) AS rate "
+   "      FROM c CROSS JOIN m) "
+   "SELECT id, stratum, rate FROM d JOIN r USING (stratum) "
+   "WHERE CAST(('0x' || substring(md5(CAST(id AS VARCHAR)), 1, 8)) AS BIGINT) "
+   "      < CAST(rate * 4294967296.0 AS BIGINT)")
+def pipe_temperature_sample(spark, sf_dir) -> DataFrame:
+    """Alpha=0.5 temperature sampling over document-length strata
+    (n_chars // 100): the smallest stratum keeps 100%, larger strata
+    downsample toward the flattened target shares."""
+    from kineo_spark.pipeline import sampling
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", (F.col("n_chars") / 100).cast("long").alias("stratum"))
+    return sampling.temperature_sample(docs, "doc_id", "stratum", alpha=0.5)

@@ -100,3 +100,24 @@ def test_prefix_key_clusters(spark):
         spark.createDataFrame(rows), "doc_id",
         key=dedup.prefix_key(F.col("text"), 5))
     assert {(r["doc_id"], r["canon"]) for r in out.collect()} == {(1, 1), (2, 1)}
+
+
+def test_temperature_sample_flattens(spark):
+    from kineo_spark.pipeline import sampling
+
+    rows = [(i, "big") for i in range(900)] + [(900 + i, "small") for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, stratum string")
+    out = sampling.temperature_sample(df, "doc_id", "stratum", alpha=0.5).collect()
+    kept = {}
+    rates = {}
+    for r in out:
+        kept[r["stratum"]] = kept.get(r["stratum"], 0) + 1
+        rates[r["stratum"]] = r["rate"]
+    # smallest stratum keeps everything; big stratum ~ sqrt(100/900)=1/3
+    assert kept["small"] == 100 and rates["small"] == 1.0
+    assert rates["big"] == pytest.approx(1 / 3, abs=1e-6)
+    assert abs(kept["big"] - 300) < 60
+    # deterministic across partitioning
+    out2 = sampling.temperature_sample(
+        df.repartition(9), "doc_id", "stratum", alpha=0.5).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
