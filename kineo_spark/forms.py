@@ -103,11 +103,19 @@ def construct(compiler: Compiler, q: A.ConstructQuery) -> DataFrame:
     return out.dropDuplicates(["__k"]).drop("__k")
 
 
-def describe(compiler: Compiler, q: A.DescribeQuery) -> DataFrame:
+def describe(compiler: Compiler, q: A.DescribeQuery,
+             cbd: bool = False, max_depth: int = 10) -> DataFrame:
     """All triples whose subject is a described term
     (SimpleQueryEvaluation.swift:1305-1372). Constant terms use
     bound-subject scans (the store prunes to the subject's table/pk);
-    variable terms semi-join the full scan against the pattern."""
+    variable terms semi-join the full scan against the pattern.
+
+    ``cbd=True`` extends to the Concise Bounded Description: blank
+    nodes in object position pull in their own description, iterated
+    to closure (DESCRIBE's result form is implementation-defined per
+    §16.4; CBD is the de-facto standard). Bnode closures are small by
+    construction, so the driver-side loop converges in a handful of
+    rounds; each round is one semi-join."""
     from kineo_spark.model import term_key
 
     parts: list[DataFrame] = []
@@ -146,4 +154,28 @@ def describe(compiler: Compiler, q: A.DescribeQuery) -> DataFrame:
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
+    if not cbd:
+        return out
+    from kineo_spark.model import KIND_BLANK, term_key
+
+    full = compiler._scan(
+        A.QuadPattern(A.Var("s"), pv, ov, A.Var("__dg", binding=False))
+    ).df
+    seen = out.select(term_key(F.col("s")).alias("__sk")).dropDuplicates()
+    frontier = out
+    for _ in range(max_depth):
+        bn = (
+            frontier.filter(F.col("o")["kind"] == KIND_BLANK)
+            .select(term_key(F.col("o")).alias("__dk"))
+            .dropDuplicates()
+            .join(seen, F.col("__dk") == seen["__sk"], "left_anti")
+        )
+        if not bn.take(1):
+            break
+        new = full.join(
+            F.broadcast(bn), term_key(full["s"]) == bn["__dk"], "left_semi"
+        ).select("s", "p", "o")
+        out = out.unionByName(new)
+        seen = seen.unionByName(bn.select(F.col("__dk").alias("__sk")))
+        frontier = new
     return out

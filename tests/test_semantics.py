@@ -62,3 +62,30 @@ def test_bindings_isomorphic(spark):
         a.schema,
     )
     assert not bindings_isomorphic(a, c)
+
+
+def test_describe_cbd_follows_bnode_closure(spark):
+    """CBD: DESCRIBE of a subject whose objects are blank nodes pulls
+    in the bnodes' own triples, to closure; plain DESCRIBE does not."""
+    from kineo_spark import algebra as A
+    from kineo_spark.compiler import Compiler
+    from kineo_spark.forms import describe
+    from kineo_spark.model import iri
+    from kineo_spark.store import QuadsDataFrameStore
+
+    EX = "http://example.org/"
+    rows = [
+        (0, EX + "doc", EX + "author", 1, "a1", None, None, None, "urn:g"),
+        (1, "a1", EX + "name", 2, "Ann", "string", None, None, "urn:g"),
+        (1, "a1", EX + "addr", 1, "a2", None, None, None, "urn:g"),
+        (1, "a2", EX + "city", 2, "Oslo", "string", None, None, "urn:g"),
+        (0, EX + "other", EX + "p", 2, "zzz", "string", None, None, "urn:g"),
+    ]
+    comp = Compiler(QuadsDataFrameStore.from_rows(spark, rows))
+    q = A.DescribeQuery(A.JoinIdentity(), nodes=(iri(EX + "doc"),))
+    plain = describe(comp, q).collect()
+    assert len(plain) == 1  # just doc -> author
+    cbd = describe(comp, q, cbd=True).collect()
+    triples = sorted((r["s"]["lex"], r["p"]["lex"], r["o"]["lex"]) for r in cbd)
+    assert len(cbd) == 4  # + a1's two triples + a2's city
+    assert ("a2", EX + "city", "Oslo") in triples
