@@ -1339,3 +1339,85 @@ def pipe_temperature_sample(spark, sf_dir) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents").select(
         "doc_id", (F.col("n_chars") / 100).cast("long").alias("stratum"))
     return sampling.temperature_sample(docs, "doc_id", "stratum", alpha=0.5)
+
+
+# ---------------------------------------------------------------------------
+# Corpus statistics (OOV / novelty / Zipf) — corpus_stats.py
+# ---------------------------------------------------------------------------
+
+_TOKS = (r"SELECT doc_id, unnest(list_filter("
+         r"string_split_regex(lower(trim(text)), '\s+'), x -> len(x) > 0)) "
+         r"AS term FROM documents")
+
+_OOV_CTE = f"""
+WITH toks AS ({_TOKS}),
+counts AS (SELECT term, COUNT(*) AS n FROM toks GROUP BY term),
+vocab AS (SELECT term FROM counts
+          QUALIFY ROW_NUMBER() OVER (ORDER BY n DESC, term) <= 100)
+SELECT doc_id, COUNT(*) AS n_tokens,
+       ROUND(CAST(COUNT(*) FILTER (WHERE v.term IS NULL) AS DOUBLE)
+             / COUNT(*), 6) AS oov_frac
+FROM toks t LEFT JOIN vocab v USING (term)
+GROUP BY doc_id
+"""
+
+
+@q("pipe_oov_rate", _OOV_CTE)
+def pipe_oov_rate(spark, sf_dir) -> DataFrame:
+    """Per-document OOV fraction against the corpus top-100 vocabulary."""
+    from kineo_spark.pipeline import corpus_stats
+    docs = read_table(spark, sf_dir, "documents")
+    return corpus_stats.oov_rate(docs, vocab_size=100)
+
+
+_NOVELTY_CTE = r"""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                             x -> len(x) > 0) AS w FROM documents
+), grams AS (
+  SELECT DISTINCT doc_id,
+         unnest([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                 for i in generate_series(1, len(w) - 2)]) AS gram
+  FROM toks WHERE len(w) >= 3
+), dfreq AS (SELECT gram, COUNT(*) AS gdf FROM grams GROUP BY gram)
+SELECT doc_id, COUNT(*) AS n_grams,
+       ROUND(CAST(COUNT(*) FILTER (WHERE gdf = 1) AS DOUBLE) / COUNT(*), 6)
+         AS novel_frac
+FROM grams JOIN dfreq USING (gram)
+GROUP BY doc_id
+"""
+
+
+@q("pipe_novelty", _NOVELTY_CTE)
+def pipe_novelty(spark, sf_dir) -> DataFrame:
+    """Fraction of each doc's distinct 3-grams unique to it."""
+    from kineo_spark.pipeline import corpus_stats
+    docs = read_table(spark, sf_dir, "documents")
+    return corpus_stats.novelty(docs)
+
+
+_ZIPF_CTE = f"""
+WITH toks AS ({_TOKS}),
+counts AS (SELECT term, COUNT(*) AS n FROM toks GROUP BY term),
+ranked AS (
+  SELECT ln(CAST(ROW_NUMBER() OVER (ORDER BY n DESC, term) AS DOUBLE)) AS x,
+         ln(CAST(n AS DOUBLE)) AS y,
+         ROW_NUMBER() OVER (ORDER BY n DESC, term) AS rank
+  FROM counts QUALIFY rank <= 200
+), m AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS k, SUM(x) AS sx, SUM(y) AS sy,
+         SUM(x * y) AS sxy, SUM(x * x) AS sxx
+  FROM ranked
+)
+SELECT CAST(k AS BIGINT) AS n_terms,
+       ROUND((k * sxy - sx * sy) / (k * sxx - sx * sx), 6) AS slope
+FROM m
+"""
+
+
+@q("pipe_zipf_slope", _ZIPF_CTE)
+def pipe_zipf_slope(spark, sf_dir) -> DataFrame:
+    """Zipf-law slope over the corpus top-200 term frequencies."""
+    from kineo_spark.pipeline import corpus_stats
+    docs = read_table(spark, sf_dir, "documents")
+    return corpus_stats.zipf_slope(docs)

@@ -241,3 +241,29 @@ def test_quality_classifier_separates_synthetic_domains(spark):
     # scores are calibrated to the right side
     ps = {r["id"]: r["p_good"] for r in scored}
     assert ps[0] > 0.9 and ps[100] < 0.1
+
+
+def test_corpus_stats_hand_cases(spark):
+    from kineo_spark.pipeline import corpus_stats
+
+    docs = spark.createDataFrame(
+        [(1, "a a a b unique1"), (2, "a b c c unique2"), (3, "a b c c c")],
+        "doc_id long, text string",
+    )
+    # vocab_size=3 -> vocab = {a, b, c} (by freq desc); unique* are OOV
+    oov = {r["doc_id"]: r for r in corpus_stats.oov_rate(docs, vocab_size=3).collect()}
+    assert oov[1]["oov_frac"] == pytest.approx(1 / 5)
+    assert oov[3]["oov_frac"] == 0.0
+    # doc3 "a b c c c": 3-grams {a b c, b c c, c c c}; the first two
+    # also occur in doc2 ("a b c c unique2"), only "c c c" is novel
+    nov = {r["doc_id"]: r for r in corpus_stats.novelty(docs).collect()}
+    assert nov[3]["n_grams"] == 3
+    assert nov[3]["novel_frac"] == pytest.approx(1 / 3)
+    # uniform frequencies -> slope 0; skewed -> negative
+    flat = spark.createDataFrame([(1, "x y z w")], "doc_id long, text string")
+    assert corpus_stats.zipf_slope(flat).collect()[0]["slope"] == 0.0
+    skew = spark.createDataFrame(
+        [(1, " ".join(["a"] * 64 + ["b"] * 16 + ["c"] * 4 + ["d"]))],
+        "doc_id long, text string",
+    )
+    assert corpus_stats.zipf_slope(skew).collect()[0]["slope"] < -1.0

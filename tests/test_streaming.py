@@ -228,3 +228,26 @@ def test_streaming_sparql_construct_twin(spark, event_dir):
     )
     got_set = sorted((r["s"]["lex"], r["p"]["lex"], r["o"]["lex"]) for r in got.collect())
     assert got_set == want_set
+
+
+def test_streaming_gopher_rules_equals_batch(spark):
+    """The Gopher rule filter is stateless Column code: the same
+    selection.gopher_rules call runs unchanged on a document stream and
+    availableNow must reproduce the batch keep-set exactly."""
+    import tempfile
+
+    from kineo_spark.pipeline import selection
+
+    d = tempfile.mkdtemp(prefix="kineo_docs_")
+    docs = read_table(spark, SF, "documents").select("doc_id", "text").limit(200)
+    docs.coalesce(2).write.mode("overwrite").parquet(d)
+
+    batch = selection.gopher_rules(spark.read.parquet(d)).collect()
+    sdf = selection.gopher_rules(
+        spark.readStream.schema("doc_id long, text string").parquet(d))
+    q = (sdf.writeStream.format("memory").queryName("gopher_stream")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    stream = spark.table("gopher_stream").collect()
+    assert sorted((r.id, r.keep, r.n_words) for r in stream) == \
+           sorted((r.id, r.keep, r.n_words) for r in batch)
