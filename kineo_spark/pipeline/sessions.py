@@ -68,3 +68,45 @@ def top_k_by_group(
         F.col(order_col).desc(), F.col(tiebreak_col).asc()
     )
     return df.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k).drop("rn")
+
+
+def zscore_outliers(df: DataFrame, group: str = "event_type",
+                    value: str = "value", z: float = 3.0) -> DataFrame:
+    """Per-group z-score outlier flags: rows whose value deviates more
+    than ``z`` sample standard deviations from the group mean. One
+    aggregation broadcast back + one filter pass — the standard
+    monitoring sweep over an event firehose, no shuffle of the events
+    themselves. Returns outlier rows (event_id, group, value, zscore
+    rounded to 6)."""
+    stats = df.groupBy(F.col(group).alias("group")).agg(
+        F.avg(value).alias("mu"), F.stddev_samp(value).alias("sd"))
+    return (
+        df.select("event_id", F.col(group).alias("group"), F.col(value).alias("v"))
+        .join(F.broadcast(stats), "group")
+        .withColumn("zscore", F.round((F.col("v") - F.col("mu")) / F.col("sd"), 6))
+        .filter(F.abs(F.col("zscore")) > z)
+        .select("event_id", "group", F.col("v").alias("value"), "zscore")
+    )
+
+
+def funnel(df: DataFrame, stages: list[str],
+           user: str = "user_id", ts: str = "ts") -> DataFrame:
+    """Ordered conversion funnel: for each user, how far through
+    ``stages`` they progressed, requiring each stage's FIRST occurrence
+    to come strictly after the previous stage's first occurrence. One
+    aggregation (min timestamp per user per stage via conditional
+    min) — no self-joins, no windows. Returns (user_id, depth)."""
+    aggs = [
+        F.min(F.when(F.col("event_type") == s, F.col(ts))).alias(f"t{i}")
+        for i, s in enumerate(stages)
+    ]
+    m = df.groupBy(F.col(user).alias("user_id")).agg(*aggs)
+    depth = F.when(F.col("t0").isNull(), F.lit(0))
+    cond = F.col("t0").isNotNull()
+    for i in range(1, len(stages)):
+        prev_ok = cond
+        cond = cond & F.col(f"t{i}").isNotNull() & (
+            F.col(f"t{i}") > F.col(f"t{i-1}"))
+        depth = depth.when(prev_ok & ~cond, F.lit(i))
+    depth = depth.otherwise(F.lit(len(stages)))
+    return m.select("user_id", depth.alias("depth"))

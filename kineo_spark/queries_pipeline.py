@@ -1421,3 +1421,33 @@ def pipe_zipf_slope(spark, sf_dir) -> DataFrame:
     from kineo_spark.pipeline import corpus_stats
     docs = read_table(spark, sf_dir, "documents")
     return corpus_stats.zipf_slope(docs)
+
+
+@q("pipe_zscore_outliers",
+   "WITH s AS (SELECT event_type AS grp, AVG(value) AS mu, "
+   "           STDDEV_SAMP(value) AS sd FROM events GROUP BY event_type) "
+   "SELECT event_id, grp AS \"group\", value, "
+   "       ROUND((value - mu) / sd, 6) AS zscore "
+   "FROM events e JOIN s ON e.event_type = s.grp "
+   "WHERE ABS(ROUND((value - mu) / sd, 6)) > 3.0")
+def pipe_zscore_outliers(spark, sf_dir) -> DataFrame:
+    """Per-event-type z-score outliers (|z| > 3): one stats aggregation
+    broadcast back + one filter pass."""
+    ev = read_table(spark, sf_dir, "events")
+    return sessions.zscore_outliers(ev)
+
+
+@q("pipe_funnel",
+   "WITH m AS (SELECT user_id, "
+   "  MIN(CASE WHEN event_type = 'view' THEN ts END) AS t0, "
+   "  MIN(CASE WHEN event_type = 'click' THEN ts END) AS t1, "
+   "  MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t2 "
+   "  FROM events GROUP BY user_id) "
+   "SELECT user_id, CAST(CASE WHEN t0 IS NULL THEN 0 "
+   "  WHEN t1 IS NULL OR t1 <= t0 THEN 1 "
+   "  WHEN t2 IS NULL OR t2 <= t1 THEN 2 ELSE 3 END AS INT) AS depth FROM m")
+def pipe_funnel(spark, sf_dir) -> DataFrame:
+    """Ordered view→click→purchase funnel depth per user via
+    conditional-min aggregation (no self-joins, no windows)."""
+    ev = read_table(spark, sf_dir, "events")
+    return sessions.funnel(ev, ["view", "click", "purchase"])

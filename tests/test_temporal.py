@@ -102,3 +102,44 @@ def test_rollup_hierarchy_reaggregates(spark):
 
     with pytest.raises(ValueError):
         temporal.rollup_hierarchy(ev, aggs={"value": "avg"})  # not reaggregable
+
+
+def test_funnel_requires_order(spark):
+    import datetime as dt
+
+    from kineo_spark.pipeline import sessions
+
+    t = lambda s: dt.datetime(2024, 1, 1, 0, 0, s)  # noqa: E731
+    rows = [
+        # u1: full ordered funnel
+        (1, t(1), 1, "view", 1.0, "{}"), (2, t(2), 1, "click", 1.0, "{}"),
+        (3, t(3), 1, "purchase", 1.0, "{}"),
+        # u2: purchase BEFORE click -> depth 2 blocked at purchase? no:
+        # view(1) < click(5); purchase(2) precedes click -> depth 2
+        (4, t(1), 2, "view", 1.0, "{}"), (5, t(5), 2, "click", 1.0, "{}"),
+        (6, t(2), 2, "purchase", 1.0, "{}"),
+        # u3: never viewed
+        (7, t(1), 3, "click", 1.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, "
+              "value double, props string")
+    out = {r["user_id"]: r["depth"]
+           for r in sessions.funnel(df, ["view", "click", "purchase"]).collect()}
+    assert out == {1: 3, 2: 2, 3: 0}
+
+
+def test_zscore_outliers_flags_extreme(spark):
+    import datetime as dt
+
+    from kineo_spark.pipeline import sessions
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [(i, base, 1, "view", float(v), "{}")
+            for i, v in enumerate([10, 11, 9, 10, 10, 11, 9, 10, 1000])]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, "
+              "value double, props string")
+    out = sessions.zscore_outliers(df, z=2.0).collect()
+    assert [r["event_id"] for r in out] == [8]
+    assert out[0]["zscore"] > 2.0
