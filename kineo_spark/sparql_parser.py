@@ -841,10 +841,18 @@ class Parser:
                     break
         limit = offset = None
         for _ in range(2):
+            # grammar [26]/[27]: LIMIT/OFFSET take the unsigned INTEGER
+            # token — a signed numeric ("LIMIT -1") is a syntax error
             if self.kw("LIMIT"):
-                limit = int(self.next().text)
+                tok = self.next()
+                if not tok.text.isdigit():
+                    raise SyntaxError(f"LIMIT requires an unsigned integer, got {tok.text}")
+                limit = int(tok.text)
             if self.kw("OFFSET"):
-                offset = int(self.next().text)
+                tok = self.next()
+                if not tok.text.isdigit():
+                    raise SyntaxError(f"OFFSET requires an unsigned integer, got {tok.text}")
+                offset = int(tok.text)
 
         # grammar [8]/[28]: trailing ValuesClause — joined onto the
         # grouped/aggregated pattern before SELECT expressions and the
