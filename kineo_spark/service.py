@@ -160,10 +160,12 @@ def eval_service(compiler, node: A.Service):
 
 # -- bound join (SPARQL 1.1 Federated Query §2.4) ---------------------------
 
-# max distinct LHS bindings shipped in the VALUES block; beyond it the
-# unconstrained fetch is usually cheaper than a huge remote VALUES (and
-# some endpoints cap query size)
+# max distinct LHS bindings per VALUES block (some endpoints cap query
+# size); larger seed sets ship as up to BIND_JOIN_MAX_CHUNKS sequential
+# requests whose results concatenate — beyond that the unconstrained
+# fetch is usually cheaper than thousands of remote VALUES probes
 BIND_JOIN_MAX = 500
+BIND_JOIN_MAX_CHUNKS = 20
 
 
 def _algebra_vars(n, out: set) -> None:
@@ -204,10 +206,10 @@ def eval_service_bound(compiler, node: A.Service, left_plan):
         # the actual join) — persist so the probe's work is reused
         left_plan.df = left_plan.df.persist()
         rows = (left_plan.df.select(*shared).distinct()
-                .limit(BIND_JOIN_MAX + 1).collect())
+                .limit(BIND_JOIN_MAX * BIND_JOIN_MAX_CHUNKS + 1).collect())
     except Exception:
         return None
-    if len(rows) > BIND_JOIN_MAX or not rows:
+    if len(rows) > BIND_JOIN_MAX * BIND_JOIN_MAX_CHUNKS or not rows:
         return None
     pyrows = []
     for r in rows:
@@ -221,16 +223,31 @@ def eval_service_bound(compiler, node: A.Service, left_plan):
             else:
                 terms.append(PyTerm(t["kind"], t["lex"], t["dt"], t["lang"]))
         pyrows.append(tuple(terms))
-    constrained = A.Join(
-        A.Table(tuple(shared), tuple(pyrows)), node.child)
     try:
         from kineo_spark.sparql_text import algebra_to_sparql
 
-        variables, rrows = fetch_bindings(
-            node.endpoint, algebra_to_sparql(constrained))
+        variables: list[str] | None = None
+        all_rows: list[tuple] = []
+        for i in range(0, len(pyrows), BIND_JOIN_MAX):
+            constrained = A.Join(
+                A.Table(tuple(shared), tuple(pyrows[i:i + BIND_JOIN_MAX])),
+                node.child)
+            vars_i, rrows = fetch_bindings(
+                node.endpoint, algebra_to_sparql(constrained))
+            if variables is None:
+                variables = vars_i
+            elif vars_i != variables:
+                # endpoints may reorder/omit head vars per request —
+                # realign by name, padding missing ones with unbound
+                idx = [vars_i.index(v) if v in vars_i else None
+                       for v in variables]
+                rrows = [tuple(r[j] if j is not None else None for j in idx)
+                         for r in rrows]
+            all_rows.extend(rrows)
         schema = T.StructType(
-            [T.StructField(v, TERM_SCHEMA) for v in variables])
-        return Plan(compiler.spark.createDataFrame(rrows, schema), frozenset())
+            [T.StructField(v, TERM_SCHEMA) for v in variables or []])
+        return Plan(compiler.spark.createDataFrame(all_rows, schema),
+                    frozenset())
     except Exception:
         if node.silent:
             return Plan(compiler.spark.range(1).drop("id"), frozenset())

@@ -298,3 +298,32 @@ def test_tsv_roundtrip_through_serializer(spark, local_store):
     got = {r_[0][1]: r_[1][1] for r_ in rows}
     spark_rows = {row.s.lex: row.name.lex for row in r.bindings.collect()}
     assert got == spark_rows
+
+
+def test_service_bind_join_chunks_large_seed(spark, endpoint):
+    """LHS seed sets above BIND_JOIN_MAX ship as multiple sequential
+    VALUES chunks whose remote results concatenate (federation §2.4 at
+    scale) instead of falling back to the unconstrained fetch."""
+    from kineo_spark import service as svc
+
+    rows = [
+        (0, EX + f"p{i}", EX + "age", 2, str(i), "integer", None, float(i), G)
+        for i in range(svc.BIND_JOIN_MAX + 50)
+    ]
+    store = QuadsDataFrameStore.from_rows(spark, rows)
+    _MockSparql.captured.clear()
+    out = Engine(store).query(f"""
+      PREFIX ex: <{EX}>
+      SELECT ?name ?age WHERE {{
+        ?person ex:age ?age .
+        SERVICE <{endpoint}> {{ ?person ex:name ?name }}
+      }}
+    """).bindings.collect()
+    from urllib.parse import unquote_plus
+    sent = [unquote_plus(c) for c in _MockSparql.captured]
+    values_reqs = [q for q in sent if "VALUES (?person)" in q]
+    assert len(values_reqs) == 2  # 550 seeds -> 500 + 50
+    # every chunk's canned response (alice+bob) came back; only rows
+    # with a local join partner survive — none here (p0..p549), so the
+    # join is empty, but the fetch itself concatenated both chunks
+    assert out == []
