@@ -110,3 +110,20 @@ def funnel(df: DataFrame, stages: list[str],
         depth = depth.when(prev_ok & ~cond, F.lit(i))
     depth = depth.otherwise(F.lit(len(stages)))
     return m.select("user_id", depth.alias("depth"))
+
+
+def retention_cohorts(df: DataFrame, user: str = "user_id",
+                      ts: str = "ts", bucket_days: int = 7) -> DataFrame:
+    """Cohort retention matrix: users grouped by their first-activity
+    bucket (cohort), counted in every later bucket they reappear in.
+    Two aggregations — first-activity per user (broadcast back via an
+    equi-join on user), then distinct users per (cohort, offset). The
+    product-analytics staple. Returns (cohort, offset, n_users)."""
+    b = F.floor(F.unix_timestamp(ts) / F.lit(bucket_days * 86400)).cast("long")
+    acts = df.select(F.col(user).alias("u"), b.alias("b")).distinct()
+    first = acts.groupBy("u").agg(F.min("b").alias("cohort"))
+    return (
+        acts.join(first, "u")
+        .groupBy("cohort", (F.col("b") - F.col("cohort")).alias("offset"))
+        .agg(F.count_distinct("u").alias("n_users"))
+    )

@@ -1451,3 +1451,17 @@ def pipe_funnel(spark, sf_dir) -> DataFrame:
     conditional-min aggregation (no self-joins, no windows)."""
     ev = read_table(spark, sf_dir, "events")
     return sessions.funnel(ev, ["view", "click", "purchase"])
+
+
+@q("pipe_retention",
+   "WITH acts AS (SELECT DISTINCT user_id AS u, "
+   "  CAST(FLOOR(epoch(ts) / 604800.0) AS BIGINT) AS b FROM events), "
+   "f AS (SELECT u, MIN(b) AS cohort FROM acts GROUP BY u) "
+   "SELECT cohort, b - cohort AS offset, "
+   "  CAST(COUNT(DISTINCT u) AS BIGINT) AS n_users "
+   "FROM acts JOIN f USING (u) GROUP BY cohort, b - cohort")
+def pipe_retention(spark, sf_dir) -> DataFrame:
+    """Weekly cohort retention matrix over the event stream."""
+    ev = read_table(spark, sf_dir, "events")
+    return sessions.retention_cohorts(ev).select(
+        "cohort", "offset", F.col("n_users").cast("long").alias("n_users"))
