@@ -16,6 +16,8 @@ Usage:
   python tools/kineo_cli.py rel-query SF_DIR 'SELECT ...'   # driver tables
   python tools/kineo_cli.py simple STORE_PATH FILE|'DSL'    # stack DSL (QueryParser.swift analog)
   python tools/kineo_cli.py client ENDPOINT_URL 'SELECT ...'  # kineo-client analog: remote store, local eval
+  python tools/kineo_cli.py analyze STORE_PATH              # characteristic-set stats (ANALYZE analog)
+  python tools/kineo_cli.py id-layout STORE_PATH [OUT_DIR]  # persist bucketed 4-long ID layout
 """
 
 from __future__ import annotations
@@ -182,6 +184,37 @@ def main() -> int:
         store = ParquetQuadStore(spark, target)
         for r in serialize_ntriples(store.quads(), with_graph=True).toLocalIterator():
             print(r.line)
+        return 0
+
+    if cmd == "analyze":
+        # ANALYZE TABLE analog: build + print the characteristic-set
+        # statistics that power the COUNT-star shortcut and the
+        # selectivity-driven BGP join order (Compiler cs_stats=True;
+        # DiomedeQuadStore.swift:14-97 analog)
+        from kineo_spark.sources.stores_ext import ParquetQuadStore
+        from kineo_spark.stats import CharacteristicSets
+
+        store = ParquetQuadStore(spark, target)
+        stats = CharacteristicSets.for_store(store)
+        n_sets = len(stats._sets)
+        print(f"characteristic sets: {n_sets}")
+        for (g, cs), ent in sorted(stats._sets.items())[:50]:
+            print(f"  graph={g} subjects={ent['subjects']} preds={list(cs)}")
+        if n_sets > 50:
+            print(f"  ... ({n_sets - 50} more)")
+        return 0
+
+    if cmd == "id-layout":
+        # persist the dictionary-encoded, subject-bucketed sorted
+        # layout (the reference's ordered on-disk index orders analog)
+        from kineo_spark.dictionary import IdEncodedView, persist_id_layout
+        from kineo_spark.sources.stores_ext import ParquetQuadStore
+
+        out = rest[0] if rest else target + "_idlayout"
+        store = ParquetQuadStore(spark, target)
+        view = IdEncodedView.for_store(store)
+        persist_id_layout(view, "kineo", path=out)
+        print(f"persisted ID layout -> {out} ({view.n_terms} terms)")
         return 0
 
     if cmd == "update":
