@@ -72,9 +72,16 @@ def dedup_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
     return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(["event_id"])
 
 
-def events_to_quads(events: DataFrame) -> DataFrame:
+def events_to_quads(events: DataFrame, with_time: bool = False) -> DataFrame:
     """Streaming relational→RDF: each event row becomes column quads in
-    the flat FIXTURES §0 schema (append-only quad stream)."""
+    the flat FIXTURES §0 schema (append-only quad stream).
+
+    ``with_time=True`` adds a ``urn:col:events:ts`` dateTime quad whose
+    ``num`` shadow is epoch SECONDS (handles both raw nanos-as-long and
+    timestamp inputs) — the event-time hook continuous windowed
+    aggregates bind (streaming/sparql.continuous_aggregate)."""
+    from pyspark.sql import types as T
+
     s_lex = F.concat(F.lit("urn:t:events:"), F.col("event_id").cast("string"))
     cols = [
         ("event_type", F.col("event_type"), "string", None),
@@ -82,6 +89,12 @@ def events_to_quads(events: DataFrame) -> DataFrame:
         ("user_id", F.col("user_id").cast("string"), "integer", F.col("user_id").cast("double")),
         ("props", F.col("props"), "string", None),
     ]
+    if with_time:
+        if isinstance(events.schema["ts"].dataType, T.LongType):
+            secs = F.col("ts").cast("double") / 1e9  # raw parquet nanos
+        else:
+            secs = F.col("ts").cast("double")  # timestamp → epoch seconds
+        cols.append(("ts", secs.cast("string"), "dateTime", secs))
     parts = []
     for cname, lex, dt, num in cols:
         parts.append(

@@ -61,3 +61,88 @@ def run_available_now(
     )
     q.awaitTermination(timeout_s)
     return result.sparkSession.table(name)
+
+
+def continuous_aggregate(
+    spark: SparkSession,
+    quads_stream: DataFrame,
+    sparql: str,
+    time_var: str,
+    window_duration: str = "1 hour",
+    watermark_delay: str = "1 hour",
+) -> DataFrame:
+    """Continuous windowed SPARQL aggregate (extension): compile a
+    SELECT with GROUP BY/aggregates against the quad stream, bind event
+    time from ``time_var`` (a variable whose values are dateTime/numeric
+    epoch-seconds terms — the `num` shadow), and evaluate the aggregate
+    per event-time window with a watermark, so late data is bounded and
+    state expires. SPARQL itself has no time axis; the window is the
+    standing-query analog of re-running the query per period.
+
+    Returns the streaming result with (window_start, window_end,
+    <group vars>, <aggregate vars>) — append mode, one row per closed
+    window per group.
+    """
+    from pyspark.sql import functions as F
+
+    from kineo_spark import algebra as A
+    from kineo_spark.aggregates import _agg_column
+    from kineo_spark.compiler import _env
+    from kineo_spark.expr import compile_expr
+    from kineo_spark.model import term_key
+    from kineo_spark.rewrite import rewrite
+    from kineo_spark.sparql_parser import parse_query
+
+    q = parse_query(sparql)
+    if not isinstance(q, A.SelectQuery):
+        raise ValueError("continuous_aggregate needs a SELECT query")
+    # the parser wraps Aggregate in Project/Extend (the AS aliases);
+    # unwrap, remembering plain-var renames to re-apply after the
+    # windowed aggregation
+    node = q.algebra
+    renames: dict[str, str] = {}
+    while not isinstance(node, A.Aggregate):
+        if isinstance(node, A.Project):
+            node = node.child
+        elif isinstance(node, A.Extend) and isinstance(node.expr, type(None)):
+            node = node.child
+        elif isinstance(node, A.Extend) and type(node.expr).__name__ == "EVar":
+            renames[node.expr.name] = node.name
+            node = node.child
+        else:
+            raise ValueError(
+                "continuous_aggregate needs a plain GROUP BY/aggregate "
+                f"SELECT (found {type(node).__name__})")
+    child = streaming_engine(spark, quads_stream).compiler.compile(
+        rewrite(node.child))
+    df = child.df
+    if time_var not in df.columns:
+        raise ValueError(f"time variable ?{time_var} is not bound by the pattern")
+    work = df.withColumn(
+        "__et", F.col(time_var)["num"].cast("timestamp")
+    ).withWatermark("__et", watermark_delay)
+    env = _env(work)
+    group_terms = {
+        name: compile_expr(e, env)
+        for name, e in zip(node.group_names, node.groups)
+    }
+    work = work.select(
+        "*",
+        *[term_key(t).alias(f"__gk_{n}") for n, t in group_terms.items()],
+        *[t.alias(f"__gt_{n}") for n, t in group_terms.items()],
+    )
+    env2 = {v: work[v] for v in df.columns if not v.startswith("__")}
+    aggs = [F.first(F.col(f"__gt_{n}")).alias(n) for n in group_terms]
+    for var, spec in node.aggs:
+        value = compile_expr(spec.expr, env2) if spec.expr is not None else None
+        aggs.append(_agg_column(spec, value).alias(var))
+    out = work.groupBy(
+        F.window("__et", window_duration).alias("__w"),
+        *[F.col(f"__gk_{n}") for n in group_terms],
+    ).agg(*aggs)
+    return out.select(
+        F.col("__w")["start"].alias("window_start"),
+        F.col("__w")["end"].alias("window_end"),
+        *group_terms.keys(),
+        *[F.col(var).alias(renames.get(var, var)) for var, _ in node.aggs],
+    )

@@ -251,3 +251,44 @@ def test_streaming_gopher_rules_equals_batch(spark):
     stream = spark.table("gopher_stream").collect()
     assert sorted((r.id, r.keep, r.n_words) for r in stream) == \
            sorted((r.id, r.keep, r.n_words) for r in batch)
+
+
+def test_continuous_windowed_aggregate_equals_batch(spark, event_dir):
+    """Continuous SPARQL windowed COUNT per event_type: the availableNow
+    drain must equal the batch window aggregation over the same data."""
+    from pyspark.sql import functions as F
+
+    from kineo_spark.streaming import events as se
+    from kineo_spark.streaming import sparql as ss
+
+    schema = ("event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+    stream = spark.readStream.schema(schema).parquet(event_dir)
+    quads = se.events_to_quads(stream, with_time=True)
+    out = ss.continuous_aggregate(
+        spark, quads,
+        """SELECT ?et (COUNT(?e) AS ?n) WHERE {
+             ?e <urn:col:events:event_type> ?et .
+             ?e <urn:col:events:ts> ?t
+           } GROUP BY ?et""",
+        time_var="t", window_duration="1 hour", watermark_delay="0 seconds")
+    q = (out.writeStream.format("memory").queryName("cwa")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(180)
+    got = {
+        (r["window_start"], r["et"]["lex"]): int(r["n"]["num"])
+        for r in spark.table("cwa").collect()
+    }
+    batch = spark.read.schema(schema).parquet(event_dir)
+    max_ts = batch.agg(F.max(F.col("ts").cast("double"))).collect()[0][0]
+    # append mode emits only CLOSED windows: end <= final watermark
+    # (= max event time with a 0s delay); the in-flight last window
+    # stays in state by design
+    want = {
+        (r["w"]["start"], r["event_type"]): r["cnt"]
+        for r in batch.groupBy(
+            F.window(F.timestamp_seconds(F.col("ts").cast("double")), "1 hour").alias("w"),
+            "event_type").agg(F.count("*").alias("cnt")).collect()
+        if r["w"]["end"].timestamp() <= max_ts
+    }
+    assert got == want and len(got) > 0
