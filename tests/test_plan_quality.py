@@ -189,3 +189,29 @@ def test_events_json_filter_prunes_columns(spark, queries):
     scan = plan[plan.index("FileScan"):].split("\n")[0]
     assert "event_type" in scan and "props" in scan
     assert "user_id" not in scan and "value" not in scan
+
+
+def test_parquet_store_graph_partition_pruning(spark, tmp_path):
+    """GRAPH-bound scans over the graph-partitioned parquet store must
+    prune partitions: the FileScan's PartitionFilters carries the g_lex
+    equality, so a 100 TB multi-graph store reads only the named
+    graph's files."""
+    from kineo_spark import algebra as A
+    from kineo_spark.model import iri
+    from kineo_spark.sources.stores_ext import ParquetQuadStore
+
+    rows = [
+        (0, f"urn:s{i}", "urn:p", 0, f"urn:o{i}", None, None, None,
+         f"urn:g{i % 3}")
+        for i in range(30)
+    ]
+    from kineo_spark.store import QuadsDataFrameStore
+    base = QuadsDataFrameStore.from_rows(spark, rows)
+    path = str(tmp_path / "pstore")
+    store = ParquetQuadStore.create(spark, base.quads(), path)
+    df = store.scan(A.QuadPattern(
+        A.Var("s"), A.Var("p"), A.Var("o"), iri("urn:g1")))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan and "g_lex" in plan.split(
+        "PartitionFilters:")[1][:200]
+    assert df.count() == 10
