@@ -1465,3 +1465,64 @@ def pipe_retention(spark, sf_dir) -> DataFrame:
     ev = read_table(spark, sf_dir, "events")
     return sessions.retention_cohorts(ev).select(
         "cohort", "offset", F.col("n_users").cast("long").alias("n_users"))
+
+
+_CURATION_CTE = f"""
+WITH t AS (
+  SELECT doc_id, text,
+         list_filter(string_split_regex(trim(text), '\\s+'),
+                     x -> len(x) > 0) AS w,
+         list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                     x -> len(x) > 0) AS lw
+  FROM documents
+), gopher AS (
+  SELECT doc_id, text FROM t
+  WHERE len(w) BETWEEN 20 AND 100000
+    AND CAST(list_sum(list_transform(w, x -> len(x))) AS DOUBLE) / len(w)
+        BETWEEN 2.0 AND 10.0
+    AND CAST(len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]')))
+             AS DOUBLE) / len(w) >= 0.8
+    AND len(list_filter(lw, x -> x IN
+        ('the','be','to','of','and','that','have','with'))) >= 2
+), dedup AS (
+  SELECT doc_id FROM (
+    SELECT doc_id, ROW_NUMBER() OVER (
+      PARTITION BY md5({_NORM}) ORDER BY doc_id) AS rn
+    FROM gopher) WHERE rn = 1
+), kn AS ({_KN_CTE.replace('FROM documents', 'FROM documents')}),
+buckets AS (
+  SELECT doc_id, NTILE(3) OVER (
+    ORDER BY avg_kn_logprob DESC, doc_id) AS bucket
+  FROM kn WHERE doc_id IN (SELECT doc_id FROM dedup)
+)
+SELECT doc_id FROM buckets
+WHERE bucket <= 2
+  AND md5(CAST(doc_id AS VARCHAR)) < '80000000'
+"""
+
+
+@q("pipe_curation_pipeline", _CURATION_CTE)
+def pipe_curation_pipeline(spark, sf_dir) -> DataFrame:
+    """End-to-end curation recipe (the RefinedWeb/CCNet shape): Gopher
+    rule filter → exact dedup (keep lowest id) → Kneser-Ney perplexity
+    tertiles over the SURVIVORS' ranking (head+middle kept) → stable
+    50% hash sample. Each stage is the already-oracled operator; this
+    entry proves they COMPOSE — one DataFrame chain, no
+    materialization between stages."""
+    from kineo_spark.pipeline import ranking, sampling, selection
+    from kineo_spark.pipeline.text import fingerprint
+
+    docs = read_table(spark, sf_dir, "documents")
+    keep = selection.gopher_rules(docs).filter("keep").select(
+        F.col("id").alias("doc_id"))
+    gopher = docs.join(keep, "doc_id")
+    w = Window.partitionBy(fingerprint(F.col("text"))).orderBy("doc_id")
+    deduped = (gopher.withColumn("__rn", F.row_number().over(w))
+               .filter(F.col("__rn") == 1).drop("__rn"))
+    scored = ranking.kn_bigram_logprob(docs, "doc_id").join(
+        deduped.select("doc_id"), "doc_id")
+    wb = Window.orderBy(F.desc("avg_kn_logprob"), "doc_id")
+    kept = (scored.withColumn("bucket", F.ntile(3).over(wb))
+            .filter(F.col("bucket") <= 2))
+    return sampling.deterministic_sample(
+        kept.select("doc_id"), "doc_id", 0.5).select("doc_id")
