@@ -1526,3 +1526,39 @@ def pipe_curation_pipeline(spark, sf_dir) -> DataFrame:
             .filter(F.col("bucket") <= 2))
     return sampling.deterministic_sample(
         kept.select("doc_id"), "doc_id", 0.5).select("doc_id")
+
+
+@q("pipe_stream_tumbling",
+   "SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start, event_type, "
+   "COUNT(*) AS n, ROUND(CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE), 6) AS total_value "
+   "FROM events GROUP BY 1, 2")
+def pipe_stream_tumbling(spark, sf_dir) -> DataFrame:
+    """STREAMING twin of pipe_tumbling_window sharing its batch SQL
+    oracle: the hourly windowed aggregation runs as a Structured
+    Streaming query over the same parquet (availableNow drain, complete
+    mode) and must hash-match the batch answer — the incremental plan
+    is provably exact, not approximately right."""
+    import uuid
+
+    from kineo_spark.streaming import events as se
+
+    stream = (
+        spark.readStream
+        .schema("event_id long, ts long, user_id long, "
+                "event_type string, value double, props string")
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .withColumn("ts", F.timestamp_micros(F.col("ts")))  # raw µs → ts
+    )
+    agg = se.tumbling_counts(stream)
+    name = f"t_stream_tum_{uuid.uuid4().hex[:8]}"
+    q_ = (agg.writeStream.format("memory").queryName(name)
+          .outputMode("complete").trigger(availableNow=True).start())
+    q_.awaitTermination(300)
+    out = spark.table(name)
+    return out.select(
+        F.col("window")["start"].alias("window_start"),
+        "event_type", F.col("n").cast("long").alias("n"),
+        F.round(F.col("total_value").cast("decimal(25,6)").cast("double"), 6)
+         .alias("total_value"),
+    )
