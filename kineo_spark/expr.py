@@ -722,9 +722,13 @@ def _compile_cast(to: str, t: Column) -> Column:
         iv = val.try_cast("long")  # try_: ANSI would throw on overflow/NaN
         return F.when(iv.isNotNull(), num_term(iv.cast("double"), F.lit("integer")))
     if to in ("double", "float", "decimal"):
+        # xsd:decimal's lexical space has NO exponent (unlike
+        # float/double) — "1e3" must be a cast error
+        pat = (r"^\s*[+-]?(\d+\.?\d*|\.\d+)\s*$" if to == "decimal"
+               else r"^\s*[+-]?(\d+\.?\d*|\.\d+)([eE][+-]?\d+)?\s*$")
         val = (
             F.when(is_numeric_term(t) | (t["dt"] == "boolean"), t["num"])
-            .when(lex.rlike(r"^\s*[+-]?(\d+\.?\d*|\.\d+)([eE][+-]?\d+)?\s*$"), lex.cast("double"))
+            .when(lex.rlike(pat), lex.cast("double"))
         )
         return num_term(val, F.lit(to))
     if to == "boolean":
