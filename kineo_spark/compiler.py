@@ -145,7 +145,17 @@ class Compiler:
         if isinstance(node, A.Union):
             return self._union(self._c(node.lhs, g), self._c(node.rhs, g))
         if isinstance(node, A.NamedGraph):
-            return self._c(node.child, node.graph)
+            child = self._c(node.child, node.graph)
+            if (isinstance(node.graph, A.Var) and node.graph.binding
+                    and node.graph.name not in child.df.columns):
+                # pattern binds nothing (GRAPH ?g {} and friends): ?g
+                # ranges over the named graphs themselves (§13.3)
+                gdf = self.store.graph_terms().withColumnRenamed(
+                    "__g", node.graph.name)
+                child = Plan(
+                    child.df.crossJoin(F.broadcast(gdf)),
+                    child.certain | {node.graph.name}, child.id_vars)
+            return child
         if isinstance(node, A.Extend):
             child = self._c(node.child, g)
             col = compile_expr(node.expr, _env(child.df))

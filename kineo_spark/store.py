@@ -75,6 +75,19 @@ class QuadStore(ABC):
         Base stores have no native layout to invert into."""
         return None
 
+    def graph_terms(self) -> DataFrame:
+        """Distinct named-graph terms, one row, column ``__g`` — the
+        range of ``GRAPH ?g`` when its pattern binds nothing (e.g.
+        ``GRAPH ?g {}`` enumerates the named graphs, §13.3)."""
+        q = self.quads()
+        ns = F.lit(None).cast("string")
+        return q.select(
+            term_struct(
+                F.lit(KIND_IRI).cast("tinyint"), F.col("g_lex"),
+                ns, ns, F.lit(None).cast("double"),
+            ).alias("__g")
+        ).distinct()
+
 
 def _assign(
     pattern: A.QuadPattern,
@@ -202,6 +215,10 @@ class DatasetGraphStore(QuadStore):
 
     def _named_quads(self) -> DataFrame:
         return self._base.quads().filter(F.col("g_lex").isin(list(self._named)))
+
+    def graph_terms(self) -> DataFrame:
+        """GRAPH ranges over exactly the FROM NAMED set (§13.2)."""
+        return QuadsDataFrameStore(self.spark, self._named_quads()).graph_terms()
 
     def scan(self, pattern: A.QuadPattern) -> DataFrame:
         g = pattern.g
