@@ -57,3 +57,34 @@ def test_pagerank_and_degrees(gstore):
     deg = degree_stats(g.edges(iri(KNOWS)))
     m = {short(r["node"]): (r["out_degree"], r["in_degree"]) for r in deg.collect()}
     assert m["b"] == (1, 1)
+
+
+def test_pagerank_matches_reference_power_iteration(spark):
+    """Exact agreement (1e-9) with a pure-Python power iteration using
+    the same damping/dangling policy — not just invariants."""
+    edges = [("a", "b"), ("a", "c"), ("b", "c"), ("c", "a"), ("d", "c")]
+    rows = [(0, EX + s, KNOWS, 0, EX + o, None, None, None, "g") for s, o in edges]
+    # e has no outlinks -> dangling
+    rows.append((0, EX + "c", EX + "knows2", 0, EX + "e", None, None, None, "g"))
+    store = QuadsDataFrameStore.from_rows(spark, rows)
+    g = Graph(store)
+    all_edges = g.edges(iri(KNOWS)).unionByName(g.edges(iri(EX + "knows2")))
+    got = {
+        r["node"].split("\x01")[1].split("/")[-1]: r["rank"]
+        for r in pagerank(all_edges, damping=0.85, iterations=15).collect()
+    }
+
+    adj = {"a": ["b", "c"], "b": ["c"], "c": ["a", "e"], "d": ["c"]}
+    nodes = sorted({x for e in edges for x in e} | {"e"})
+    n = len(nodes)
+    rank = {v: 1.0 / n for v in nodes}
+    for _ in range(15):
+        dangling = sum(rank[v] for v in nodes if v not in adj)
+        contrib = {v: 0.0 for v in nodes}
+        for u, outs in adj.items():
+            for w in outs:
+                contrib[w] += rank[u] / len(outs)
+        base = (1 - 0.85) / n + 0.85 * dangling / n
+        rank = {v: base + 0.85 * contrib[v] for v in nodes}
+    for v in nodes:
+        assert abs(got[v] - rank[v]) < 1e-9, (v, got[v], rank[v])
