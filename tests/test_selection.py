@@ -267,3 +267,24 @@ def test_corpus_stats_hand_cases(spark):
         "doc_id long, text string",
     )
     assert corpus_stats.zipf_slope(skew).collect()[0]["slope"] < -1.0
+
+
+def test_topk_per_group_equals_naive_window(spark):
+    from pyspark.sql import Window
+
+    from kineo_spark.pipeline import skew
+
+    rows = [(i, f"g{i % 5}", float((i * 37) % 101)) for i in range(2000)]
+    df = spark.createDataFrame(rows, "id long, grp string, score double").repartition(13)
+    order = [F.desc("score"), F.col("id")]
+    got = sorted(
+        (r["grp"], r["rank_in_group"], r["id"])
+        for r in skew.topk_per_group(df, "grp", order, 7).collect()
+    )
+    w = Window.partitionBy("grp").orderBy(*order)
+    want = sorted(
+        (r["grp"], r["rn"], r["id"])
+        for r in df.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 7).collect()
+    )
+    assert got == want and len(got) == 35
