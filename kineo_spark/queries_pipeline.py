@@ -1562,3 +1562,27 @@ def pipe_stream_tumbling(spark, sf_dir) -> DataFrame:
         F.round(F.col("total_value").cast("decimal(25,6)").cast("double"), 6)
          .alias("total_value"),
     )
+
+
+@q("pipe_langid_confusion",
+   f"WITH p AS ({_LANGID_ORACLE}) "
+   "SELECT labeled, predicted, COUNT(*) AS n, "
+   "ROUND(CAST(COUNT(*) AS DOUBLE) / SUM(COUNT(*)) OVER "
+   "(PARTITION BY labeled), 6) AS frac "
+   "FROM p GROUP BY labeled, predicted")
+def pipe_langid_confusion(spark, sf_dir) -> DataFrame:
+    """Language-ID confusion matrix: per (labeled, predicted) pair the
+    count and the row-normalized fraction — the evaluation view of the
+    heuristic classifier."""
+    from pyspark.sql import Window as W
+    docs = read_table(spark, sf_dir, "documents")
+    pred = docs.select(
+        F.col("lang").alias("labeled"),
+        text.language_id(F.col("text")).alias("predicted"))
+    counts = pred.groupBy("labeled", "predicted").agg(
+        F.count(F.lit(1)).alias("n"))
+    tot = W.partitionBy("labeled")
+    return counts.select(
+        "labeled", "predicted", "n",
+        F.round(F.col("n").cast("double") / F.sum("n").over(tot), 6)
+         .alias("frac"))
