@@ -419,3 +419,49 @@ def sparql_window_median(spark, sf_dir) -> DataFrame:
     return extract(select(comp, A.SelectQuery(alg, ("okey", "med"))), {
         "orderkey": ("okey", "int"), "med": ("med", "num"),
     })
+
+
+@q("sparql_stream_windowed_agg",
+   "WITH m AS (SELECT MAX(epoch(ts)) AS mx FROM events) "
+   "SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start, "
+   "       event_type AS et, COUNT(*) AS n "
+   "FROM events CROSS JOIN m "
+   "GROUP BY 1, 2, m.mx "
+   "HAVING epoch(date_trunc('hour', MIN(ts))) + 3600 <= m.mx")
+def sparql_stream_windowed_agg(spark, sf_dir) -> DataFrame:
+    """Continuous windowed SPARQL aggregate, ORACLE-CHECKED: hourly
+    COUNT per event type over the streaming events→quads mapping with
+    a 0s watermark; append mode emits exactly the CLOSED windows
+    (window end <= max event time), which the SQL oracle reproduces
+    with a HAVING over the global max timestamp."""
+    import uuid
+
+    from kineo_spark.streaming import events as se
+    from kineo_spark.streaming import sparql as ss
+
+    stream = (
+        spark.readStream
+        .schema("event_id long, ts long, user_id long, "
+                "event_type string, value double, props string")
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .withColumn("ts", F.timestamp_micros(F.col("ts")))
+    )
+    quads = se.events_to_quads(stream, with_time=True)
+    out = ss.continuous_aggregate(
+        spark, quads,
+        """SELECT ?et (COUNT(?e) AS ?n) WHERE {
+             ?e <urn:col:events:event_type> ?et .
+             ?e <urn:col:events:ts> ?t
+           } GROUP BY ?et""",
+        time_var="t", window_duration="1 hour",
+        watermark_delay="0 seconds")
+    name = f"t_stream_wagg_{uuid.uuid4().hex[:8]}"
+    q_ = (out.writeStream.format("memory").queryName(name)
+          .outputMode("append").trigger(availableNow=True).start())
+    q_.awaitTermination(300)
+    return spark.table(name).select(
+        "window_start",
+        F.col("et")["lex"].alias("et"),
+        F.col("n")["num"].cast("long").alias("n"),
+    )
