@@ -316,6 +316,17 @@ class RelationalQuadStore(QuadStore):
             self._cache[name] = df
         return self._cache[name]
 
+    def graph_terms(self) -> DataFrame:
+        """One urn:g:{table} graph per mapped table — known statically,
+        no scan (the base implementation would distinct over the whole
+        union view)."""
+        ns = F.lit(None).cast("string")
+        rows = self.spark.createDataFrame(
+            [(f"urn:g:{t}",) for t in self.table_names], "lex string")
+        return rows.select(term_struct(
+            F.lit(KIND_IRI).cast("tinyint"), F.col("lex"),
+            ns, ns, F.lit(None).cast("double")).alias("__g"))
+
     # -- IRI helpers ------------------------------------------------------
     @staticmethod
     def row_iri(table: str) -> "Column":
