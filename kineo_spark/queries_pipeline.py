@@ -1586,3 +1586,24 @@ def pipe_langid_confusion(spark, sf_dir) -> DataFrame:
         "labeled", "predicted", "n",
         F.round(F.col("n").cast("double") / F.sum("n").over(tot), 6)
          .alias("frac"))
+
+
+@q("pipe_frame_extract",
+   "WITH e AS (SELECT doc_id, 4 + doc_id % 8 AS w, 3 + doc_id % 5 AS h, "
+   "                  CAST(2 + doc_id % 4 AS INT) AS nf, doc_id % 251 AS seed "
+   "           FROM documents) "
+   "SELECT doc_id AS media_id, nf AS n_frames, CAST(1 AS INT) AS frame_index, "
+   "       CAST(w * h AS BIGINT) AS n_pixels, "
+   "       CAST(list_sum(flatten([[ (x * 3 + y * 5 + seed + 11) % 256 "
+   "                                for x in generate_series(0, w - 1)] "
+   "                              for y in generate_series(0, h - 1)])) "
+   "            AS BIGINT) AS pixel_sum "
+   "FROM e")
+def pipe_frame_extract(spark, sf_dir) -> DataFrame:
+    """REAL video-frame extraction: decode the animated-GIF frame at
+    t=150ms (index 1 on the 100ms timeline) and checksum its pixels;
+    the oracle recomputes the frame's arithmetic gradient, so the LZW
+    decode must be bit-faithful."""
+    docs = read_table(spark, sf_dir, "documents")
+    media = multimodal.synthetic_media(spark, docs, kind="gifvideo")
+    return multimodal.extract_frames(media, at_ms=150)

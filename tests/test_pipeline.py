@@ -619,3 +619,71 @@ def test_pq_encode_shapes(spark):
     rows = enc.collect()
     assert all(len(r.codes) == 4 for r in rows)
     assert all(0 <= c < 8 for r in rows for c in r.codes)
+
+
+def test_gif_codec_roundtrip_and_frame_addressing():
+    from kineo_spark.pipeline.multimodal import (
+        decode_gif_frames, encode_gif_anim, frame_pixels)
+
+    w, h = 8, 5
+    frames = [bytes(((x * 3 + y * 5 + f * 11) % 256)
+                    for y in range(h) for x in range(w)) for f in range(4)]
+    gif = encode_gif_anim(w, h, frames, delay_cs=10)
+    w2, h2, dec = decode_gif_frames(gif)
+    assert (w2, h2) == (w, h)
+    assert [p for _, p in dec] == frames
+    assert [d for d, _ in dec] == [100] * 4
+    assert frame_pixels(gif, 0) == frames[0]
+    assert frame_pixels(gif, 150) == frames[1]
+    assert frame_pixels(gif, 10 ** 6) == frames[3]
+
+
+def test_gif_lzw_decoder_handles_dictionary_growth():
+    """Feed the decoder a REAL growing-dictionary LZW stream (our
+    minimal encoder never grows the table, so build one here): a
+    reference GIF-LZW encoder with table growth and width bumps."""
+    from kineo_spark.pipeline.multimodal import _lzw_decode
+
+    data = bytes((i // 3) % 7 for i in range(500))  # runs -> growth
+    min_code = 8
+    clear, end = 1 << min_code, (1 << min_code) + 1
+    table = {bytes([c]): c for c in range(1 << min_code)}
+    next_code, width = end + 1, min_code + 1
+    codes = [clear]
+    buf = b""
+    for b in data:
+        cand = buf + bytes([b])
+        if cand in table:
+            buf = cand
+            continue
+        codes.append(table[buf])
+        if next_code < 4096:
+            table[cand] = next_code
+            next_code += 1
+            if next_code == (1 << width) + 1 and width < 12:
+                # GIF bumps width when next_code exceeds the current range
+                width += 1
+        buf = bytes([b])
+    codes.append(table[buf])
+    codes.append(end)
+    # serialize with the decoder's width schedule: width grows when
+    # next_code reaches 2^width
+    out = bytearray()
+    acc = n_acc = 0
+    nc, wdt = end + 1, min_code + 1
+    for c in codes:
+        acc |= c << n_acc
+        n_acc += wdt
+        while n_acc >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            n_acc -= 8
+        if c == clear:
+            nc, wdt = end + 1, min_code + 1
+        elif c != end:
+            nc += 1
+            if nc == (1 << wdt) and wdt < 12:
+                wdt += 1
+    if n_acc:
+        out.append(acc & 0xFF)
+    assert _lzw_decode(bytes(out), min_code) == data
