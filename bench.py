@@ -67,6 +67,7 @@ HEADLINE = [
     "pipe_kn_logprob",
     "pipe_pack_sequences",
     "pipe_dedup_incremental",
+    "pipe_frame_extract",
 ]
 
 # round-1 per-query minima, corrected for the two host-noise spikes the

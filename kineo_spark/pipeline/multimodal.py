@@ -517,6 +517,11 @@ def extract_features(
                         dw, dh, pixels = decode_png_gray(content)
                         feats.append(_pixel_histogram(pixels, dim))
                         w, h = dw, dh
+                    elif fmt == "gif":
+                        # real pixels for GIFs too (first frame)
+                        dw, dh, gframes = decode_gif_frames(bytes(content))
+                        feats.append(_pixel_histogram(gframes[0][1], dim))
+                        w, h = dw, dh
                     else:
                         feats.append(_fake_features(content, dim))
                 else:
