@@ -23,7 +23,7 @@ ENTRIES = (manifest_entries("/root/repo/tests/w3c/manifest.ttl")
 
 
 def test_manifest_parsed():
-    assert len(ENTRIES) == 189
+    assert len(ENTRIES) == 191
     assert all(e.query_path for e in ENTRIES)
     assert all(e.result_path for e in ENTRIES if "SyntaxTest" not in e.type)
 
