@@ -366,7 +366,13 @@ def id_compiler(store, **kw):
                 A.QuadPattern(tp.s, tp.p, tp.o, self._active_graph(g))
                 for tp in node.patterns
             ]
+            stats = None
+            if (self.cs_stats and not self.plans_only
+                    and hasattr(self.store, "quads")):
+                from kineo_spark.stats import CharacteristicSets
+                stats = CharacteristicSets.for_store(self.store)
             plans: list[Plan] = []
+            ests: list[float | None] = []
             rest: list[A.QuadPattern] = quads
             if hasattr(self.store, "scan_star"):
                 groups: dict[object, list[A.QuadPattern]] = {}
@@ -398,6 +404,11 @@ def id_compiler(store, **kw):
                     for v in id_vs:
                         df = df.withColumn(v, id_of_term_col(df[v]))
                     plans.append(Plan(df, certain, id_vs))
+                    if stats is not None:
+                        ests.append(stats.estimate_star(grp) if len(grp) >= 2
+                                    else stats.estimate_pattern(grp[0]))
+                    else:
+                        ests.append(None)
             if rest:
                 ids = bgp_ids(self._idview.id_quads, rest)
                 if not ids.columns:
@@ -417,6 +428,12 @@ def id_compiler(store, **kw):
                         mat, certain,
                         frozenset(v for v in ids.columns
                                   if v not in set(mat_vars))))
+                    ests.append(None)  # no estimate for the fused rest
+            while len(ests) < len(plans):
+                ests.append(None)
+            # same selectivity-driven greedy order as term mode (skipped
+            # automatically when any unit lacks an estimate)
+            plans = self._order_units(list(zip(plans, ests)))
             out = plans[0]
             for p in plans[1:]:
                 out = self._join(out, p)

@@ -79,3 +79,25 @@ def test_order_units_greedy_connected(spark):
     # missing estimates -> syntactic order untouched
     out2 = comp._order_units([(a, 1000.0), (b, None), (c, 500.0)])
     assert [id(p.df) for p in out2] == [id(a.df), id(b.df), id(c.df)]
+
+
+def test_id_mode_stats_order_preserves_results(spark, skew_store):
+    from kineo_spark.dictionary import id_compiler
+
+    tp = A.TriplePattern
+    alg = A.BGP((
+        tp(A.Var("s"), iri("urn:p:common"), A.Var("o")),
+        tp(A.Var("s"), iri("urn:p:rare"), A.Var("hub")),
+        tp(A.Var("hub"), iri("urn:p:link"), A.Var("x")),
+    ))
+    q = A.SelectQuery(alg, ("s", "o", "hub", "x"))
+
+    def run(**kw):
+        df = select(id_compiler(skew_store, **kw), q)
+        return sorted(
+            (r["s"]["lex"], r["o"]["lex"], r["hub"]["lex"], r["x"]["lex"])
+            for r in df.collect()
+        )
+
+    assert run() == run(cs_stats=True)
+    assert len(run(cs_stats=True)) == 20
