@@ -1607,3 +1607,60 @@ def pipe_frame_extract(spark, sf_dir) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents")
     media = multimodal.synthetic_media(spark, docs, kind="gifvideo")
     return multimodal.extract_frames(media, at_ms=150)
+
+
+_STREAM_SESSION_ORACLE = """
+WITH e AS (
+  SELECT user_id, event_id, epoch_us(ts) AS tu, value FROM events
+), m AS (
+  SELECT *, lag(tu) OVER (PARTITION BY user_id ORDER BY tu, event_id) AS prev FROM e
+), s AS (
+  SELECT *, CAST(SUM(CASE WHEN prev IS NULL OR tu - prev > 1800000000 THEN 1 ELSE 0 END)
+    OVER (PARTITION BY user_id ORDER BY tu, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+  FROM s_base
+), agg AS (
+  SELECT user_id, session_seq, CAST(MIN(tu) AS BIGINT) AS start_us,
+         CAST(MAX(tu) AS BIGINT) AS end_us, COUNT(*) AS n_events,
+         ROUND(CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE), 6) AS total_value
+  FROM s GROUP BY user_id, session_seq
+), mx AS (SELECT user_id, MAX(session_seq) AS last_seq FROM agg GROUP BY user_id),
+wm AS (SELECT MAX(tu) // 1000 AS wm_ms FROM e)
+SELECT a.user_id, a.start_us, a.end_us, a.n_events, a.total_value
+FROM agg a JOIN mx USING (user_id) CROSS JOIN wm
+WHERE a.session_seq < mx.last_seq
+   OR wm.wm_ms > a.end_us // 1000 + 1800000
+""".replace("FROM s_base", "FROM m")
+
+
+@q("pipe_stream_sessionize", _STREAM_SESSION_ORACLE)
+def pipe_stream_sessionize(spark, sf_dir) -> DataFrame:
+    """CUSTOM STATEFUL STREAMING operator, oracle-checked: the
+    applyInPandasWithState sessionizer drained with availableNow emits
+    exactly the CLOSED sessions: those succeeded by a later event, plus
+    those the final watermark times out (end + gap below the last
+    event time, at millisecond state granularity). The SQL oracle
+    reproduces both closure rules from the batch gap logic."""
+    import uuid
+
+    from kineo_spark.streaming.stateful import sessionize_stateful
+
+    stream = (
+        spark.readStream
+        .schema("event_id long, ts long, user_id long, "
+                "event_type string, value double, props string")
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .withColumn("ts", F.timestamp_micros(F.col("ts")))
+    )
+    out = sessionize_stateful(stream, gap_minutes=30, watermark="0 seconds")
+    name = f"t_stream_sess_{uuid.uuid4().hex[:8]}"
+    q_ = (out.writeStream.format("memory").queryName(name)
+          .outputMode("append").trigger(availableNow=True).start())
+    q_.awaitTermination(300)
+    return spark.table(name).select(
+        "user_id",
+        F.unix_micros("session_start").alias("start_us"),
+        F.unix_micros("session_end").alias("end_us"),
+        "n_events",
+        F.round(F.col("total_value"), 6).alias("total_value"),
+    )

@@ -56,7 +56,9 @@ def sessionize_stateful(
             )
             return
 
-        rows = pd.concat(list(pdfs)).sort_values("ts")
+        rows = pd.concat(list(pdfs))
+        sort_keys = ["ts"] + (["event_id"] if "event_id" in rows else [])
+        rows = rows.sort_values(sort_keys)  # deterministic tie order
         ts_us = (rows["ts"].astype("int64") // 1000).tolist()
         vals = rows["value"].tolist()
 
