@@ -10,8 +10,18 @@ Spark-native version:
 - IDs are ``xxhash64`` of the canonical term key — assigned with NO
   global coordination (no zipWithIndex barrier, no driver dictionary):
   at 100 TB, hash-interning is the only strategy that doesn't serialize
-  on an id counter. Collision odds at 2^64 are negligible for any
-  realistic term count (~n²/2⁶⁵).
+  on an id counter. Collision risk is the birthday bound ~n²/2⁶⁵: at
+  n=10⁸ distinct terms it's ~3×10⁻⁴ (fine), but at n=5×10⁹ — a
+  plausible 100 TB corpus — it reaches ~50%, and a collision silently
+  merges two terms in every join. The layout therefore carries a
+  COLLISION AUDIT (``audit_id_collisions``): one count-distinct pass at
+  layout-build time that fails loudly if any two distinct term keys
+  share an id — it runs inside ``persist_id_layout`` by default, so the
+  at-rest layout is certified collision-free. The escape hatch for
+  corpora that ever trip it is a two-long (128-bit) key: pair the id
+  with ``xxhash64(key, seed=1)`` as a second column (birthday bound
+  ~n²/2¹²⁹, negligible forever) — joins then use both columns; nothing
+  else in the plan shape changes.
 - ``id_quads`` is a 4×long table: shuffles and joins move 32 bytes/row
   instead of full lexical forms — the same win the reference gets from
   its packed IDs.
@@ -646,8 +656,40 @@ def materialize(bindings: DataFrame, dictionary: DataFrame,
 # Persisted bucketed ID layout (the 100 TB at-rest shape)
 # ---------------------------------------------------------------------------
 
+class IdCollisionError(RuntimeError):
+    """Two distinct terms hashed to the same 64-bit id. The dictionary
+    is corrupt for join purposes; rebuild with the two-long 128-bit key
+    (see module docstring)."""
+
+
+def audit_id_collisions(dictionary: DataFrame, sample: int = 3) -> int:
+    """Certify the dictionary id assignment is injective: distinct term
+    keys == distinct ids. One aggregation pass (two count-distincts over
+    the dictionary — partial-aggregated, cheap next to the layout
+    write). Raises IdCollisionError with example colliding ids.
+
+    Returns the audited distinct-term count."""
+    n, nid = dictionary.select(
+        F.count(F.lit(1)).alias("n"),
+        F.count_distinct(F.col("id")).alias("nid"),
+    ).first()
+    if n != nid:
+        bad = [
+            r["id"] for r in
+            dictionary.groupBy("id").count().filter(F.col("count") > 1)
+            .limit(sample).collect()
+        ]
+        raise IdCollisionError(
+            f"{n - nid} colliding 64-bit term id(s), e.g. ids {bad}: "
+            "two distinct terms share an id and would silently merge in "
+            "every join. Rebuild the layout with the 128-bit two-long "
+            "key (dictionary.py module docstring)."
+        )
+    return n
+
+
 def persist_id_layout(view: "IdEncodedView", name: str, buckets: int = 64,
-                      path: str | None = None) -> None:
+                      path: str | None = None, audit: bool = True) -> None:
     """Write the ID layout as bucketed, sorted parquet tables — the
     at-rest analog of the reference's ordered on-disk indexes
     (IDOrderedQuadPlan / Diomede index orders, QuadStore.swift:62-88):
@@ -669,7 +711,13 @@ def persist_id_layout(view: "IdEncodedView", name: str, buckets: int = 64,
 
     In production the tables live in a shared metastore; local sessions
     use the in-memory catalog (pass ``path`` to control file placement).
+
+    ``audit=True`` (default) runs the 64-bit collision audit before the
+    write — the persisted layout is certified injective or the build
+    fails loudly.
     """
+    if audit:
+        audit_id_collisions(view.dictionary)
     qw = view.id_quads.repartition(buckets, "s") \
         .write.format("parquet").mode("overwrite") \
         .bucketBy(buckets, "s").sortBy("s")

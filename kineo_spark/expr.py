@@ -153,6 +153,75 @@ def is_string_lit(t: Column) -> Column:
     return (t["kind"] == KIND_LITERAL) & t["dt"].isin("string", "langString")
 
 
+# --- xsd:duration value space (reference Term.duration, RDF/RDF.swift:
+# 408-480: lexical -?PnYnMnDTnHnMnS.sS -> (months, seconds)) ----------------
+
+DURATION_DTS = ("duration", "yearMonthDuration", "dayTimeDuration")
+
+# Anchored lexical form. Ordered fields, each optional; a "T" must be
+# followed by at least one time field; at least one field overall.
+_DUR_LEX = (
+    r"^-?P(?=\d|T\d)(?:(\d+)Y)?(?:(\d+)M)?(?:(\d+)D)?"
+    r"(?:T(?=\d)(?:(\d+)H)?(?:(\d+)M)?(?:(\d+(?:\.\d+)?)S)?)?$"
+)
+
+
+def is_duration_term(t: Column) -> Column:
+    return (t["kind"] == KIND_LITERAL) & t["dt"].isin(*DURATION_DTS)
+
+
+def _dur_field(lex: Column, group: int) -> Column:
+    v = F.regexp_extract(lex, _DUR_LEX, group)
+    return F.when(v == "", F.lit(0.0)).otherwise(v.cast("double"))
+
+
+def _dur_sign(lex: Column) -> Column:
+    return F.when(lex.startswith("-"), F.lit(-1.0)).otherwise(F.lit(1.0))
+
+
+def duration_months(t: Column) -> Column:
+    """Months component of a duration term's value; NULL when the lexical
+    form is invalid (→ type error in any comparison, row drops)."""
+    lex = t["lex"]
+    m = 12.0 * _dur_field(lex, 1) + _dur_field(lex, 2)
+    return F.when(is_duration_term(t) & lex.rlike(_DUR_LEX), _dur_sign(lex) * m)
+
+
+def duration_seconds(t: Column) -> Column:
+    """Seconds component (days folded in at 86400 s, as the reference
+    does) of a duration term's value; NULL on invalid lexical form."""
+    lex = t["lex"]
+    s = (
+        86400.0 * _dur_field(lex, 3) + 3600.0 * _dur_field(lex, 4)
+        + 60.0 * _dur_field(lex, 5) + _dur_field(lex, 6)
+    )
+    return F.when(is_duration_term(t) & lex.rlike(_DUR_LEX), _dur_sign(lex) * s)
+
+
+def duration_eq(a: Column, b: Column) -> Column:
+    """Duration value equality: equal (months, seconds) pairs
+    (reference value space, RDF/RDF.swift:408-480)."""
+    return (duration_months(a) == duration_months(b)) & (
+        duration_seconds(a) == duration_seconds(b)
+    )
+
+
+def duration_lt(a: Column, b: Column) -> Column:
+    """Partial duration order (XPath op:yearMonthDuration-less-than /
+    op:dayTimeDuration-less-than): decided when one dimension agrees or
+    both dimensions agree in direction; indeterminate pairs (e.g.
+    P1M vs P30D) are NULL — a type error, the row drops."""
+    ma, mb = duration_months(a), duration_months(b)
+    sa, sb = duration_seconds(a), duration_seconds(b)
+    return (
+        F.when(ma == mb, sa < sb)
+        .when(sa == sb, ma < mb)
+        .when((ma < mb) & (sa < sb), F.lit(True))
+        .when((ma > mb) & (sa > sb), F.lit(False))
+        .otherwise(_NULL_B())
+    )
+
+
 def _is_simple_string(t: Column) -> Column:
     """simple / xsd:string literal WITHOUT a language tag — the required
     first-argument domain of STRDT/STRLANG (§17.4.2.7-8): a lang-tagged
@@ -230,10 +299,12 @@ def eq_terms(a: Column, b: Column) -> Column:
         )
     )
     both_lit = (a["kind"] == KIND_LITERAL) & (b["kind"] == KIND_LITERAL)
+    both_dur = is_duration_term(a) & is_duration_term(b)
     same = term_key(a) == term_key(b)
     return (
         F.when(a.isNull() | b.isNull(), _NULL_B())
         .when(both_num | both_tmp | both_bool, a["num"] == b["num"])
+        .when(both_dur, duration_eq(a, b))
         .when(both_plain, a["lex"] == b["lex"])
         .when(both_lit, F.when(same, F.lit(True)).otherwise(_NULL_B()))
         .otherwise(same)
@@ -247,9 +318,11 @@ def cmp_lt(a: Column, b: Column) -> Column:
     both_tmp = is_temporal_term(a) & is_temporal_term(b)
     both_bool = (a["dt"] == "boolean") & (b["dt"] == "boolean")
     both_str = is_string_lit(a) & is_string_lit(b)
+    both_dur = is_duration_term(a) & is_duration_term(b)
     return (
         F.when(a.isNull() | b.isNull(), _NULL_B())
         .when(both_num | both_tmp | both_bool, a["num"] < b["num"])
+        .when(both_dur, duration_lt(a, b))
         .when(both_str, a["lex"] < b["lex"])
         .otherwise(_NULL_B())
     )
@@ -607,6 +680,39 @@ def _dispatch_call(e: ECall, a: list[Column], env: dict[str, Column]) -> Column:
             F.regexp_extract(a[0]["lex"], r"([+-]\d{2}:\d{2})$", 1)
         )
         return str_term(F.when(is_temporal_term(a[0]), tz))
+    if op == "TIMEZONE":
+        # §17.4.5.7 / reference Expression.swift:140-160: the timezone of
+        # the dateTime as an xsd:dayTimeDuration literal — "PT0S" for Z or
+        # +00:00, "-?PT<h>H[<m>M]" otherwise; a dateTime WITHOUT a
+        # timezone is a type error (NULL → unbound / row drops).
+        lex = a[0]["lex"]
+        off = F.when(lex.endswith("Z"), F.lit("Z")).otherwise(
+            F.regexp_extract(lex, r"([+-]\d{2}:\d{2})$", 1)
+        )
+        hh = F.regexp_extract(off, r"^[+-](\d{2}):", 1).cast("int")
+        mm = F.regexp_extract(off, r":(\d{2})$", 1).cast("int")
+        neg = F.when(off.startswith("-"), F.lit("-")).otherwise(F.lit(""))
+        dur = F.when(
+            (off == "Z") | ((hh == 0) & (mm == 0)), F.lit("PT0S")
+        ).otherwise(
+            F.concat(
+                neg, F.lit("PT"), hh.cast("string"), F.lit("H"),
+                F.when(
+                    mm > 0, F.concat(mm.cast("string"), F.lit("M"))
+                ).otherwise(F.lit("")),
+            )
+        )
+        # signed offset seconds as the term's value slot, so TIMEZONE()
+        # results compare/sort without re-parsing the lexical form
+        secs = F.when(off == "Z", F.lit(0.0)).otherwise(
+            F.when(off.startswith("-"), F.lit(-1.0)).otherwise(F.lit(1.0))
+            * (hh.cast("double") * 3600.0 + mm.cast("double") * 60.0)
+        )
+        t = term_struct(
+            F.lit(KIND_LITERAL).cast("tinyint"), dur,
+            F.lit("dayTimeDuration"), F.lit(None).cast("string"), secs,
+        )
+        return F.when(is_temporal_term(a[0]) & (off != ""), t)
 
     # --- hashes (Expression.swift:57-63,207-238) ---
     if op in ("MD5", "SHA1", "SHA256", "SHA384", "SHA512"):
@@ -645,8 +751,13 @@ def _valued(t: Column) -> Column:
 
 
 def _eq_cond(a: Column, b: Column) -> Column:
-    return (_valued(a) & _valued(b) & (a["num"] == b["num"])) | (
-        term_key(a) == term_key(b)
+    return (
+        (_valued(a) & _valued(b) & (a["num"] == b["num"]))
+        | (term_key(a) == term_key(b))
+        | (
+            is_duration_term(a) & is_duration_term(b)
+            & duration_eq(a, b).eqNullSafe(F.lit(True))
+        )
     )
 
 
@@ -698,7 +809,18 @@ def compile_filter_condition(e: Expr, env: dict[str, Column]) -> Column:
                 "<": a["lex"] < b["lex"], ">": a["lex"] > b["lex"],
                 "<=": a["lex"] <= b["lex"], ">=": a["lex"] >= b["lex"],
             }[op]
-            return (both_valued & num_cmp) | (both_str & str_cmp)
+            both_dur = is_duration_term(a) & is_duration_term(b)
+            dur_cmp = {
+                "<": lambda: duration_lt(a, b),
+                ">": lambda: duration_lt(b, a),
+                "<=": lambda: duration_lt(a, b) | duration_eq(a, b),
+                ">=": lambda: duration_lt(b, a) | duration_eq(a, b),
+            }[op]()
+            return (
+                (both_valued & num_cmp)
+                | (both_str & str_cmp)
+                | (both_dur & dur_cmp.eqNullSafe(F.lit(True)))
+            )
     # exact path (3-valued, error-aware)
     return ebv(compile_expr(e, env)).eqNullSafe(F.lit(True))
 

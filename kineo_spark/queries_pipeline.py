@@ -227,7 +227,7 @@ def pipe_decontaminate_spans(spark, sf_dir) -> DataFrame:
 
 @q("pipe_events_props_agg", """
 SELECT event_type,
-       SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
+       CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
        COUNT(*) AS n
 FROM events
 WHERE CAST(json_extract(props, '$.k') AS BIGINT) >= 50
@@ -332,7 +332,7 @@ WITH d AS (
   FROM documents
 )
 SELECT doc_id, quality, n_tokens,
-       SUM(n_tokens) OVER (ORDER BY quality DESC, doc_id) AS cum_tokens
+       CAST(SUM(n_tokens) OVER (ORDER BY quality DESC, doc_id) AS BIGINT) AS cum_tokens
 FROM d QUALIFY cum_tokens <= 20000
 """
 

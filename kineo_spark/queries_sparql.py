@@ -858,6 +858,34 @@ def sparql_expr_datetime(spark, sf_dir) -> DataFrame:
     })
 
 
+@q("sparql_expr_timezone",
+   "SELECT event_id AS eid, 'PT0S' AS tzd, 'Z' AS tz FROM events "
+   "WHERE event_id <= 200")
+def sparql_expr_timezone(spark, sf_dir) -> DataFrame:
+    """TIMEZONE()/TZ() over dateTime terms (reference
+    Expression.swift:140-176): engine timestamps materialize as UTC
+    dateTime lexicals, so TIMEZONE is the PT0S dayTimeDuration and TZ is
+    "Z"; the W3C manifest13 entries cover non-UTC offsets and the
+    absent-timezone error path."""
+    comp = compiler_for(spark, sf_dir)
+    alg = A.Extend(
+        A.Extend(
+            A.Filter(
+                A.BGP((
+                    tp("ev", col("events", "event_id"), "eid"),
+                    tp("ev", col("events", "ts"), "when"),
+                )),
+                v("eid") <= c(lit(200)),
+            ),
+            fn("TIMEZONE", v("when")), "tzd",
+        ),
+        fn("TZ", v("when")), "tz",
+    )
+    return extract(select(comp, A.SelectQuery(alg, ("eid", "tzd", "tz"))), {
+        "eid": ("eid", "int"), "tzd": ("tzd", "lex"), "tz": ("tz", "lex"),
+    })
+
+
 @q("sparql_expr_conditional",
    "SELECT c_name AS name, CASE WHEN c_acctbal > 5000 THEN 'high' ELSE 'low' END AS tier "
    "FROM customer")

@@ -71,3 +71,31 @@ def test_materialize_from_layout(spark, layout):
     mat = materialize(ids, layout.dictionary, broadcast_dict=layout.broadcast)
     rows = mat.collect()
     assert rows and all(r["n"]["lex"] for r in rows)
+
+
+def test_collision_audit_clean(spark, fixture_store):
+    """The audit certifies the real fixture dictionary injective and
+    returns its distinct-term count."""
+    from kineo_spark.dictionary import audit_id_collisions
+
+    view = IdEncodedView.for_store(fixture_store)
+    assert audit_id_collisions(view.dictionary) == view.n_terms
+
+
+def test_collision_audit_detects_forced_collision(spark, fixture_store):
+    """A synthetic collision (two distinct term keys, same id) must fail
+    the layout build loudly — this is the 100 TB safety net for the
+    64-bit birthday bound (~50% at 5e9 distinct terms)."""
+    from kineo_spark.dictionary import IdCollisionError, audit_id_collisions
+
+    view = IdEncodedView.for_store(fixture_store)
+    # monkeypatch-by-construction: constant id column = every term collides
+    forced = view.dictionary.withColumn("id", F.lit(42).cast("long"))
+    with pytest.raises(IdCollisionError, match="colliding 64-bit"):
+        audit_id_collisions(forced)
+    # and persist_id_layout refuses to write such a layout
+    fake = object.__new__(IdEncodedView)
+    fake.id_quads = view.id_quads
+    fake.dictionary = forced
+    with pytest.raises(IdCollisionError):
+        persist_id_layout(fake, "t_bad_layout", buckets=2)

@@ -19,11 +19,12 @@ ENTRIES = (manifest_entries("/root/repo/tests/w3c/manifest.ttl")
            + manifest_entries("/root/repo/tests/w3c/manifest9.ttl")
            + manifest_entries("/root/repo/tests/w3c/manifest10.ttl")
            + manifest_entries("/root/repo/tests/w3c/manifest11.ttl")
-           + manifest_entries("/root/repo/tests/w3c/manifest12.ttl"))
+           + manifest_entries("/root/repo/tests/w3c/manifest12.ttl")
+           + manifest_entries("/root/repo/tests/w3c/manifest13.ttl"))
 
 
 def test_manifest_parsed():
-    assert len(ENTRIES) == 191
+    assert len(ENTRIES) == 195
     assert all(e.query_path for e in ENTRIES)
     assert all(e.result_path for e in ENTRIES if "SyntaxTest" not in e.type)
 
