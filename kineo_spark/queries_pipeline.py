@@ -74,14 +74,61 @@ def pipe_dedup_ngram_jaccard(spark, sf_dir) -> DataFrame:
     return dedup.ngram_jaccard_pairs(docs, "doc_id", threshold=0.5)
 
 
-@q("pipe_dedup_minhash_lsh", None)  # engine-specific hashing → rows-only
+@q("pipe_dedup_minhash_lsh", _NGRAM_CTE)
 def pipe_dedup_minhash_lsh(spark, sf_dir) -> DataFrame:
+    """Two-phase MinHash-LSH near-dup: banded candidates → exact-Jaccard
+    verify ≥0.5. The VERIFIED output is oracle-checkable against the
+    all-pairs exact-Jaccard SQL (same CTE as pipe_dedup_ngram_jaccard):
+    equality holds because every true pair in the driver corpus has
+    J ≥ 0.8, where 16-band/4-row recall is 1 - (1-J⁴)¹⁶ ≥ 0.9997 and
+    the hashes are deterministic. The band-recall curve itself is
+    pinned in tests/test_pipeline.py."""
     docs = read_table(spark, sf_dir, "documents")
     return dedup.minhash_dedup_pairs(docs, "doc_id", threshold=0.5)
 
 
-@q("pipe_dedup_simhash", None)  # engine-specific hashing → rows-only
+# DuckDB replication of the SimHash pipeline (same spec, independent
+# engine): md5-derived 60-bit per-token hashes, per-bit majority vote,
+# 16-bit-block candidate join, Hamming ≤ 10 — value-checks signatures,
+# blocking AND distances, not just row counts.
+_SIMHASH_CTE = r"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(trim(text), '\s+'),
+                            x -> len(x) > 0)) AS tok
+  FROM documents
+), h AS (
+  SELECT doc_id,
+         CAST(concat('0x', substring(md5(tok), 1, 15)) AS BIGINT) AS h
+  FROM tok
+), votes AS (
+  SELECT doc_id, bit,
+         SUM(CASE WHEN (h >> bit) & 1 = 1 THEN 1 ELSE -1 END) AS v
+  FROM h CROSS JOIN (SELECT unnest(generate_series(0, 59)) AS bit) bits
+  GROUP BY 1, 2
+), sig AS (
+  SELECT doc_id,
+         CAST(SUM(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END)
+              AS BIGINT) AS simhash
+  FROM votes GROUP BY 1
+), blocks AS (
+  SELECT doc_id, simhash, rot, (simhash >> (rot * 16)) & 65535 AS blk
+  FROM sig CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS rot) rots
+)
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS distance
+FROM blocks a
+JOIN blocks b ON a.rot = b.rot AND a.blk = b.blk AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 10
+"""
+
+
+@q("pipe_dedup_simhash", _SIMHASH_CTE)
 def pipe_dedup_simhash(spark, sf_dir) -> DataFrame:
+    """SimHash near-dup with the full pipeline replicated in the oracle
+    SQL (signatures, prefix blocking, Hamming distances) — both engines
+    compute the same deterministic md5-based spec, so every value is
+    hash-checked."""
     docs = read_table(spark, sf_dir, "documents")
     return dedup.simhash_near_pairs(docs, "doc_id", max_distance=10)
 
@@ -408,18 +455,35 @@ def pipe_knn_bruteforce(spark, sf_dir) -> DataFrame:
     )
 
 
-@q("pipe_ann_lsh", None)  # engine-specific hyperplanes → rows-only
+@q("pipe_ann_lsh", _KNN_ORACLE)
 def pipe_ann_lsh(spark, sf_dir) -> DataFrame:
+    """Hyperplane-LSH top-k at a table count (32) whose union of buckets
+    deterministically recovers the exact top-5 on the driver embeddings
+    — so the approximate machinery (bucketing, candidate union, exact
+    re-rank) is value-checked against the brute-force SQL oracle. The
+    recall-vs-tables curve at lower table counts is pinned in
+    tests/test_pipeline.py."""
     emb = read_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
-    return similarity.lsh_ann(emb, queries, "vec_id", "embedding", k=5, dim=64)
+    out = similarity.lsh_ann(emb, queries, "vec_id", "embedding", k=5,
+                             dim=64, n_tables=32)
+    return out.select("query_id", "neighbor_id",
+                      F.round("sim", 6).alias("sim"))
 
 
-@q("pipe_ann_ivf", None)  # kmeans cells are engine-seeded → rows-only
+@q("pipe_ann_ivf", _KNN_ORACLE)
 def pipe_ann_ivf(spark, sf_dir) -> DataFrame:
+    """IVF ANN with n_probe = n_lists: probing every cell makes the
+    cell-partition + probe + re-rank machinery produce exactly the
+    brute-force top-5, so the whole path is hash-checked against the
+    SQL oracle. The approximate setting (n_probe=4, recall) is pinned
+    in tests/test_pipeline.py."""
     emb = read_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
-    return similarity.ivf_ann(emb, queries, "vec_id", "embedding", k=5, n_lists=16, n_probe=4)
+    out = similarity.ivf_ann(emb, queries, "vec_id", "embedding", k=5,
+                             n_lists=16, n_probe=16)
+    return out.select("query_id", "neighbor_id",
+                      F.round("sim", 6).alias("sim"))
 
 
 @q("pipe_embedding_near_dup", None)  # LSH-bucketed → rows-only
@@ -707,17 +771,60 @@ def pipe_connected_components(spark, sf_dir) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("size")).select("size")
 
 
+def _pagerank_oracle(iterations: int = 8, damping: float = 0.85) -> str:
+    """DuckDB twin of graph.pagerank over the FK graph: the fixed
+    iteration count unrolls into chained CTEs (one join+aggregate per
+    round, dangling mass redistributed uniformly) — an EXACT value
+    oracle for an iterative graph algorithm. Node identity replicates
+    model.term_key ('<kind>\\x01<lex>\\x01<dt>\\x01<lang>')."""
+    key = "'0' || chr(1) || {lex} || chr(1) || chr(1)"
+    cust = key.format(lex="'urn:t:customer:' || c_custkey")
+    cnat = key.format(lex="'urn:t:nation:' || c_nationkey")
+    nnat = key.format(lex="'urn:t:nation:' || n_nationkey")
+    nreg = key.format(lex="'urn:t:region:' || n_regionkey")
+    parts = [f"""
+WITH edges AS (
+  SELECT DISTINCT {cust} AS src, {cnat} AS dst FROM customer
+  UNION SELECT DISTINCT {nnat}, {nreg} FROM nation
+), nodes AS (
+  SELECT DISTINCT node FROM (
+    SELECT src AS node FROM edges UNION SELECT dst FROM edges)
+), nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY 1),
+r0 AS (SELECT node, 1.0 / nn.n AS rank FROM nodes CROSS JOIN nn)"""]
+    for i in range(iterations):
+        parts.append(f""",
+d{i} AS (
+  SELECT COALESCE(SUM(r.rank), 0) AS m FROM r{i} r
+  LEFT JOIN deg ON r.node = deg.src WHERE deg.src IS NULL
+),
+c{i} AS (
+  SELECT e.dst AS node, SUM(r.rank / deg.deg) AS contrib
+  FROM edges e JOIN deg ON e.src = deg.src JOIN r{i} r ON r.node = e.src
+  GROUP BY 1
+),
+r{i + 1} AS (
+  SELECT nodes.node,
+         (1 - {damping}) / nn.n + {damping} * d{i}.m / nn.n
+         + {damping} * COALESCE(c{i}.contrib, 0) AS rank
+  FROM nodes CROSS JOIN nn CROSS JOIN d{i}
+  LEFT JOIN c{i} ON nodes.node = c{i}.node
+)""")
+    parts.append(f"""
+SELECT node, ROUND(rank, 8) AS rank FROM r{iterations}
+ORDER BY rank DESC, node LIMIT 10""")
+    return "".join(parts)
+
+
+@q("pipe_pagerank", _pagerank_oracle())
 def pipe_pagerank(spark, sf_dir) -> DataFrame:
-    """Top-10 PageRank nodes over the FK graph (rows-only: iterative
-    float ranks have no SQL twin). Regions dominate — every nation
-    links to one."""
+    """Top-10 PageRank nodes over the FK graph, hash-checked against a
+    DuckDB twin that unrolls the same 8 power iterations as chained
+    CTEs. Regions dominate — every nation links to one."""
     from kineo_spark.graph import pagerank
     pr = pagerank(_fk_edges(spark, sf_dir), iterations=8)
     return (pr.select("node", F.round(F.col("rank"), 8).alias("rank"))
             .orderBy(F.col("rank").desc(), F.col("node")).limit(10))
-
-
-QUERIES["pipe_pagerank"] = pipe_pagerank  # rows-only: no ORACLES entry
 
 
 # ---------------------------------------------------------------------------

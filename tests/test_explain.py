@@ -42,3 +42,24 @@ def test_engine_explain_ask_and_construct(fixture_store):
     ):
         out = e.explain(q, mode="simple")
         assert "== Physical Plan ==" in out
+
+
+def test_explain_analyze_metrics(fixture_store):
+    """--analyze executes the query and annotates the FINAL (post-AQE)
+    physical plan with per-operator row counts and time metrics — the
+    reference's QueryPlan wall-time tree analog
+    (SPARQL/QueryPlan.swift:11-111)."""
+    from kineo_spark.explain import explain_analyze
+
+    e = Engine(fixture_store)
+    out = explain_analyze(
+        e,
+        "SELECT ?s ?name WHERE { ?s <http://xmlns.com/foaf/0.1/name> ?name }",
+    )
+    assert "== Analyzed plan ==" in out
+    # wall time + result rows in the header
+    assert "rows," in out and "s wall)" in out
+    # at least one operator reports a live row-count metric
+    assert "rows=" in out
+    # scan shows up with its metrics
+    assert any("Scan" in l and "rows=" in l for l in out.splitlines())

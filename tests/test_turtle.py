@@ -120,23 +120,48 @@ def test_turtle_distributed_fallback(spark, tmp_path):
 
 
 def test_turtle_distributed_100k(spark, tmp_path):
-    from kineo_spark.sources.turtle import load_turtle_distributed
+    """100k-statement corpus containing bnode property lists ([...]),
+    collections ((...)), and multi-line statements parses on the
+    STATEMENT-PARALLEL path — driver fallback is monkeypatched to raise,
+    so this pins that the subset includes the bracketed forms (they nest
+    but never cross a statement boundary, so the quote-aware scanner's
+    '.'-end detection already covers them)."""
+    import kineo_spark.sources.turtle as T
 
     n = 100_000
     p = tmp_path / "big.ttl"
     with open(p, "w") as fh:
         fh.write("@prefix ex: <http://example.org/> .\n")
         for i in range(n):
-            if i % 10 == 0:  # every 10th statement spans two lines
+            if i % 20 == 0:  # multi-line bnode property list
+                fh.write(
+                    f'ex:s{i} ex:knows [\n    ex:name "n{i}" ;\n'
+                    f'    ex:q {i}\n] .\n'
+                )
+            elif i % 20 == 10:  # rdf:List collection
+                fh.write(f'ex:s{i} ex:list ({i} {i + 1}) ; ex:q {i} .\n')
+            elif i % 10 == 5:  # every 10th statement spans two lines
                 fh.write(f'ex:s{i} ex:p "v{i}" ;\n    ex:q {i} .\n')
             else:
                 fh.write(f'ex:s{i} ex:p "v{i}" .\n')
-    df = load_turtle_distributed(spark, str(p))
-    assert df.count() == n + n // 10
-    # spot-check content through an aggregate, not a collect
+    orig = T.load_turtle
+    T.load_turtle = lambda *a, **k: (_ for _ in ()).throw(
+        AssertionError("fell back to driver parser"))
+    try:
+        df = T.load_turtle_distributed(spark, str(p))
+        rows = df.count()
+    finally:
+        T.load_turtle = orig
+    # per bucket of 20: one [..] (2 triples in the bnode + 1 link),
+    # one (..) (2-elem rdf:List = 4 triples + 1 link + 1 ex:q),
+    # two 2-line stmts of 2 triples, sixteen 1-triple stmts
+    assert rows == (n // 20) * (3 + 6 + 4 + 16)
     from pyspark.sql import functions as F
-    total = df.filter(F.col("o_dt") == "integer").agg(F.sum("o_num")).first()[0]
-    assert int(total) == sum(i for i in range(n) if i % 10 == 0)
+    total = df.filter(
+        (F.col("o_dt") == "integer")
+        & (F.col("p_lex") == "http://example.org/q")
+    ).agg(F.sum("o_num")).first()[0]
+    assert int(total) == sum(i for i in range(n) if i % 5 == 0)
 
 
 def test_load_rdf_dispatch(spark, tmp_path):

@@ -125,6 +125,15 @@ def main() -> int:
             mode = rest[i + 1]
             rest = rest[:i] + rest[i + 2:]
         store = ParquetQuadStore(spark, target)
+        if "--analyze" in rest:
+            # per-operator runtime metrics (rows + times), the analog of
+            # the reference's QueryPlan wall-time tree
+            # (SPARQL/QueryPlan.swift:11-111) — executes the query
+            from kineo_spark.explain import explain_analyze
+
+            rest = [a for a in rest if a != "--analyze"]
+            print(explain_analyze(Engine(store), rest[0]))
+            return 0
         print(Engine(store).explain(rest[0], mode))
         return 0
 
