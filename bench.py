@@ -68,6 +68,11 @@ HEADLINE = [
     "pipe_pack_sequences",
     "pipe_dedup_incremental",
     "pipe_frame_extract",
+    # round-4: deliberate zipfian hot-key stress (half the events table
+    # on ONE key) vs its uniform twin — the two-phase top-k
+    # (pipeline/skew.py) must hold the pair within 2x
+    "pipe_skew_topk",
+    "pipe_uniform_topk",
 ]
 
 # round-1 per-query minima, corrected for the two host-noise spikes the

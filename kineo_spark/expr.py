@@ -198,6 +198,45 @@ def duration_seconds(t: Column) -> Column:
     return F.when(is_duration_term(t) & lex.rlike(_DUR_LEX), _dur_sign(lex) * s)
 
 
+# Ops whose RESULT can never be a duration literal: their comparisons
+# skip the duration branch entirely. This is a compile-time pruning, not
+# a semantic choice — eq_terms/cmp_lt grow the Catalyst expression tree
+# by every branch they carry, and IN-chains/EBV wrappers multiply that
+# growth, so comparisons keep the duration arm only when an operand
+# could statically BE a duration (variable, duration constant, TIMEZONE,
+# extension function, or a conditional over one).
+_NEVER_DURATION_OPS = frozenset({
+    "&&", "||", "!", "IN", "NOT_IN", "BOUND",
+    "=", "!=", "<", "<=", ">", ">=",
+    "+", "-", "*", "/", "NEG",
+    "STR", "LANG", "DATATYPE", "LANGMATCHES",
+    "IRI", "URI", "BNODE", "UUID", "STRUUID", "STRLANG",
+    "RAND", "ABS", "CEIL", "FLOOR", "ROUND",
+    "CONCAT", "STRLEN", "UCASE", "LCASE", "ENCODE_FOR_URI",
+    "CONTAINS", "STRSTARTS", "STRENDS", "STRBEFORE", "STRAFTER",
+    "SUBSTR", "REPLACE", "REGEX",
+    "ISIRI", "ISURI", "ISBLANK", "ISLITERAL", "ISNUMERIC", "SAMETERM",
+    "CAST", "YEAR", "MONTH", "DAY", "HOURS", "MINUTES", "SECONDS",
+    "TZ", "NOW", "MD5", "SHA1", "SHA256", "SHA384", "SHA512",
+})
+
+
+def maybe_duration(e) -> bool:
+    """Could this expression evaluate to an xsd:duration-family literal?
+    Conservative (True when unsure)."""
+    if isinstance(e, EVar):
+        return True
+    if isinstance(e, EConst):
+        return getattr(e.term, "dt", None) in DURATION_DTS
+    if isinstance(e, ECall):
+        if e.op == "IF":
+            return any(maybe_duration(x) for x in e.args[1:])
+        if e.op == "COALESCE":
+            return any(maybe_duration(x) for x in e.args)
+        return e.op not in _NEVER_DURATION_OPS
+    return True
+
+
 def duration_eq(a: Column, b: Column) -> Column:
     """Duration value equality: equal (months, seconds) pairs
     (reference value space, RDF/RDF.swift:408-480)."""
@@ -280,7 +319,7 @@ def _regex_pattern(pat: Column, flags: Column | None) -> Column:
     return F.when(flags.rlike("^[smixq]*$"), out)
 
 
-def eq_terms(a: Column, b: Column) -> Column:
+def eq_terms(a: Column, b: Column, dur: bool = True) -> Column:
     """SPARQL '=' value equality (§17.4.1.7 RDFterm-equal +
     the §17.3 operator table; reference sparqlCompare,
     Expression.swift:903-957): numeric/temporal/boolean pairs compare
@@ -299,33 +338,35 @@ def eq_terms(a: Column, b: Column) -> Column:
         )
     )
     both_lit = (a["kind"] == KIND_LITERAL) & (b["kind"] == KIND_LITERAL)
-    both_dur = is_duration_term(a) & is_duration_term(b)
     same = term_key(a) == term_key(b)
+    out = F.when(a.isNull() | b.isNull(), _NULL_B()).when(
+        both_num | both_tmp | both_bool, a["num"] == b["num"]
+    )
+    if dur:  # compile-time pruning, see maybe_duration
+        both_dur = is_duration_term(a) & is_duration_term(b)
+        out = out.when(both_dur, duration_eq(a, b))
     return (
-        F.when(a.isNull() | b.isNull(), _NULL_B())
-        .when(both_num | both_tmp | both_bool, a["num"] == b["num"])
-        .when(both_dur, duration_eq(a, b))
+        out
         .when(both_plain, a["lex"] == b["lex"])
         .when(both_lit, F.when(same, F.lit(True)).otherwise(_NULL_B()))
         .otherwise(same)
     )
 
 
-def cmp_lt(a: Column, b: Column) -> Column:
+def cmp_lt(a: Column, b: Column, dur: bool = True) -> Column:
     """a < b under SPARQL ordering comparison; NULL on incomparable
     operands (type error). IRIs/blanks are not <-comparable in filters."""
     both_num = is_numeric_term(a) & is_numeric_term(b)
     both_tmp = is_temporal_term(a) & is_temporal_term(b)
     both_bool = (a["dt"] == "boolean") & (b["dt"] == "boolean")
     both_str = is_string_lit(a) & is_string_lit(b)
-    both_dur = is_duration_term(a) & is_duration_term(b)
-    return (
-        F.when(a.isNull() | b.isNull(), _NULL_B())
-        .when(both_num | both_tmp | both_bool, a["num"] < b["num"])
-        .when(both_dur, duration_lt(a, b))
-        .when(both_str, a["lex"] < b["lex"])
-        .otherwise(_NULL_B())
+    out = F.when(a.isNull() | b.isNull(), _NULL_B()).when(
+        both_num | both_tmp | both_bool, a["num"] < b["num"]
     )
+    if dur:  # compile-time pruning, see maybe_duration
+        both_dur = is_duration_term(a) & is_duration_term(b)
+        out = out.when(both_dur, duration_lt(a, b))
+    return out.when(both_str, a["lex"] < b["lex"]).otherwise(_NULL_B())
 
 
 def _num_guard(t: Column) -> Column:
@@ -449,8 +490,9 @@ def _dispatch_call(e: ECall, a: list[Column], env: dict[str, Column]) -> Column:
         # false||err = err); NOT IN is its 3-valued negation.
         any_true = F.lit(False)
         any_err = F.lit(False)
-        for x in a[1:]:
-            eq = eq_terms(a[0], x)
+        md0 = maybe_duration(e.args[0])
+        for x, xe in zip(a[1:], e.args[1:]):
+            eq = eq_terms(a[0], x, dur=md0 and maybe_duration(xe))
             any_true = any_true | F.coalesce(eq, F.lit(False))
             any_err = any_err | eq.isNull()
         cond = (
@@ -464,18 +506,20 @@ def _dispatch_call(e: ECall, a: list[Column], env: dict[str, Column]) -> Column:
         return bool_term(a[0].isNotNull().cast("boolean"))
 
     # --- comparison ---
-    if op == "=":
-        return bool_term(eq_terms(a[0], a[1]))
-    if op == "!=":
-        return bool_term(~eq_terms(a[0], a[1]))
-    if op == "<":
-        return bool_term(cmp_lt(a[0], a[1]))
-    if op == ">":
-        return bool_term(cmp_lt(a[1], a[0]))
-    if op == "<=":
-        return bool_term(~cmp_lt(a[1], a[0]))
-    if op == ">=":
-        return bool_term(~cmp_lt(a[0], a[1]))
+    if op in ("=", "!=", "<", ">", "<=", ">="):
+        md = maybe_duration(e.args[0]) and maybe_duration(e.args[1])
+        if op == "=":
+            return bool_term(eq_terms(a[0], a[1], dur=md))
+        if op == "!=":
+            return bool_term(~eq_terms(a[0], a[1], dur=md))
+        if op == "<":
+            return bool_term(cmp_lt(a[0], a[1], dur=md))
+        if op == ">":
+            return bool_term(cmp_lt(a[1], a[0], dur=md))
+        if op == "<=":
+            return bool_term(~cmp_lt(a[1], a[0], dur=md))
+        if op == ">=":
+            return bool_term(~cmp_lt(a[0], a[1], dur=md))
     if op == "SAMETERM":
         return bool_term(
             F.when(a[0].isNull() | a[1].isNull(), _NULL_B())
@@ -750,15 +794,16 @@ def _valued(t: Column) -> Column:
     )
 
 
-def _eq_cond(a: Column, b: Column) -> Column:
-    return (
-        (_valued(a) & _valued(b) & (a["num"] == b["num"]))
-        | (term_key(a) == term_key(b))
-        | (
+def _eq_cond(a: Column, b: Column, dur: bool = True) -> Column:
+    out = (_valued(a) & _valued(b) & (a["num"] == b["num"])) | (
+        term_key(a) == term_key(b)
+    )
+    if dur:  # compile-time pruning, see maybe_duration
+        out = out | (
             is_duration_term(a) & is_duration_term(b)
             & duration_eq(a, b).eqNullSafe(F.lit(True))
         )
-    )
+    return out
 
 
 def compile_filter_condition(e: Expr, env: dict[str, Column]) -> Column:
@@ -779,8 +824,10 @@ def compile_filter_condition(e: Expr, env: dict[str, Column]) -> Column:
         if op == "IN":
             a = compile_expr(e.args[0], env)
             out = None
-            for x in e.args[1:]:
-                cond = _eq_cond(a, compile_expr(x, env))
+            md0 = maybe_duration(e.args[0])
+            for xe in e.args[1:]:
+                cond = _eq_cond(a, compile_expr(xe, env),
+                                dur=md0 and maybe_duration(xe))
                 out = cond if out is None else (out | cond)
             return out if out is not None else F.lit(False)
         if op in ("CONTAINS", "STRSTARTS", "STRENDS"):
@@ -792,13 +839,14 @@ def compile_filter_condition(e: Expr, env: dict[str, Column]) -> Column:
         if op in ("<", ">", "<=", ">=", "=", "!="):
             a = compile_expr(e.args[0], env)
             b = compile_expr(e.args[1], env)
+            md = maybe_duration(e.args[0]) and maybe_duration(e.args[1])
             if op == "=":
-                return _eq_cond(a, b)
+                return _eq_cond(a, b, dur=md)
             if op == "!=":
                 # NOT-like: under strict RDFterm-equal an incomparable
                 # literal pair is an error (drop), but ~_eq_cond would
                 # keep it — use the exact three-valued path
-                return eq_terms(a, b).eqNullSafe(F.lit(False))
+                return eq_terms(a, b, dur=md).eqNullSafe(F.lit(False))
             both_valued = _valued(a) & _valued(b)
             both_str = is_string_lit(a) & is_string_lit(b)
             num_cmp = {
@@ -809,18 +857,17 @@ def compile_filter_condition(e: Expr, env: dict[str, Column]) -> Column:
                 "<": a["lex"] < b["lex"], ">": a["lex"] > b["lex"],
                 "<=": a["lex"] <= b["lex"], ">=": a["lex"] >= b["lex"],
             }[op]
-            both_dur = is_duration_term(a) & is_duration_term(b)
-            dur_cmp = {
-                "<": lambda: duration_lt(a, b),
-                ">": lambda: duration_lt(b, a),
-                "<=": lambda: duration_lt(a, b) | duration_eq(a, b),
-                ">=": lambda: duration_lt(b, a) | duration_eq(a, b),
-            }[op]()
-            return (
-                (both_valued & num_cmp)
-                | (both_str & str_cmp)
-                | (both_dur & dur_cmp.eqNullSafe(F.lit(True)))
-            )
+            out = (both_valued & num_cmp) | (both_str & str_cmp)
+            if md:  # compile-time pruning, see maybe_duration
+                both_dur = is_duration_term(a) & is_duration_term(b)
+                dur_cmp = {
+                    "<": lambda: duration_lt(a, b),
+                    ">": lambda: duration_lt(b, a),
+                    "<=": lambda: duration_lt(a, b) | duration_eq(a, b),
+                    ">=": lambda: duration_lt(b, a) | duration_eq(a, b),
+                }[op]()
+                out = out | (both_dur & dur_cmp.eqNullSafe(F.lit(True)))
+            return out
     # exact path (3-valued, error-aware)
     return ebv(compile_expr(e, env)).eqNullSafe(F.lit(True))
 

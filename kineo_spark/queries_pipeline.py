@@ -653,6 +653,68 @@ def pipe_tumbling_window(spark, sf_dir) -> DataFrame:
     return sessions.tumbling_counts(events)
 
 
+_SKEW_TOPK_ORACLE = """
+SELECT CAST(CASE WHEN user_id % 2 = 0 THEN 0 ELSE user_id END AS BIGINT) AS k,
+       event_id, ROUND(value, 6) AS value, rnk
+FROM (
+  SELECT *, CAST(row_number() OVER (
+      PARTITION BY CASE WHEN user_id % 2 = 0 THEN 0 ELSE user_id END
+      ORDER BY value DESC, event_id) AS INT) AS rnk
+  FROM events
+) WHERE rnk <= 10
+"""
+
+
+@q("pipe_skew_topk", _SKEW_TOPK_ORACLE)
+def pipe_skew_topk(spark, sf_dir) -> DataFrame:
+    """Deliberately zipfian top-k: every even user_id collapses onto hot
+    key 0 (≈half the table in ONE group — the Common-Crawl
+    single-domain shape), odd users stay uniform. Runs through the
+    skew-safe two-phase top-k (pipeline/skew.py): phase 1 keeps each
+    input partition's local top-10 per key with NO shuffle, so the hot
+    key ships ≤ 10·n_partitions candidate rows instead of half the
+    table. Row-identical to the naive global window (the oracle)."""
+    from kineo_spark.pipeline import skew
+    events = read_table(spark, sf_dir, "events")
+    keyed = events.withColumn(
+        "k",
+        F.when(F.col("user_id") % 2 == 0, F.lit(0).cast("long"))
+        .otherwise(F.col("user_id")),
+    )
+    out = skew.topk_per_group(
+        keyed, "k", [F.col("value").desc(), F.col("event_id").asc()], 10)
+    return out.select(
+        "k", "event_id", F.round("value", 6).alias("value"),
+        F.col("rank_in_group").alias("rnk"),
+    )
+
+
+_UNIFORM_TOPK_ORACLE = """
+SELECT user_id AS k, event_id, ROUND(value, 6) AS value, rnk
+FROM (
+  SELECT *, CAST(row_number() OVER (
+      PARTITION BY user_id ORDER BY value DESC, event_id) AS INT) AS rnk
+  FROM events
+) WHERE rnk <= 10
+"""
+
+
+@q("pipe_uniform_topk", _UNIFORM_TOPK_ORACLE)
+def pipe_uniform_topk(spark, sf_dir) -> DataFrame:
+    """Uniform twin of pipe_skew_topk (raw user_id keys, no hot key):
+    the bench compares the pair — the skew-safe plan must hold the
+    zipfian entry within 2× of this one."""
+    from kineo_spark.pipeline import skew
+    events = read_table(spark, sf_dir, "events")
+    out = skew.topk_per_group(
+        events.withColumn("k", F.col("user_id")), "k",
+        [F.col("value").desc(), F.col("event_id").asc()], 10)
+    return out.select(
+        "k", "event_id", F.round("value", 6).alias("value"),
+        F.col("rank_in_group").alias("rnk"),
+    )
+
+
 @q("pipe_top_users_by_value",
    f"SELECT user_id, CAST(SUM(CAST(value AS {_DEC})) AS DOUBLE) AS total "
    f"FROM events WHERE event_type = 'purchase' GROUP BY user_id "
