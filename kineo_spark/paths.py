@@ -69,8 +69,25 @@ def _edges_for(compiler, path: A.Path, graph) -> DataFrame:
         excluded = [t.lex for t in path.iris]
         df = df.filter(~df["__pp"]["lex"].isin(excluded))
         return _pairs(df, df["__ps"], df["__po"])
+    # NESTED closures (a star/plus/opt under seq/alt/inv, e.g.
+    # ((p/q)|^(r+))* ): evaluate the inner fixpoint to a pair relation
+    # and keep composing relationally. Top-level closures still go
+    # through eval_path, which adds the seeded-BFS optimization; a
+    # nested closure is inherently unseeded (its endpoints are interior
+    # join columns), so the full inner closure is the correct cost.
     if isinstance(path, (A.PPlus, A.PStar, A.PZeroOrOne)):
-        raise ValueError("nested closure paths must go through eval_path")
+        strategy = getattr(compiler, "path_strategy", "seminaive")
+        if isinstance(path, A.PZeroOrOne):
+            one = _edges_for(compiler, path.path, graph) \
+                .dropDuplicates(["__sk", "__ok"])
+        else:
+            one = _closure(compiler, _edges_for(compiler, path.path, graph),
+                           compiler.max_path_iterations, strategy=strategy)
+        if isinstance(path, A.PPlus):
+            return one
+        # zero-length arm: every graph node relates to itself (§18.4 ALP)
+        return one.unionByName(_graph_nodes(compiler, graph)) \
+            .dropDuplicates(["__sk", "__ok"])
     raise NotImplementedError(type(path).__name__)
 
 
@@ -245,8 +262,23 @@ def _id_edges_for(compiler, path: A.Path, graph) -> DataFrame:
         df = df.filter(~df["__pp"]["lex"].isin([t.lex for t in path.iris]))
         return df.select(id_of_term_col(df["__ps"]).alias("__a"),
                          id_of_term_col(df["__po"]).alias("__b"))
+    # nested closures: same composition as the term path (_edges_for) —
+    # inner fixpoint on id longs, identity arm from the graph node ids
     if isinstance(path, (A.PPlus, A.PStar, A.PZeroOrOne)):
-        raise ValueError("nested closure paths must go through eval_path")
+        strategy = getattr(compiler, "path_strategy", "seminaive")
+        if isinstance(path, A.PZeroOrOne):
+            one = _id_edges_for(compiler, path.path, graph) \
+                .dropDuplicates(["__a", "__b"])
+        else:
+            ek = _id_edges_for(compiler, path.path, graph) \
+                .dropDuplicates(["__a", "__b"])
+            one = _closure_pairs(ek, compiler.max_path_iterations,
+                                 strategy=strategy)
+        if isinstance(path, A.PPlus):
+            return one
+        ident = _id_graph_nodes(compiler, graph).select(
+            F.col("__k").alias("__a"), F.col("__k").alias("__b"))
+        return one.unionByName(ident).dropDuplicates(["__a", "__b"])
     raise NotImplementedError(type(path).__name__)
 
 
@@ -256,7 +288,12 @@ def _id_nodes_for(compiler, path: A.Path, graph) -> DataFrame:
     closure and endpoint filters (survivor-only materialization)."""
     from kineo_spark.dictionary import id_of_term_col
 
-    if isinstance(path, (A.PInv, A.PPlus, A.PStar, A.PZeroOrOne)):
+    if isinstance(path, (A.PStar, A.PZeroOrOne)):
+        # a nested zero-arm introduces identity pairs over EVERY graph
+        # node — the node map must cover them or materialize drops rows
+        return _id_nodes_for(compiler, path.path, graph).unionByName(
+            _id_graph_nodes(compiler, graph))
+    if isinstance(path, (A.PInv, A.PPlus)):
         return _id_nodes_for(compiler, path.path, graph)
     if isinstance(path, (A.PSeq, A.PAlt)):
         return _id_nodes_for(compiler, path.lhs, graph).unionByName(

@@ -120,3 +120,44 @@ def test_doubling_converges_on_long_chain(spark):
     # semi-naive needs d rounds and must refuse (not silently truncate)
     with pytest.raises(RuntimeError, match="did not converge"):
         Compiler(store, max_path_iterations=32).compile(alg).df.count()
+
+
+def test_nested_closure_in_sequence(path_store):
+    """likes/knows* — a closure NESTED inside a sequence (previously
+    rejected with 'nested closure paths must go through eval_path')."""
+    comp = Compiler(path_store)
+    p = A.PSeq(A.PLink(iri(LIKES)), A.PStar(A.PLink(iri(KNOWS))))
+    got = {(a, b) for a, b in _pairs(comp, p)}
+    assert got == {("a", "z"), ("a", "x"), ("a", "y"),
+                   ("lonely", "lonely")}
+
+
+def test_nested_plus_under_star(path_store):
+    """(knows+|likes)* — a plus-closure nested under alternation under
+    star; reachability is the closure of knows∪likes plus identity."""
+    comp = Compiler(path_store)
+    p = A.PStar(A.PAlt(A.PPlus(A.PLink(iri(KNOWS))), A.PLink(iri(LIKES))))
+    got = {b for a, b in _pairs(comp, p) if a == "a"}
+    assert got == {"a", "b", "c", "d", "e", "z", "x", "y"}
+
+
+def test_nested_star_of_sequence(path_store):
+    """(knows/knows)* — even-length knows walks."""
+    comp = Compiler(path_store)
+    p = A.PStar(A.PSeq(A.PLink(iri(KNOWS)), A.PLink(iri(KNOWS))))
+    got = {b for a, b in _pairs(comp, p) if a == "a"}
+    assert got == {"a", "c", "e"}
+
+
+def test_nested_closure_id_mode(path_store):
+    """The ID-mode evaluator composes nested closures identically."""
+    from kineo_spark.dictionary import id_compiler
+
+    term_comp = Compiler(path_store)
+    idc = id_compiler(path_store)
+    for p in (
+        A.PSeq(A.PLink(iri(LIKES)), A.PStar(A.PLink(iri(KNOWS)))),
+        A.PStar(A.PAlt(A.PPlus(A.PLink(iri(KNOWS))), A.PLink(iri(LIKES)))),
+        A.PSeq(A.PZeroOrOne(A.PLink(iri(LIKES))), A.PPlus(A.PLink(iri(KNOWS)))),
+    ):
+        assert _pairs(idc, p) == _pairs(term_comp, p)

@@ -215,3 +215,20 @@ def test_parquet_store_graph_partition_pruning(spark, tmp_path):
     assert "PartitionFilters: [" in plan and "g_lex" in plan.split(
         "PartitionFilters:")[1][:200]
     assert df.count() == 10
+
+
+def test_skew_topk_single_exchange(spark, queries):
+    """The skew-safe two-phase top-k shuffles ONCE: phase 1 windows on
+    (spark_partition_id, key) inside each input partition (no
+    Exchange), so only <= k*n_partitions survivors reach the final
+    per-key window — the hot key never funnels half the table through
+    one task."""
+    plan = _plan(queries["pipe_skew_topk"](spark, SF))
+    # exactly one hashpartitioning exchange (the final window's), with a
+    # PARTIAL WindowGroupLimit upstream of it doing the map-side top-k
+    n_exchanges = plan.count("Exchange hashpartitioning")
+    assert n_exchanges == 1, plan[:2000]
+    pre_shuffle = plan.split("Exchange hashpartitioning", 1)[1]
+    assert "WindowGroupLimit" in pre_shuffle and "Partial" in pre_shuffle, \
+        plan[:2000]
+    assert "CartesianProduct" not in plan

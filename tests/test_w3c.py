@@ -24,7 +24,7 @@ ENTRIES = (manifest_entries("/root/repo/tests/w3c/manifest.ttl")
 
 
 def test_manifest_parsed():
-    assert len(ENTRIES) == 195
+    assert len(ENTRIES) == 205
     assert all(e.query_path for e in ENTRIES)
     assert all(e.result_path for e in ENTRIES if "SyntaxTest" not in e.type)
 
