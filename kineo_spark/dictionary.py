@@ -17,11 +17,13 @@ Spark-native version:
   COLLISION AUDIT (``audit_id_collisions``): one count-distinct pass at
   layout-build time that fails loudly if any two distinct term keys
   share an id — it runs inside ``persist_id_layout`` by default, so the
-  at-rest layout is certified collision-free. The escape hatch for
-  corpora that ever trip it is a two-long (128-bit) key: pair the id
-  with ``xxhash64(key, seed=1)`` as a second column (birthday bound
-  ~n²/2¹²⁹, negligible forever) — joins then use both columns; nothing
-  else in the plan shape changes.
+  at-rest layout is certified collision-free. Two escape hatches for
+  corpora that trip it: (a) ``encode_quads_repaired`` — a deterministic
+  salted rekey of the colliding terms (O(#collisions) CASE chain in the
+  id expression, one re-encode pass; implemented + forced-collision
+  tested), and (b) a two-long (128-bit) key: pair the id with a salted
+  second hash column (birthday bound ~n²/2¹²⁹, negligible forever) —
+  joins then use both columns; nothing else in the plan shape changes.
 - ``id_quads`` is a 4×long table: shuffles and joins move 32 bytes/row
   instead of full lexical forms — the same win the reference gets from
   its packed IDs.
@@ -55,19 +57,37 @@ def _key_cols(prefix: str):
     ]
 
 
+def _id_expr(kind, lex, dt, lang):
+    """THE id assignment: xxhash64 of the canonical term key. One
+    definition shared by the dictionary build, the quad encoder, and
+    constant-term lookups (and the monkeypatch point for the forced-
+    collision tests)."""
+    return F.xxhash64(
+        kind.cast("string"), lex,
+        F.coalesce(dt, F.lit("")) if dt is not None else F.lit(""),
+        F.coalesce(lang, F.lit("")) if lang is not None else F.lit(""),
+    )
+
+
 def _term_id(prefix: str):
-    return F.xxhash64(*_key_cols(prefix))
+    k = _key_cols(prefix)
+    return _id_expr(k[0], k[1], k[2], k[3])
 
 
-def encode_quads(quads_flat: DataFrame) -> tuple[DataFrame, DataFrame]:
+def encode_quads(quads_flat: DataFrame, id_fn=None) -> tuple[DataFrame, DataFrame]:
     """Flat quads (FIXTURES §0) → (dictionary, id_quads).
 
     dictionary: (id long, kind, lex, dt, lang, num) — distinct terms.
     id_quads:   (s long, p long, o long, g long).
+
+    ``id_fn(kind, lex, dt, lang) -> Column`` overrides the id
+    assignment (collision repair amends it; tests force collisions
+    through it). Default: ``_id_expr``.
     """
     q = quads_flat
     null_s = F.lit(None).cast("string")
     null_d = F.lit(None).cast("double")
+    qid = id_fn or _id_expr
 
     def dict_part(kind, lex, dt, lang, num):
         return q.select(
@@ -82,22 +102,113 @@ def encode_quads(quads_flat: DataFrame) -> tuple[DataFrame, DataFrame]:
         .unionByName(dict_part(F.lit(0), q["g_lex"], null_s, null_s, null_d))
         .dropDuplicates(["kind", "lex", "dt", "lang"])
     )
-    dictionary = terms.select(_term_id("").alias("id"), *_KEY, "num")
-
-    def qid(kind, lex, dt=None, lang=None):
-        return F.xxhash64(
-            kind.cast("string"), lex,
-            F.coalesce(dt, F.lit("")) if dt is not None else F.lit(""),
-            F.coalesce(lang, F.lit("")) if lang is not None else F.lit(""),
-        )
+    k = _key_cols("")
+    dictionary = terms.select(qid(k[0], k[1], k[2], k[3]).alias("id"),
+                              *_KEY, "num")
 
     id_quads = q.select(
-        qid(q["s_kind"], q["s_lex"]).alias("s"),
-        qid(F.lit(0), q["p_lex"]).alias("p"),
+        qid(q["s_kind"], q["s_lex"], None, None).alias("s"),
+        qid(F.lit(0), q["p_lex"], None, None).alias("p"),
         qid(q["o_kind"], q["o_lex"], q["o_dt"], q["o_lang"]).alias("o"),
-        qid(F.lit(0), q["g_lex"]).alias("g"),
+        qid(F.lit(0), q["g_lex"], None, None).alias("g"),
     )
     return dictionary, id_quads
+
+
+def _remapped_id_fn(remap: dict, base_fn=None):
+    """Amend an id function with a driver-known remap
+    {(kind_str, lex, dt_or_empty, lang_or_empty): new_id}. The remap is
+    O(#collisions) — at most a handful even at the 50%-birthday design
+    point — so it compiles to a pure-Column CASE chain: no joins, no
+    broadcast, zero cost on non-colliding rows."""
+    base = base_fn or _id_expr
+
+    def rid(kind, lex, dt=None, lang=None):
+        out = base(kind, lex, dt, lang)
+        dtn = F.coalesce(dt, F.lit("")) if dt is not None else F.lit("")
+        lan = F.coalesce(lang, F.lit("")) if lang is not None else F.lit("")
+        for (k_, l_, d_, la_), new_id in remap.items():
+            hit = (
+                (kind.cast("string") == k_) & (lex == l_)
+                & (dtn == d_) & (lan == la_)
+            )
+            out = F.when(hit, F.lit(new_id).cast("long")).otherwise(out)
+        return out
+
+    return rid
+
+
+def term_key_tuple(kind, lex, dt, lang) -> tuple:
+    """The normalized driver-side term key matching _id_expr's inputs."""
+    return (str(kind), lex, dt or "", lang or "")
+
+
+def encode_quads_repaired(
+    quads_flat: DataFrame, id_fn=None, max_rounds: int = 8,
+) -> tuple[DataFrame, DataFrame, dict]:
+    """The 64-bit collision ESCAPE HATCH: encode, audit, and — iff the
+    audit finds colliding ids — deterministically rekey the losers and
+    re-encode.
+
+    Within each colliding id group the first term (by term-key order)
+    keeps its hash id; every later term gets ``xxhash64(salt, key)``
+    with the smallest salt that is globally clash-free. Detection is
+    one aggregation; the rekey set is O(#collisions) (≈ a couple of
+    pairs even at the 5×10⁹-term 50%-birthday design point), so the
+    repair compiles to a CASE chain in the id expression and the
+    re-encode costs the same single pass as the original encode.
+    Returns (dictionary, id_quads, remap); an empty remap means the
+    plain encode was already injective. The remap must be kept with the
+    layout: constant-term filters consult it before hashing
+    (``scan_ids(..., remap=...)``)."""
+    base = id_fn or _id_expr
+    dictionary, id_quads = encode_quads(quads_flat, id_fn=base)
+    dup = dictionary.groupBy("id").count().filter(F.col("count") > 1)
+    dup_ids = [r["id"] for r in dup.collect()]
+    if not dup_ids:
+        return dictionary, id_quads, {}
+    spark = quads_flat.sparkSession
+    rows = dictionary.filter(F.col("id").isin(dup_ids)).collect()
+    by_id: dict = {}
+    for r in rows:
+        by_id.setdefault(r["id"], []).append(r)
+    losers = []  # rows needing fresh ids
+    for _, group in sorted(by_id.items()):
+        group = sorted(group, key=lambda r: term_key_tuple(
+            r["kind"], r["lex"], r["dt"], r["lang"]))
+        losers.extend(group[1:])
+    taken = {r["id"] for r in rows}
+    remap: dict = {}
+    pending = losers
+    for salt in range(1, max_rounds + 1):
+        if not pending:
+            break
+        keys = [term_key_tuple(r["kind"], r["lex"], r["dt"], r["lang"])
+                for r in pending]
+        kdf = spark.createDataFrame(
+            [(i, *k) for i, k in enumerate(keys)],
+            "i int, k string, l string, d string, la string")
+        fresh = {
+            r["i"]: r["nid"] for r in kdf.select(
+                "i", F.xxhash64(F.lit(salt), "k", "l", "d", "la").alias("nid")
+            ).collect()
+        }
+        still = []
+        for i, r in enumerate(pending):
+            nid = fresh[i]
+            if nid in taken or nid in remap.values():
+                still.append(r)  # try the next salt
+                continue
+            remap[keys[i]] = nid
+            taken.add(nid)
+        pending = still
+    if pending:
+        raise IdCollisionError(
+            f"could not find clash-free salted ids for {len(pending)} "
+            f"term(s) in {max_rounds} rounds")
+    rid = _remapped_id_fn(remap, base)
+    dictionary, id_quads = encode_quads(quads_flat, id_fn=rid)
+    return dictionary, id_quads, remap
 
 
 def _const_id(term: PyTerm):
@@ -122,13 +233,20 @@ def id_of_term_col(t):
     )
 
 
-def scan_ids(id_quads: DataFrame, pattern: A.QuadPattern) -> DataFrame:
+def scan_ids(id_quads: DataFrame, pattern: A.QuadPattern,
+             remap: dict | None = None) -> DataFrame:
     """Pattern scan in ID space: bound positions filter on longs,
-    variables project long columns (IDQuadPlan, IDQueryPlan.swift:11-81)."""
+    variables project long columns (IDQuadPlan, IDQueryPlan.swift:11-81).
+    ``remap`` is a collision-repair table (encode_quads_repaired):
+    constant terms consult it before falling back to the hash id."""
     df = id_quads
     out: dict[str, str] = {}
     for pos, node in pattern.nodes():
         if isinstance(node, PyTerm):
+            key = term_key_tuple(node.kind, node.lex, node.dt, node.lang)
+            if remap and key in remap:
+                df = df.filter(F.col(pos) == F.lit(remap[key]).cast("long"))
+                continue
             df = df.filter(F.col(pos) == _const_id(node))
         elif isinstance(node, A.Var):
             if node.name in out:
@@ -682,8 +800,9 @@ def audit_id_collisions(dictionary: DataFrame, sample: int = 3) -> int:
         raise IdCollisionError(
             f"{n - nid} colliding 64-bit term id(s), e.g. ids {bad}: "
             "two distinct terms share an id and would silently merge in "
-            "every join. Rebuild the layout with the 128-bit two-long "
-            "key (dictionary.py module docstring)."
+            "every join. Rebuild with encode_quads_repaired (salted "
+            "rekey of the colliding terms) or the 128-bit two-long key "
+            "(dictionary.py module docstring)."
         )
     return n
 
