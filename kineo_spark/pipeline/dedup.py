@@ -128,14 +128,38 @@ def ngram_jaccard_pairs(
     return out
 
 
+def shingle_bag(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+    """(id, gram) WITH duplicates — no shuffle at all (the explode stays
+    in the input row's partition). The right feed for MinHash: min() is
+    duplicate-insensitive, so signatures never need the distinct."""
+    from kineo_spark.pipeline.text import ngrams_of, tokens
+
+    toks = df.select(F.col(id_col).alias("id"),
+                     tokens(F.col(text_col)).alias("__w"))
+    return toks.select("id", F.explode(ngrams_of(F.col("__w"), n)).alias("gram"))
+
+
 def minhash_signatures(
     df: DataFrame, id_col: str, text_col: str = "text", k: int = 64, n: int = 3,
     sh: DataFrame | None = None,
 ) -> DataFrame:
     """k-permutation MinHash signature per document in ONE aggregation:
-    sig[i] = min over shingles of xxhash64(gram, i). Returns (id, sig)."""
+    sig[i] = min over shingles of xxhash64(gram, i). Returns (id, sig).
+
+    Feeds on the duplicate-preserving shingle bag by default: min() over
+    a bag equals min() over the set, and skipping the distinct removes a
+    corpus-sized (id, gram) shuffle — partial aggregation then reduces
+    each doc to one 64-long row BEFORE the exchange (each doc's grams
+    live in its input partition), so the signature shuffle is
+    O(docs·k·8B) regardless of corpus size.
+
+    (Measured non-win, for the record: Carter-Wegman linear permutations
+    over two base hashes — the datasketch trick — benchmarked no faster
+    than k seeded xxhash64 calls here; JVM xxhash64 on short grams is
+    cheap and the whole-stage-codegen'd hash loop beats the extra
+    projection. Kept the simpler, wider-hash-space scheme.)"""
     if sh is None:
-        sh = shingles(df, id_col, text_col, n)
+        sh = shingle_bag(df, id_col, text_col, n)
     mins = [
         F.min(F.xxhash64(F.col("gram"), F.lit(i))).alias(f"h{i}") for i in range(k)
     ]
@@ -186,12 +210,31 @@ def minhash_dedup_pairs(
     """MinHash-LSH candidates verified with exact Jaccard (the standard
     two-phase near-dup pipeline). Returns (id_a, id_b, jaccard)."""
     rows = k // bands
-    sh = shingles(df, id_col, text_col, n).cache()
-    sigs = minhash_signatures(df, id_col, text_col, k, n, sh=sh)
+    # Shuffle discipline (the 100 TB shape, re-measured r4):
+    # 1. signatures aggregate the DUPLICATE-PRESERVING shingle bag —
+    #    no distinct, and partial agg reduces each doc to one 64-long
+    #    row before the exchange, so the signature shuffle is
+    #    O(docs), not O(corpus grams);
+    # 2. the verify stage sees only CANDIDATE docs' shingles (semi-join
+    #    on the LSH candidate ids, then distinct on that small slice) —
+    #    without both, this function shuffled the full (id, gram) table
+    #    twice (2×62 MB at sf0.1 for ~300 pairs; now ~2 MB total).
+    # Candidate doc-ids ≈ docs with near-dups — orders of magnitude
+    # smaller than the corpus at any scale, so the semi-join's build
+    # side broadcasts.
+    bag = shingle_bag(df, id_col, text_col, n)
+    sigs = minhash_signatures(df, id_col, text_col, k, n, sh=bag)
     cands = minhash_lsh_candidates(sigs, bands, rows)
-    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
-    a = sh.select(F.col("id").alias("id_a"), "gram")
-    b = sh.select(F.col("id").alias("id_b"), "gram")
+    cand_docs = (
+        cands.select(F.col("id_a").alias("id"))
+        .unionByName(cands.select(F.col("id_b").alias("id")))
+        .distinct()
+    )
+    shc = bag.join(F.broadcast(cand_docs), "id", "leftsemi") \
+        .dropDuplicates(["id", "gram"]).cache()
+    sizes = shc.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    a = shc.select(F.col("id").alias("id_a"), "gram")
+    b = shc.select(F.col("id").alias("id_b"), "gram")
     inter = (
         cands.join(a, "id_a").join(b, ["id_b", "gram"])
         .groupBy("id_a", "id_b")
