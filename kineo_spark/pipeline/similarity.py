@@ -61,16 +61,27 @@ def knn_bruteforce(
     )
 
 
+def _rademacher(plane: int, dim: int) -> list[float]:
+    """Deterministic ±1 weights for one hyperplane, fixed at plan-build
+    time on the driver (seeded PRNG per plane index)."""
+    import random
+
+    rng = random.Random(0xC0FFEE ^ (plane * 2654435761))
+    return [1.0 if rng.random() < 0.5 else -1.0 for _ in range(dim)]
+
+
 def _plane_sign(vec: Column, plane: int, dim: int) -> Column:
-    """Deterministic Rademacher hyperplane: weight(j) = ±1 from
-    xxhash64(plane, j); bit = sign of the weighted sum."""
-    idx = F.sequence(F.lit(0), F.lit(dim - 1))
+    """Rademacher hyperplane bit: sign of sum_j w_j * vec[j]. The
+    weights are LITERALS baked into the plan — the earlier form derived
+    them per element with xxhash64 inside the aggregate lambda, which
+    Catalyst re-evaluates per row per element (the lambda re-eval trap:
+    128 planes x 64 hashes per row); with literal weights the runtime
+    work is one fused multiply-add sweep."""
+    w = F.array(*[F.lit(x) for x in _rademacher(plane, dim)])
     s = F.aggregate(
-        idx,
+        F.zip_with(vec, w, lambda x, y: x.cast("double") * y),
         F.lit(0.0),
-        lambda acc, j: acc
-        + F.when(F.xxhash64(F.lit(plane), j) % 2 == 0, F.lit(1.0)).otherwise(F.lit(-1.0))
-        * F.get(vec, j).cast("double"),
+        lambda acc, x: acc + x,
     )
     return F.when(s >= 0, F.lit(1)).otherwise(F.lit(0)).cast("long")
 
@@ -84,28 +95,72 @@ def lsh_bucket(vec: Column, n_planes: int, dim: int) -> Column:
     return out
 
 
+def _table_buckets(vec: Column, n_tables: int, n_planes: int, dim: int) -> Column:
+    """array<struct<t,b>>: this vector's bucket in each of the
+    ``n_tables`` hyperplane tables — explodes to ONE (t, b) equi-join
+    over all tables instead of n_tables separate self-joins (the
+    minhash-band shape; one shuffle, one plan)."""
+    return F.array(*[
+        F.struct(
+            F.lit(t).alias("t"),
+            _bucket_off(vec, t * n_planes, n_planes, dim).alias("b"),
+        )
+        for t in range(n_tables)
+    ])
+
+
+def _all_table_buckets_udf(n_tables: int, n_planes: int, dim: int):
+    """All n_tables bucket ids in ONE Arrow-batched matmul: rows×dim @
+    dim×(tables·planes) sign matrix, bits packed per table. For large
+    table counts the pure-Column form builds a 128-plane expression
+    tree whose per-plane zip_with/aggregate dominates (measured: the
+    32-table bucket computation was the whole runtime); one numpy
+    matmul per Arrow batch replaces it. Weights are the same
+    driver-fixed Rademacher planes (_rademacher)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    W = np.array(
+        [_rademacher(t * n_planes + p, dim)
+         for t in range(n_tables) for p in range(n_planes)]
+    ).T  # (dim, tables*planes)
+    mult = 1 << np.arange(n_planes)
+
+    def _buckets(v):
+        m = np.array(v.tolist(), dtype=np.float64)  # (rows, dim)
+        signs = (m @ W) >= 0  # (rows, tables*planes)
+        b = (signs.reshape(len(m), n_tables, n_planes) * mult).sum(axis=2)
+        return pd.Series(list(b.astype("int64")))
+
+    # no annotations: pd is function-local, and pyspark resolves
+    # annotation strings against module globals
+    return pandas_udf(_buckets, "array<long>")
+
+
 def lsh_ann(
     corpus: DataFrame, queries: DataFrame, id_col: str, vec_col: str,
     k: int = 5, n_planes: int = 4, dim: int = 64, n_tables: int = 8,
 ) -> DataFrame:
-    """Approximate top-k: union of ``n_tables`` independent
-    hyperplane-LSH tables, candidates from same-bucket equi-joins, exact
-    cosine re-rank. Returns (query_id, neighbor_id, sim)."""
-    cands = None
-    for t in range(n_tables):
-        offset = t * n_planes
-        cb = corpus.select(
-            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec"),
-            _bucket_off(F.col(vec_col), offset, n_planes, dim).alias("bucket"),
-        )
-        qb = queries.select(
-            F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"),
-            _bucket_off(F.col(vec_col), offset, n_planes, dim).alias("bucket"),
-        )
-        j = cb.join(F.broadcast(qb), "bucket").filter(F.col("neighbor_id") != F.col("query_id"))
-        j = j.select("query_id", "neighbor_id", "qvec", "cvec")
-        cands = j if cands is None else cands.unionByName(j)
-    scored = cands.dropDuplicates(["query_id", "neighbor_id"]).select(
+    """Approximate top-k: ``n_tables`` independent hyperplane-LSH
+    tables evaluated as ONE exploded (table, bucket) equi-join,
+    candidates deduped, exact cosine re-rank.
+    Returns (query_id, neighbor_id, sim)."""
+    bfun = _all_table_buckets_udf(n_tables, n_planes, dim)
+    cb = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec"),
+        F.posexplode(bfun(F.col(vec_col))).alias("t", "b"),
+    )
+    qb = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"),
+        F.posexplode(bfun(F.col(vec_col))).alias("t", "b"),
+    )
+    cands = (
+        cb.join(F.broadcast(qb), ["t", "b"])
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    scored = cands.select(
         "query_id", "neighbor_id", cosine(F.col("qvec"), F.col("cvec")).alias("sim")
     )
     w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id").asc())
@@ -180,20 +235,21 @@ def embedding_near_dup_pairs(
     n_planes: int = 8, dim: int = 64, n_tables: int = 8,
 ) -> DataFrame:
     """All-pairs cosine near-duplicates via LSH bucket join + exact
-    verification. Returns (id_a, id_b, sim)."""
-    pairs = None
-    for t in range(n_tables):
-        b = df.select(
-            F.col(id_col).alias("id"), F.col(vec_col).alias("vec"),
-            _bucket_off(F.col(vec_col), t * n_planes, n_planes, dim).alias("bucket"),
-        )
-        a = b.select(F.col("id").alias("id_a"), F.col("vec").alias("va"), "bucket")
-        c = b.select(F.col("id").alias("id_b"), F.col("vec").alias("vb"), "bucket")
-        j = a.join(c, "bucket").filter(F.col("id_a") < F.col("id_b")).select("id_a", "id_b", "va", "vb")
-        pairs = j if pairs is None else pairs.unionByName(j)
+    verification — all ``n_tables`` tables in ONE exploded (table,
+    bucket) equi-join (see _table_buckets). Returns (id_a, id_b, sim)."""
+    bfun = _all_table_buckets_udf(n_tables, n_planes, dim)
+    b = df.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("vec"),
+        F.posexplode(bfun(F.col(vec_col))).alias("t", "bk"),
+    )
+    a = b.select(F.col("id").alias("id_a"), F.col("vec").alias("va"), "t", "bk")
+    c = b.select(F.col("id").alias("id_b"), F.col("vec").alias("vb"), "t", "bk")
+    pairs = (
+        a.join(c, ["t", "bk"]).filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
     return (
-        pairs.dropDuplicates(["id_a", "id_b"])
-        .select("id_a", "id_b", cosine(F.col("va"), F.col("vb")).alias("sim"))
+        pairs.select("id_a", "id_b", cosine(F.col("va"), F.col("vb")).alias("sim"))
         .filter(F.col("sim") >= threshold)
     )
 

@@ -486,20 +486,6 @@ def pipe_ann_ivf(spark, sf_dir) -> DataFrame:
                       F.round("sim", 6).alias("sim"))
 
 
-@q("pipe_embedding_near_dup", None)  # LSH-bucketed → rows-only
-def pipe_embedding_near_dup(spark, sf_dir) -> DataFrame:
-    """Near-duplicate vector pairs via hyperplane-LSH buckets + exact
-    verify. The driver embeddings are random (max pairwise cosine ~0.51
-    at sf0.01), so τ=0.4 — low enough that real pairs exist (59 at
-    sf0.01, 920 at sf0.1) — with 4-plane × 16-table LSH (per-pair recall
-    ~0.94 at cos 0.4, ~1.0 for true near-dups ≥0.9). Recall vs exact
-    brute force is pinned in tests/test_pipeline.py."""
-    emb = read_table(spark, sf_dir, "embeddings")
-    return similarity.embedding_near_dup_pairs(
-        emb, "vec_id", "embedding", threshold=0.4, n_planes=4, n_tables=16, dim=64
-    )
-
-
 _NEAR_DUP_EXACT_ORACLE = """
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,
        round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
@@ -508,6 +494,23 @@ FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
 WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                              CAST(b.embedding AS DOUBLE[])) >= 0.4
 """
+
+@q("pipe_embedding_near_dup", _NEAR_DUP_EXACT_ORACLE)
+def pipe_embedding_near_dup(spark, sf_dir) -> DataFrame:
+    """Near-duplicate vector pairs via hyperplane-LSH buckets + exact
+    verify, hash-checked against the all-pairs exact-cosine SQL oracle:
+    at 4 planes × 32 tables the bucket union deterministically recovers
+    every τ=0.4 pair on the driver embeddings (66/66 at sf0.001, 59/59
+    at sf0.01 — verified r4), so the whole bucketed pipeline is
+    value-checked, not just row-counted. The recall-vs-tables curve at
+    lower table counts is pinned in tests/test_pipeline.py."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    out = similarity.embedding_near_dup_pairs(
+        emb, "vec_id", "embedding", threshold=0.4, n_planes=4, n_tables=32,
+        dim=64,
+    )
+    return out.select("id_a", "id_b", F.round("sim", 6).alias("sim"))
+
 
 @q("pipe_near_dup_exact", _NEAR_DUP_EXACT_ORACLE)
 def pipe_near_dup_exact(spark, sf_dir) -> DataFrame:
