@@ -56,11 +56,29 @@ _TWINNED = [
     "sparql_path_alt_plus",
     "sparql_path_zero_or_one",
     "sparql_path_nps",
+    # r4: remaining BGP-bearing expression/filter families
+    "sparql_expr_timezone",
+    "sparql_regex_filter",
+    "sparql_str_before_after",
+    "sparql_coalesce_optional",
+    "sparql_term_kind_tests",
+    "sparql_hash_functions",
+    "sparql_agg_sample",
 ]
 
 
+def _lookup(orig_name: str):
+    """Twinnable queries live in queries_sparql or queries_more — both
+    compile through queries_sparql.compiler_for, so the mode toggle
+    routes either module's BGPs through the ID layout."""
+    if orig_name in qs.QUERIES:
+        return qs.QUERIES[orig_name], qs.ORACLES.get(orig_name)
+    from kineo_spark import queries_more as qm
+    return qm.QUERIES[orig_name], qm.ORACLES.get(orig_name)
+
+
 def _make(orig_name: str):
-    base = qs.QUERIES[orig_name]
+    base, _ = _lookup(orig_name)
 
     def f(spark, sf_dir, _base=base):
         qs.set_mode("id")
@@ -78,5 +96,6 @@ def _make(orig_name: str):
 for _name in _TWINNED:
     _id_name = _name.replace("sparql_", "sparql_id_")
     QUERIES[_id_name] = _make(_name)
-    if _name in qs.ORACLES:
-        ORACLES[_id_name] = qs.ORACLES[_name]
+    _oracle = _lookup(_name)[1]
+    if _oracle is not None:
+        ORACLES[_id_name] = _oracle
