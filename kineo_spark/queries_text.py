@@ -368,3 +368,31 @@ ORACLES["sparql_text_regex_flags"] = (
     "SELECT c_name AS name FROM customer "
     "WHERE contains(lower(c_name), 'customer#00000001')"
 )
+
+_reg("sparql_text_expr_timezone", """
+  SELECT ?eid ?tzd ?tz WHERE {
+    ?ev <urn:col:events:event_id> ?eid ;
+        <urn:col:events:ts> ?when .
+    FILTER(?eid <= 200)
+    BIND(TIMEZONE(?when) AS ?tzd)
+    BIND(TZ(?when) AS ?tz)
+  }
+""", {"eid": ("eid", "int"), "tzd": ("tzd", "lex"), "tz": ("tz", "lex")},
+     "sparql_expr_timezone")
+
+_reg("sparql_text_duration_compare", _PFX + """
+  SELECT ?x WHERE {
+    VALUES (?x ?d1 ?d2) {
+      (1 "P1Y"^^xsd:duration "P13M"^^xsd:duration)
+      (2 "PT1H"^^xsd:dayTimeDuration "PT61M"^^xsd:dayTimeDuration)
+      (3 "P1M"^^xsd:duration "P30D"^^xsd:duration)
+      (4 "P2D"^^xsd:dayTimeDuration "PT48H"^^xsd:dayTimeDuration)
+      (5 "P1Y2M"^^xsd:yearMonthDuration "P1Y3M"^^xsd:yearMonthDuration)
+      (6 "bogus"^^xsd:duration "P1D"^^xsd:duration)
+    }
+    FILTER(?d1 < ?d2)
+  }
+""", {"x": ("x", "int")}, None)
+ORACLES["sparql_text_duration_compare"] = (
+    "SELECT CAST(1 AS BIGINT) AS x UNION ALL SELECT 2 UNION ALL SELECT 5"
+)
