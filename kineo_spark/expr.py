@@ -415,6 +415,68 @@ class ExprError(ValueError):
     pass
 
 
+_FOLD_ERR = object()  # a constant subtree that is a guaranteed type error
+_NUM_RANK = {"integer": 0, "int": 0, "long": 0, "decimal": 1,
+             "float": 2, "double": 3}
+_RANK_DT = {0: "integer", 1: "decimal", 2: "float", 3: "double"}
+
+
+def _fold_arith(e: Expr):
+    """Compile-time folding of constant numeric arithmetic (+ - * / NEG)
+    to a PyTerm, _FOLD_ERR (e.g. integer ÷ 0), or None (not foldable).
+
+    The runtime path computes on doubles, so Python float arithmetic is
+    bit-identical; folding is RESTRICTED to results whose lexical form
+    provably matches the runtime's rendering: exact integers for the
+    integer family, and integral values < 1e7 for decimal/float/double
+    (both Python repr and Java Double.toString render those as "N.0").
+    Everything else stays un-folded. Besides matching Catalyst's own
+    ConstantFolding (which can't see through the term-struct CASEs),
+    this collapses constant subtrees BEFORE the term helpers multiply
+    them (see _HIGH_DUP_OPS)."""
+    if not isinstance(e, ECall) or e.op not in ("+", "-", "*", "/", "NEG"):
+        return None
+    vals: list = []
+    for x in e.args:
+        f = _fold_arith(x) if isinstance(x, ECall) else None
+        if f is _FOLD_ERR:
+            return _FOLD_ERR
+        if f is not None:
+            x = EConst(f)
+        if not isinstance(x, EConst):
+            return None
+        t = x.term
+        if t.dt not in _NUM_RANK or t.num is None:
+            return None
+        vals.append((float(t.num), _NUM_RANK[t.dt]))
+    rank = max(r for _, r in vals)
+    if e.op == "NEG":
+        v = -vals[0][0]
+    elif e.op == "+":
+        v = vals[0][0] + vals[1][0]
+    elif e.op == "-":
+        v = vals[0][0] - vals[1][0]
+    elif e.op == "*":
+        v = vals[0][0] * vals[1][0]
+    else:  # "/"
+        if rank == 0:
+            rank = 1  # integer ÷ integer → decimal
+        if vals[1][0] == 0.0:
+            # fp ÷0 → ±Inf/NaN whose lexical forms differ between
+            # Python and the engine — leave to the runtime
+            return _FOLD_ERR if rank == 1 else None
+        v = vals[0][0] / vals[1][0]
+    if v != v or v in (float("inf"), float("-inf")):
+        return None
+    if rank == 0:
+        if v != int(v) or abs(v) > 2 ** 53:
+            return None
+        return PyTerm(KIND_LITERAL, str(int(v)), "integer")
+    if v == int(v) and abs(v) < 1e7:
+        return PyTerm(KIND_LITERAL, f"{v:.1f}", _RANK_DT[rank])
+    return None
+
+
 def compile_expr(e: Expr, env: dict[str, Column]) -> Column:
     """Compile to a Column producing a term struct (NULL = error/unbound)."""
     if isinstance(e, EVar):
@@ -427,6 +489,12 @@ def compile_expr(e: Expr, env: dict[str, Column]) -> Column:
     if isinstance(e, EExists):
         raise ExprError("EXISTS is only supported at the top level of FILTER")
     assert isinstance(e, ECall)
+    folded = _fold_arith(e)
+    if folded is _FOLD_ERR:
+        return F.lit(None).cast(
+            "struct<kind:tinyint,lex:string,dt:string,lang:string,num:double>")
+    if folded is not None:
+        return folded.as_column()
     return _compile_call(e, env)
 
 
@@ -460,9 +528,27 @@ def _let_deep(args: list[Column], deep: list[int], body) -> Column:
     )
 
 
+# Ops whose compile helpers reference each operand tree MANY times
+# (numeric guard + promotion + num_term/value checks: ~100-200 copies per
+# layer, measured r4 — a constant (i*3)/3 division expanded to a 1.7 MB
+# analyzed tree). Their non-leaf args are let-bound at depth 1 already;
+# other ops keep the depth-2 threshold so shallow hot paths stay inside
+# whole-stage codegen.
+_HIGH_DUP_OPS = frozenset({"+", "-", "*", "/", "NEG", "ABS", "ROUND",
+                           "CEIL", "FLOOR"})
+
+
 def _compile_call(e: ECall, env: dict[str, Column]) -> Column:
     a = [compile_expr(x, env) for x in e.args]
-    deep = [i for i, x in enumerate(e.args) if _call_depth(x) >= 2]
+    if e.op in ("IN", "NOT_IN"):
+        # branch sharing comes from the fold-over-array in the dispatch
+        # (each branch tree appears once in the array literal); nesting
+        # one _let_deep lambda per branch instead made ANALYSIS time
+        # explode on wide lists (37 nested HOFs)
+        deep = [0] if _call_depth(e.args[0]) >= 2 else []
+    else:
+        min_depth = 1 if e.op in _HIGH_DUP_OPS else 2
+        deep = [i for i, x in enumerate(e.args) if _call_depth(x) >= min_depth]
     if deep:
         return _let_deep(a, deep, lambda bound: _dispatch_call(e, bound, env))
     return _dispatch_call(e, a, env)
@@ -488,16 +574,34 @@ def _dispatch_call(e: ECall, a: list[Column], env: dict[str, Column]) -> Column:
         # §17.4.1.9: IN is an ||-chain of `=` — a branch error only
         # surfaces when no other branch matches (true||err = true,
         # false||err = err); NOT IN is its 3-valued negation.
-        any_true = F.lit(False)
-        any_err = F.lit(False)
-        md0 = maybe_duration(e.args[0])
-        for x, xe in zip(a[1:], e.args[1:]):
-            eq = eq_terms(a[0], x, dur=md0 and maybe_duration(xe))
-            any_true = any_true | F.coalesce(eq, F.lit(False))
-            any_err = any_err | eq.isNull()
+        #
+        # Tree-size discipline: the branch terms go into ONE array (each
+        # tree appears once) and the `=` comparison runs INSIDE the fold
+        # lambda against the lambda variable — the eq logic exists once
+        # in the plan, not once per branch, and no nested let-binding is
+        # needed. The earlier or-chain referenced every eq tree twice
+        # and compounded: a ~40-branch NOT IN of computed operands
+        # exhausted the JVM heap at ANALYSIS time (pinned by
+        # tests/test_sparql_parser.py wide-NOT-IN guard).
+        if len(a) == 1:
+            inner = F.when(a[0].isNull(), _NULL_B()).otherwise(F.lit(False))
+            return bool_term(~inner if op == "NOT_IN" else inner)
+        md = maybe_duration(e.args[0]) and any(
+            maybe_duration(xe) for xe in e.args[1:]
+        )
+
+        # fold to one code: 2 = some true, 1 = no true but some error,
+        # 0 = all false ("true beats error beats false")
+        def _step(acc, x):
+            s = eq_terms(a[0], x, dur=md)
+            return F.greatest(
+                acc, F.when(s, 2).when(s.isNull(), 1).otherwise(0)
+            )
+
+        code = F.aggregate(F.array(*a[1:]), F.lit(0), _step)
         cond = (
-            F.when(any_true, F.lit(True))
-            .when(any_err, _NULL_B())
+            F.when(code == 2, F.lit(True))
+            .when(code == 1, _NULL_B())
             .otherwise(F.lit(False))
         )
         inner = F.when(a[0].isNull(), _NULL_B()).otherwise(cond)

@@ -285,3 +285,55 @@ def test_parse_nps_inverse_members():
     q2 = parse_query("SELECT * WHERE { ?s !<http://ex/p> ?o }")
     q3 = parse_query("SELECT * WHERE { ?s !^<http://ex/p> ?o }")
     assert q2 is not None and q3 is not None
+
+
+def test_wide_not_in_compiles_bounded(fixture_store):
+    """Expression-tree blowup guard (r4 regression class): a NOT IN
+    with many COMPUTED branches must stay compilable and runnable in
+    bounded time. Historically this class OOMed the JVM at analysis
+    time twice: the duration compare arm (fixed by maybe_duration
+    pruning) and the per-branch eq-tree duplication in the IN or-chain
+    (fixed by folding eq inside one aggregate lambda over the branch
+    array). Branches reference a variable so constant folding cannot
+    collapse them."""
+    import time
+
+    from kineo_spark.engine import Engine
+
+    # Each branch is a non-foldable computed tree over ?name. Cost
+    # profile (r4, measured): ~15 s of one-time Catalyst ANALYSIS per
+    # computed branch — linear in branch count (the or-chain compile
+    # was super-linear and OOMed at ~37 branches), data-independent,
+    # and zero at execution. 6 branches keeps the suite fast while
+    # still far past what any shallow-expression workload compiles.
+    branches = ", ".join(f"((STRLEN(?name) + {i}) * 3) / 3" for i in range(1, 7))
+    q = f"""ASK {{
+      ?s <http://xmlns.com/foaf/0.1/name> ?name .
+      FILTER(0 NOT IN ({branches}))
+    }}"""
+    t0 = time.time()
+    result = Engine(fixture_store).query(q)
+    assert result.boolean is True  # STRLEN ≥ 1, so no branch is 0
+    assert time.time() - t0 < 240
+
+
+def test_constant_arithmetic_folds():
+    """Constant numeric subtrees fold at compile time to the exact
+    term the runtime would produce (promotion lattice, int÷int →
+    decimal, integer-÷0 error)."""
+    from kineo_spark.expr import _FOLD_ERR, _fold_arith, c, ECall
+    from kineo_spark.model import lit
+
+    def div(a, b):
+        return ECall("/", (c(lit(a)), c(lit(b))))
+
+    t = _fold_arith(ECall("/", (ECall("*", (c(lit(3)), c(lit(3)))), c(lit(3)))))
+    assert t.lex == "3.0" and t.dt == "decimal"
+    assert _fold_arith(div(1, 0)) is _FOLD_ERR
+    assert _fold_arith(div(1.0, 0)) is None  # fp ÷0 stays runtime
+    t2 = _fold_arith(ECall("+", (c(lit(2)), c(lit(2.5)))))
+    assert t2 is None  # 4.5 not integral — rendering left to runtime
+    t3 = _fold_arith(ECall("*", (c(lit(6)), c(lit(7)))))
+    assert t3.lex == "42" and t3.dt == "integer"
+    t4 = _fold_arith(ECall("NEG", (c(lit(5)),)))
+    assert t4.lex == "-5" and t4.dt == "integer"
