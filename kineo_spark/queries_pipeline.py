@@ -295,13 +295,66 @@ def pipe_events_props_agg(spark, sf_dir) -> DataFrame:
     )
 
 
-@q("pipe_bpe_vocab", None)  # iterative (driver-coordinated merges) -> rows-only
+def _bpe_oracle(n_merges: int = 10) -> str:
+    """DuckDB twin of bpe.bpe_vocab: the fixed merge count unrolls into
+    chained CTEs (pair-count + lex-tie-broken argmax + merge per round,
+    exactly like the PageRank oracle). The left-to-right single-pass
+    merge fold is expressed as a string replace() over delimiter-anchored
+    symbols: each symbol is wrapped as SEP sym SEP (doubled between
+    neighbours), so replacing `SEP a SEP SEP b SEP` with `SEP ab SEP` is
+    leftmost-greedy, non-overlapping, cannot re-match its own output, and
+    preserves the delimiter structure — byte-identical to the Spark
+    F.aggregate fold (verified: DuckDB replace continues scanning after
+    each replacement). chr(31) and the end sentinel never occur in the
+    corpus (checked)."""
+    S = "chr(31)"
+    SS = f"{S}||{S}"
+    parts = [f"""
+WITH toks AS (
+  SELECT unnest(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                            x -> len(x) > 0)) AS word
+  FROM documents
+), words AS (
+  SELECT word, COUNT(*) AS freq FROM toks GROUP BY 1
+), m0 AS (
+  SELECT {S} || array_to_string(
+           [substring(word, i, 1) ||
+              (CASE WHEN i = length(word) THEN '▁' ELSE '' END)
+            for i in generate_series(1, length(word))],
+           {SS}) || {S} AS s,
+         freq
+  FROM words
+)"""]
+    for i in range(n_merges):
+        parts.append(f""",
+p{i} AS (
+  SELECT u.a AS a, u.b AS b, SUM(freq) AS n FROM (
+    SELECT unnest([{{'a': l[j], 'b': l[j + 1]}}
+                   for j in generate_series(1, len(l) - 1)]) AS u, freq
+    FROM (SELECT string_split(trim(s, {S}), {SS}) AS l, freq FROM m{i})
+    WHERE len(l) >= 2
+  ) GROUP BY 1, 2
+),
+t{i} AS (SELECT a, b FROM p{i} ORDER BY n DESC, a, b LIMIT 1),
+m{i + 1} AS (
+  SELECT replace(s, {S}||t.a||{SS}||t.b||{S}, {S}||t.a||t.b||{S}) AS s, freq
+  FROM m{i} CROSS JOIN t{i} t
+)""")
+    parts.append(f"""
+SELECT symbol, CAST(SUM(freq) AS BIGINT) AS freq FROM (
+  SELECT unnest(string_split(trim(s, {S}), {SS})) AS symbol, freq
+  FROM m{n_merges}
+) GROUP BY 1""")
+    return "".join(parts)
+
+
+@q("pipe_bpe_vocab", _bpe_oracle())
 def pipe_bpe_vocab(spark, sf_dir) -> DataFrame:
     """BPE tokenizer training: 10 merges learned from the corpus, final
-    subword vocabulary with frequencies. Iterative by nature (each merge
-    depends on the last), so it has no SQL twin; determinism + exact
-    agreement with a pure-Python reference BPE is pytest-proven
-    (tests/test_bpe.py)."""
+    subword vocabulary with frequencies. Iterative (each merge depends on
+    the last), but the fixed merge count unrolls into chained DuckDB CTEs
+    — an EXACT value oracle, plus exact agreement with a pure-Python
+    reference BPE in tests/test_bpe.py."""
     from kineo_spark.pipeline import bpe
     docs = read_table(spark, sf_dir, "documents")
     return bpe.bpe_vocab(docs, n_merges=10)
