@@ -33,11 +33,24 @@ from kineo_spark.model import PyTerm
 
 
 class CharacteristicSets:
-    """Per-graph characteristic-set statistics for a QuadStore."""
+    """Per-graph characteristic-set statistics for a QuadStore.
+
+    The driver-side collect is bounded by ``max_rows`` (sets × their
+    predicates): real RDF has schema-shaped set counts, but a
+    pathological corpus with near-unique predicate sets would balloon
+    the collect, so above the cap we keep only the top sets by subject
+    support (estimation stays useful) and DECLINE the exact count-star
+    shortcut entirely (``count_star`` → None, normal plan runs)."""
 
     _CACHE: dict[int, "CharacteristicSets"] = {}
 
-    def __init__(self, store):
+    #: cap on collected (graph, cs, predicate) rows — ~a few MB driver-side
+    MAX_COLLECT_ROWS = 100_000
+    #: when over the cap, sample this many sets by support for estimation
+    SAMPLE_SETS = 10_000
+
+    def __init__(self, store, max_rows: int | None = None):
+        max_rows = self.MAX_COLLECT_ROWS if max_rows is None else max_rows
         q = store.quads()
         sp = (q.groupBy("g_lex", "s_kind", "s_lex", "p_lex")
               .agg(F.count(F.lit(1)).alias("n")))
@@ -52,10 +65,24 @@ class CharacteristicSets:
             .agg(F.sum("e.n").alias("tot"), F.min("e.n").alias("mn"),
                  F.max("e.n").alias("mx"),
                  F.count(F.lit(1)).alias("subjects"))
-        )
-        # one collect: (graph, cs) → {p: (tot, mn, mx)}, subjects
+        ).persist()
+        try:
+            self._exact = per_cs.limit(max_rows + 1).count() <= max_rows
+            self._total_fallback = 0.0
+            if self._exact:
+                rows = per_cs.collect()
+            else:
+                top = (per_cs.groupBy("g_lex", "cs")
+                       .agg(F.max("subjects").alias("sup"))
+                       .orderBy(F.desc("sup")).limit(self.SAMPLE_SETS)
+                       .select("g_lex", "cs"))
+                rows = per_cs.join(top, ["g_lex", "cs"], "left_semi").collect()
+                self._total_fallback = float(q.count())
+        finally:
+            per_cs.unpersist()
+        # one bounded collect: (graph, cs) → {p: (tot, mn, mx)}, subjects
         sets: dict[tuple[str, tuple[str, ...]], dict] = {}
-        for r in per_cs.collect():
+        for r in rows:
             key = (r["g_lex"], tuple(r["cs"]))
             ent = sets.setdefault(key, {"subjects": r["subjects"], "p": {}})
             ent["p"][r["p"]] = (r["tot"], r["mn"], r["mx"])
@@ -73,6 +100,8 @@ class CharacteristicSets:
         """COUNT over a simple star with the given bound predicate
         lexicals; ``graph_lex=None`` spans every graph. Returns None
         when the stats cannot give an EXACT answer."""
+        if not self._exact:
+            return None  # sampled sets: sums would silently undercount
         need = set(preds)
         total = 0
         for (g, cs), ent in self._sets.items():
@@ -102,6 +131,8 @@ class CharacteristicSets:
     _BOUND_OBJECT_SELECTIVITY = 0.1
 
     def total_triples(self, graph_lex: str | None = None) -> float:
+        if not self._exact and graph_lex is None:
+            return self._total_fallback  # one distributed scalar, not Σ sample
         t = 0.0
         for (g, _cs), ent in self._sets.items():
             if graph_lex is not None and g != graph_lex:

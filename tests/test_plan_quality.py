@@ -130,6 +130,39 @@ def test_count_star_stats_semantics(spark, fixture_store):
     assert cs.count_star([EX + "q"], None, distinct_subject=True) == 3
 
 
+def test_characteristic_sets_collect_cap(spark):
+    """Pathological corpus (near-unique predicate set per subject): the
+    driver-side collect is capped — stats fall back to a top-N-by-support
+    sample, the exact count-star shortcut DECLINES (None, so the normal
+    plan answers), and the estimator still returns sane numbers."""
+    from kineo_spark.stats import CharacteristicSets
+    from kineo_spark.store import QuadsDataFrameStore
+    from kineo_spark import algebra as A
+
+    EX = "http://example.org/"
+    G = "urn:g:default"
+    rows = []
+    for s in range(40):  # 40 subjects, each with a unique 3-predicate set
+        for j in range(3):
+            rows.append((0, f"{EX}s{s}", f"{EX}p{s}_{j}", 0, f"{EX}o{s}{j}",
+                         None, None, None, G))
+    store = QuadsDataFrameStore.from_rows(spark, rows)
+    cs = CharacteristicSets(store, max_rows=30)  # 120 per_cs rows > cap
+    assert cs._exact is False
+    assert len(cs._sets) <= 40
+    assert cs.count_star([EX + "p0_0"], None) is None
+    assert cs.count_star([EX + "p0_0"], None, distinct_subject=True) is None
+    # total falls back to the distributed scalar, not the sample sum
+    assert cs.total_triples(None) == 120.0
+    est = cs.estimate_pattern(A.QuadPattern(A.Var("s"), A.Var("p"),
+                                            A.Var("o"), A.Var("g")))
+    assert est >= 1.0
+    # the capped path must still answer the query itself correctly
+    uncapped = CharacteristicSets(store)
+    assert uncapped._exact is True
+    assert uncapped.count_star([EX + "p0_0"], None) == 1
+
+
 def test_id_mode_selective_filter_pushes_to_dictionary(spark, fixture_store):
     """ID mode over a 4×long quad layout (no native scans): SELECTIVE
     value filters (equality/IN/string-match) evaluate on the dictionary
