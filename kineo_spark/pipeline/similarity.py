@@ -400,17 +400,24 @@ def semdedup(
 
     Returns (id, cluster, keep) for every input row.
     """
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
-
     base = df.select(
         F.col(id_col).alias("id"), F.col(vec_col).alias("vec"),
-        array_to_vector(F.col(vec_col).cast("array<double>")).alias("features"),
     )
-    model = KMeans(k=n_clusters, seed=seed, maxIter=10).fit(
-        base.select("features"))
-    assigned = model.transform(base).select(
-        "id", "vec", F.col("prediction").alias("cluster"))
+    if n_clusters <= 1:
+        # degenerate single-cluster mode: the prune is the exact global
+        # all-pairs rule (Spark ML KMeans rejects k=1)
+        assigned = base.withColumn("cluster", F.lit(0))
+    else:
+        from pyspark.ml.clustering import KMeans
+        from pyspark.ml.functions import array_to_vector
+
+        feats = base.withColumn(
+            "features",
+            array_to_vector(F.col("vec").cast("array<double>")))
+        model = KMeans(k=n_clusters, seed=seed, maxIter=10).fit(
+            feats.select("features"))
+        assigned = model.transform(feats).select(
+            "id", "vec", F.col("prediction").alias("cluster"))
     a = assigned.select(F.col("id").alias("id_a"), F.col("vec").alias("va"),
                         "cluster")
     b = assigned.select(F.col("id").alias("id_b"), F.col("vec").alias("vb"),

