@@ -75,6 +75,10 @@ HEADLINE = [
     "pipe_uniform_topk",
 ]
 
+# queries whose executed plans get per-operator metric trees in the output
+ANALYZE = ["sparql_bgp_3hop_join", "pipe_dedup_minhash_lsh",
+           "sparql_path_alt_plus"]
+
 # round-1 per-query minima, corrected for the two host-noise spikes the
 # round-1 judge re-measured (group_concat/minus recorded 20.9/15.9 but
 # re-ran warm at 1.6s)
@@ -152,12 +156,28 @@ def main() -> None:
                 print(f"# REGRESSION {name}: {best}s vs r1 min {base}s (> 2x)", file=sys.stderr)
 
     total = round(sum(t for n, t in times.items() if t >= 0 and n in R1_BASELINE), 3)
+
+    # per-operator runtime metrics (rows + time per physical operator,
+    # post-AQE) for the top headline queries — so a round-over-round diff
+    # shows WHICH operator moved, not just the query total
+    operators: dict[str, list[str]] = {}
+    from kineo_spark.explain import analyzed_operator_lines
+    for name in ANALYZE:
+        try:
+            df = qs[name](spark, sf_dir)
+            df.collect()  # run this exact DataFrame so its plan carries metrics
+            operators[name] = analyzed_operator_lines(df)  # indent = depth
+        except Exception as e:
+            print(f"# analyze {name}: {type(e).__name__}: {str(e)[:120]}",
+                  file=sys.stderr)
+
     print(json.dumps({
         "metric": "headline_total_wall_best_of_3_r1_comparable",
         "value": total,
         "unit": "sec",
         "queries": times,
         "extras": extras,
+        "operators": operators,
         "sf": float(sf),
     }))
     spark.stop()

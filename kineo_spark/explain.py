@@ -186,8 +186,18 @@ def analyzed_plan_string(df) -> str:
     t0 = _time.time()
     n = len(df.collect())  # runs THIS DataFrame's QueryExecution, so the
     wall = _time.time() - t0  # plan objects below carry its live metrics
-    plan = df._jdf.queryExecution().executedPlan()
     lines = [f"== Analyzed plan ==  ({n} rows, {wall:.3f}s wall)"]
+    lines += analyzed_operator_lines(df)
+    return "\n".join(lines) + "\n"
+
+
+def analyzed_operator_lines(df) -> list[str]:
+    """Per-operator metric lines for an ALREADY-EXECUTED DataFrame's
+    final (post-AQE) physical plan — one indented line per operator with
+    rows produced and time metrics. Shared by ``explain --analyze`` and
+    bench.py's per-operator extras."""
+    plan = df._jdf.queryExecution().executedPlan()
+    lines: list[str] = []
 
     def walk(node, depth):
         name = node.nodeName()
@@ -229,7 +239,7 @@ def analyzed_plan_string(df) -> str:
                 pass
 
     walk(plan, 1)
-    return "\n".join(lines) + "\n"
+    return lines
 
 
 def explain_analyze(engine, sparql: str) -> str:
