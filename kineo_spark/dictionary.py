@@ -17,13 +17,18 @@ Spark-native version:
   COLLISION AUDIT (``audit_id_collisions``): one count-distinct pass at
   layout-build time that fails loudly if any two distinct term keys
   share an id — it runs inside ``persist_id_layout`` by default, so the
-  at-rest layout is certified collision-free. Two escape hatches for
-  corpora that trip it: (a) ``encode_quads_repaired`` — a deterministic
-  salted rekey of the colliding terms (O(#collisions) CASE chain in the
-  id expression, one re-encode pass; implemented + forced-collision
-  tested), and (b) a two-long (128-bit) key: pair the id with a salted
-  second hash column (birthday bound ~n²/2¹²⁹, negligible forever) —
-  joins then use both columns; nothing else in the plan shape changes.
+  at-rest layout is certified collision-free. Two remedies for corpora
+  that trip it: (a) ``encode_quads_repaired`` — a deterministic salted
+  rekey of the colliding terms (O(#collisions) CASE chain in the id
+  expression, one re-encode pass; for a handful of stragglers), and
+  (b) ``key_bits=128`` — the documented 100 TB DEFAULT (SCALE.md): ids
+  become struct<h:long,l:long> of two independent xxhash64 halves
+  (birthday bound ~n²/2¹²⁹, negligible forever). Struct columns are
+  first-class join/shuffle/bucket/sort keys in Spark, so the same code
+  path serves both widths end-to-end (encode, BGP joins, path
+  closures, materialize, audit, bucketed layout — pytest-pinned zero-
+  Exchange star joins included); the oracle twins ``sparql_id128_*``
+  hash-check the mode against DuckDB.
 - ``id_quads`` is a 4×long table: shuffles and joins move 32 bytes/row
   instead of full lexical forms — the same win the reference gets from
   its packed IDs.
@@ -57,24 +62,42 @@ def _key_cols(prefix: str):
     ]
 
 
-def _id_expr(kind, lex, dt, lang):
+# second-hash salt for the two-long (128-bit) key mode; outside the
+# 1..max_rounds range the collision-repair rekey uses, so the two hash
+# families never coincide
+_SALT128 = 1280
+
+
+def _id_expr(kind, lex, dt, lang, key_bits: int = 64):
     """THE id assignment: xxhash64 of the canonical term key. One
     definition shared by the dictionary build, the quad encoder, and
     constant-term lookups (and the monkeypatch point for the forced-
-    collision tests)."""
-    return F.xxhash64(
-        kind.cast("string"), lex,
-        F.coalesce(dt, F.lit("")) if dt is not None else F.lit(""),
-        F.coalesce(lang, F.lit("")) if lang is not None else F.lit(""),
+    collision tests).
+
+    ``key_bits=128`` — the 100 TB default (SCALE.md): the id is a
+    struct of TWO independent xxhash64 halves (h, l). Struct columns
+    are first-class join/shuffle/bucket keys in Spark, so every
+    consumer (scans, BGP joins, closures, materialize, the bucketed
+    layout) works unchanged; the birthday bound drops from ~n²/2⁶⁵
+    (~50% at 5×10⁹ terms) to ~n²/2¹²⁹ (negligible forever)."""
+    dtn = F.coalesce(dt, F.lit("")) if dt is not None else F.lit("")
+    lan = F.coalesce(lang, F.lit("")) if lang is not None else F.lit("")
+    h = F.xxhash64(kind.cast("string"), lex, dtn, lan)
+    if key_bits == 64:
+        return h
+    return F.struct(
+        h.alias("h"),
+        F.xxhash64(F.lit(_SALT128), kind.cast("string"), lex, dtn, lan).alias("l"),
     )
 
 
-def _term_id(prefix: str):
+def _term_id(prefix: str, key_bits: int = 64):
     k = _key_cols(prefix)
-    return _id_expr(k[0], k[1], k[2], k[3])
+    return _id_expr(k[0], k[1], k[2], k[3], key_bits)
 
 
-def encode_quads(quads_flat: DataFrame, id_fn=None) -> tuple[DataFrame, DataFrame]:
+def encode_quads(quads_flat: DataFrame, id_fn=None,
+                 key_bits: int = 64) -> tuple[DataFrame, DataFrame]:
     """Flat quads (FIXTURES §0) → (dictionary, id_quads).
 
     dictionary: (id long, kind, lex, dt, lang, num) — distinct terms.
@@ -82,12 +105,13 @@ def encode_quads(quads_flat: DataFrame, id_fn=None) -> tuple[DataFrame, DataFram
 
     ``id_fn(kind, lex, dt, lang) -> Column`` overrides the id
     assignment (collision repair amends it; tests force collisions
-    through it). Default: ``_id_expr``.
+    through it). Default: ``_id_expr``. ``key_bits=128`` switches the
+    id columns to struct<h:long,l:long> two-long keys throughout.
     """
     q = quads_flat
     null_s = F.lit(None).cast("string")
     null_d = F.lit(None).cast("double")
-    qid = id_fn or _id_expr
+    qid = id_fn or (lambda k, l, d, la: _id_expr(k, l, d, la, key_bits))
 
     def dict_part(kind, lex, dt, lang, num):
         return q.select(
@@ -211,30 +235,27 @@ def encode_quads_repaired(
     return dictionary, id_quads, remap
 
 
-def _const_id(term: PyTerm):
+def _const_id(term: PyTerm, key_bits: int = 64):
     """ID of a constant term — computed lazily as a Column (same xxhash64
     the encoder used), so bound-term filters need no driver round-trip."""
-    return F.xxhash64(
+    return _id_expr(
         F.lit(str(term.kind)), F.lit(term.lex),
-        F.lit(term.dt or ""), F.lit(term.lang or ""),
+        F.lit(term.dt or ""), F.lit(term.lang or ""), key_bits,
     )
 
 
-def id_of_term_col(t):
+def id_of_term_col(t, key_bits: int = 64):
     """Dictionary id of a term-struct Column — the same xxhash64 key the
     encoder assigns (encode_quads), so ids computed directly from a
     native-parquet star scan agree with ids from the 4×long layout.
     This is what lets ID mode reuse term mode's star-collapsed scans:
     a multi-column parquet read plus a per-row hash REPLACES a
     per-pattern scan + dictionary join, with no re-encode pass."""
-    return F.xxhash64(
-        t["kind"].cast("string"), t["lex"],
-        F.coalesce(t["dt"], F.lit("")), F.coalesce(t["lang"], F.lit("")),
-    )
+    return _id_expr(t["kind"], t["lex"], t["dt"], t["lang"], key_bits)
 
 
 def scan_ids(id_quads: DataFrame, pattern: A.QuadPattern,
-             remap: dict | None = None) -> DataFrame:
+             remap: dict | None = None, key_bits: int = 64) -> DataFrame:
     """Pattern scan in ID space: bound positions filter on longs,
     variables project long columns (IDQuadPlan, IDQueryPlan.swift:11-81).
     ``remap`` is a collision-repair table (encode_quads_repaired):
@@ -247,7 +268,7 @@ def scan_ids(id_quads: DataFrame, pattern: A.QuadPattern,
             if remap and key in remap:
                 df = df.filter(F.col(pos) == F.lit(remap[key]).cast("long"))
                 continue
-            df = df.filter(F.col(pos) == _const_id(node))
+            df = df.filter(F.col(pos) == _const_id(node, key_bits))
         elif isinstance(node, A.Var):
             if node.name in out:
                 df = df.filter(F.col(pos) == F.col(out[node.name]))
@@ -348,13 +369,14 @@ def needed_value_vars(alg: A.Algebra, projection: tuple[str, ...] | None):
     return frozenset(need)
 
 
-def bgp_ids(id_quads: DataFrame, patterns: list[A.QuadPattern]) -> DataFrame:
+def bgp_ids(id_quads: DataFrame, patterns: list[A.QuadPattern],
+            key_bits: int = 64) -> DataFrame:
     """ID-space BGP: equi-joins on shared long columns — the cheapest
     possible shuffle keys (IDHashJoinPlan/IDMergeJoinPlan analogs; Spark
     picks SMJ/broadcast via AQE)."""
     out = None
     for pat in patterns:
-        nxt = scan_ids(id_quads, pat)
+        nxt = scan_ids(id_quads, pat, key_bits=key_bits)
         if out is None:
             out = nxt
         else:
@@ -381,8 +403,9 @@ class IdEncodedView:
     # billions-of-terms dictionary of the 100 TB regime
     BROADCAST_TERMS = 1_000_000
 
-    def __init__(self, store):
-        dictionary, id_quads = encode_quads(store.quads())
+    def __init__(self, store, key_bits: int = 64):
+        dictionary, id_quads = encode_quads(store.quads(), key_bits=key_bits)
+        self.key_bits = key_bits
         self.dictionary = dictionary.cache()
         spark = id_quads.sparkSession
         shuffle_n = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
@@ -401,22 +424,26 @@ class IdEncodedView:
         self.broadcast = self.n_terms <= self.BROADCAST_TERMS
 
     @classmethod
-    def for_store(cls, store) -> "IdEncodedView":
-        key = id(store)
+    def for_store(cls, store, key_bits: int = 64) -> "IdEncodedView":
+        key = (id(store), key_bits)
         if key not in cls._CACHE:
-            cls._CACHE[key] = cls(store)
+            cls._CACHE[key] = cls(store, key_bits=key_bits)
         return cls._CACHE[key]
 
 
-def id_compiler(store, **kw):
+def id_compiler(store, key_bits: int = 64, **kw):
     """Compiler whose BGPs run in ID space (IDQueryPlan analog): quad
     scans and joins move 8-byte longs instead of term structs, then
     MaterializeTermsPlan-style dictionary joins restore term structs for
     the algebra above the BGP (exactly the reference's lazy-
-    materialization boundary, MaterializedQueryPlan.swift:11-61)."""
+    materialization boundary, MaterializedQueryPlan.swift:11-61).
+    ``key_bits=128`` runs the same plans on two-long struct ids (the
+    100 TB default — see _id_expr)."""
     from kineo_spark.compiler import Compiler, Plan
 
     class IdCompiler(Compiler):
+        _key_bits = key_bits
+
         def __init__(self, store_, **kw_):
             super().__init__(store_, **kw_)
             # None = materialize every var (safe default when no
@@ -433,7 +460,7 @@ def id_compiler(store, **kw):
             # with a per-row hash straight off the parquet scan and
             # never touches the encoded view — so it must not pay the
             # (cached, but non-trivial) encode pass either
-            return IdEncodedView.for_store(self.store)
+            return IdEncodedView.for_store(self.store, self._key_bits)
 
         def prepare(self, query) -> None:
             """Pre-query analysis hook (forms.* call it with the full
@@ -530,7 +557,7 @@ def id_compiler(store, **kw):
                         v for v in certain
                         if v in df.columns and self._is_id_var(v))
                     for v in id_vs:
-                        df = df.withColumn(v, id_of_term_col(df[v]))
+                        df = df.withColumn(v, id_of_term_col(df[v], self._key_bits))
                     plans.append(Plan(df, certain, id_vs))
                     if stats is not None:
                         ests.append(stats.estimate_star(grp) if len(grp) >= 2
@@ -538,7 +565,8 @@ def id_compiler(store, **kw):
                     else:
                         ests.append(None)
             if rest:
-                ids = bgp_ids(self._idview.id_quads, rest)
+                ids = bgp_ids(self._idview.id_quads, rest,
+                              key_bits=self._key_bits)
                 if not ids.columns:
                     # all-constant BGP (ASK-style): zero-var bindings,
                     # row count is the match count
@@ -856,6 +884,10 @@ def load_id_layout(spark: SparkSession, name: str) -> "IdEncodedView":
     self = object.__new__(IdEncodedView)
     self.dictionary = spark.table(f"{name}_terms")
     self.id_quads = spark.table(f"{name}_quads")
+    # key width is a property of the layout itself: struct ids = 128
+    self.key_bits = (
+        128 if self.dictionary.schema["id"].dataType.typeName() == "struct"
+        else 64)
     self.n_terms = self.dictionary.count()
     self.broadcast = self.n_terms <= IdEncodedView.BROADCAST_TERMS
     return self

@@ -236,7 +236,10 @@ def _id_edges_for(compiler, path: A.Path, graph) -> DataFrame:
     straight off the scans (id_of_term_col hash-at-scan): no term
     structs and no key strings enter any path shuffle — Catalyst prunes
     the scan down to the columns the two hashes read."""
-    from kineo_spark.dictionary import id_of_term_col
+    from kineo_spark.dictionary import id_of_term_col as _idc
+
+    kb = getattr(compiler, "_key_bits", 64)
+    id_of_term_col = lambda t: _idc(t, kb)  # noqa: E731
 
     if isinstance(path, A.PLink):
         sv, ov = A.Var("__ps"), A.Var("__po")
@@ -286,7 +289,10 @@ def _id_nodes_for(compiler, path: A.Path, graph) -> DataFrame:
     """(__k id, __n term) map covering every node the path's edges can
     touch — joined back ONCE, only against the ids that survive the
     closure and endpoint filters (survivor-only materialization)."""
-    from kineo_spark.dictionary import id_of_term_col
+    from kineo_spark.dictionary import id_of_term_col as _idc
+
+    kb = getattr(compiler, "_key_bits", 64)
+    id_of_term_col = lambda t: _idc(t, kb)  # noqa: E731
 
     if isinstance(path, (A.PStar, A.PZeroOrOne)):
         # a nested zero-arm introduces identity pairs over EVERY graph
@@ -315,7 +321,10 @@ def _id_nodes_for(compiler, path: A.Path, graph) -> DataFrame:
 def _id_graph_nodes(compiler, graph) -> DataFrame:
     """(__k, __n) over every subject/object in the graph (zero-length
     endpoints for unbound ``p*`` / ``p?``)."""
-    from kineo_spark.dictionary import id_of_term_col
+    from kineo_spark.dictionary import id_of_term_col as _idc
+
+    kb = getattr(compiler, "_key_bits", 64)
+    id_of_term_col = lambda t: _idc(t, kb)  # noqa: E731
 
     sv, pv, ov = A.Var("__ps"), A.Var("__pp", binding=False), A.Var("__po")
     df = compiler._scan(A.QuadPattern(sv, pv, ov, graph)).df
@@ -337,7 +346,10 @@ def _eval_path_ids(compiler, node: A.PathPattern, graph) -> "Plan":
     IDPathPlans + MaterializeTermsPlan boundary, IDQueryPlan.swift:
     802-1225."""
     from kineo_spark.compiler import Plan
-    from kineo_spark.dictionary import _const_id
+    from kineo_spark.dictionary import _const_id as _cid
+
+    kb = getattr(compiler, "_key_bits", 64)
+    _const_id = lambda t: _cid(t, kb)  # noqa: E731
 
     path = node.path
     spark = compiler.spark

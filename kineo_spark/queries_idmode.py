@@ -77,11 +77,12 @@ def _lookup(orig_name: str):
     return qm.QUERIES[orig_name], qm.ORACLES.get(orig_name)
 
 
-def _make(orig_name: str):
+def _make(orig_name: str, mode: str = "id"):
     base, _ = _lookup(orig_name)
+    prefix = f"sparql_{mode}_"
 
-    def f(spark, sf_dir, _base=base):
-        qs.set_mode("id")
+    def f(spark, sf_dir, _base=base, _mode=mode):
+        qs.set_mode(_mode)
         try:
             # compilation happens inside the wrapped query fn, under id
             # mode; the returned DataFrame's plan is already fixed
@@ -89,13 +90,33 @@ def _make(orig_name: str):
         finally:
             qs.set_mode("term")
 
-    f.__name__ = orig_name.replace("sparql_", "sparql_id_")
+    f.__name__ = orig_name.replace("sparql_", prefix)
     return f
 
 
 for _name in _TWINNED:
     _id_name = _name.replace("sparql_", "sparql_id_")
     QUERIES[_id_name] = _make(_name)
+    _oracle = _lookup(_name)[1]
+    if _oracle is not None:
+        ORACLES[_id_name] = _oracle
+
+# 128-bit (two-long struct id) twins: the collision-safe 100 TB key
+# mode exercised end-to-end on a representative slice of the BGP, agg,
+# OPTIONAL, path-closure, and ORDER BY families — same oracle SQL, so
+# the driver hash-checks that struct ids change no answer.
+_TWINNED_128 = [
+    "sparql_bgp_3hop_join",
+    "sparql_agg_q1",
+    "sparql_optional_leftjoin",
+    "sparql_filter_order_limit",
+    "sparql_count_distinct",
+    "sparql_path_alt_plus",
+]
+
+for _name in _TWINNED_128:
+    _id_name = _name.replace("sparql_", "sparql_id128_")
+    QUERIES[_id_name] = _make(_name, mode="id128")
     _oracle = _lookup(_name)[1]
     if _oracle is not None:
         ORACLES[_id_name] = _oracle

@@ -28,9 +28,11 @@ _MODE = "term"  # "term" (native scans) | "id" (dictionary-encoded BGPs)
 
 def set_mode(mode: str) -> None:
     """Execution-mode toggle (SURVEY §3.3): 'id' routes BGPs through the
-    dictionary-encoded 4×long layout with lazy term materialization."""
+    dictionary-encoded 4×long layout with lazy term materialization;
+    'id128' is the same plans on two-long struct ids (the 100 TB
+    collision-safe default, dictionary._id_expr)."""
     global _MODE
-    assert mode in ("term", "id")
+    assert mode in ("term", "id", "id128")
     _MODE = mode
 
 
@@ -38,9 +40,10 @@ def compiler_for(spark: SparkSession, sf_dir: str, **kw) -> Compiler:
     key = (id(spark), sf_dir)
     if key not in _STORES:
         _STORES[key] = RelationalQuadStore(spark, sf_dir)
-    if _MODE == "id":
+    if _MODE in ("id", "id128"):
         from kineo_spark.dictionary import id_compiler
-        return id_compiler(_STORES[key], **kw)
+        return id_compiler(_STORES[key],
+                           key_bits=128 if _MODE == "id128" else 64, **kw)
     return Compiler(_STORES[key], **kw)
 
 

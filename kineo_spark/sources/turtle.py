@@ -6,11 +6,13 @@ and the prefix-grouping Turtle serializer (RDF/Turtle.swift:147-311).
 Scope: the common Turtle subset — @prefix/@base (and SPARQL-style
 PREFIX/BASE), prefixed names, 'a', predicate-object lists (';'), object
 lists (','), typed/lang literals, blank nodes ([] and _:), collections
-( ... ), numeric/boolean shorthand; TriG graph blocks. Parsing happens
-on the driver (Turtle is context-sensitive — not line-parallel like
-N-Triples, which remains the bulk-load format; the reference makes the
-same tradeoff by linking a C parser); the resulting quads DataFrame is
-distributed as usual.
+( ... ), numeric/boolean shorthand; TriG graph blocks. `load_turtle`
+parses on the driver (matching the reference, which links a
+single-process C parser); `load_turtle_distributed` covers the same
+grammar statement-parallel — long strings, TriG blocks, and mid-file
+directives included — via a finite-state line scanner (see the section
+comment below), falling back to the driver only for inputs the scanner
+cannot classify (malformed files, nested graph blocks).
 """
 
 from __future__ import annotations
@@ -294,45 +296,110 @@ def load_turtle(
 
 
 # ---------------------------------------------------------------------------
-# Distributed Turtle subset (statement-parallel, like ntriples.py)
+# Distributed Turtle/TriG (statement-parallel, like ntriples.py)
 # ---------------------------------------------------------------------------
 #
-# Turtle is context-sensitive in exactly two ways that block naive line
-# parallelism: the prefix table, and statements spanning lines. The
-# distributed path handles both for the common subset:
-#   * all @prefix/@base directives sit in the file header (parsed on the
-#     driver once, broadcast to executors);
-#   * no triple-quoted (multi-line) strings and no TriG graph blocks —
-#     then every statement terminator '.' falls at a line end, so lines
-#     group into statements by a quote/IRI-aware per-line scan plus a
-#     per-partition running count (no global window, no driver loop).
-# Files outside the subset fall back to the driver-side full parser with
-# identical results. At 100 TB the flow is: one scan pass for
-# per-partition statement counts (collects #partitions ints), one pass
-# assigning statement ids, one shuffle on stmt_id to reassemble
-# multi-line statements, then an Arrow-batched parse of each statement
-# chunk. Skew-free: a statement is almost always a single line.
+# Turtle is context-sensitive in three ways that block naive line
+# parallelism: the prefix/base environment, statements spanning lines
+# (';' continuations, '''long strings''', TriG { } graph blocks), and
+# fresh-bnode naming. The distributed path handles all three without a
+# global window or a driver data loop:
+#
+#   * Cross-line lexical state is a six-value finite state machine:
+#     (open long-string quote | none) x (graph-block depth 0|1). Pass 1
+#     scans each partition once per candidate incoming state (branches
+#     whose current states coincide share one scan per line) and emits a
+#     transition summary (in_state -> out_state, #statement-ends,
+#     unsupported-reason). The driver folds the #partitions summaries in
+#     file order — O(partitions), not O(lines) — learning each
+#     partition's true incoming state and statement-id offset.
+#   * Pass 2 re-scans with the known state and assigns statement ids;
+#     one shuffle on stmt_id reassembles multi-line statements, then an
+#     Arrow-batched mapInPandas parses each chunk. A statement ends at a
+#     line whose last significant token is a top-level '.' or a
+#     block-closing '}' (TriG blocks group into a single chunk), or that
+#     closes a dotless SPARQL-style PREFIX/BASE directive.
+#   * Directives — header or mid-file — each end a statement, so they
+#     surface as their own chunks. Chunks that may contain a directive
+#     (cheap textual hint; false positives harmless) are collected in
+#     bounded number, parsed in statement order on the driver into
+#     cumulative (prefixes, base) snapshots, and every chunk parses
+#     under the snapshot in force just before its statement id. A
+#     pathological corpus with >_MAX_DIRECTIVES directive chunks falls
+#     back rather than ballooning the driver.
+#
+# Inputs the scanner cannot classify (unterminated short strings or
+# IRIs, nested graph blocks, a file ending inside a long string or
+# block) fall back to the driver-side full parser for identical results
+# and error behavior. At 100 TB the flow is: one scan pass collecting
+# O(partitions) summaries, one assignment pass, one shuffle on stmt_id,
+# one Arrow-batched parse. Skew-free: a statement is almost always a
+# single line, and a TriG block is one shuffle group only as wide as
+# the block's own text.
 
-_DIRECTIVE_RE = re.compile(r"^\s*(?:@prefix|@base|PREFIX|BASE)\b", re.IGNORECASE)
+_DIRECTIVE_HINT = r"(?i)@prefix|@base|\bprefix\s|\bbase\s"
+
+# a dotless SPARQL-style directive ending the line: keyword position is
+# start-of-statement (line start, or right after '.', '>' of a previous
+# dotless directive, or '}'); '@prefix'/'@base' require the trailing '.'
+# and are deliberately NOT matched here.
+_DOTLESS_DIR_END = re.compile(
+    r"(?i)(?:^|[.>}])\s*(?:prefix\s+\S*\s*|base\s+)<[^<>]*>\s*$"
+)
+
+# candidate cross-line states: (open long-string quote char or "", TriG
+# graph-block depth). Valid TriG never nests blocks, so depth is 0 or 1.
+_ALL_STATES = [("", 0), ("", 1), ("'", 0), ("'", 1), ('"', 0), ('"', 1)]
+_START_STATE = ("", 0)
+
+_MAX_DIRECTIVES = 10_000
 
 
-def _scan_line(line: str) -> tuple[bool, str | None]:
-    """Scan one physical line outside any cross-line state. Returns
-    (ends_statement, unsupported_reason). ends_statement is True iff the
-    last significant character (outside strings/IRIs/comments) is '.'."""
+def _scan_line(line: str, state: tuple[str, int]):
+    """Scan one physical line given the cross-line lexical state at its
+    start. Returns (state_out, ends_statement, unsupported_reason).
+
+    ends_statement is True iff the next line begins a new statement:
+    the line's last significant token (outside strings, IRIs, comments)
+    is a '.' at block depth 0, a '}' closing a TriG block, or the
+    closing '>' of a dotless PREFIX/BASE directive.
+    """
+    strq, depth = state
     i, n = 0, len(line)
-    last = ""
+    pending = False  # last significant char was a top-level '.' or closing '}'
+    sig: list[str] = []  # significant text, strings collapsed, for directive detection
     while i < n:
         ch = line[i]
+        if strq:
+            # inside a ''' / """ long string: only an unescaped run of
+            # >=3 quote chars closes it (the closer is the run's last 3)
+            if ch == "\\":
+                i += 2
+                continue
+            if ch == strq:
+                r = 1
+                while i + r < n and line[i + r] == strq:
+                    r += 1
+                if r >= 3:
+                    strq = ""
+                    pending = False
+                    sig.append("S")
+                i += r
+                continue
+            i += 1
+            continue
         if ch == "\\" and i + 1 < n:
             i += 2  # PN_LOCAL escape: next char is literal
-            last = line[i - 1]
+            pending = False
+            sig.append("x")
             continue
         if ch == "#":
             break  # comment to end of line
         if ch in "'\"":
-            if line[i:i + 3] in ("'''", '"""'):
-                return (False, "triple-quoted string")
+            if line[i:i + 3] == ch * 3:
+                strq = ch
+                i += 3
+                continue
             j = i + 1
             while j < n:
                 if line[j] == "\\":
@@ -341,101 +408,69 @@ def _scan_line(line: str) -> tuple[bool, str | None]:
                 if line[j] == ch:
                     break
                 j += 1
-            else:
-                return (False, "unterminated string (multi-line?)")
             if j >= n:
-                return (False, "unterminated string (multi-line?)")
+                return (strq, depth), False, "unterminated string"
             i = j + 1
-            last = ch
+            pending = False
+            sig.append("S")
             continue
         if ch == "<":
             j = line.find(">", i + 1)
             if j < 0:
-                return (False, "unterminated IRI")
+                return (strq, depth), False, "unterminated IRI"
+            sig.append(line[i:j + 1])
             i = j + 1
-            last = ">"
+            pending = False
             continue
-        if ch in "{}":
-            return (False, "TriG graph block")
-        if not ch.isspace():
-            last = ch
+        if ch == "{":
+            depth += 1
+            if depth > 1:
+                return (strq, depth), False, "nested graph block"
+            pending = False
+            sig.append("{")
+            i += 1
+            continue
+        if ch == "}":
+            depth -= 1
+            if depth < 0:
+                return (strq, depth), False, "unbalanced '}'"
+            pending = depth == 0
+            sig.append("}")
+            i += 1
+            continue
+        if ch == ".":
+            if depth == 0:
+                pending = True
+            sig.append(".")
+            i += 1
+            continue
+        if ch.isspace():
+            sig.append(" ")
+        else:
+            pending = False
+            sig.append(ch)
         i += 1
-    return (last == ".", None)
-
-
-def _header_file(path: str) -> str:
-    """The file whose head carries the prologue: the path itself, or the
-    lexicographically first file of a directory input (sc.textFile
-    reads directory parts in that order)."""
-    import os
-
-    if not os.path.isdir(path):
-        return path
-    names = sorted(
-        n for n in os.listdir(path)
-        if not n.startswith((".", "_")) and os.path.isfile(os.path.join(path, n))
-    )
-    if not names:
-        raise FileNotFoundError(f"no files in {path}")
-    return os.path.join(path, names[0])
-
-
-def _read_header(path: str) -> tuple[dict[str, str], str, int]:
-    """Driver-side: consume leading directive lines (plus blanks and
-    comments). Returns (prefixes, base, n_header_lines)."""
-    prefixes: dict[str, str] = {}
-    base = ""
-    n_header = 0
-    with open(_header_file(path)) as fh:
-        for line in fh:
-            stripped = line.strip()
-            if stripped and not stripped.startswith("#"):
-                if not _DIRECTIVE_RE.match(stripped):
-                    break
-                p = TurtleParser(stripped, base=base, prefixes=prefixes)
-                p.parse()
-                prefixes.update(p.prefixes)
-                base = p.base or base
-            n_header += 1
-    return prefixes, base, n_header
+    if strq:
+        return (strq, depth), False, None
+    ends = pending and depth == 0
+    if not ends and depth == 0 and _DOTLESS_DIR_END.search("".join(sig)):
+        ends = True
+    return (strq, depth), ends, None
 
 
 def load_turtle_distributed(
     spark: SparkSession, path: str, default_graph: str = "urn:g:default",
     base: str = "",
 ) -> DataFrame:
-    """Statement-parallel Turtle load for the header-directives subset;
-    transparently falls back to the driver-side parser otherwise."""
+    """Statement-parallel Turtle/TriG load (long strings, graph blocks,
+    and mid-file directives included); transparently falls back to the
+    driver-side parser for inputs the line scanner cannot classify."""
+    import bisect
+
     import pandas as pd
     from pyspark.sql import functions as F
 
-    prefixes, base, n_header = _read_header(path)
-
-    # Pass 1: per-line scan; per-partition statement-end counts.
-    lines = spark.sparkContext.textFile(path)  # partition order = file order
-    body = (
-        lines.zipWithIndex()
-        .filter(lambda t: t[1] >= n_header)
-        .map(lambda t: (t[1], t[0], _scan_line(t[0])))
-    )
-    body = body.cache()
-
-    def part_stats(pid, it):
-        ends = 0
-        bad = None
-        for _, line, (e, reason) in it:
-            if reason and bad is None:
-                bad = reason
-            if _DIRECTIVE_RE.match(line) and bad is None:
-                bad = "mid-file directive"
-            ends += 1 if e else 0
-        yield (pid, ends, bad)
-
-    stats = sorted(body.mapPartitionsWithIndex(part_stats).collect())
-    reasons = [b for _, _, b in stats if b]
-    if reasons:
-        body.unpersist()
-        # outside the distributed subset: full-grammar driver-side parse
+    def driver_fallback():
         import os
 
         if os.path.isdir(path):
@@ -448,17 +483,80 @@ def load_turtle_distributed(
             return load_turtle(spark, text, default_graph, base=base)
         return load_turtle(spark, path, default_graph, base=base)
 
-    offsets = {}
-    acc = 0
-    for pid, ends, _ in stats:
-        offsets[pid] = acc
-        acc += ends
+    # Directory inputs: expand to an explicitly sorted path list —
+    # FileInputFormat processes input paths in the order given, but a
+    # bare directory expands in unspecified listing order, which would
+    # permute statement ids across files. Splits WITHIN a file are
+    # always offset-ordered.
+    import os
 
-    # Pass 2: assign statement ids (count of statement-ends before the line).
+    if os.path.isdir(path):
+        input_path = ",".join(
+            os.path.join(path, n) for n in sorted(os.listdir(path))
+            if not n.startswith((".", "_"))
+            and os.path.isfile(os.path.join(path, n))
+        )
+        if not input_path:
+            raise FileNotFoundError(f"no files in {path}")
+    else:
+        input_path = path
+
+    # Pass 1: per-partition transition summaries over all candidate
+    # incoming states. Line order key = (partition, position) packed
+    # into one long — globally monotonic, no zipWithIndex job.
+    lines = spark.sparkContext.textFile(input_path)
+    body = lines.mapPartitionsWithIndex(
+        lambda pid, it: ((pid * (1 << 40) + j, line) for j, line in enumerate(it))
+    ).cache()
+
+    def part_summary(pid, it):
+        # branch per candidate incoming state; branches whose current
+        # states coincide share one scan per line
+        branches = {s: [s, 0, None] for s in _ALL_STATES}
+        for _, line in it:
+            cache = {}
+            for b in branches.values():
+                if b[2]:
+                    continue  # this branch already left the subset
+                cur = b[0]
+                if cur not in cache:
+                    cache[cur] = _scan_line(line, cur)
+                st, e, bad = cache[cur]
+                b[0] = st
+                if e:
+                    b[1] += 1
+                b[2] = bad
+        yield (pid, [(k, b[0], b[1], b[2]) for k, b in branches.items()])
+
+    summaries = sorted(body.mapPartitionsWithIndex(part_summary).collect())
+
+    # Driver fold in file order: true incoming state + stmt-id offset
+    # per partition. O(partitions) work and memory.
+    state = _START_STATE
+    acc = 0
+    offsets = {}
+    bad = None
+    for pid, branches in summaries:
+        tbl = {tuple(k): (tuple(cur), e, b) for (k, cur, e, b) in branches}
+        offsets[pid] = (state, acc)
+        cur, e, b = tbl[state]
+        state = cur
+        acc += e
+        if b:
+            bad = b
+            break
+    if bad is None and state != _START_STATE:
+        bad = "EOF inside long string or graph block"
+    if bad is not None:
+        body.unpersist()
+        return driver_fallback()
+
+    # Pass 2: assign statement ids with the now-known incoming state.
     def assign(pid, it):
-        sid = offsets[pid]
-        for idx, line, (e, _) in it:
+        st, sid = offsets[pid]
+        for idx, line in it:
             yield (sid, idx, line)
+            st, e, _ = _scan_line(line, st)
             if e:
                 sid += 1
 
@@ -477,6 +575,31 @@ def load_turtle_distributed(
         ).alias("text")
     )
 
+    # Directive snapshots: chunks that may carry an @prefix/@base /
+    # PREFIX/BASE (textual hint — false positives merely re-parse a
+    # small chunk on the driver) are folded in statement order into
+    # cumulative (prefixes, base) environments.
+    dir_rows = (
+        stmts.filter(F.col("text").rlike(_DIRECTIVE_HINT))
+        .select("stmt_id", "text")
+        .take(_MAX_DIRECTIVES + 1)
+    )
+    if len(dir_rows) > _MAX_DIRECTIVES:
+        return driver_fallback()
+    snaps = []  # (stmt_id, prefixes_after, base_after), ascending
+    env_p: dict[str, str] = {}
+    env_b = base
+    for r in sorted(dir_rows, key=lambda r: r.stmt_id):
+        try:
+            p = TurtleParser(r.text, default_graph, base=env_b,
+                             prefixes=env_p, anon_prefix=f"d{r.stmt_id}_")
+            p.parse()
+        except SyntaxError:
+            return driver_fallback()  # malformed: identical error behavior
+        env_p, env_b = dict(p.prefixes), p.base or env_b
+        snaps.append((r.stmt_id, env_p, env_b))
+    snap_sids = [s[0] for s in snaps]
+
     out_schema = QUADS_SCHEMA
 
     def parse_chunk(batches):
@@ -485,8 +608,13 @@ def load_turtle_distributed(
             for sid, text in zip(pdf["stmt_id"], pdf["text"]):
                 if not text.strip():
                     continue
+                k = bisect.bisect_left(snap_sids, sid)
+                if k == 0:
+                    pfx, b0 = {}, base
+                else:
+                    pfx, b0 = snaps[k - 1][1], snaps[k - 1][2]
                 p = TurtleParser(
-                    text, default_graph, base=base, prefixes=prefixes,
+                    text, default_graph, base=b0, prefixes=pfx,
                     anon_prefix=f"s{sid}_",
                 )
                 rows.extend(p.parse())

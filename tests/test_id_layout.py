@@ -150,3 +150,64 @@ def test_collision_repair_rekeys_and_stays_consistent(spark, fixture_store):
     ):
         hits += scan_ids(quads, pattern, remap=remap).count()
     assert hits > 0
+
+
+def test_id128_layout_roundtrip_and_star_join(spark, fixture_store,
+                                              tmp_path_factory):
+    """key_bits=128 (two-long struct ids, the documented 100 TB
+    default): encode/audit/persist/load share the 64-bit code path;
+    struct ids are first-class bucket + join keys, so the subject-
+    bucketed star join still runs with ZERO exchange; materialize
+    restores the same terms as the 64-bit view."""
+    view = IdEncodedView.for_store(fixture_store, key_bits=128)
+    assert view.key_bits == 128
+    assert view.dictionary.schema["id"].dataType.typeName() == "struct"
+    path = str(tmp_path_factory.mktemp("idlayout128"))
+    persist_id_layout(view, "t_layout128", buckets=4, path=path)
+    try:
+        layout = load_id_layout(spark, "t_layout128")
+        assert layout.key_bits == 128
+        assert layout.id_quads.count() == view.id_quads.count()
+        pats = [
+            A.QuadPattern(A.Var("s"), iri("http://xmlns.com/foaf/0.1/name"), A.Var("n"), None),
+            A.QuadPattern(A.Var("s"), iri("http://xmlns.com/foaf/0.1/homepage"), A.Var("h"), None),
+        ]
+        old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            ids = bgp_ids(layout.id_quads, pats, key_bits=128)
+            ids.collect()
+            plan = ids._jdf.queryExecution().executedPlan().toString()
+            assert "Exchange" not in plan, plan
+            # same answers as the 64-bit twin, term-for-term
+            mat = materialize(ids, layout.dictionary,
+                              broadcast_dict=layout.broadcast)
+            got = sorted((r["n"]["lex"], r["h"]["lex"]) for r in mat.collect())
+            v64 = IdEncodedView.for_store(fixture_store)
+            m64 = materialize(bgp_ids(v64.id_quads, pats), v64.dictionary,
+                              broadcast_dict=v64.broadcast)
+            assert got == sorted((r["n"]["lex"], r["h"]["lex"])
+                                 for r in m64.collect())
+            assert got
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        # the audit runs unchanged on struct ids
+        from kineo_spark.dictionary import audit_id_collisions
+        assert audit_id_collisions(view.dictionary) == view.n_terms
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_layout128_quads")
+        spark.sql("DROP TABLE IF EXISTS t_layout128_terms")
+
+
+def test_id128_no_cross_width_collision(spark, fixture_store):
+    """The two 64-bit halves are independent hashes: terms engineered to
+    share h (the 64-bit id) still differ in l, so the 128-bit audit
+    passes where the 64-bit one would fail. Simulated by projecting the
+    struct down to its h half — identical to the 64-bit dictionary."""
+    from kineo_spark.dictionary import IdEncodedView as V
+
+    v128 = V.for_store(fixture_store, key_bits=128)
+    v64 = V.for_store(fixture_store)
+    h_only = sorted(r[0] for r in v128.dictionary.select("id.h").collect())
+    ids64 = sorted(r[0] for r in v64.dictionary.select("id").collect())
+    assert h_only == ids64

@@ -106,26 +106,63 @@ def test_turtle_distributed_matches_driver(spark, tmp_path):
     assert len(one) == 1 and one[0].o_lex == "1" and one[0].o_dt == "integer"
 
 
+def test_turtle_distributed_long_string_trig_midfile(spark, tmp_path):
+    """Long strings, TriG graph blocks, and mid-file directives all stay
+    on the statement-parallel path (driver fallback patched to raise)."""
+    import kineo_spark.sources.turtle as T
+
+    text = (
+        '@prefix ex: <http://example.org/> .\n'
+        'ex:a ex:p """multi\nline\nwith "quotes" and \'\' inside""" .\n'
+        "ex:b ex:p '''second\nlong''' .\n"
+        'ex:g1 {\n  ex:s1 ex:q 1 .\n  ex:s2 ex:q 2 .\n}\n'
+        'PREFIX late: <http://late.example/>\n'
+        '@prefix ex2: <http://ex2.example/> .\n'
+        'late:x ex2:r ex:y .\n'
+    )
+    p = tmp_path / "wide.trig"
+    p.write_text(text)
+    drv = load_turtle(spark, text).collect()
+    orig = T.load_turtle
+    T.load_turtle = lambda *a, **k: (_ for _ in ()).throw(
+        AssertionError("fell back to driver parser"))
+    try:
+        dist = T.load_turtle_distributed(spark, str(p)).collect()
+    finally:
+        T.load_turtle = orig
+    assert _canon(dist) == _canon(drv)
+    longs = sorted(r.o_lex for r in dist if r.s_lex.endswith(("/a", "/b")))
+    assert longs == ['multi\nline\nwith "quotes" and \'\' inside',
+                     "second\nlong"]
+    # TriG block quads land in the named graph
+    g1 = [r for r in dist if r.g_lex == "http://example.org/g1"]
+    assert sorted(int(r.o_lex) for r in g1) == [1, 2]
+    # mid-file directives (dotless SPARQL-style and @prefix) resolve
+    late = [r for r in dist if r.s_lex == "http://late.example/x"]
+    assert len(late) == 1 and late[0].p_lex == "http://ex2.example/r"
+
+
 def test_turtle_distributed_fallback(spark, tmp_path):
     from kineo_spark.sources.turtle import load_turtle_distributed
 
-    # triple-quoted string is outside the distributed subset: must fall
-    # back to the driver parser and still produce identical quads
-    text = '@prefix ex: <http://example.org/> .\nex:a ex:p """multi\nline""" .\n'
+    # nested graph blocks are outside the distributed subset: must fall
+    # back to the driver parser (which raises the same SyntaxError on
+    # truly malformed text — here we use a classifiable-but-unsupported
+    # shape: an unterminated short string)
+    text = '@prefix ex: <http://example.org/> .\nex:a ex:p "unterminated\nex:b ex:q 1 .\n'
     p = tmp_path / "fb.ttl"
     p.write_text(text)
-    rows = load_turtle_distributed(spark, str(p)).collect()
-    assert len(rows) == 1
-    assert rows[0].o_lex == "multi\nline"
+    import pytest
+
+    with pytest.raises(SyntaxError):
+        load_turtle_distributed(spark, str(p)).collect()
 
 
 def test_turtle_distributed_100k(spark, tmp_path):
     """100k-statement corpus containing bnode property lists ([...]),
-    collections ((...)), and multi-line statements parses on the
-    STATEMENT-PARALLEL path — driver fallback is monkeypatched to raise,
-    so this pins that the subset includes the bracketed forms (they nest
-    but never cross a statement boundary, so the quote-aware scanner's
-    '.'-end detection already covers them)."""
+    collections ((...)), multi-line statements, multi-line '''long'''
+    strings, and TriG graph blocks parses on the STATEMENT-PARALLEL
+    path — driver fallback is monkeypatched to raise."""
     import kineo_spark.sources.turtle as T
 
     n = 100_000
@@ -140,6 +177,10 @@ def test_turtle_distributed_100k(spark, tmp_path):
                 )
             elif i % 20 == 10:  # rdf:List collection
                 fh.write(f'ex:s{i} ex:list ({i} {i + 1}) ; ex:q {i} .\n')
+            elif i % 20 == 3:  # multi-line long string
+                fh.write(f'ex:s{i} ex:p """line one {i}\nline "two"\n{i}""" .\n')
+            elif i % 20 == 13:  # TriG graph block (2 inner statements)
+                fh.write(f'ex:g{i} {{\n  ex:s{i} ex:p "v{i}" .\n  ex:s{i} ex:q {i} .\n}}\n')
             elif i % 10 == 5:  # every 10th statement spans two lines
                 fh.write(f'ex:s{i} ex:p "v{i}" ;\n    ex:q {i} .\n')
             else:
@@ -154,14 +195,20 @@ def test_turtle_distributed_100k(spark, tmp_path):
         T.load_turtle = orig
     # per bucket of 20: one [..] (2 triples in the bnode + 1 link),
     # one (..) (2-elem rdf:List = 4 triples + 1 link + 1 ex:q),
-    # two 2-line stmts of 2 triples, sixteen 1-triple stmts
-    assert rows == (n // 20) * (3 + 6 + 4 + 16)
+    # one long-string stmt (1), one TriG block (2),
+    # two 2-line stmts of 2 triples, fourteen 1-triple stmts
+    assert rows == (n // 20) * (3 + 6 + 1 + 2 + 4 + 14)
     from pyspark.sql import functions as F
     total = df.filter(
         (F.col("o_dt") == "integer")
         & (F.col("p_lex") == "http://example.org/q")
     ).agg(F.sum("o_num")).first()[0]
-    assert int(total) == sum(i for i in range(n) if i % 5 == 0)
+    assert int(total) == sum(i for i in range(n) if i % 5 == 0 or i % 20 == 13)
+    # long strings reassembled bit-exactly across line boundaries
+    one = df.filter(F.col("s_lex") == "http://example.org/s3").collect()
+    assert one[0].o_lex == 'line one 3\nline "two"\n3'
+    # TriG quads landed in their named graphs
+    assert df.filter(F.col("g_lex") == "http://example.org/g13").count() == 2
 
 
 def test_load_rdf_dispatch(spark, tmp_path):
@@ -200,9 +247,17 @@ def test_turtle_distributed_directory(spark, tmp_path):
         "".join(f"ex:b{i} ex:p {i} ;\n  ex:q {i * 2} .\n" for i in range(50)))
     df = load_turtle_distributed(spark, str(tmp_path))
     assert df.count() == 150
-    # directives beyond the first file force the driver fallback, which
-    # concatenates the parts — same answer
+    # a directive in a later part file is mid-file from the corpus view:
+    # still statement-parallel (no fallback), scoped to later statements
+    import kineo_spark.sources.turtle as T
+
     (tmp_path / "part-002").write_text(
         "@prefix ex2: <http://f/> .\nex2:x ex2:p ex2:y .\n")
-    df2 = load_turtle_distributed(spark, str(tmp_path))
-    assert df2.count() == 151
+    orig = T.load_turtle
+    T.load_turtle = lambda *a, **k: (_ for _ in ()).throw(
+        AssertionError("fell back to driver parser"))
+    try:
+        df2 = load_turtle_distributed(spark, str(tmp_path))
+        assert df2.count() == 151
+    finally:
+        T.load_turtle = orig
