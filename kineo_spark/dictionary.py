@@ -130,11 +130,24 @@ def encode_quads(quads_flat: DataFrame, id_fn=None,
     dictionary = terms.select(qid(k[0], k[1], k[2], k[3]).alias("id"),
                               *_KEY, "num")
 
+    # o_num — the object's numeric value shadow (lexical_num: numerics,
+    # booleans, temporals; null otherwise) — rides as a 5th layout
+    # column. This is the Spark-columnar analog of the reference's
+    # VALUE-ORDERED PACKED IDS (QuadStore/IdentityMap.swift:19-120,
+    # which inlines ints/dates into the id so id order ≈ value order):
+    # instead of packing the value INTO the id (a trick the reference's
+    # B-tree needs), a columnar layout carries the value beside it —
+    # pruned for free when unused, and when used it makes range FILTERs
+    # parquet-pushable and ORDER BY join-free in pure id space
+    # (scan_ids(with_num=True); the IDSortPlan analog). Same outcome —
+    # no dictionary join before a Sort — with none of the injectivity
+    # compromises id-packing forces.
     id_quads = q.select(
         qid(q["s_kind"], q["s_lex"], None, None).alias("s"),
         qid(F.lit(0), q["p_lex"], None, None).alias("p"),
         qid(q["o_kind"], q["o_lex"], q["o_dt"], q["o_lang"]).alias("o"),
         qid(F.lit(0), q["g_lex"], None, None).alias("g"),
+        q["o_num"].alias("o_num"),
     )
     return dictionary, id_quads
 
@@ -255,13 +268,21 @@ def id_of_term_col(t, key_bits: int = 64):
 
 
 def scan_ids(id_quads: DataFrame, pattern: A.QuadPattern,
-             remap: dict | None = None, key_bits: int = 64) -> DataFrame:
+             remap: dict | None = None, key_bits: int = 64,
+             with_num: bool = False) -> DataFrame:
     """Pattern scan in ID space: bound positions filter on longs,
     variables project long columns (IDQuadPlan, IDQueryPlan.swift:11-81).
     ``remap`` is a collision-repair table (encode_quads_repaired):
-    constant terms consult it before falling back to the hash id."""
+    constant terms consult it before falling back to the hash id.
+
+    ``with_num=True`` additionally projects the object variable's value
+    shadow as ``__num_<var>`` (from the layout's o_num column — see
+    encode_quads): the IDSortPlan analog. Range predicates and ORDER BY
+    on that column run in pure id space — no dictionary join, and the
+    filter pushes into the parquet scan of the persisted layout."""
     df = id_quads
     out: dict[str, str] = {}
+    num_var: str | None = None
     for pos, node in pattern.nodes():
         if isinstance(node, PyTerm):
             key = term_key_tuple(node.kind, node.lex, node.dt, node.lang)
@@ -274,7 +295,12 @@ def scan_ids(id_quads: DataFrame, pattern: A.QuadPattern,
                 df = df.filter(F.col(pos) == F.col(out[node.name]))
             elif node.binding:
                 out[node.name] = pos
-    return df.select(*[F.col(p).alias(n) for n, p in out.items()])
+                if pos == "o":
+                    num_var = node.name
+    cols = [F.col(p).alias(n) for n, p in out.items()]
+    if with_num and num_var is not None and "o_num" in df.columns:
+        cols.append(F.col("o_num").alias(f"__num_{num_var}"))
+    return df.select(*cols)
 
 
 def needed_value_vars(alg: A.Algebra, projection: tuple[str, ...] | None):

@@ -120,3 +120,43 @@ for _name in _TWINNED_128:
     _oracle = _lookup(_name)[1]
     if _oracle is not None:
         ORACLES[_id_name] = _oracle
+
+
+def sparql_id_valueorder_range(spark, sf_dir):
+    """IDSortPlan analog (reference IdentityMap.swift:19-120 value-
+    ordered packed ids, re-expressed columnar): range FILTER + ORDER BY
+    + LIMIT run ENTIRELY in id space on the layout's o_num value-shadow
+    column — no dictionary join before the Sort; only the 25 surviving
+    rows materialize terms at the top."""
+    from pyspark.sql import functions as F
+
+    from kineo_spark import algebra as A
+    from kineo_spark.dictionary import IdEncodedView, materialize, scan_ids
+
+    store = qs.compiler_for(spark, sf_dir).store
+    view = IdEncodedView.for_store(store)
+    keys = scan_ids(
+        view.id_quads,
+        A.QuadPattern(A.Var("c"), qs.col("customer", "c_custkey"),
+                      A.Var("key"), None),
+        with_num=True)
+    names = scan_ids(
+        view.id_quads,
+        A.QuadPattern(A.Var("c"), qs.col("customer", "c_name"),
+                      A.Var("name"), None))
+    j = keys.join(names, "c")
+    top = (j.filter(F.col("__num_key") > 100)
+           .orderBy(F.col("__num_key").desc())
+           .limit(25))
+    mat = materialize(top.select("key", "name"), view.dictionary,
+                      broadcast_dict=view.broadcast)
+    return mat.select(F.col("key")["num"].alias("key"),
+                      F.col("name")["lex"].alias("name"))
+
+
+QUERIES["sparql_id_valueorder_range"] = sparql_id_valueorder_range
+ORACLES["sparql_id_valueorder_range"] = (
+    "SELECT CAST(c_custkey AS DOUBLE) AS key, c_name AS name "
+    "FROM customer WHERE c_custkey > 100 "
+    "ORDER BY c_custkey DESC LIMIT 25"
+)

@@ -211,3 +211,34 @@ def test_id128_no_cross_width_collision(spark, fixture_store):
     h_only = sorted(r[0] for r in v128.dictionary.select("id.h").collect())
     ids64 = sorted(r[0] for r in v64.dictionary.select("id").collect())
     assert h_only == ids64
+
+
+def test_valueorder_range_pure_idspace(spark, layout):
+    """IDSortPlan analog on the persisted layout: range FILTER + ORDER
+    BY on the o_num value shadow run with NO dictionary join before the
+    Sort, and the range predicate reaches the parquet scan of the
+    bucketed layout (PushedFilters/DataFilters)."""
+    import re as _re
+
+    assert "o_num" in layout.id_quads.columns
+    from kineo_spark.dictionary import scan_ids
+
+    pat = A.QuadPattern(
+        A.Var("s"), iri("urn:col:people:age"), A.Var("age"), None)
+    # the fixture store has foaf data; fall back to any predicate with
+    # numeric objects so the test is corpus-independent
+    scanned = scan_ids(layout.id_quads, pat, with_num=True)
+    if scanned.filter(F.col("__num_age").isNotNull()).count() == 0:
+        pv = A.Var("p", binding=False)
+        pat = A.QuadPattern(A.Var("s"), pv, A.Var("age"), None)
+        scanned = scan_ids(layout.id_quads, pat, with_num=True)
+    top = (scanned.filter(F.col("__num_age") > 0)
+           .orderBy(F.col("__num_age").desc()).limit(5))
+    top.collect()
+    plan = top._jdf.queryExecution().executedPlan().toString()
+    # sort happens in pure id space: no join of any kind in this plan
+    assert not _re.search(r"Join", plan), plan
+    # the range predicate reached the file scan
+    assert _re.search(r"(PushedFilters|DataFilters): \[.*o_num", plan) \
+        or "o_num" in plan.split("FileScan", 1)[-1], plan
+    assert "Sort" in plan or "TakeOrderedAndProject" in plan, plan
