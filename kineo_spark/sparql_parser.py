@@ -992,6 +992,9 @@ class Parser:
     def _describe_query(self) -> A.DescribeQuery:
         self.expect_kw("DESCRIBE")
         nodes: list = []
+        star = self.peek().kind == "OP" and self.peek().text == "*"
+        if star:
+            self.next()  # DESCRIBE * — all in-scope vars (resolved below)
         while True:
             t = self.peek()
             if t.kind == "VAR":
@@ -1001,12 +1004,20 @@ class Parser:
                 nodes.append(self._term())
             else:
                 break
+        if not star and not nodes:
+            # grammar [11]: DESCRIBE ( VarOrIri+ | '*' )
+            raise SyntaxError("DESCRIBE requires at least one IRI/var or '*'")
         self._dataset_clause()
         body = A.JoinIdentity()
         if self.peek().kind == "KW" and self.peek().text.upper() == "WHERE" or (
             self.peek().kind == "OP" and self.peek().text == "{"
         ):
             body = self._where_and_modifiers_simple()
+        if star:
+            # DESCRIBE * — every variable the WHERE pattern binds
+            in_scope: set[str] = set()
+            _scope_vars(body, in_scope)
+            nodes = [A.Var(n) for n in sorted(in_scope)]
         return A.DescribeQuery(body, tuple(nodes), dataset=self._dataset)
 
 

@@ -20,11 +20,12 @@ ENTRIES = (manifest_entries("/root/repo/tests/w3c/manifest.ttl")
            + manifest_entries("/root/repo/tests/w3c/manifest10.ttl")
            + manifest_entries("/root/repo/tests/w3c/manifest11.ttl")
            + manifest_entries("/root/repo/tests/w3c/manifest12.ttl")
-           + manifest_entries("/root/repo/tests/w3c/manifest13.ttl"))
+           + manifest_entries("/root/repo/tests/w3c/manifest13.ttl")
+           + manifest_entries("/root/repo/tests/w3c/manifest14.ttl"))
 
 
 def test_manifest_parsed():
-    assert len(ENTRIES) == 205
+    assert len(ENTRIES) == 223
     assert all(e.query_path for e in ENTRIES)
     assert all(e.result_path for e in ENTRIES if "SyntaxTest" not in e.type)
 
