@@ -171,15 +171,42 @@ def main() -> None:
             print(f"# analyze {name}: {type(e).__name__}: {str(e)[:120]}",
                   file=sys.stderr)
 
-    print(json.dumps({
+    # DRIVER CONTRACT: the driver keeps only a ~2000-char tail of stdout,
+    # so the final stdout line must stay small (rounds 3-5 recorded
+    # "parsed": null because extras/operators pushed it to ~15 kB).
+    # The compact core goes to stdout; shuffle + per-operator metric
+    # trees go to a side artifact the judge can read directly.
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
+    with open(detail_path, "w") as fh:
+        json.dump({
+            "metric": "headline_total_wall_best_of_3_r1_comparable",
+            "value": total,
+            "unit": "sec",
+            "queries": times,
+            "extras": extras,
+            "operators": operators,
+            "sf": float(sf),
+        }, fh, indent=1)
+    print(f"# detail (shuffle bytes + operator trees): {detail_path}",
+          file=sys.stderr)
+
+    line = json.dumps({
         "metric": "headline_total_wall_best_of_3_r1_comparable",
         "value": total,
         "unit": "sec",
         "queries": times,
-        "extras": extras,
-        "operators": operators,
         "sf": float(sf),
-    }))
+    })
+    if len(line) > 1900:  # belt-and-braces: never outgrow the tail buffer
+        line = json.dumps({
+            "metric": "headline_total_wall_best_of_3_r1_comparable",
+            "value": total,
+            "unit": "sec",
+            "queries": {k: v for k, v in times.items() if k in R1_BASELINE},
+            "sf": float(sf),
+        })
+    print(line)
     spark.stop()
 
 

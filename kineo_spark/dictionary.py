@@ -280,6 +280,13 @@ def scan_ids(id_quads: DataFrame, pattern: A.QuadPattern,
     encode_quads): the IDSortPlan analog. Range predicates and ORDER BY
     on that column run in pure id space — no dictionary join, and the
     filter pushes into the parquet scan of the persisted layout."""
+    if remap and key_bits != 64:
+        # remap values are 64-bit repaired longs; comparing them against
+        # 128-bit struct ids would fail at analysis time (or silently
+        # match nothing). 128-bit mode never needs repair (collision
+        # p < 1e-18 at 10^9 terms) — fail loudly at the API boundary.
+        raise ValueError("scan_ids: remap requires key_bits=64 "
+                         "(128-bit struct ids take no repair table)")
     df = id_quads
     out: dict[str, str] = {}
     num_var: str | None = None

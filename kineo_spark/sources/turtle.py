@@ -337,14 +337,18 @@ def load_turtle(
 # single line, and a TriG block is one shuffle group only as wide as
 # the block's own text.
 
-_DIRECTIVE_HINT = r"(?i)@prefix|@base|\bprefix\s|\bbase\s"
+# NB: whitespace between the keyword and the IRI is OPTIONAL for the
+# SPARQL-style forms — "BASE<iri>" lexes as KW then IRIREF because '<'
+# is a delimiter ("PREFIX" must be followed by a PNAME_NS, so \bprefix\b
+# here only costs a false-positive driver re-parse, never a miss).
+_DIRECTIVE_HINT = r"(?i)@prefix|@base|\bprefix\b|\bbase\b"
 
 # a dotless SPARQL-style directive ending the line: keyword position is
 # start-of-statement (line start, or right after '.', '>' of a previous
 # dotless directive, or '}'); '@prefix'/'@base' require the trailing '.'
 # and are deliberately NOT matched here.
 _DOTLESS_DIR_END = re.compile(
-    r"(?i)(?:^|[.>}])\s*(?:prefix\s+\S*\s*|base\s+)<[^<>]*>\s*$"
+    r"(?i)(?:^|[.>}])\s*(?:prefix\s+\S*\s*|base\s*)<[^<>]*>\s*$"
 )
 
 # candidate cross-line states: (open long-string quote char or "", TriG
@@ -381,10 +385,19 @@ def _scan_line(line: str, state: tuple[str, int]):
                 while i + r < n and line[i + r] == strq:
                     r += 1
                 if r >= 3:
+                    # The closer is the FIRST 3 quotes of the run — per
+                    # the W3C grammar a content quote group must be
+                    # followed by a non-quote, so content can never end
+                    # in a quote (the driver tokenizer's non-greedy
+                    # '''…''' regex agrees). The remaining r-3 quotes are
+                    # re-lexed outside the string: r=6 reopens a long
+                    # string, r=4/5 start a short string.
                     strq = ""
                     pending = False
                     sig.append("S")
-                i += r
+                    i += 3
+                else:
+                    i += r
                 continue
             i += 1
             continue
@@ -563,7 +576,6 @@ def load_turtle_distributed(
     parts_df = spark.createDataFrame(
         body.mapPartitionsWithIndex(assign), "stmt_id long, idx long, line string"
     )
-    body.unpersist()
 
     # Reassemble multi-line statements: one shuffle on stmt_id.
     stmts = parts_df.groupBy("stmt_id").agg(
@@ -575,6 +587,18 @@ def load_turtle_distributed(
         ).alias("text")
     )
 
+    # Cache lifecycle: stmts feeds BOTH the directive take() below and the
+    # returned mapInPandas, and createDataFrame-over-RDD is lazy — so
+    # persist stmts (spilling to disk at scale), force it once (the single
+    # read of the raw input after pass 1), and only then drop the cached
+    # line RDD. Without this, pass 2 + the directive scan + the final
+    # parse would each re-read and re-scan the whole input.
+    from pyspark import StorageLevel
+
+    stmts = stmts.persist(StorageLevel.MEMORY_AND_DISK)
+    stmts.count()
+    body.unpersist()
+
     # Directive snapshots: chunks that may carry an @prefix/@base /
     # PREFIX/BASE (textual hint — false positives merely re-parse a
     # small chunk on the driver) are folded in statement order into
@@ -585,6 +609,7 @@ def load_turtle_distributed(
         .take(_MAX_DIRECTIVES + 1)
     )
     if len(dir_rows) > _MAX_DIRECTIVES:
+        stmts.unpersist()
         return driver_fallback()
     snaps = []  # (stmt_id, prefixes_after, base_after), ascending
     env_p: dict[str, str] = {}
@@ -595,6 +620,7 @@ def load_turtle_distributed(
                              prefixes=env_p, anon_prefix=f"d{r.stmt_id}_")
             p.parse()
         except SyntaxError:
+            stmts.unpersist()
             return driver_fallback()  # malformed: identical error behavior
         env_p, env_b = dict(p.prefixes), p.base or env_b
         snaps.append((r.stmt_id, env_p, env_b))
