@@ -112,6 +112,18 @@ _TWINNED_128 = [
     "sparql_filter_order_limit",
     "sparql_count_distinct",
     "sparql_path_alt_plus",
+    # r6: every join-semantics corner gets its own hash-green 128-bit
+    # row (MINUS domain-disjointness, NOT-EXISTS anti-join, bag UNION,
+    # DISTINCT on struct ids, GROUP_CONCAT determinism, window
+    # functions over id-mode BGPs, DESCRIBE's CBD closure)
+    "sparql_minus",
+    "sparql_filter_not_exists",
+    "sparql_union",
+    "sparql_distinct",
+    "sparql_group_concat",
+    "sparql_window_rank",
+    "sparql_window_running_sum",
+    "sparql_describe",
 ]
 
 for _name in _TWINNED_128:
@@ -125,32 +137,40 @@ for _name in _TWINNED_128:
 def sparql_id_valueorder_range(spark, sf_dir):
     """IDSortPlan analog (reference IdentityMap.swift:19-120 value-
     ordered packed ids, re-expressed columnar): range FILTER + ORDER BY
-    + LIMIT run ENTIRELY in id space on the layout's o_num value-shadow
-    column — no dictionary join before the Sort; only the 25 surviving
-    rows materialize terms at the top."""
+    + LIMIT run ENTIRELY in id space on the value shadow — no
+    dictionary join anywhere in the plan.
+
+    This entry uses the hash-at-scan currency its id-mode siblings use
+    (id_of_term_col over a star-collapsed native scan) rather than
+    building a fresh 4×long IdEncodedView: the round-5 sweep showed the
+    cold encode+repartition+cache costing 26s for this one entry while
+    every sibling ran warm. The persisted-layout variant of the same
+    plan (range predicate parquet-pushed on o_num, no Join before the
+    Sort) stays pinned by tests/test_id_layout.py::
+    test_valueorder_range_pure_idspace."""
     from pyspark.sql import functions as F
 
     from kineo_spark import algebra as A
-    from kineo_spark.dictionary import IdEncodedView, materialize, scan_ids
+    from kineo_spark.dictionary import id_of_term_col
 
     store = qs.compiler_for(spark, sf_dir).store
-    view = IdEncodedView.for_store(store)
-    keys = scan_ids(
-        view.id_quads,
+    star = store.scan_star([
         A.QuadPattern(A.Var("c"), qs.col("customer", "c_custkey"),
                       A.Var("key"), None),
-        with_num=True)
-    names = scan_ids(
-        view.id_quads,
         A.QuadPattern(A.Var("c"), qs.col("customer", "c_name"),
-                      A.Var("name"), None))
-    j = keys.join(names, "c")
-    top = (j.filter(F.col("__num_key") > 100)
-           .orderBy(F.col("__num_key").desc())
+                      A.Var("name"), None),
+    ])
+    # join-var currency: 8-byte dictionary id straight off the scan
+    # (identical to the persisted layout's id for the same term); the
+    # value vars keep their scan-native structs, so the range filter on
+    # the numeric shadow simplifies to the raw parquet column and
+    # pushes into the scan — Catalyst's CreateNamedStruct field
+    # extraction does the o_num projection for free.
+    star = star.withColumn("c", id_of_term_col(star["c"]))
+    top = (star.filter(F.col("key")["num"] > 100)
+           .orderBy(F.col("key")["num"].desc())
            .limit(25))
-    mat = materialize(top.select("key", "name"), view.dictionary,
-                      broadcast_dict=view.broadcast)
-    return mat.select(F.col("key")["num"].alias("key"),
+    return top.select(F.col("key")["num"].alias("key"),
                       F.col("name")["lex"].alias("name"))
 
 

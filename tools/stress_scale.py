@@ -72,19 +72,18 @@ def generate() -> None:
     spark = _spark("stress-gen")
     os.makedirs(OUT_DIR, exist_ok=True)
 
+    def perturb(r):
+        # binds r via closure — F.transform lambdas must take exactly
+        # (element, index), a default arg would read as a 3-arg lambda
+        return lambda t, i: F.when(
+            i % 3 == F.lit(0), F.concat(t, F.lit(f"x{r}"))
+        ).otherwise(t)
+
     docs = spark.read.parquet(f"{SEED_DIR}/documents.parquet")
     parts = [docs]
     for r in range(1, REPLICAS):
         toks = F.split(F.col("text"), " ")
-        pert = F.array_join(
-            F.transform(
-                toks,
-                lambda t, i, _r=r: F.when(
-                    i % 3 == F.lit(0), F.concat(t, F.lit(f"x{_r}"))
-                ).otherwise(t),
-            ),
-            " ",
-        )
+        pert = F.array_join(F.transform(toks, perturb(r)), " ")
         parts.append(docs.select(
             (F.col("doc_id") + F.lit(r * KOFF)).alias("doc_id"),
             pert.alias("text"), "lang", "source",
