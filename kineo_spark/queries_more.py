@@ -74,15 +74,30 @@ def sparql_window_ntile(spark, sf_dir) -> DataFrame:
     })
 
 
-@q("sparql_approx_count_distinct", None)  # sketch differs per engine → rows-only
+@q("sparql_approx_count_distinct",
+   # ε-band oracle: the sketch estimate is engine-specific, so the
+   # hash-checked values are the EXACT count (independently computed by
+   # both engines) plus a boolean pinning |approx-exact| <= 5%·exact
+   # (HLL++ rsd at default precision is ~2.3%; 5% ≈ 2σ headroom). A
+   # broken sketch flips the boolean and the hash diverges.
+   "SELECT CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_parts, "
+   "TRUE AS within_eps FROM lineitem")
 def sparql_approx_count_distinct(spark, sf_dir) -> DataFrame:
     comp = compiler_for(spark, sf_dir)
     alg = A.Aggregate(
         A.Triple(tp("li", fk("lineitem", "l_partkey"), "part")),
         groups=(), group_names=(),
-        aggs=(("approx_parts", A.AggSpec("APPROX_COUNT_DISTINCT", v("part"))),),
+        aggs=(("approx_parts", A.AggSpec("APPROX_COUNT_DISTINCT", v("part"))),
+              ("exact_parts", A.AggSpec("COUNT", v("part"), distinct=True))),
     )
-    return extract(select(comp, A.SelectQuery(alg)), {"approx_parts": ("approx_parts", "int")})
+    df = extract(select(comp, A.SelectQuery(alg)), {
+        "approx_parts": ("approx_parts", "int"),
+        "exact_parts": ("exact_parts", "int"),
+    })
+    return df.select(
+        "exact_parts",
+        (F.abs(F.col("approx_parts") - F.col("exact_parts"))
+         <= 0.05 * F.col("exact_parts")).alias("within_eps"))
 
 
 @q("sparql_regex_filter",

@@ -1467,14 +1467,30 @@ def pipe_semdedup(spark, sf_dir) -> DataFrame:
     return out.select("id", "keep")
 
 
-@q("pipe_distinct_sketch", None)  # HLL estimates are engine-specific
+@q("pipe_distinct_sketch",
+   # ε-band oracle: per-group row counts and EXACT distincts are
+   # hash-checked, and the Datasketches-HLL estimate (lg_k=12 → rsd
+   # ~1.6%) must sit inside a 5% (~3σ) band of exact — a broken sketch
+   # flips within_eps and the hash diverges.
+   'SELECT event_type AS "group", CAST(COUNT(*) AS BIGINT) AS n_rows, '
+   "CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_distinct, "
+   "TRUE AS within_eps FROM events GROUP BY event_type")
 def pipe_distinct_sketch(spark, sf_dir) -> DataFrame:
     """Mergeable per-source HLL sketches of distinct users; estimates
-    re-aggregate from stored kilobyte sketches, no rescan."""
+    re-aggregate from stored kilobyte sketches, no rescan. The returned
+    frame pairs each estimate with the exact distinct count and an
+    ε-band flag so the oracle hash pins sketch accuracy."""
     from kineo_spark.pipeline import sketches
     ev = read_table(spark, sf_dir, "events")
     sk = sketches.sketch_by(ev, key="user_id", group="event_type")
-    return sketches.estimate(sk).orderBy("group")
+    est = sketches.estimate(sk)
+    exact = ev.groupBy(F.col("event_type").alias("group")).agg(
+        F.count_distinct("user_id").alias("exact_distinct"))
+    return (est.join(exact, "group")
+            .select("group", "n_rows", "exact_distinct",
+                    (F.abs(F.col("approx_distinct") - F.col("exact_distinct"))
+                     <= 0.05 * F.col("exact_distinct")).alias("within_eps"))
+            .orderBy("group"))
 
 
 _PACK_CTE = r"""
@@ -1548,16 +1564,44 @@ def pipe_dedup_incremental(spark, sf_dir) -> DataFrame:
         docs.filter(F.col("doc_id") < 250), "doc_id")
 
 
-@q("pipe_len_quantile_sketch", None)  # KLL estimates are engine-specific
+@q("pipe_len_quantile_sketch",
+   # ε-band oracle (rank form — the KLL guarantee is on RANKS, not
+   # values, so a value band would be wrong for tie-heavy integer
+   # data): per-group n is hash-checked exactly, and each estimated
+   # quantile v̂_p must satisfy count(x < v̂) <= (p+ε)n AND
+   # count(x <= v̂) >= (p-ε)n with ε=0.05 (k=200 → ~1.3% rank error,
+   # ~3σ headroom). A broken sketch flips the ok_* flag → hash diverges.
+   'SELECT source AS "group", CAST(COUNT(*) AS BIGINT) AS n_rows, '
+   "TRUE AS ok50, TRUE AS ok90, TRUE AS ok99 "
+   "FROM documents GROUP BY source")
 def pipe_len_quantile_sketch(spark, sf_dir) -> DataFrame:
     """Mergeable per-source KLL sketches of document token counts;
-    p50/p90/p99 re-aggregate from stored kilobyte sketches."""
+    p50/p90/p99 re-aggregate from stored kilobyte sketches. The
+    returned frame carries rank-band flags per quantile so the oracle
+    hash pins sketch accuracy against the exact CDF."""
     from kineo_spark.pipeline import sketches
     from kineo_spark.pipeline.text import token_count
     docs = read_table(spark, sf_dir, "documents").select(
-        "source", token_count(F.col("text")).alias("n_tokens"))
+        "source", token_count(F.col("text")).cast("double").alias("n_tokens"))
     sk = sketches.kll_sketch_by(docs, value="n_tokens", group="source")
-    return sketches.kll_quantiles(sk).orderBy("group")
+    qv = sketches.kll_quantiles(sk)  # group, n_rows, q50, q90, q99
+    eps = 0.05
+    j = docs.join(qv, docs["source"] == qv["group"])
+    ranks = j.groupBy("group").agg(
+        F.first("n_rows").alias("n_rows"),
+        *[a for p in (50, 90, 99) for a in (
+            F.sum((F.col("n_tokens") < F.col(f"q{p}")).cast("long"))
+             .alias(f"below_{p}"),
+            F.sum((F.col("n_tokens") <= F.col(f"q{p}")).cast("long"))
+             .alias(f"at_or_below_{p}"),
+        )])
+    flags = [
+        ((F.col(f"below_{p}") <= (p / 100.0 + eps) * F.col("n_rows"))
+         & (F.col(f"at_or_below_{p}") >= (p / 100.0 - eps) * F.col("n_rows"))
+         ).alias(f"ok{p}")
+        for p in (50, 90, 99)
+    ]
+    return ranks.select("group", "n_rows", *flags).orderBy("group")
 
 
 @q("pipe_quality_classifier", None)  # LBFGS-trained weights → rows-only
