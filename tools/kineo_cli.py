@@ -17,7 +17,12 @@ Usage:
   python tools/kineo_cli.py simple STORE_PATH FILE|'DSL'    # stack DSL (QueryParser.swift analog)
   python tools/kineo_cli.py client ENDPOINT_URL 'SELECT ...'  # kineo-client analog: remote store, local eval
   python tools/kineo_cli.py analyze STORE_PATH              # characteristic-set stats (ANALYZE analog)
-  python tools/kineo_cli.py id-layout STORE_PATH [OUT_DIR]  # persist bucketed 4-long ID layout
+  python tools/kineo_cli.py id-layout STORE_PATH [OUT_DIR] [--key-bits 128|64]
+      # persist the bucketed, sorted ID layout. Default --key-bits 128
+      # (two-long struct ids): collision-safe at any corpus size and the
+      # documented default for >=1e9-term stores (SCALE.md). --key-bits 64
+      # halves the shuffle currency when the term count stays well under
+      # the 64-bit birthday bound (~1e9 terms) — sub-TB stores only.
 """
 
 from __future__ import annotations
@@ -215,15 +220,27 @@ def main() -> int:
 
     if cmd == "id-layout":
         # persist the dictionary-encoded, subject-bucketed sorted
-        # layout (the reference's ordered on-disk index orders analog)
+        # layout (the reference's ordered on-disk index orders analog).
+        # key_bits defaults to 128 (two-long struct ids) — the
+        # collision-safe width SCALE.md documents as the >=1e9-term
+        # default; 64 is the opt-in small-store fast path.
         from kineo_spark.dictionary import IdEncodedView, persist_id_layout
         from kineo_spark.sources.stores_ext import ParquetQuadStore
 
+        key_bits = 128
+        if "--key-bits" in rest:
+            i = rest.index("--key-bits")
+            key_bits = int(rest[i + 1])
+            rest = rest[:i] + rest[i + 2:]
+        if key_bits not in (64, 128):
+            print("--key-bits must be 64 or 128")
+            return 2
         out = rest[0] if rest else target + "_idlayout"
         store = ParquetQuadStore(spark, target)
-        view = IdEncodedView.for_store(store)
+        view = IdEncodedView.for_store(store, key_bits=key_bits)
         persist_id_layout(view, "kineo", path=out)
-        print(f"persisted ID layout -> {out} ({view.n_terms} terms)")
+        print(f"persisted ID layout -> {out} "
+              f"({view.n_terms} terms, key_bits={key_bits})")
         return 0
 
     if cmd == "update":
