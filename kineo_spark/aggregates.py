@@ -102,8 +102,17 @@ def _agg_column(spec: A.AggSpec, value: Column | None) -> Column:
         return F.first(value, ignorenulls=True)
     if op == "GROUP_CONCAT":
         lex = value["lex"]
-        coll = F.collect_set(lex) if spec.distinct else F.collect_list(lex)
-        return str_term(F.concat_ws(spec.separator, F.array_sort(coll)))
+        if spec.distinct:
+            # DISTINCT is over TERMS (§18.5.1.7): the same lexical form
+            # under different datatypes/languages contributes once per
+            # term, not once per lexical form — dedup on the full term
+            # key, emit lexical forms in deterministic (lex, key) order
+            pairs = F.array_sort(F.collect_set(
+                F.struct(lex.alias("x"), term_key(value).alias("k"))))
+            coll = F.transform(pairs, lambda s: s["x"])
+        else:
+            coll = F.array_sort(F.collect_list(lex))
+        return str_term(F.concat_ws(spec.separator, coll))
     if op == "APPROX_QUANTILE":
         # extension (no reference analog): t-digest-style sketch via
         # percentile_approx — mergeable partial state, the scalable

@@ -47,9 +47,18 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from kineo_spark import algebra as A
-from kineo_spark.model import PyTerm, TERM_SCHEMA, term_struct
+from kineo_spark.model import KIND_LITERAL, PyTerm, TERM_SCHEMA, term_struct
 
 _KEY = ["kind", "lex", "dt", "lang"]
+
+# inline width of the string value shadow (o_str, encode_quads): the
+# columnar analog of the reference's short-string id inlining threshold
+# (IdentityMap.swift:53-80 packs strings that fit a 64-bit id; a column
+# is not width-starved, so the cutoff is a tuning knob, not a format
+# constraint). Simple-string objects at or under this many characters
+# are value-ordered EXACTLY by the shadow; longer ones carry a prefix
+# that still supports pushed range pruning (str_range_ids).
+STR_SHADOW_LEN = 32
 
 
 def _key_cols(prefix: str):
@@ -142,12 +151,28 @@ def encode_quads(quads_flat: DataFrame, id_fn=None,
     # (scan_ids(with_num=True); the IDSortPlan analog). Same outcome —
     # no dictionary join before a Sort — with none of the injectivity
     # compromises id-packing forces.
+    #
+    # o_str — the STRING analog (IdentityMap.swift:53-80, which inlines
+    # short strings into the id the same way): the first STR_SHADOW_LEN
+    # characters of simple-string objects (plain / xsd:string, no
+    # language tag; null otherwise). Character-prefix order is
+    # consistent with full-string order (UTF-8 preserves code-point
+    # order), so a range predicate on the full value compiles to a
+    # parquet-pushed prefix predicate on o_str; values short enough to
+    # fit are ordered EXACTLY by the shadow — str_range_ids below
+    # carries the exactness contract for the rest.
+    is_sstr = (
+        (q["o_kind"] == KIND_LITERAL) & (q["o_dt"] == "string")
+        & q["o_lang"].isNull()
+    )
     id_quads = q.select(
         qid(q["s_kind"], q["s_lex"], None, None).alias("s"),
         qid(F.lit(0), q["p_lex"], None, None).alias("p"),
         qid(q["o_kind"], q["o_lex"], q["o_dt"], q["o_lang"]).alias("o"),
         qid(F.lit(0), q["g_lex"], None, None).alias("g"),
         q["o_num"].alias("o_num"),
+        F.when(is_sstr, F.substring(q["o_lex"], 1, STR_SHADOW_LEN))
+         .alias("o_str"),
     )
     return dictionary, id_quads
 
@@ -269,7 +294,7 @@ def id_of_term_col(t, key_bits: int = 64):
 
 def scan_ids(id_quads: DataFrame, pattern: A.QuadPattern,
              remap: dict | None = None, key_bits: int = 64,
-             with_num: bool = False) -> DataFrame:
+             with_num: bool = False, with_str: bool = False) -> DataFrame:
     """Pattern scan in ID space: bound positions filter on longs,
     variables project long columns (IDQuadPlan, IDQueryPlan.swift:11-81).
     ``remap`` is a collision-repair table (encode_quads_repaired):
@@ -279,7 +304,9 @@ def scan_ids(id_quads: DataFrame, pattern: A.QuadPattern,
     shadow as ``__num_<var>`` (from the layout's o_num column — see
     encode_quads): the IDSortPlan analog. Range predicates and ORDER BY
     on that column run in pure id space — no dictionary join, and the
-    filter pushes into the parquet scan of the persisted layout."""
+    filter pushes into the parquet scan of the persisted layout.
+    ``with_str=True`` does the same for the string shadow
+    (``__str_<var>`` from o_str — prefix semantics, see str_range_ids)."""
     if remap and key_bits != 64:
         # remap values are 64-bit repaired longs; comparing them against
         # 128-bit struct ids would fail at analysis time (or silently
@@ -307,7 +334,67 @@ def scan_ids(id_quads: DataFrame, pattern: A.QuadPattern,
     cols = [F.col(p).alias(n) for n, p in out.items()]
     if with_num and num_var is not None and "o_num" in df.columns:
         cols.append(F.col("o_num").alias(f"__num_{num_var}"))
+    if with_str and num_var is not None and "o_str" in df.columns:
+        cols.append(F.col("o_str").alias(f"__str_{num_var}"))
     return df.select(*cols)
+
+
+def audit_str_inline(dictionary: DataFrame) -> bool:
+    """True iff EVERY simple-string term in the dictionary fits the
+    string shadow (length ≤ STR_SHADOW_LEN), i.e. o_str carries exact
+    values, not prefixes — the precondition for the join-free fast path
+    of str_range_ids. One aggregation over the (cached) dictionary;
+    persisted layouts can record the result as table metadata."""
+    row = dictionary.filter(
+        (F.col("kind") == KIND_LITERAL) & (F.col("dt") == "string")
+        & F.col("lang").isNull()
+    ).agg(F.max(F.length("lex")).alias("m")).collect()[0]
+    return (row["m"] or 0) <= STR_SHADOW_LEN
+
+
+def str_range_ids(id_quads: DataFrame, pattern: A.QuadPattern,
+                  lo: str, hi: str, dictionary: DataFrame | None = None,
+                  key_bits: int = 64) -> DataFrame:
+    """Range scan ``lo ≤ ?o ≤ hi`` over simple-string objects in PURE ID
+    SPACE via the o_str shadow — the string half of the reference's
+    value-ordered id order (IdentityMap.swift:53-80 inlines short
+    strings into the id; here the shadow column plays that role).
+
+    The pushed predicate is the PREFIX range ``o_str BETWEEN lo[:N] AND
+    hi[:N]`` (prefix order is consistent with full order, so this is a
+    superset that parquet-prunes row groups at any scale). Exactness:
+
+    - rows whose shadow is shorter than N carry the EXACT value —
+      refined against the full bounds with no dictionary join;
+    - rows at exactly N characters may be truncated prefixes — they are
+      refined against the dictionary's full lexical form. Pass
+      ``dictionary=None`` ONLY when audit_str_inline certified the
+      layout all-inline; then the boundary branch is provably empty and
+      the whole plan is join-free (the IDSortPlan shortcut, strings).
+
+    Returns (<object var> id, __str_<var>) — already exactly filtered;
+    order by __str_<var> for inline layouts (shadow == value)."""
+    scan = scan_ids(id_quads, pattern, key_bits=key_bits, with_str=True)
+    var = next(node.name for pos, node in pattern.nodes()
+               if pos == "o" and isinstance(node, A.Var))
+    col = f"__str_{var}"
+    n = STR_SHADOW_LEN
+    cand = scan.filter(F.col(col).between(lo[:n], hi[:n]))
+    exact = cand.filter(F.length(col) < n) \
+                .filter((F.col(col) >= lo) & (F.col(col) <= hi))
+    if dictionary is None:
+        # caller certified all-inline (audit_str_inline): length-N rows
+        # are full values too, refine directly
+        at_n = cand.filter(F.length(col) == n) \
+                   .filter((F.col(col) >= lo) & (F.col(col) <= hi))
+        return exact.unionByName(at_n)
+    # boundary rows: shadow may be truncated — join the (tiny, pruned)
+    # survivor set against the dictionary for the full lexical form
+    bound = cand.filter(F.length(col) == n)
+    full = bound.join(
+        dictionary.select(F.col("id").alias(var), F.col("lex")), on=var,
+    ).filter((F.col("lex") >= lo) & (F.col("lex") <= hi)).drop("lex")
+    return exact.unionByName(full)
 
 
 def needed_value_vars(alg: A.Algebra, projection: tuple[str, ...] | None):

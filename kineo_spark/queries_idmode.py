@@ -180,3 +180,40 @@ ORACLES["sparql_id_valueorder_range"] = (
     "FROM customer WHERE c_custkey > 100 "
     "ORDER BY c_custkey DESC LIMIT 25"
 )
+
+
+def sparql_id_strorder_range(spark, sf_dir):
+    """STRING half of the IDSortPlan analog (IdentityMap.swift:53-80
+    inlines short strings into value-ordered ids): range FILTER + ORDER
+    BY on a simple-string object run in id space on the string value
+    shadow — the predicate simplifies to the raw parquet lex column and
+    pushes into the scan; no dictionary join before the Sort. The
+    persisted-layout variant (pushed o_str prefix predicate) is pinned
+    by tests/test_id_layout.py::test_strorder_range_pure_idspace."""
+    from pyspark.sql import functions as F
+
+    from kineo_spark import algebra as A
+    from kineo_spark.dictionary import id_of_term_col
+
+    store = qs.compiler_for(spark, sf_dir).store
+    star = store.scan_star([
+        A.QuadPattern(A.Var("c"), qs.col("customer", "c_name"),
+                      A.Var("name"), None),
+        A.QuadPattern(A.Var("c"), qs.col("customer", "c_mktsegment"),
+                      A.Var("seg"), None),
+    ])
+    star = star.withColumn("c", id_of_term_col(star["c"]))
+    top = (star.filter((F.col("name")["lex"] >= "Customer#000000100")
+                       & (F.col("name")["lex"] <= "Customer#000000500"))
+           .orderBy(F.col("name")["lex"].desc())
+           .limit(25))
+    return top.select(F.col("name")["lex"].alias("name"),
+                      F.col("seg")["lex"].alias("seg"))
+
+
+QUERIES["sparql_id_strorder_range"] = sparql_id_strorder_range
+ORACLES["sparql_id_strorder_range"] = (
+    "SELECT c_name AS name, c_mktsegment AS seg FROM customer "
+    "WHERE c_name >= 'Customer#000000100' AND c_name <= 'Customer#000000500' "
+    "ORDER BY c_name DESC LIMIT 25"
+)

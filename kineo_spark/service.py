@@ -107,11 +107,20 @@ def _parse_tsv(body: bytes):
     return variables, rows
 
 
+# Endpoint indirection for conformance/test harnesses: a manifest can
+# declare SERVICE <urn:ep1> while the actual data is served by a local
+# mock spun up at run time (rdf-tests protocol#... federation entries
+# work the same way — the declared endpoint IRI is symbolic). The W3C
+# runner (w3c.py) registers aliases here; production queries never do.
+ENDPOINT_ALIASES: dict[str, str] = {}
+
+
 def fetch_bindings(endpoint: str, sparql: str, timeout: int = 30):
     """POST a SPARQL query; parse sparql-results+json, +xml or
     text/tab-separated-values by the response Content-Type (content
     negotiation, SPARQLClient.swift:101-189; TSV parser parity with
     SPARQLTSV.swift:103-153)."""
+    endpoint = ENDPOINT_ALIASES.get(endpoint, endpoint)
     data = urllib.parse.urlencode({"query": sparql}).encode()
     req = urllib.request.Request(
         endpoint, data=data,

@@ -44,6 +44,17 @@ class TestEntry:
     # qt:graphData files — each loads into a named graph whose name is
     # the file IRI (rdf-tests dataset-test convention)
     graph_data: tuple = ()
+    # qt:serviceData entries — ((endpoint_iri, data_file), ...): each
+    # declares a remote SPARQL endpoint whose dataset is data_file; the
+    # runner serves it from a local mock backed by this same engine and
+    # aliases the symbolic endpoint IRI to the mock URL (rdf-tests
+    # service manifests use the identical vocabulary)
+    service_data: tuple = ()
+    # ut:graphData on the ACTION — ((data_file, graph_name), ...):
+    # initial named-graph state for UpdateEvaluationTest
+    update_graph_data: tuple = ()
+    # ut:graphData on the RESULT — expected named-graph post-state
+    result_graph_data: tuple = ()
 
 
 @dataclass
@@ -100,9 +111,40 @@ def manifest_entries(manifest_path: str) -> list[TestEntry]:
             gds = tuple(
                 g[1] for g in idx.get(action, {}).get(QT + "graphData", [])
             ) if action else ()
-            # update results wrap the expected graph: mf:result [ ut:data <g> ]
+            # qt:serviceData [ qt:endpoint <iri> ; qt:data <file> ]
+            sds = []
+            for sd in (idx.get(action, {}).get(QT + "serviceData", [])
+                       if action else []):
+                ep = one(sd, QT + "endpoint")
+                df_ = one(sd, QT + "data")
+                if ep and df_:
+                    sds.append((ep[1], _path_of(df_[1])))
+            # ut:graphData [ ut:graph <file> ; rdfs:label "name" ] on the
+            # action (initial named-graph state)
+            RDFS_LABEL = "http://www.w3.org/2000/01/rdf-schema#label"
+            ugds = []
+            for gd in (idx.get(action, {}).get(UT + "graphData", [])
+                       if action else []):
+                gf = one(gd, UT + "graph")
+                lbl = one(gd, RDFS_LABEL)
+                if gf:
+                    ugds.append((_path_of(gf[1]),
+                                 lbl[1] if lbl else gf[1]))
+            # update results wrap the expected graph: mf:result [ ut:data <g>
+            # ; ut:graphData [ ut:graph <file> ; rdfs:label "name" ]* ]
+            rgds = []
+            if result is not None:
+                for gd in idx.get(result, {}).get(UT + "graphData", []):
+                    gf = one(gd, UT + "graph")
+                    lbl = one(gd, RDFS_LABEL)
+                    if gf:
+                        rgds.append((_path_of(gf[1]),
+                                     lbl[1] if lbl else gf[1]))
             if result is not None and one(result, UT + "data") is not None:
                 result = one(result, UT + "data")
+            elif result is not None and rgds and one(result, UT + "data") is None:
+                # result node carries only named-graph state
+                result = None
             # syntax tests: mf:action IS the query document itself
             if qp is None and action and (ttype and "SyntaxTest" in ttype[1]):
                 qp = action
@@ -114,6 +156,9 @@ def manifest_entries(manifest_path: str) -> list[TestEntry]:
                 data_path=_path_of(dp[1]) if dp else None,
                 result_path=_path_of(result[1]) if result else None,
                 graph_data=gds,
+                service_data=tuple(sds),
+                update_graph_data=tuple(ugds),
+                result_graph_data=tuple(rgds),
             ))
             node = one(node, RDF_NS + "rest")
     return entries
@@ -195,9 +240,78 @@ def _df_rows(df) -> list[dict]:
     return out
 
 
+# -- mock SPARQL endpoint (qt:serviceData) ----------------------------------
+
+def _start_mock_endpoint(spark, data_path: str):
+    """Serve ``data_path`` as a live SPARQL endpoint on 127.0.0.1 —
+    backed by THIS engine (the endpoint parses the incoming federated
+    sub-query with sparql_parser and evaluates it with Engine over the
+    loaded graph, answering application/sparql-results+json). The
+    federation test is therefore end-to-end real: SERVICE serializes the
+    sub-algebra to SPARQL text, ships it over HTTP, and joins the parsed
+    response — both sides of the wire exercised, no canned responses.
+    Returns (server, url); caller must server.shutdown()."""
+    import http.server
+    import threading
+    import urllib.parse as _up
+
+    from kineo_spark.engine import Engine
+    from kineo_spark.serializers import ask_to_sparql_json, to_sparql_json
+    from kineo_spark.sources.turtle import load_turtle
+    from kineo_spark.store import QuadsDataFrameStore
+
+    store = QuadsDataFrameStore(spark, load_turtle(spark, data_path))
+    engine = Engine(store)
+
+    class _Handler(http.server.BaseHTTPRequestHandler):
+        def log_message(self, *a):  # noqa: D102 — quiet
+            pass
+
+        def do_POST(self):  # noqa: N802
+            body = self.rfile.read(int(self.headers.get("Content-Length", 0)))
+            q = _up.parse_qs(body.decode()).get("query", [""])[0]
+            try:
+                res = engine.query(q)
+                if res.form == "ask":
+                    payload = ask_to_sparql_json(res.boolean)
+                else:
+                    payload = to_sparql_json(res.bindings)
+                code = 200
+            except Exception as e:  # noqa: BLE001 — surface as HTTP 500
+                payload, code = str(e), 500
+            data = payload.encode()
+            self.send_response(code)
+            self.send_header("Content-Type",
+                             "application/sparql-results+json")
+            self.send_header("Content-Length", str(len(data)))
+            self.end_headers()
+            self.wfile.write(data)
+
+    srv = http.server.HTTPServer(("127.0.0.1", 0), _Handler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    return srv, f"http://127.0.0.1:{srv.server_address[1]}/sparql"
+
+
 # -- execution --------------------------------------------------------------
 
 def run_entry(spark, entry: TestEntry) -> TestOutcome:
+    if entry.service_data:
+        from kineo_spark.service import ENDPOINT_ALIASES
+        servers = []
+        try:
+            for ep_iri, data_path in entry.service_data:
+                srv, url = _start_mock_endpoint(spark, data_path)
+                servers.append((ep_iri, srv))
+                ENDPOINT_ALIASES[ep_iri] = url
+            return _run_entry(spark, entry)
+        finally:
+            for ep_iri, srv in servers:
+                ENDPOINT_ALIASES.pop(ep_iri, None)
+                srv.shutdown()
+    return _run_entry(spark, entry)
+
+
+def _run_entry(spark, entry: TestEntry) -> TestOutcome:
     from kineo_spark.engine import Engine
     from kineo_spark.sources.turtle import load_turtle
     from kineo_spark.store import QuadsDataFrameStore
@@ -310,21 +424,29 @@ def run_entry(spark, entry: TestEntry) -> TestOutcome:
 
 def _run_update_entry(spark, entry: TestEntry, request: str) -> TestOutcome:
     """UpdateEvaluationTest (rdf-tests ut: vocabulary): load ut:data
-    into the default graph, apply the ut:request through GraphStore,
-    compare the post-state DEFAULT graph against the expected graph by
-    bnode isomorphism. (The reference never evaluates updates — this
-    extends its conformance bar to the update surface.)"""
+    into the default graph and every action ut:graphData file into its
+    rdfs:label-named graph, apply the ut:request through GraphStore,
+    then compare the post-state default graph against the expected
+    ut:data graph AND each result ut:graphData named graph against its
+    expected file, all by bnode isomorphism. (The reference never
+    evaluates updates — this extends its conformance bar to the update
+    surface, dataset clauses included.)"""
     from pyspark.sql import functions as F
 
     from kineo_spark.sources.turtle import load_turtle
     from kineo_spark.update import DEFAULT_GRAPH, GraphStore
 
+    parts = []
     if entry.data_path:
-        quads = load_turtle(spark, entry.data_path)
-    else:
-        quads = None
+        parts.append(load_turtle(spark, entry.data_path))
+    for gfile, gname in entry.update_graph_data:
+        parts.append(load_turtle(spark, gfile, default_graph=gname))
+    quads = None
+    if parts:
+        quads = parts[0]
+        for p in parts[1:]:
+            quads = quads.unionByName(p)
     gs = GraphStore(spark, quads).update(request)
-    post = gs.quads.filter(F.col("g_lex") == DEFAULT_GRAPH)
 
     def graph_rows(flat) -> list[dict]:
         return [
@@ -336,12 +458,22 @@ def _run_update_entry(spark, entry: TestEntry, request: str) -> TestOutcome:
             for q in flat.collect()
         ]
 
-    exp_rows = graph_rows(load_turtle(spark, entry.result_path))
-    act_rows = graph_rows(post)
-    ok = rows_isomorphic(exp_rows, act_rows)
-    return TestOutcome(entry, ok, "" if ok else
-                       f"post-state differs: expected {len(exp_rows)} "
-                       f"triples, got {len(act_rows)}")
+    # expected graphs: (graph name in the post-state, expected file)
+    checks = []
+    if entry.result_path:
+        checks.append((DEFAULT_GRAPH, entry.result_path))
+    for gfile, gname in entry.result_graph_data:
+        checks.append((gname, gfile))
+    for gname, gfile in checks:
+        post = gs.quads.filter(F.col("g_lex") == gname)
+        exp_rows = graph_rows(load_turtle(spark, gfile))
+        act_rows = graph_rows(post)
+        if not rows_isomorphic(exp_rows, act_rows):
+            return TestOutcome(
+                entry, False,
+                f"post-state of <{gname}> differs: expected "
+                f"{len(exp_rows)} triples, got {len(act_rows)}")
+    return TestOutcome(entry, True, "")
 
 
 def run_manifest(spark, manifest_path: str) -> list[TestOutcome]:

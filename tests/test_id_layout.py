@@ -242,3 +242,61 @@ def test_valueorder_range_pure_idspace(spark, layout):
     assert _re.search(r"(PushedFilters|DataFilters): \[.*o_num", plan) \
         or "o_num" in plan.split("FileScan", 1)[-1], plan
     assert "Sort" in plan or "TakeOrderedAndProject" in plan, plan
+
+
+def test_strorder_range_pure_idspace(spark, layout):
+    """STRING IDSortPlan analog (IdentityMap.swift:53-80 short-string
+    inlining): on an audit-certified all-inline layout, a string range
+    FILTER + ORDER BY runs join-free on the o_str shadow, with the
+    prefix predicate pushed to the bucketed layout's parquet scan."""
+    import re as _re
+
+    from kineo_spark.dictionary import audit_str_inline, str_range_ids
+
+    assert "o_str" in layout.id_quads.columns
+    # the fixture's simple strings are all ≤ STR_SHADOW_LEN — certified
+    assert audit_str_inline(layout.dictionary)
+    pat = A.QuadPattern(
+        A.Var("s"), A.Var("p", binding=False), A.Var("v"), None)
+    out = str_range_ids(layout.id_quads, pat, "A", "z", dictionary=None)
+    top = out.orderBy(F.col("__str_v").desc()).limit(5)
+    vals = [r["__str_v"] for r in top.collect()]
+    # simple strings only: langString/typed/IRI objects never enter
+    assert vals == ["a number", "Santa Monica", "Berlin"]
+    plan = top._jdf.queryExecution().executedPlan().toString()
+    assert not _re.search(r"Join", plan), plan
+    assert _re.search(r"(PushedFilters|DataFilters): \[.*o_str", plan) \
+        or "o_str" in plan.split("FileScan", 1)[-1], plan
+    assert "Sort" in plan or "TakeOrderedAndProject" in plan, plan
+
+
+def test_strorder_overflow_fallback(spark):
+    """Strings longer than the shadow width: the prefix predicate still
+    prunes (superset), and the dictionary refine restores EXACT range
+    semantics for boundary rows whose 32-char prefixes tie."""
+    from kineo_spark.dictionary import (
+        STR_SHADOW_LEN, audit_str_inline, encode_quads, str_range_ids,
+    )
+    from kineo_spark.store import QuadsDataFrameStore
+
+    n = STR_SHADOW_LEN
+    lo = "Customer#A"
+    hi = "Customer#A" + "x" * 25          # 35 chars: beyond the shadow
+    s_in = "Customer#A" + "x" * 22 + "aaa"  # ties hi's prefix, < hi
+    s_out = "Customer#A" + "x" * 22 + "zzz"  # ties hi's prefix, > hi
+    s_short = "Customer#Ab"                  # inline, in range
+    s_below = "Customer#"                    # < lo
+    rows = [
+        (0, f"urn:s{i}", "urn:p", 2, v, "string", None, None, "urn:g")
+        for i, v in enumerate([s_in, s_out, s_short, s_below])
+    ]
+    store = QuadsDataFrameStore.from_rows(spark, rows)
+    dictionary, id_quads = encode_quads(store.quads())
+    assert not audit_str_inline(dictionary)  # overflow strings present
+    pat = A.QuadPattern(
+        A.Var("s"), A.Var("p", binding=False), A.Var("v"), None)
+    out = str_range_ids(id_quads, pat, lo, hi, dictionary=dictionary)
+    got = sorted(r["__str_v"] for r in out.collect())
+    # s_out shares s_in's 32-char prefix — only the dictionary refine
+    # can exclude it; s_below is pruned by the pushed prefix predicate
+    assert got == sorted([s_in[:n], s_short])

@@ -21,13 +21,17 @@ ENTRIES = (manifest_entries("/root/repo/tests/w3c/manifest.ttl")
            + manifest_entries("/root/repo/tests/w3c/manifest11.ttl")
            + manifest_entries("/root/repo/tests/w3c/manifest12.ttl")
            + manifest_entries("/root/repo/tests/w3c/manifest13.ttl")
-           + manifest_entries("/root/repo/tests/w3c/manifest14.ttl"))
+           + manifest_entries("/root/repo/tests/w3c/manifest14.ttl")
+           + manifest_entries("/root/repo/tests/w3c/manifest15.ttl"))
 
 
 def test_manifest_parsed():
-    assert len(ENTRIES) == 223
+    assert len(ENTRIES) == 241
     assert all(e.query_path for e in ENTRIES)
-    assert all(e.result_path for e in ENTRIES if "SyntaxTest" not in e.type)
+    # every evaluation entry checks SOMETHING: a result document, or
+    # (update entries) expected named-graph post-state
+    assert all(e.result_path or e.result_graph_data
+               for e in ENTRIES if "SyntaxTest" not in e.type)
 
 
 @pytest.mark.parametrize("entry", ENTRIES, ids=[e.iri.split("#")[-1] for e in ENTRIES])

@@ -1,0 +1,1 @@
+COPY <urn:g:one> TO <urn:g:two>
