@@ -550,6 +550,15 @@ class IdEncodedView:
             cls._CACHE[key] = cls(store, key_bits=key_bits)
         return cls._CACHE[key]
 
+    @property
+    def str_inline(self) -> bool:
+        """True iff the o_str shadow is exact for every simple string
+        (see audit_str_inline) — persisted layouts read the build-time
+        certificate; in-memory views audit once on first use."""
+        if not hasattr(self, "_str_inline"):
+            self._str_inline = audit_str_inline(self.dictionary)
+        return self._str_inline
+
 
 def id_compiler(store, key_bits: int = 64, **kw):
     """Compiler whose BGPs run in ID space (IDQueryPlan analog): quad
@@ -981,10 +990,15 @@ def persist_id_layout(view: "IdEncodedView", name: str, buckets: int = 64,
 
     ``audit=True`` (default) runs the 64-bit collision audit before the
     write — the persisted layout is certified injective or the build
-    fails loudly.
+    fails loudly. The build also records whether every simple string
+    fit the o_str shadow (``kineo.str_inline`` table property, one
+    aggregation at build time): loaders read the certificate instead of
+    re-scanning a billion-term dictionary to know the join-free string
+    sort/range path (str_range_ids with dictionary=None) is safe.
     """
     if audit:
         audit_id_collisions(view.dictionary)
+    str_inline = audit_str_inline(view.dictionary)
     qw = view.id_quads.repartition(buckets, "s") \
         .write.format("parquet").mode("overwrite") \
         .bucketBy(buckets, "s").sortBy("s")
@@ -996,6 +1010,9 @@ def persist_id_layout(view: "IdEncodedView", name: str, buckets: int = 64,
         tw = tw.option("path", f"{path}/{name}_terms")
     qw.saveAsTable(f"{name}_quads")
     tw.saveAsTable(f"{name}_terms")
+    view.dictionary.sparkSession.sql(
+        f"ALTER TABLE {name}_quads SET TBLPROPERTIES "
+        f"('kineo.str_inline'='{str(str_inline).lower()}')")
 
 
 def load_id_layout(spark: SparkSession, name: str) -> "IdEncodedView":
@@ -1010,4 +1027,9 @@ def load_id_layout(spark: SparkSession, name: str) -> "IdEncodedView":
         else 64)
     self.n_terms = self.dictionary.count()
     self.broadcast = self.n_terms <= IdEncodedView.BROADCAST_TERMS
+    # build-time certificate: o_str shadow carries exact values (no
+    # truncated prefixes) — the join-free string range/sort path
+    props = {r["key"]: r["value"] for r in spark.sql(
+        f"SHOW TBLPROPERTIES {name}_quads").collect()}
+    self._str_inline = props.get("kineo.str_inline") == "true"
     return self

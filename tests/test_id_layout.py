@@ -255,6 +255,8 @@ def test_strorder_range_pure_idspace(spark, layout):
 
     assert "o_str" in layout.id_quads.columns
     # the fixture's simple strings are all ≤ STR_SHADOW_LEN — certified
+    # at build time (kineo.str_inline table property) AND by re-audit
+    assert layout.str_inline
     assert audit_str_inline(layout.dictionary)
     pat = A.QuadPattern(
         A.Var("s"), A.Var("p", binding=False), A.Var("v"), None)
