@@ -490,13 +490,25 @@ def needed_value_vars(alg: A.Algebra, projection: tuple[str, ...] | None):
 
 
 def bgp_ids(id_quads: DataFrame, patterns: list[A.QuadPattern],
-            key_bits: int = 64) -> DataFrame:
+            key_bits: int = 64,
+            shadow_vars: frozenset = frozenset()) -> DataFrame:
     """ID-space BGP: equi-joins on shared long columns — the cheapest
     possible shuffle keys (IDHashJoinPlan/IDMergeJoinPlan analogs; Spark
-    picks SMJ/broadcast via AQE)."""
+    picks SMJ/broadcast via AQE).
+
+    ``shadow_vars``: object variables whose numeric value shadow should
+    ride along as ``__num_<var>`` (projected from the first pattern
+    binding the var at object position) — lets an enclosing range
+    filter prune at the scan instead of after a dictionary join."""
     out = None
+    shadowed: set[str] = set()
     for pat in patterns:
-        nxt = scan_ids(id_quads, pat, key_bits=key_bits)
+        want = (isinstance(pat.o, A.Var) and pat.o.binding
+                and pat.o.name in shadow_vars
+                and pat.o.name not in shadowed)
+        nxt = scan_ids(id_quads, pat, key_bits=key_bits, with_num=want)
+        if want and f"__num_{pat.o.name}" in nxt.columns:
+            shadowed.add(pat.o.name)
         if out is None:
             out = nxt
         else:
@@ -582,6 +594,12 @@ def id_compiler(store, key_bits: int = 64, **kw):
             # their value predicates run on the DICTIONARY and come back
             # as id semi-joins, so the BGP below must keep them as ids
             self._mask: frozenset[str] = frozenset()
+            # numeric range PRE-filters an enclosing _filter wants
+            # applied at the 4×long scan via the o_num value shadow:
+            # {var: [(op, num), ...]} — a sound superset prune (the
+            # exact conjunct still runs as a residual), so the
+            # dictionary join materializes survivors only
+            self._shadow_preds: dict[str, list] = {}
 
         @property
         def _idview(self) -> IdEncodedView:
@@ -695,7 +713,30 @@ def id_compiler(store, key_bits: int = 64, **kw):
                         ests.append(None)
             if rest:
                 ids = bgp_ids(self._idview.id_quads, rest,
-                              key_bits=self._key_bits)
+                              key_bits=self._key_bits,
+                              shadow_vars=frozenset(self._shadow_preds))
+                # value-shadow pre-filters (IDSortPlan's range shortcut,
+                # applied by the OPTIMIZER): prune at the scan — the
+                # predicate sits adjacent to the layout read, so on a
+                # persisted layout it parquet-pushes and row-group-prunes
+                # BEFORE any join or materialize. Superset semantics
+                # (o_num non-null for every term the exact comparison
+                # accepts); the enclosing _filter's residual restores
+                # exactness. Shadow columns never leave the BGP.
+                shadow_cols = [c for c in ids.columns
+                               if c.startswith("__num_")]
+                if shadow_cols:
+                    for var, preds in self._shadow_preds.items():
+                        col = f"__num_{var}"
+                        if col not in ids.columns:
+                            continue
+                        for op, num in preds:
+                            cc = F.col(col)
+                            ids = ids.filter(
+                                cc > num if op == ">" else
+                                cc >= num if op == ">=" else
+                                cc < num if op == "<" else cc <= num)
+                    ids = ids.drop(*shadow_cols)
                 if not ids.columns:
                     # all-constant BGP (ASK-style): zero-var bindings,
                     # row count is the match count
@@ -776,11 +817,70 @@ def id_compiler(store, key_bits: int = 64, **kw):
                 # of all terms at sf0.1) — a million-row ok-set plus an
                 # extra pivot stage loses to just materializing the
                 # column at the BGP (measured 6s → 16s on the 3-hop
-                # bench when ranges were pushed; reverted)
+                # bench when ranges were pushed; reverted — ranges now
+                # take the o_num value-shadow pre-filter path below,
+                # which prunes at the scan with no join at all)
                 return isinstance(x, ECall) and x.op.upper() in (
                     "=", "IN", "SAMETERM", "STRSTARTS", "STRENDS",
                     "CONTAINS", "REGEX", "LANGMATCHES")
 
+            def shadow_range(x):
+                """``?v <op> numeric-constant`` (either side) →
+                (var, op, float) for the o_num scan pre-filter; None
+                otherwise. Sound as a SUPERSET prune: every term the
+                exact SPARQL comparison accepts against a numeric
+                constant is numeric, hence carries a non-null o_num
+                equal to its value — the pre-filter can only drop rows
+                the residual exact conjunct would drop anyway."""
+                from kineo_spark.expr import EConst, EVar
+                from kineo_spark.model import NUMERIC_DTS
+
+                if not (isinstance(x, ECall)
+                        and x.op in ("<", "<=", ">", ">=")):
+                    return None
+                if len(x.args) != 2:
+                    return None
+                a, b = x.args
+                op = x.op
+                if isinstance(a, EConst) and isinstance(b, EVar):
+                    a, b = b, a
+                    op = {"<": ">", "<=": ">=", ">": "<", ">=": "<="}[op]
+                if not (isinstance(a, EVar) and isinstance(b, EConst)):
+                    return None
+                t = b.term
+                if t.dt not in NUMERIC_DTS or t.num is None:
+                    return None
+                return (a.name, op, float(t.num))
+
+            # scan-level range pre-filters apply only when the filter
+            # sits DIRECTLY on a BGP (no intervening operator → no
+            # scoping subtleties); the conjunct itself always stays in
+            # the residual for exactness
+            shadows: dict[str, list] = {}
+            if isinstance(node.child, (A.BGP, A.Triple, A.Quad)):
+                for c_ in conjuncts(e):
+                    sr = shadow_range(c_)
+                    if sr is not None:
+                        shadows.setdefault(sr[0], []).append(sr[1:])
+            if shadows:
+                outer_sp = self._shadow_preds
+                self._shadow_preds = shadows
+                try:
+                    return self._filter_body(node, g, conjuncts,
+                                             deterministic, selective)
+                finally:
+                    self._shadow_preds = outer_sp
+            return self._filter_body(node, g, conjuncts, deterministic,
+                                     selective)
+
+        def _filter_body(self, node, g, conjuncts, deterministic,
+                         selective):
+            from kineo_spark.compiler import Plan
+            from kineo_spark.expr import (
+                compile_filter_condition, expr_vars,
+            )
+
+            e = node.expr
             pushable: list[tuple[object, str]] = []
             residual: list[object] = []
             residual_vars: set[str] = set()

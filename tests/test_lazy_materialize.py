@@ -73,3 +73,44 @@ def test_ask_materializes_nothing(spark, fixture_store):
     assert plan.id_vars == {"s", "n"}
     from kineo_spark.forms import ask
     assert ask(comp, q) is True
+
+
+def test_range_filter_shadow_prefilter(spark):
+    """FILTER(?x > n) directly over a 4×long-layout BGP: the o_num
+    value shadow pre-filters AT THE SCAN (superset prune — the exact
+    conjunct still runs as a residual), so the dictionary join
+    materializes survivors only. Results must equal term mode,
+    including the error-drop of a non-numeric object."""
+    from kineo_spark.compiler import Compiler
+    from kineo_spark.expr import fn
+    from kineo_spark.store import QuadsDataFrameStore
+
+    G1 = "urn:g:default"
+    rows = []
+    for i in range(50):
+        rows.append((0, f"urn:e{i}", "urn:p:val", 2, str(i), "integer",
+                     None, float(i), G1))
+        rows.append((0, f"urn:e{i}", "urn:p:name", 2, f"name{i}",
+                     "string", None, None, G1))
+    # non-numeric object under the filtered predicate: comparison is a
+    # type error → row drops in BOTH modes
+    rows.append((0, "urn:eX", "urn:p:val", 2, "not-a-number", "string",
+                 None, None, G1))
+    store = QuadsDataFrameStore.from_rows(spark, rows)
+    alg = A.Filter(
+        A.BGP((
+            A.TriplePattern(A.Var("s"), iri("urn:p:val"), A.Var("x")),
+            A.TriplePattern(A.Var("s"), iri("urn:p:name"), A.Var("n")),
+        )),
+        fn(">", v("x"), c(lit(30))),
+    )
+    q = A.SelectQuery(alg, ("n",))
+    term = sorted(r["n"]["lex"] for r in select(Compiler(store), q).collect())
+    comp = id_compiler(store)
+    comp.prepare(q)
+    id_df = select(comp, q)
+    got = sorted(r["n"]["lex"] for r in id_df.collect())
+    assert got == term and len(got) == 19
+    # the shadow predicate reached the id-quads scan (pre-materialize)
+    plan = id_df._jdf.queryExecution().executedPlan().toString()
+    assert "o_num" in plan, plan
