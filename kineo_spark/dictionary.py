@@ -154,16 +154,18 @@ def encode_quads(quads_flat: DataFrame, id_fn=None,
     #
     # o_str — the STRING analog (IdentityMap.swift:53-80, which inlines
     # short strings into the id the same way): the first STR_SHADOW_LEN
-    # characters of simple-string objects (plain / xsd:string, no
-    # language tag; null otherwise). Character-prefix order is
-    # consistent with full-string order (UTF-8 preserves code-point
-    # order), so a range predicate on the full value compiles to a
-    # parquet-pushed prefix predicate on o_str; values short enough to
-    # fit are ordered EXACTLY by the shadow — str_range_ids below
-    # carries the exactness contract for the rest.
+    # characters of string-literal objects (plain / xsd:string /
+    # langString — exactly the operands the engine's string ordering
+    # comparison accepts, expr.is_string_lit; null otherwise).
+    # Character-prefix order is consistent with full-string order
+    # (UTF-8 preserves code-point order), so a range predicate on the
+    # full value compiles to a parquet-pushed prefix predicate on
+    # o_str; values short enough to fit are ordered EXACTLY by the
+    # shadow — str_range_ids below carries the exactness contract for
+    # the rest.
     is_sstr = (
-        (q["o_kind"] == KIND_LITERAL) & (q["o_dt"] == "string")
-        & q["o_lang"].isNull()
+        (q["o_kind"] == KIND_LITERAL)
+        & q["o_dt"].isin("string", "langString")
     )
     id_quads = q.select(
         qid(q["s_kind"], q["s_lex"], None, None).alias("s"),
@@ -346,8 +348,8 @@ def audit_str_inline(dictionary: DataFrame) -> bool:
     of str_range_ids. One aggregation over the (cached) dictionary;
     persisted layouts can record the result as table metadata."""
     row = dictionary.filter(
-        (F.col("kind") == KIND_LITERAL) & (F.col("dt") == "string")
-        & F.col("lang").isNull()
+        (F.col("kind") == KIND_LITERAL)
+        & F.col("dt").isin("string", "langString")
     ).agg(F.max(F.length("lex")).alias("m")).collect()[0]
     return (row["m"] or 0) <= STR_SHADOW_LEN
 
@@ -355,10 +357,11 @@ def audit_str_inline(dictionary: DataFrame) -> bool:
 def str_range_ids(id_quads: DataFrame, pattern: A.QuadPattern,
                   lo: str, hi: str, dictionary: DataFrame | None = None,
                   key_bits: int = 64) -> DataFrame:
-    """Range scan ``lo ≤ ?o ≤ hi`` over simple-string objects in PURE ID
-    SPACE via the o_str shadow — the string half of the reference's
-    value-ordered id order (IdentityMap.swift:53-80 inlines short
-    strings into the id; here the shadow column plays that role).
+    """Range scan ``lo ≤ ?o ≤ hi`` over string-literal objects (plain /
+    xsd:string / langString — the engine's string-ordering domain) in
+    PURE ID SPACE via the o_str shadow — the string half of the
+    reference's value-ordered id order (IdentityMap.swift:53-80 inlines
+    short strings into the id; here the shadow column plays that role).
 
     The pushed predicate is the PREFIX range ``o_str BETWEEN lo[:N] AND
     hi[:N]`` (prefix order is consistent with full order, so this is a
@@ -491,23 +494,28 @@ def needed_value_vars(alg: A.Algebra, projection: tuple[str, ...] | None):
 
 def bgp_ids(id_quads: DataFrame, patterns: list[A.QuadPattern],
             key_bits: int = 64,
-            shadow_vars: frozenset = frozenset()) -> DataFrame:
+            shadow_vars: frozenset = frozenset(),
+            shadow_str_vars: frozenset = frozenset()) -> DataFrame:
     """ID-space BGP: equi-joins on shared long columns — the cheapest
     possible shuffle keys (IDHashJoinPlan/IDMergeJoinPlan analogs; Spark
     picks SMJ/broadcast via AQE).
 
-    ``shadow_vars``: object variables whose numeric value shadow should
-    ride along as ``__num_<var>`` (projected from the first pattern
-    binding the var at object position) — lets an enclosing range
-    filter prune at the scan instead of after a dictionary join."""
+    ``shadow_vars`` / ``shadow_str_vars``: object variables whose
+    numeric / string value shadow should ride along as ``__num_<var>``
+    / ``__str_<var>`` (projected from the first pattern binding the var
+    at object position) — lets an enclosing range filter prune at the
+    scan instead of after a dictionary join."""
     out = None
     shadowed: set[str] = set()
     for pat in patterns:
-        want = (isinstance(pat.o, A.Var) and pat.o.binding
-                and pat.o.name in shadow_vars
-                and pat.o.name not in shadowed)
-        nxt = scan_ids(id_quads, pat, key_bits=key_bits, with_num=want)
-        if want and f"__num_{pat.o.name}" in nxt.columns:
+        fresh = (isinstance(pat.o, A.Var) and pat.o.binding
+                 and pat.o.name not in shadowed)
+        w_num = fresh and pat.o.name in shadow_vars
+        w_str = fresh and pat.o.name in shadow_str_vars
+        nxt = scan_ids(id_quads, pat, key_bits=key_bits,
+                       with_num=w_num, with_str=w_str)
+        if (w_num or w_str) and any(
+                c.startswith(("__num_", "__str_")) for c in nxt.columns):
             shadowed.add(pat.o.name)
         if out is None:
             out = nxt
@@ -712,30 +720,47 @@ def id_compiler(store, key_bits: int = 64, **kw):
                     else:
                         ests.append(None)
             if rest:
-                ids = bgp_ids(self._idview.id_quads, rest,
-                              key_bits=self._key_bits,
-                              shadow_vars=frozenset(self._shadow_preds))
+                ids = bgp_ids(
+                    self._idview.id_quads, rest,
+                    key_bits=self._key_bits,
+                    shadow_vars=frozenset(
+                        v_ for v_, ps in self._shadow_preds.items()
+                        if any(k == "num" for k, _, _ in ps)),
+                    shadow_str_vars=frozenset(
+                        v_ for v_, ps in self._shadow_preds.items()
+                        if any(k == "str" for k, _, _ in ps)))
                 # value-shadow pre-filters (IDSortPlan's range shortcut,
                 # applied by the OPTIMIZER): prune at the scan — the
                 # predicate sits adjacent to the layout read, so on a
                 # persisted layout it parquet-pushes and row-group-prunes
                 # BEFORE any join or materialize. Superset semantics
-                # (o_num non-null for every term the exact comparison
-                # accepts); the enclosing _filter's residual restores
+                # (the shadow is non-null and order-consistent for every
+                # term the exact comparison accepts; string shadows are
+                # PREFIXES, so their bounds are the non-strict prefix
+                # comparisons); the enclosing _filter's residual restores
                 # exactness. Shadow columns never leave the BGP.
                 shadow_cols = [c for c in ids.columns
-                               if c.startswith("__num_")]
+                               if c.startswith(("__num_", "__str_"))]
                 if shadow_cols:
                     for var, preds in self._shadow_preds.items():
-                        col = f"__num_{var}"
-                        if col not in ids.columns:
-                            continue
-                        for op, num in preds:
+                        for kind, op, val in preds:
+                            col = f"__{kind}_{var}"
+                            if col not in ids.columns:
+                                continue
                             cc = F.col(col)
-                            ids = ids.filter(
-                                cc > num if op == ">" else
-                                cc >= num if op == ">=" else
-                                cc < num if op == "<" else cc <= num)
+                            if kind == "num":
+                                ids = ids.filter(
+                                    cc > val if op == ">" else
+                                    cc >= val if op == ">=" else
+                                    cc < val if op == "<" else cc <= val)
+                            else:
+                                # x > lo ⟹ x[:N] >= lo[:N] (and dually
+                                # for <): strict ops relax to non-strict
+                                # on the truncated prefix
+                                p = val[:STR_SHADOW_LEN]
+                                ids = ids.filter(
+                                    cc >= p if op in (">", ">=")
+                                    else cc <= p)
                     ids = ids.drop(*shadow_cols)
                 if not ids.columns:
                     # all-constant BGP (ASK-style): zero-var bindings,
@@ -825,13 +850,16 @@ def id_compiler(store, key_bits: int = 64, **kw):
                     "CONTAINS", "REGEX", "LANGMATCHES")
 
             def shadow_range(x):
-                """``?v <op> numeric-constant`` (either side) →
-                (var, op, float) for the o_num scan pre-filter; None
+                """``?v <op> constant`` (either side) →
+                (var, kind, op, value) for the value-shadow scan
+                pre-filter — kind "num" for numeric constants (o_num),
+                "str" for simple-string constants (o_str prefix); None
                 otherwise. Sound as a SUPERSET prune: every term the
                 exact SPARQL comparison accepts against a numeric
-                constant is numeric, hence carries a non-null o_num
-                equal to its value — the pre-filter can only drop rows
-                the residual exact conjunct would drop anyway."""
+                (resp. simple-string) constant is numeric (resp. a
+                simple string), hence carries an order-consistent
+                non-null shadow — the pre-filter can only drop rows the
+                residual exact conjunct would drop anyway."""
                 from kineo_spark.expr import EConst, EVar
                 from kineo_spark.model import NUMERIC_DTS
 
@@ -848,9 +876,11 @@ def id_compiler(store, key_bits: int = 64, **kw):
                 if not (isinstance(a, EVar) and isinstance(b, EConst)):
                     return None
                 t = b.term
-                if t.dt not in NUMERIC_DTS or t.num is None:
-                    return None
-                return (a.name, op, float(t.num))
+                if t.dt in NUMERIC_DTS and t.num is not None:
+                    return (a.name, "num", op, float(t.num))
+                if t.dt in ("string", "langString"):
+                    return (a.name, "str", op, t.lex)
+                return None
 
             # scan-level range pre-filters apply only when the filter
             # sits DIRECTLY on a BGP (no intervening operator → no

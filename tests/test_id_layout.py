@@ -263,8 +263,9 @@ def test_strorder_range_pure_idspace(spark, layout):
     out = str_range_ids(layout.id_quads, pat, "A", "z", dictionary=None)
     top = out.orderBy(F.col("__str_v").desc()).limit(5)
     vals = [r["__str_v"] for r in top.collect()]
-    # simple strings only: langString/typed/IRI objects never enter
-    assert vals == ["a number", "Santa Monica", "Berlin"]
+    # string literals only (plain + langString — the engine's string
+    # ordering domain): typed/IRI objects never enter
+    assert vals == ["hello", "a number", "Santa Monica", "Berlin"]
     plan = top._jdf.queryExecution().executedPlan().toString()
     assert not _re.search(r"Join", plan), plan
     assert _re.search(r"(PushedFilters|DataFilters): \[.*o_str", plan) \
@@ -302,3 +303,49 @@ def test_strorder_overflow_fallback(spark):
     # s_out shares s_in's 32-char prefix — only the dictionary refine
     # can exclude it; s_below is pruned by the pushed prefix predicate
     assert got == sorted([s_in[:n], s_short])
+
+
+def test_strorder_randomized_vs_bruteforce(spark):
+    """Randomized hardening of the prefix-range logic: a corpus mixing
+    lengths around the shadow width, shared boundary prefixes, astral
+    code points, and the empty string, checked against a brute-force
+    Python evaluation for a batch of random bounds. Full lexical forms
+    (not prefixes) are compared, so boundary swaps can't hide."""
+    import random
+
+    from kineo_spark.dictionary import (
+        STR_SHADOW_LEN, encode_quads, str_range_ids,
+    )
+    from kineo_spark.store import QuadsDataFrameStore
+
+    n = STR_SHADOW_LEN
+    rng = random.Random(20260815)
+    alphabet = "abAB01 éß€\U0001F600"  # multi-byte + astral code points
+    corpus = {""}
+    for ln in (n - 1, n, n + 1, 2 * n):
+        base = "".join(rng.choice(alphabet) for _ in range(ln))
+        corpus.add(base)
+        if ln >= n:
+            # shared shadow prefix, divergence past the boundary
+            corpus.add(base[:n] + "zz")
+            corpus.add(base[:n] + "aa")
+    while len(corpus) < 60:
+        corpus.add("".join(
+            rng.choice(alphabet) for _ in range(rng.randrange(0, 2 * n))))
+    corpus = sorted(corpus)
+    rows = [
+        (0, f"urn:s{i}", "urn:p", 2, s, "string", None, None, "urn:g")
+        for i, s in enumerate(corpus)
+    ]
+    store = QuadsDataFrameStore.from_rows(spark, rows)
+    dictionary, id_quads = encode_quads(store.quads())
+    id_quads = id_quads.cache()
+    pat = A.QuadPattern(
+        A.Var("s"), A.Var("p", binding=False), A.Var("v"), None)
+    lex_of = {r["id"]: r["lex"] for r in dictionary.collect()}
+    for _ in range(8):
+        lo, hi = sorted(rng.sample(corpus, 2))
+        out = str_range_ids(id_quads, pat, lo, hi, dictionary=dictionary)
+        got = sorted(lex_of[r["v"]] for r in out.collect())
+        want = sorted(s for s in corpus if lo <= s <= hi)
+        assert got == want, (lo, hi, got[:5], want[:5])

@@ -114,3 +114,40 @@ def test_range_filter_shadow_prefilter(spark):
     # the shadow predicate reached the id-quads scan (pre-materialize)
     plan = id_df._jdf.queryExecution().executedPlan().toString()
     assert "o_num" in plan, plan
+
+
+def test_string_range_filter_shadow_prefilter(spark):
+    """String range conjuncts pre-filter via the o_str prefix shadow:
+    strict bounds relax to non-strict prefix comparisons (superset),
+    residual restores exactness — incl. for strings longer than the
+    shadow, lang-tagged literals (compared by lex, matching the
+    engine's string ordering), and numeric objects (error → drop)."""
+    from kineo_spark.compiler import Compiler
+    from kineo_spark.dictionary import STR_SHADOW_LEN
+    from kineo_spark.expr import fn
+    from kineo_spark.store import QuadsDataFrameStore
+
+    G1 = "urn:g:default"
+    long_in = "m" + "x" * (STR_SHADOW_LEN + 5)   # > "k", beyond shadow
+    rows = [
+        (0, "urn:a", "urn:p:v", 2, "alpha", "string", None, None, G1),
+        (0, "urn:b", "urn:p:v", 2, "mike", "string", None, None, G1),
+        (0, "urn:c", "urn:p:v", 2, "zulu", "string", None, None, G1),
+        (0, "urn:d", "urn:p:v", 2, long_in, "string", None, None, G1),
+        (0, "urn:e", "urn:p:v", 2, "papa", "langString", "en", None, G1),
+        (0, "urn:f", "urn:p:v", 2, "7", "integer", None, 7.0, G1),
+    ]
+    store = QuadsDataFrameStore.from_rows(spark, rows)
+    alg = A.Filter(
+        A.BGP((A.TriplePattern(A.Var("s"), iri("urn:p:v"), A.Var("x")),)),
+        fn(">", v("x"), c(lit("k"))),
+    )
+    q = A.SelectQuery(alg, ("s",))
+    term = sorted(r["s"]["lex"] for r in select(Compiler(store), q).collect())
+    comp = id_compiler(store)
+    comp.prepare(q)
+    id_df = select(comp, q)
+    got = sorted(r["s"]["lex"] for r in id_df.collect())
+    assert got == term == ["urn:b", "urn:c", "urn:d", "urn:e"]
+    plan = id_df._jdf.queryExecution().executedPlan().toString()
+    assert "o_str" in plan, plan
