@@ -75,12 +75,18 @@ def test_ask_materializes_nothing(spark, fixture_store):
     assert ask(comp, q) is True
 
 
-def test_range_filter_shadow_prefilter(spark):
+import pytest
+
+
+@pytest.mark.parametrize("key_bits", [64, 128])
+def test_range_filter_shadow_prefilter(spark, key_bits):
     """FILTER(?x > n) directly over a 4×long-layout BGP: the o_num
     value shadow pre-filters AT THE SCAN (superset prune — the exact
     conjunct still runs as a residual), so the dictionary join
     materializes survivors only. Results must equal term mode,
-    including the error-drop of a non-numeric object."""
+    including the error-drop of a non-numeric object. The shadow
+    columns are width-independent, so the same pre-filter fires under
+    128-bit struct ids."""
     from kineo_spark.compiler import Compiler
     from kineo_spark.expr import fn
     from kineo_spark.store import QuadsDataFrameStore
@@ -106,7 +112,7 @@ def test_range_filter_shadow_prefilter(spark):
     )
     q = A.SelectQuery(alg, ("n",))
     term = sorted(r["n"]["lex"] for r in select(Compiler(store), q).collect())
-    comp = id_compiler(store)
+    comp = id_compiler(store, key_bits=key_bits)
     comp.prepare(q)
     id_df = select(comp, q)
     got = sorted(r["n"]["lex"] for r in id_df.collect())
