@@ -73,6 +73,11 @@ HEADLINE = [
     # (pipeline/skew.py) must hold the pair within 2x
     "pipe_skew_topk",
     "pipe_uniform_topk",
+    # round-6: value-shadow ordered ranges (IDSortPlan analog) — range
+    # FILTER + ORDER BY in id space on the numeric / string shadow, no
+    # dictionary join before the Sort
+    "sparql_id_valueorder_range",
+    "sparql_id_strorder_range",
 ]
 
 # queries whose executed plans get per-operator metric trees in the output
