@@ -861,7 +861,7 @@ def id_compiler(store, key_bits: int = 64, **kw):
                 non-null shadow — the pre-filter can only drop rows the
                 residual exact conjunct would drop anyway."""
                 from kineo_spark.expr import EConst, EVar
-                from kineo_spark.model import NUMERIC_DTS
+                from kineo_spark.model import NUMERIC_DTS, TEMPORAL_DTS
 
                 if not (isinstance(x, ECall)
                         and x.op in ("<", "<=", ">", ">=")):
@@ -876,7 +876,12 @@ def id_compiler(store, key_bits: int = 64, **kw):
                 if not (isinstance(a, EVar) and isinstance(b, EConst)):
                     return None
                 t = b.term
-                if t.dt in NUMERIC_DTS and t.num is not None:
+                # numeric AND temporal constants take the num shadow:
+                # the engine's ordering comparison for both families IS
+                # the num comparison (expr.cmp_lt both_num | both_tmp),
+                # and o_num covers both (encode_quads)
+                if (t.dt in NUMERIC_DTS or t.dt in TEMPORAL_DTS) \
+                        and t.num is not None:
                     return (a.name, "num", op, float(t.num))
                 if t.dt in ("string", "langString"):
                     return (a.name, "str", op, t.lex)

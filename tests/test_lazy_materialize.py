@@ -157,3 +157,39 @@ def test_string_range_filter_shadow_prefilter(spark):
     assert got == term == ["urn:b", "urn:c", "urn:d", "urn:e"]
     plan = id_df._jdf.queryExecution().executedPlan().toString()
     assert "o_str" in plan, plan
+
+
+def test_temporal_range_filter_shadow_prefilter(spark):
+    """dateTime range conjuncts take the num shadow too (the engine's
+    temporal ordering IS the num/epoch comparison): pre-filter at the
+    scan, exact residual, results equal term mode."""
+    from kineo_spark.compiler import Compiler
+    from kineo_spark.expr import fn
+    from kineo_spark.model import lexical_num
+    from kineo_spark.store import QuadsDataFrameStore
+
+    G1 = "urn:g:default"
+    rows = []
+    for i, day in enumerate(("01", "03", "05", "07", "09")):
+        lex = f"2024-06-{day}T12:00:00Z"
+        rows.append((0, f"urn:e{i}", "urn:p:when", 2, lex, "dateTime",
+                     None, lexical_num(lex, "dateTime"), G1))
+    # a plain string under the predicate: temporal comparison errors →
+    # row drops in both modes
+    rows.append((0, "urn:eX", "urn:p:when", 2, "yesterday", "string",
+                 None, None, G1))
+    store = QuadsDataFrameStore.from_rows(spark, rows)
+    cut = lit("2024-06-04T00:00:00Z", dt="dateTime")
+    alg = A.Filter(
+        A.BGP((A.TriplePattern(A.Var("s"), iri("urn:p:when"), A.Var("t")),)),
+        fn(">", v("t"), c(cut)),
+    )
+    q = A.SelectQuery(alg, ("s",))
+    term = sorted(r["s"]["lex"] for r in select(Compiler(store), q).collect())
+    comp = id_compiler(store)
+    comp.prepare(q)
+    id_df = select(comp, q)
+    got = sorted(r["s"]["lex"] for r in id_df.collect())
+    assert got == term == ["urn:e2", "urn:e3", "urn:e4"]
+    plan = id_df._jdf.queryExecution().executedPlan().toString()
+    assert "o_num" in plan, plan
