@@ -761,10 +761,50 @@ def _dispatch_call(e: ECall, a: list[Column], env: dict[str, Column]) -> Column:
     # --- constructors ---
     if op == "IRI" or op == "URI":
         base = kw.get("base", "")
+        rel = a[0]["lex"]
+        if base:
+            # §17.4.2.8 resolution against the (constant) query base:
+            # the reference points — root, base dir, and its ancestors
+            # for "../" dot segments — compute driver-side, so the
+            # per-row case split stays pure Column (RFC 3986 §5.2)
+            from urllib.parse import urlsplit
+            sp = urlsplit(base)
+            root = f"{sp.scheme}://{sp.netloc}"
+            bdir_path = (sp.path[: sp.path.rfind("/") + 1]
+                         if "/" in sp.path else "/")
+            bdir = root + bdir_path
+            resolved = (
+                F.when(rel == "", F.lit(base))
+                .when(rel.startswith("//"),
+                      F.concat(F.lit(sp.scheme + ":"), rel))
+                .when(rel.startswith("/"), F.concat(F.lit(root), rel))
+                .when(rel.startswith("#") | rel.startswith("?"),
+                      F.concat(F.lit(base), rel))
+            )
+            # "../"*k climbs toward the root and floors there; segments
+            # beyond the hierarchy are consumed silently per §5.2.4
+            segs = [s for s in bdir_path.split("/") if s]
+            for k in range(len(segs) + 2, 0, -1):
+                up = "../" * k
+                anc = "/" + "".join(
+                    s + "/" for s in segs[: max(0, len(segs) - k)])
+                resolved = resolved.when(
+                    rel.startswith(up),
+                    F.concat(F.lit(root + anc),
+                             rel.substr(F.lit(len(up) + 1), F.length(rel))))
+            resolved = (
+                resolved
+                .when(rel.startswith("./"),
+                      F.concat(F.lit(bdir),
+                               rel.substr(F.lit(3), F.length(rel))))
+                .otherwise(F.concat(F.lit(bdir), rel))
+            )
+        else:
+            resolved = rel
         lex = F.when(a[0]["kind"] == KIND_IRI, a[0]["lex"]).when(
             is_string_lit(a[0]),
-            F.when(a[0]["lex"].rlike("^[A-Za-z][A-Za-z0-9+.-]*:"), a[0]["lex"])
-            .otherwise(F.concat(F.lit(base), a[0]["lex"])),
+            F.when(rel.rlike("^[A-Za-z][A-Za-z0-9+.-]*:"), rel)
+            .otherwise(resolved),
         )
         return iri_col(lex)
     if op == "BNODE":

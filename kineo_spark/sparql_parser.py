@@ -522,7 +522,13 @@ class Parser:
                         while self.op(","):
                             args.append(self._expression())
                         self.expect_op(")")
-                return ECall(word if word != "URI" else "IRI", tuple(args))
+                op_name = word if word != "URI" else "IRI"
+                if op_name == "IRI" and self.base:
+                    # §17.4.2.8: IRI(expr) resolves relative references
+                    # against the query's base IRI
+                    return ECall(op_name, tuple(args),
+                                 kwargs=(("base", self.base),))
+                return ECall(op_name, tuple(args))
             if word in _AGGS:
                 return self._aggregate_expr()
             if t.text.lower() in ("true", "false"):
