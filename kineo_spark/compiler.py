@@ -34,7 +34,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 from pyspark.sql import types as T
 
 from kineo_spark import algebra as A
-from kineo_spark.expr import EExists, Expr, compile_expr, ebv
+from kineo_spark.expr import ECall, EExists, EMarker, Expr, compile_expr, ebv
 from kineo_spark.model import PyTerm, TERM_SCHEMA, sort_key, term_key
 from kineo_spark.store import QuadStore
 
@@ -74,6 +74,26 @@ class Plan:
 
 def _env(df: DataFrame) -> dict[str, Column]:
     return {c: df[c] for c in df.columns if not c.startswith("__")}
+
+
+def _collect_exists(e, into: list) -> None:
+    """Gather EExists nodes nested anywhere in an expression tree."""
+    if isinstance(e, EExists):
+        into.append(e)
+    elif isinstance(e, ECall):
+        for a in e.args:
+            _collect_exists(a, into)
+
+
+def _replace_exists(e, repl: dict):
+    """Rebuild an expression with each EExists (by identity) swapped for
+    its EMarker column reference."""
+    if isinstance(e, EExists):
+        return repl[id(e)]
+    if isinstance(e, ECall):
+        return ECall(e.op, tuple(_replace_exists(a, repl) for a in e.args),
+                     e.kwargs)
+    return e
 
 
 def _all(conds: list[Column]) -> Column:
@@ -158,9 +178,12 @@ class Compiler:
             return child
         if isinstance(node, A.Extend):
             child = self._c(node.child, g)
-            col = compile_expr(node.expr, _env(child.df))
-            return Plan(child.df.withColumn(node.name, col), child.certain,
-                        child.id_vars)
+            child, expr, markers = self._mark_exists(child, node.expr, g)
+            col = compile_expr(expr, _env(child.df))
+            df = child.df.withColumn(node.name, col)
+            if markers:
+                df = df.drop(*markers)
+            return Plan(df, child.certain, child.id_vars)
         if isinstance(node, A.Project):
             child = self._c(node.child, g)
             cols = [
@@ -487,6 +510,14 @@ class Compiler:
         else:
             cond = F.lit(True)
         if expr is not None:
+            exl: list = []
+            _collect_exists(expr, exl)
+            if exl:
+                raise NotImplementedError(
+                    "EXISTS inside an OPTIONAL's FILTER condition is not "
+                    "supported (the mark join needs a materialized merged "
+                    "row; the reference throws here too) — move the EXISTS "
+                    "inside the OPTIONAL group or into an outer FILTER")
             env = {}
             for vname in left.variables:
                 if vname in ren:
@@ -557,6 +588,35 @@ class Compiler:
         df = ldf.unionByName(rdf)
         return Plan(df, (left.certain & right.certain), ids)
 
+    def _mark_exists(
+        self, child: Plan, expr, g: A.Node | None
+    ) -> tuple[Plan, "Expr", list[str]]:
+        """Decorrelate EXISTS nodes nested INSIDE an expression (EXISTS
+        is a BuiltInCall — legal in BIND, IF, &&/||, anywhere an
+        expression appears, SPARQL 1.1 §17.4.1.4) via a mark join: the
+        proven semi/anti compatibility machinery partitions the child
+        bag into matched and unmatched halves, which re-union with a
+        boolean flag column the rewritten expression reads (EMarker).
+        Bag semantics are exact — semi and anti partition the bag.
+        Costs two joins per nested EXISTS; the common FILTER-top-level
+        form keeps its single-join fast path in _filter."""
+        nodes: list[EExists] = []
+        _collect_exists(expr, nodes)
+        if not nodes:
+            return child, expr, []
+        cur, repl, markers = child, {}, []
+        for i, ex in enumerate(nodes):
+            m = f"__exists_{i}"
+            sub = self._c(ex.algebra, g)
+            matched = self._semi(cur, sub, anti=False)
+            unmatched = self._semi(cur, sub, anti=True)
+            df = matched.df.withColumn(m, F.lit(not ex.anti)).unionByName(
+                unmatched.df.withColumn(m, F.lit(ex.anti)))
+            cur = Plan(df, cur.certain, cur.id_vars, cur.bind_values)
+            repl[id(ex)] = EMarker(m)
+            markers.append(m)
+        return cur, _replace_exists(expr, repl), markers
+
     def _filter(self, node: A.Filter, g: A.Node | None) -> Plan:
         # FILTER (NOT) EXISTS → semi/anti join (ExistsPlan decorrelation)
         e = node.expr
@@ -564,11 +624,15 @@ class Compiler:
             sub = self._c(e.algebra, g)
             return self._semi(self._c(node.child, g), sub, e.anti)
         child = self._c(node.child, g)
+        child, e, markers = self._mark_exists(child, e, g)
         from kineo_spark.expr import compile_filter_condition
         # df.filter keeps only TRUE rows (NULL drops) — exactly SPARQL's
         # error-drops-row rule; no wrapper, so parquet sees plain predicates
         cond = compile_filter_condition(e, _env(child.df))
-        return Plan(child.df.filter(cond), child.certain, child.id_vars)
+        df = child.df.filter(cond)
+        if markers:
+            df = df.drop(*markers)
+        return Plan(df, child.certain, child.id_vars)
 
     # -- aggregation ------------------------------------------------------
     def _aggregate(self, node: A.Aggregate, g: A.Node | None) -> Plan:

@@ -112,11 +112,23 @@ def expr_vars(e: "Expr", into: set, exists_algebras: list) -> None:
 class EExists(Expr):
     """EXISTS { pattern } — decorrelated by the compiler into a semi-join
     (reference ExistsPlan, MaterializedQueryPlan.swift:1617-1660;
-    decorrelation QueryPlanner.swift:1047-1063). Only valid at the top
-    level of a FILTER (possibly under a single NOT)."""
+    decorrelation QueryPlanner.swift:1047-1063). At the top level of a
+    FILTER this becomes a plain semi/anti join; nested anywhere else in
+    an expression (BIND, IF, &&/|| — EXISTS is a BuiltInCall, SPARQL 1.1
+    §17.4.1.4) the compiler mark-joins it into a boolean column first
+    (Compiler._mark_exists) and the expression reads an EMarker."""
 
     algebra: object
     anti: bool = False
+
+
+@dataclass(frozen=True, eq=False)
+class EMarker(Expr):
+    """Reference to a compiler-computed boolean marker column (the mark
+    join's output for a nested EXISTS). Compiles to an xsd:boolean term
+    read straight off the column — never user-constructed."""
+
+    col: str
 
 
 def v(name: str) -> EVar:
@@ -486,8 +498,12 @@ def compile_expr(e: Expr, env: dict[str, Column]) -> Column:
         return col
     if isinstance(e, EConst):
         return e.term.as_column()
+    if isinstance(e, EMarker):
+        return bool_term(F.col(e.col))
     if isinstance(e, EExists):
-        raise ExprError("EXISTS is only supported at the top level of FILTER")
+        raise ExprError(
+            "EXISTS must be decorrelated before expression compilation "
+            "(Compiler._mark_exists) — reached compile_expr directly")
     assert isinstance(e, ECall)
     folded = _fold_arith(e)
     if folded is _FOLD_ERR:

@@ -64,6 +64,9 @@ _TWINNED = [
     "sparql_term_kind_tests",
     "sparql_hash_functions",
     "sparql_agg_sample",
+    # r6: EXISTS in expression position (mark join) over id-mode plans —
+    # the semi/anti partition and marker union run on dictionary ids
+    "sparql_exists_bind",
 ]
 
 
@@ -124,6 +127,8 @@ _TWINNED_128 = [
     "sparql_window_rank",
     "sparql_window_running_sum",
     "sparql_describe",
+    # r6: the mark-join EXISTS at the collision-safe struct width
+    "sparql_exists_bind",
 ]
 
 for _name in _TWINNED_128:

@@ -404,7 +404,10 @@ def sparql_stream_select(spark, sf_dir) -> DataFrame:
       }
     """)
     name = f"t_stream_sel_{uuid.uuid4().hex[:8]}"
-    out = ss.run_available_now(bindings, name, timeout_s=300)
+    # 8 state partitions for a 150k-event micro-batch (see
+    # run_available_now: per-store fixed cost dominates small state)
+    out = ss.run_available_now(bindings, name, timeout_s=300,
+                               state_partitions=8)
     return out.select(
         F.col("e")["lex"].alias("e"), F.col("v")["num"].alias("v")
     )

@@ -222,6 +222,32 @@ def sparql_filter_not_exists(spark, sf_dir) -> DataFrame:
     return extract(select(comp, A.SelectQuery(alg, ("supplier",))), {"supplier": ("supplier", "lex")})
 
 
+@q("sparql_exists_bind",
+   "SELECT c_name AS cname, EXISTS(SELECT 1 FROM orders "
+   "WHERE o_custkey = c_custkey) AS has_order "
+   "FROM customer WHERE c_acctbal > 9000")
+def sparql_exists_bind(spark, sf_dir) -> DataFrame:
+    """EXISTS in expression position (BIND) — the general mark-join form
+    (Compiler._mark_exists). The reference plans only the FILTER form
+    (ExistsPlan, MaterializedQueryPlan.swift:1617-1660); SPARQL 1.1
+    §17.4.1.4 allows EXISTS anywhere an expression appears."""
+    comp = compiler_for(spark, sf_dir)
+    alg = A.Extend(
+        A.Filter(
+            A.BGP((
+                tp("cust", col("customer", "c_name"), "cname"),
+                tp("cust", col("customer", "c_acctbal"), "bal"),
+            )),
+            v("bal") > c(lit(9000)),
+        ),
+        EExists(A.Triple(tp("ord", fk("orders", "o_custkey"), "cust"))),
+        "has_order",
+    )
+    return extract(select(comp, A.SelectQuery(alg, ("cname", "has_order"))),
+                   {"cname": ("cname", "lex"),
+                    "has_order": ("has_order", "bool")})
+
+
 @q("sparql_distinct",
    "SELECT DISTINCT c_mktsegment AS segment FROM customer")
 def sparql_distinct(spark, sf_dir) -> DataFrame:

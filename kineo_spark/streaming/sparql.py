@@ -51,16 +51,34 @@ def continuous_query(spark: SparkSession, quads_stream: DataFrame, sparql: str) 
 
 
 def run_available_now(
-    result: DataFrame, name: str, timeout_s: int = 120
+    result: DataFrame, name: str, timeout_s: int = 120,
+    state_partitions: int | None = None,
 ) -> DataFrame:
     """One-shot drain of a continuous query into an in-memory table —
-    the batch-equivalence harness used by the tests."""
-    q = (
-        result.writeStream.format("memory").queryName(name)
-        .outputMode("append").trigger(availableNow=True).start()
-    )
-    q.awaitTermination(timeout_s)
-    return result.sparkSession.table(name)
+    the batch-equivalence harness used by the tests.
+
+    ``state_partitions`` right-sizes the stateful-operator partition
+    count for this query (stream-stream joins keep one state store per
+    shuffle partition per side; the count is frozen into the checkpoint
+    at first start). The session default targets batch scans — a
+    micro-batch of N events wants state stores sized to N, not to the
+    batch default: measured on the 150k-event drain, 32 stores cost
+    7.0s vs 3.8s at 8 (state-store open/commit is per-store fixed
+    cost). A production deployment sizes this to stream volume."""
+    spark = result.sparkSession
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    if state_partitions is not None:
+        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    try:
+        q = (
+            result.writeStream.format("memory").queryName(name)
+            .outputMode("append").trigger(availableNow=True).start()
+        )
+        q.awaitTermination(timeout_s)
+    finally:
+        if state_partitions is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", old)
+    return spark.table(name)
 
 
 def continuous_aggregate(

@@ -1,9 +1,11 @@
-"""Scale-stress harness: generate a seeded ~10x corpus (vs sf0.1) and
-re-measure the shuffle-heaviest headline queries at 1x and 10x, so
-SCALE.md's linear-shuffle predictions become MEASURED numbers.
+"""Scale-stress harness: generate a seeded Nx corpus (vs sf0.1, N =
+$STRESS_REPLICAS, default 10) and re-measure the shuffle-heaviest
+headline queries at 1x and Nx, so SCALE.md's linear-shuffle predictions
+become MEASURED numbers.
 
-  python tools/stress_scale.py generate   # write stressdata/x10 (~6M rows)
-  python tools/stress_scale.py run        # measure 1x vs 10x, print table
+  python tools/stress_scale.py generate   # write stressdata/xN
+  python tools/stress_scale.py run        # measure 1x vs Nx, print table
+  STRESS_REPLICAS=100 python tools/stress_scale.py generate  # 2-decade run
 
 Generation is deterministic (pure-Column transforms of the sf0.1 seed
 tables — no RNG, so re-runs are bit-identical):
@@ -33,8 +35,9 @@ import urllib.request
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 SEED_DIR = os.environ.get("STRESS_SEED_DIR", "/root/testdata/sf0.1")
-OUT_DIR = os.environ.get("STRESS_OUT_DIR", "/root/repo/stressdata/x10")
-REPLICAS = 10
+REPLICAS = int(os.environ.get("STRESS_REPLICAS", "10"))
+OUT_DIR = os.environ.get(
+    "STRESS_OUT_DIR", f"/root/repo/stressdata/x{REPLICAS}")
 KOFF = 100_000_000
 
 QUERIES = [
@@ -137,7 +140,7 @@ def run() -> None:
     qs = entry.queries()
     spark = _spark("stress-run")
     results: dict[str, dict] = {}
-    for sf_name, sf_dir in (("1x", SEED_DIR), ("10x", OUT_DIR)):
+    for sf_name, sf_dir in (("1x", SEED_DIR), (f"{REPLICAS}x", OUT_DIR)):
         for name in QUERIES:
             fn = qs[name]
             best, rows, sw = None, None, None
@@ -156,11 +159,12 @@ def run() -> None:
     spark.stop()
     print(json.dumps(results))
     # markdown table for SCALE.md
-    print("\n| Query | 1x sec | 10x sec | 1x shuffle MB | 10x shuffle MB "
-          "| 1x rows | 10x rows | scaling |")
+    n = f"{REPLICAS}x"
+    print(f"\n| Query | 1x sec | {n} sec | 1x shuffle MB | {n} shuffle MB "
+          f"| 1x rows | {n} rows | scaling |")
     print("|---|---|---|---|---|---|---|---|")
     for name, r in results.items():
-        a, b = r["1x"], r["10x"]
+        a, b = r["1x"], r[f"{REPLICAS}x"]
         ratio = b["shuffle_mb"] / a["shuffle_mb"] if a["shuffle_mb"] else float("nan")
         print(f"| {name} | {a['sec']} | {b['sec']} | {a['shuffle_mb']} "
               f"| {b['shuffle_mb']} | {a['rows']} | {b['rows']} "
