@@ -542,3 +542,80 @@ def dedup_against_corpus(
                     fingerprint(F.col(text_col)).alias("fp"))
     sf = seen.select(fingerprint(F.col(text_col)).alias("fp"))
     return nf.join(sf, "fp", "left_anti")
+
+
+def _deletion_variants(s, k: int):
+    """Column of all strings reachable from ``s`` by deleting up to
+    ``k`` characters (the FastSS neighborhood, k ∈ {1, 2}). Built as a
+    nested higher-order transform so the whole expansion stays in
+    whole-stage codegen — no UDF."""
+    if k not in (1, 2):
+        raise ValueError("fuzzy_pairs supports max_dist 1 or 2")
+    one = (
+        "transform(sequence(1, length({s})), "
+        "i -> concat(substring({s}, 1, i - 1), substring({s}, i + 1)))"
+    )
+    d1 = one.format(s=s)
+    parts = [f"array({s})", d1]
+    if k == 2:
+        # delete one char from every 1-deletion variant
+        parts.append(
+            f"flatten(transform({d1}, v -> "
+            + one.format(s="v") + "))"
+        )
+    return F.array_distinct(F.expr("concat(" + ", ".join(parts) + ")"))
+
+
+def fuzzy_pairs(
+    df: DataFrame, id_col: str, text_col: str, max_dist: int = 1,
+    cap: int = 64,
+) -> DataFrame:
+    """Edit-distance self-join (fuzzy dedup of names/titles/URLs):
+    returns (id_a, id_b, dist) for all pairs with
+    levenshtein ≤ ``max_dist``, id_a < id_b.
+
+    Candidate generation is the FastSS deletion neighborhood: if
+    ed(a, b) ≤ k then deleting the chars an optimal alignment
+    substitutes/inserts/deletes (≤ k on each side) leaves equal
+    strings, so a and b share a ≤k-deletion variant. Candidates =
+    pairs sharing a variant key; the exact JVM ``levenshtein`` then
+    verifies. Superset-then-verify, like every blocker in this module.
+
+    100 TB shape: the variant index is O(rows · len^k) keys of
+    ~len bytes — one explode, one equi-join on the variant hash, no
+    all-pairs anywhere. ``cap`` bounds any hot variant key (mirrors
+    the hot-shingle cap in ngram_jaccard_pairs): a key shared by c
+    strings yields c² candidates, and a cap turns adversarial
+    mass-duplicate clusters into bounded work; capped keys can only
+    lose candidate pairs that other (uncapped) shared variants almost
+    always still generate — exact-dup flooding belongs to exact dedup,
+    not the fuzzy pass.
+    """
+    from pyspark.sql import Window
+
+    base = df.select(F.col(id_col).alias("id"),
+                     F.col(text_col).alias("__t"))
+    var = base.select(
+        "id", "__t",
+        F.explode(_deletion_variants("__t", max_dist)).alias("__v"),
+    ).select("id", "__t", F.xxhash64("__v").alias("__vh"))
+    capped = var.withColumn(
+        "__rn",
+        F.row_number().over(
+            Window.partitionBy("__vh").orderBy(F.col("id"))),
+    ).filter(F.col("__rn") <= cap).drop("__rn")
+    a = capped.select(F.col("id").alias("id_a"), F.col("__t").alias("__ta"),
+                      "__vh")
+    b = capped.select(F.col("id").alias("id_b"), F.col("__t").alias("__tb"),
+                      "__vh")
+    cands = (
+        a.join(b, "__vh")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "__ta", "__tb")
+        .distinct()
+    )
+    return (
+        cands.withColumn("dist", F.levenshtein("__ta", "__tb"))
+        .filter(F.col("dist") <= max_dist)
+        .select("id_a", "id_b", F.col("dist").cast("long").alias("dist"))
+    )

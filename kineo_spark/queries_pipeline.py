@@ -45,6 +45,22 @@ def pipe_dedup_exact(spark, sf_dir) -> DataFrame:
     return dedup.exact_dedup(docs, "doc_id")
 
 
+@q("pipe_fuzzy_join",
+   # all-pairs exact levenshtein — DuckDB verifies both the FastSS
+   # blocking (no true pair missed) and the verify stage (no false pair)
+   "SELECT a.c_custkey AS id_a, b.c_custkey AS id_b, "
+   "CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist "
+   "FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey "
+   "AND levenshtein(a.c_name, b.c_name) <= 1")
+def pipe_fuzzy_join(spark, sf_dir) -> DataFrame:
+    """Edit-distance self-join on customer names (fuzzy entity dedup):
+    FastSS deletion-neighborhood blocking + exact JVM levenshtein
+    verify — never all-pairs (the oracle IS all-pairs, feasible only at
+    oracle scale)."""
+    cust = read_table(spark, sf_dir, "customer")
+    return dedup.fuzzy_pairs(cust, "c_custkey", "c_name", max_dist=1)
+
+
 _NGRAM_CTE = r"""
 WITH toks AS (
   SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents

@@ -1,0 +1,70 @@
+"""fuzzy_pairs: FastSS deletion-neighborhood edit-distance join."""
+
+from kineo_spark.pipeline import dedup
+
+
+def _pairs(spark, rows, k, cap=64):
+    df = spark.createDataFrame(rows, "id long, name string")
+    got = dedup.fuzzy_pairs(df, "id", "name", max_dist=k, cap=cap).collect()
+    return {(r.id_a, r.id_b): r.dist for r in got}
+
+
+def test_substitution_insertion_deletion_at_k1(spark):
+    rows = [(1, "kitten"), (2, "mitten"),   # substitution, d=1
+            (3, "kitte"),                   # deletion from 1, d=1
+            (4, "kittens"),                 # insertion into 1, d=1
+            (5, "sitting")]                 # d(kitten,sitting)=3 — out
+    got = _pairs(spark, rows, k=1)
+    assert set(got) == {(1, 2), (1, 3), (1, 4)}
+    assert all(d == 1 for d in got.values())
+
+
+def test_k2_reaches_two_edits(spark):
+    rows = [(1, "abcdef"), (2, "abXdeY"),   # two substitutions
+            (3, "abcd"),                    # two deletions
+            (4, "zzzzzz")]
+    got = _pairs(spark, rows, k=2)
+    assert got == {(1, 2): 2, (1, 3): 2}
+
+
+def test_identical_strings_distance_zero(spark):
+    got = _pairs(spark, [(1, "same"), (2, "same")], k=1)
+    assert got == {(1, 2): 0}
+
+
+def test_exact_vs_bruteforce_random(spark):
+    """Blocking must equal brute force on a randomized vocabulary."""
+    import itertools
+    import random
+
+    rnd = random.Random(7)
+    words = list({"".join(rnd.choice("abc") for _ in range(rnd.randint(3, 6)))
+                  for _ in range(60)})
+    rows = [(i, w) for i, w in enumerate(words)]
+
+    def lev(a, b):
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(dp[j] + 1, dp[j - 1] + 1,
+                                         prev + (ca != cb))
+        return dp[-1]
+
+    want = {(i, j): lev(a, b)
+            for (i, a), (j, b) in itertools.combinations(rows, 2)
+            if lev(a, b) <= 1}
+    assert _pairs(spark, rows, k=1) == want
+
+
+def test_hot_variant_cap_bounds_candidates(spark):
+    """A mass-duplicate cluster larger than the cap still verifies the
+    capped slice and never explodes quadratically past it."""
+    rows = [(i, "dup") for i in range(10)] + [(100, "dXp")]
+    got = _pairs(spark, rows, k=1, cap=4)
+    # within the capped slice (ids 0-3): all pairs present
+    for i in range(4):
+        for j in range(i + 1, 4):
+            assert got[(i, j)] == 0
+    # no candidate pair may report a wrong distance
+    assert all(d <= 1 for d in got.values())
