@@ -78,6 +78,8 @@ HEADLINE = [
     # dictionary join before the Sort
     "sparql_id_valueorder_range",
     "sparql_id_strorder_range",
+    # round-6: FastSS edit-distance self-join (fuzzy entity dedup)
+    "pipe_fuzzy_join",
 ]
 
 # queries whose executed plans get per-operator metric trees in the output

@@ -61,6 +61,80 @@ def pipe_fuzzy_join(spark, sf_dir) -> DataFrame:
     return dedup.fuzzy_pairs(cust, "c_custkey", "c_name", max_dist=1)
 
 
+_URL_CTE = r"""
+WITH u AS (
+  SELECT doc_id,
+    'HTTP' || CASE WHEN doc_id % 2 = 0 THEN 'S' ELSE '' END || '://' ||
+    upper(source) ||
+    CASE WHEN doc_id % 2 = 0 THEN '.Example.COM:443' ELSE '.News.co.UK:80' END ||
+    '/D/' || doc_id || CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END ||
+    '?utm_source=feed&z=9&a=' || lang ||
+    CASE WHEN doc_id % 3 = 0 THEN '&gclid=2' ELSE '' END ||
+    '#s' || doc_id AS url
+  FROM documents
+), parts AS (
+  SELECT doc_id,
+    lower(regexp_extract(url, '^([A-Za-z]+)://', 1)) AS proto,
+    lower(regexp_replace(regexp_extract(url, '^[A-Za-z]+://([^/?#]*)', 1),
+                         ':[0-9]+$', '')) AS host,
+    regexp_extract(regexp_extract(url, '^[A-Za-z]+://([^/?#]*)', 1),
+                   ':([0-9]+)$', 1) AS port,
+    regexp_replace(regexp_extract(url, '^[A-Za-z]+://[^/?#]*([^?#]*)', 1),
+                   '/+$', '') AS path,
+    regexp_extract(url, '\?([^#]*)', 1) AS q
+  FROM u
+), norm AS (
+  SELECT doc_id, proto, host, path,
+    CASE WHEN (proto = 'http' AND port = '80')
+           OR (proto = 'https' AND port = '443') OR port = ''
+         THEN '' ELSE ':' || port END AS pp,
+    array_to_string(list_sort(list_filter(string_split(q, '&'),
+      x -> x <> '' AND NOT regexp_matches(x,
+        '^(utm_[a-z]+|gclid|fbclid|msclkid|mc_cid|mc_eid|ref|igshid)='))),
+      '&') AS qs
+  FROM parts
+)
+SELECT doc_id,
+  proto || '://' || host || pp || path ||
+    CASE WHEN qs = '' THEN '' ELSE '?' || qs END AS canon,
+  CASE WHEN regexp_matches(host, '\.(co|com|net|org|ac|gov|edu)\.[a-z][a-z]$')
+       THEN regexp_extract(host, '([^.]+\.[^.]+\.[^.]+)$', 1)
+       ELSE regexp_extract(host, '([^.]+\.[^.]+)$', 1) END AS domain
+FROM norm
+"""
+
+
+@q("pipe_url_canonicalize", _URL_CTE)
+def pipe_url_canonicalize(spark, sf_dir) -> DataFrame:
+    """URL canonicalization (the CommonCrawl pre-dedup step): the messy
+    URL — mixed-case scheme/host, default ports, tracking params,
+    unsorted params, fragments, trailing slashes — is derived
+    deterministically from table columns on BOTH sides, then each
+    engine normalizes independently (Spark: parse_url + array exprs;
+    DuckDB: regex + list exprs), so the hash pins every rule."""
+    from kineo_spark.pipeline import urls
+
+    docs = read_table(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    url = F.concat(
+        F.lit("HTTP"), F.when(d % 2 == 0, F.lit("S")).otherwise(F.lit("")),
+        F.lit("://"), F.upper("source"),
+        F.when(d % 2 == 0, F.lit(".Example.COM:443"))
+         .otherwise(F.lit(".News.co.UK:80")),
+        F.lit("/D/"), d.cast("string"),
+        F.when(d % 5 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.lit("?utm_source=feed&z=9&a="), F.col("lang"),
+        F.when(d % 3 == 0, F.lit("&gclid=2")).otherwise(F.lit("")),
+        F.lit("#s"), d.cast("string"),
+    )
+    with_u = docs.select("doc_id", url.alias("__u"))
+    return with_u.select(
+        "doc_id",
+        urls.canonical_url(F.col("__u")).alias("canon"),
+        urls.registrable_domain(urls.url_host(F.col("__u"))).alias("domain"),
+    )
+
+
 _NGRAM_CTE = r"""
 WITH toks AS (
   SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents

@@ -47,6 +47,11 @@ QUERIES = [
     "pipe_dedup_ngram_jaccard",
     "pipe_winnow_fingerprints",
     "pipe_tfidf_top_terms",
+    # r6 widening: positioned k-gram span dedup (documents scale with
+    # replicas) and the flagship 3-hop BGP join (customer/orders scale,
+    # nation/region stay shared sinks)
+    "pipe_exact_substring_spans",
+    "sparql_bgp_3hop_join",
 ]
 
 
