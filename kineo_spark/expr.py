@@ -230,6 +230,8 @@ _NEVER_DURATION_OPS = frozenset({
     "ISIRI", "ISURI", "ISBLANK", "ISLITERAL", "ISNUMERIC", "SAMETERM",
     "CAST", "YEAR", "MONTH", "DAY", "HOURS", "MINUTES", "SECONDS",
     "TZ", "NOW", "MD5", "SHA1", "SHA256", "SHA384", "SHA512",
+    "TRIPLE", "ISTRIPLE",  # RDF-star (components CAN be durations —
+    # SUBJECT/PREDICATE/OBJECT stay duration-possible, so not listed)
 })
 
 
@@ -641,9 +643,12 @@ def _dispatch_call(e: ECall, a: list[Column], env: dict[str, Column]) -> Column:
         if op == ">=":
             return bool_term(~cmp_lt(a[0], a[1], dur=md))
     if op == "SAMETERM":
+        # key-vs-key compare; _term_identity_key keeps quoted-component
+        # accessors and constants as flat key strings (no struct rebuild,
+        # no expression-tree multiplication). NULL key = unbound/error on
+        # that side → NULL boolean → error, exactly sameTerm's semantics.
         return bool_term(
-            F.when(a[0].isNull() | a[1].isNull(), _NULL_B())
-            .otherwise(term_key(a[0]) == term_key(a[1]))
+            _term_identity_key(e.args[0], env) == _term_identity_key(e.args[1], env)
         )
 
     # --- arithmetic ---
@@ -861,6 +866,34 @@ def _dispatch_call(e: ECall, a: list[Column], env: dict[str, Column]) -> Column:
     if op == "ISNUMERIC":
         return bool_term(F.when(a[0].isNotNull(), is_numeric_term(a[0])))
 
+    # --- RDF-star (SPARQL-star builtins; KIND_QUOTED extension) ---
+    if op == "ISTRIPLE":
+        from kineo_spark.model import KIND_QUOTED
+        return bool_term(F.when(a[0].isNotNull(), a[0]["kind"] == KIND_QUOTED))
+    if op == "TRIPLE":
+        from kineo_spark.model import quoted_col
+        return quoted_col(a[0], a[1], a[2])
+    if op in ("SUBJECT", "PREDICATE", "OBJECT"):
+        from kineo_spark.model import quoted_component_col
+        return quoted_component_col(
+            a[0], ("SUBJECT", "PREDICATE", "OBJECT").index(op))
+    if op == "TRIPLECOMP":
+        # internal (rewrite.fold_star_accessors): component of a
+        # TRIPLE(...) call folded past the packed encoding — the selected
+        # component itself, unbound unless all three are bound (TRIPLE
+        # would have errored)
+        sel = a[kw["comp"]]
+        return F.when(
+            a[0].isNotNull() & a[1].isNotNull() & a[2].isNotNull(), sel)
+    if op == "ALLBOUNDTRUE":
+        # internal (rewrite.fold_star_accessors): isTRIPLE over a folded
+        # TRIPLE(...) — true when every component is bound, error (NULL)
+        # otherwise
+        cond = a[0].isNotNull()
+        for c in a[1:]:
+            cond = cond & c.isNotNull()
+        return bool_term(F.when(cond, F.lit(True)))
+
     # --- casts (Expression.swift:602-748): lexical validation, error→NULL ---
     if op == "CAST":
         return _compile_cast(kw["to"], a[0])
@@ -966,6 +999,25 @@ def _eq_cond(a: Column, b: Column, dur: bool = True) -> Column:
     return out
 
 
+_STAR_ACCESSORS = ("SUBJECT", "PREDICATE", "OBJECT")
+
+
+def _term_identity_key(arg: Expr, env: dict[str, Column]) -> Column:
+    """Canonical term_key of ``arg`` for identity (sameTerm) comparisons,
+    compiled SMALL: a constant becomes a literal key string, a quoted-
+    component accessor extracts the component key positionally from the
+    packed lex (never rebuilding the term struct), anything else goes
+    through term_key of the compiled term. NULL = unbound/error."""
+    if isinstance(arg, EConst):
+        return F.lit(arg.term.key())
+    if (isinstance(arg, ECall) and arg.op in _STAR_ACCESSORS
+            and len(arg.args) == 1):
+        from kineo_spark.model import quoted_component_key_col
+        t = compile_expr(arg.args[0], env)
+        return quoted_component_key_col(t, _STAR_ACCESSORS.index(arg.op))
+    return term_key(compile_expr(arg, env))
+
+
 def compile_filter_condition(e: Expr, env: dict[str, Column]) -> Column:
     """Compile an expression for FILTER context as a plain boolean
     conjunction/disjunction tree. In FILTER position, SPARQL type errors
@@ -990,6 +1042,15 @@ def compile_filter_condition(e: Expr, env: dict[str, Column]) -> Column:
                                 dur=md0 and maybe_duration(xe))
                 out = cond if out is None else (out | cond)
             return out if out is not None else F.lit(False)
+        if op == "SAMETERM" and len(e.args) == 2:
+            # NULL (either side unbound / accessor error) drops the row —
+            # error→false, identical to sameTerm's FILTER behaviour
+            return (_term_identity_key(e.args[0], env)
+                    == _term_identity_key(e.args[1], env))
+        if op == "ISTRIPLE" and len(e.args) == 1:
+            t = compile_expr(e.args[0], env)
+            from kineo_spark.model import KIND_QUOTED
+            return t.isNotNull() & (t["kind"] == KIND_QUOTED)
         if op in ("CONTAINS", "STRSTARTS", "STRENDS"):
             a = compile_expr(e.args[0], env)
             b = compile_expr(e.args[1], env)

@@ -39,6 +39,12 @@ from pyspark.sql import types as T
 KIND_IRI = 0
 KIND_BLANK = 1
 KIND_LITERAL = 2
+# RDF-star quoted triple (extension — the reference declares the
+# rdf-tests-12 suite but ships no RDF-star surface). lex holds the three
+# component term_keys, each length-prefixed ("N:<key>"), which is
+# injective and recursively parseable in pure Column expressions; dt,
+# lang and num are NULL.
+KIND_QUOTED = 3
 
 XSD = "http://www.w3.org/2001/XMLSchema#"
 RDF_NS = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
@@ -238,6 +244,7 @@ def sort_key(term: Column) -> Column:
         F.when(term.isNull(), F.lit(-1))
         .when(term["kind"] == KIND_BLANK, F.lit(0))
         .when(term["kind"] == KIND_IRI, F.lit(1))
+        .when(term["kind"] == KIND_QUOTED, F.lit(3))  # after literals
         .otherwise(F.lit(2))
     )
     is_valued = term["num"].isNotNull()
@@ -318,6 +325,9 @@ class PyTerm:
             return f"<{self.lex}>"
         if self.kind == KIND_BLANK:
             return f"_:{self.lex}"
+        if self.kind == KIND_QUOTED:
+            s, p, o = quoted_parts(self)
+            return f"<< {s.n3()} {p.n3()} {o.n3()} >>"
         esc = self.lex.replace("\\", "\\\\").replace('"', '\\"').replace("\n", "\\n")
         if self.lang:
             return f'"{esc}"@{self.lang}'
@@ -346,3 +356,110 @@ def lit(value, dt: str | None = None, lang: str | None = None) -> PyTerm:
     if isinstance(value, float):
         return PyTerm(KIND_LITERAL, repr(value), "double")
     return PyTerm(KIND_LITERAL, str(value), "string")
+
+
+# ---------------------------------------------------------------------------
+# RDF-star quoted triples (extension; see KIND_QUOTED above)
+# ---------------------------------------------------------------------------
+
+def quoted(s: PyTerm, p: PyTerm, o: PyTerm) -> PyTerm:
+    """Quoted-triple constant << s p o >>. The lex is
+    ``"{len1}:{len2}:{len3}:" + key1 + key2 + key3`` over the component
+    term_keys — injective (keys are canonical identities) and, because
+    the three lengths sit in a fixed header, each component is one flat
+    ``substring`` in Column space (a sequential length-prefix walk would
+    nest expressions and blow up Catalyst's tree, which duplicates
+    subtrees at every reference). Nesting is unbounded: an inner quoted
+    key contains ':' but the header split is limit-4 so the payload
+    stays intact."""
+    k1, k2, k3 = s.key(), p.key(), o.key()
+    return PyTerm(KIND_QUOTED, f"{len(k1)}:{len(k2)}:{len(k3)}:{k1}{k2}{k3}")
+
+
+def term_from_key(key: str) -> PyTerm:
+    """Inverse of PyTerm.key(). For quoted terms the key is
+    '3' SEP lex SEP SEP (dt and lang empty), and lex may itself contain
+    SEP — recovered positionally, not by split."""
+    kind = int(key.split(_SEP, 1)[0])
+    if kind == KIND_QUOTED:
+        return PyTerm(KIND_QUOTED, key[2:-2])
+    k, lex, dt, lang = key.split(_SEP)
+    return PyTerm(kind, lex, dt or None, lang or None)
+
+
+def quoted_parts(t: PyTerm) -> tuple[PyTerm, PyTerm, PyTerm]:
+    """Decode the three components of a quoted-triple term."""
+    assert t.kind == KIND_QUOTED
+    l1, l2, l3, payload = t.lex.split(":", 3)
+    n1, n2, n3 = int(l1), int(l2), int(l3)
+    return (
+        term_from_key(payload[:n1]),
+        term_from_key(payload[n1:n1 + n2]),
+        term_from_key(payload[n1 + n2:n1 + n2 + n3]),
+    )
+
+
+def lexical_num_col(lex: Column, dt: Column) -> Column:
+    """Column twin of lexical_num (the loaders' num-shadow rule)."""
+    return (
+        F.when(dt.isin(*NUMERIC_DTS), lex.try_cast("double"))
+        .when(dt == "boolean", (lex == "true").cast("double"))
+        .when(dt.isin(*TEMPORAL_DTS),
+              F.unix_micros(F.try_to_timestamp(lex)).cast("double"))
+    )
+
+
+def quoted_col(s: Column, p: Column, o: Column) -> Column:
+    """TRIPLE(s, p, o): construct a quoted-triple term column. Unbound
+    or error components propagate to an unbound result (SPARQL error
+    semantics)."""
+    k1, k2, k3 = term_key(s), term_key(p), term_key(o)
+    c = F.lit(":")
+    lex = F.concat(F.length(k1).cast("string"), c,
+                   F.length(k2).cast("string"), c,
+                   F.length(k3).cast("string"), c, k1, k2, k3)
+    t = term_struct(_b(KIND_QUOTED), lex, _NULL_S(), _NULL_S(), _NULL_D())
+    return F.when(
+        s.isNotNull() & p.isNotNull() & o.isNotNull(), t
+    ).otherwise(F.lit(None).cast(TERM_SCHEMA))
+
+
+def term_of_key_col(key: Column) -> Column:
+    """Column inverse of term_key: rebuild the full term struct from a
+    canonical key. Base-term keys split on SEP (base lex never contains
+    SEP — the repo-wide term_key invariant); quoted keys are recovered
+    positionally ('3' SEP lex SEP SEP)."""
+    kind_s = F.substring_index(key, _SEP, 1)
+    parts = F.split(key, _SEP)
+    lex_nq = F.element_at(parts, 2)
+    dt = F.nullif(F.element_at(parts, 3), F.lit(""))
+    lang = F.nullif(F.element_at(parts, 4), F.lit(""))
+    base = term_struct(kind_s.cast("tinyint"), lex_nq, dt, lang,
+                       lexical_num_col(lex_nq, dt))
+    quoted_t = term_struct(_b(KIND_QUOTED),
+                           F.substring(key, F.lit(3), F.length(key) - 4),
+                           _NULL_S(), _NULL_S(), _NULL_D())
+    return F.when(key.isNull(), F.lit(None).cast(TERM_SCHEMA)) \
+        .when(kind_s == str(KIND_QUOTED), quoted_t).otherwise(base)
+
+
+def quoted_component_key_col(t: Column, i: int) -> Column:
+    """Raw component-i term_key of a quoted term — NULL when t is unbound
+    or not quoted. This is the accessor's IDENTITY without the term-struct
+    rebuild: sameTerm-style comparisons against another key (or a constant
+    key string) stay a ~10-node expression instead of multiplying through
+    term_key × bool_term × EBV fan-out (the 64KB-codegen cliff)."""
+    parts = F.split(t["lex"], ":", 4)  # [len1, len2, len3, payload]
+    ln = lambda j: F.element_at(parts, j).cast("int")  # noqa: E731
+    start = F.lit(1)
+    for j in range(1, i + 1):
+        start = start + ln(j)
+    comp_key = F.substring(F.element_at(parts, 4), start, ln(i + 1))
+    return F.when(t.isNotNull() & (t["kind"] == KIND_QUOTED), comp_key)
+
+
+def quoted_component_col(t: Column, i: int) -> Column:
+    """SUBJECT/PREDICATE/OBJECT(t): component i (0/1/2) of a quoted
+    term, as a full term struct; unbound when t is not a quoted triple
+    (SPARQL error → unbound; term_of_key_col propagates the NULL key)."""
+    return term_of_key_col(quoted_component_key_col(t, i))

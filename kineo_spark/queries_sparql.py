@@ -950,3 +950,97 @@ def sparql_reduced(spark, sf_dir) -> DataFrame:
     return extract(select(comp, A.SelectQuery(alg)), {
         "segment": ("segment", "lex"), "nation": ("nat", "lex"),
     })
+
+
+# ---------------------------------------------------------------------------
+# RDF-star / SPARQL-star (KIND_QUOTED extension; the reference declares the
+# rdf-tests-12 suite in .gitmodules but ships no RDF-star surface)
+# ---------------------------------------------------------------------------
+
+def _star_store(spark, sf_dir):
+    """Quads for nation/region name + FK edges, plus an RDF-star
+    annotation per nation: << nationRow n_name "name" >> prov:source
+    "census-{k%3}". The quoted subject's packed lex is built in pure
+    Column space via quoted_col, so the store construction itself
+    exercises the TRIPLE() encoding distributed, not driver-side."""
+    from pyspark.sql import functions as F
+
+    from kineo_spark.model import quoted_col, term_struct
+    from kineo_spark.store import QuadsDataFrameStore, read_table
+
+    nation = read_table(spark, sf_dir, "nation")
+    region = read_table(spark, sf_dir, "region")
+    ns = F.lit(None).cast("string")
+    nd = F.lit(None).cast("double")
+    b = lambda k: F.lit(k).cast("tinyint")  # noqa: E731
+
+    def quad(s_kind, s_lex, p, o_kind, o_lex, o_dt):
+        return F.struct(
+            s_kind.alias("s_kind"), s_lex.alias("s_lex"),
+            F.lit(p).alias("p_lex"), o_kind.alias("o_kind"),
+            o_lex.alias("o_lex"),
+            (F.lit(o_dt).cast("string")).alias("o_dt"),
+            ns.alias("o_lang"), nd.alias("o_num"),
+            F.lit("urn:g:star").alias("g_lex"))
+
+    n_row = F.concat(F.lit("urn:t:nation:"), F.col("n_nationkey").cast("string"))
+    r_row = F.concat(F.lit("urn:t:region:"), F.col("r_regionkey").cast("string"))
+    r_fk = F.concat(F.lit("urn:t:region:"), F.col("n_regionkey").cast("string"))
+
+    name_q = nation.select(quad(b(0), n_row, "urn:col:nation:n_name",
+                                b(2), F.col("n_name"), "string").alias("q"))
+    fk_q = nation.select(quad(b(0), n_row, "urn:fk:nation:n_regionkey",
+                              b(0), r_fk, None).alias("q"))
+    rname_q = region.select(quad(b(0), r_row, "urn:col:region:r_name",
+                                 b(2), F.col("r_name"), "string").alias("q"))
+    qt = quoted_col(
+        term_struct(b(0), n_row, ns, ns, nd),
+        term_struct(b(0), F.lit("urn:col:nation:n_name"), ns, ns, nd),
+        term_struct(b(2), F.col("n_name"), F.lit("string"), ns, nd))
+    src = F.concat(F.lit("census-"), (F.col("n_nationkey") % 3).cast("string"))
+    ann_q = nation.select(quad(qt["kind"], qt["lex"], "urn:prov:source",
+                               b(2), src, "string").alias("q"))
+    quads = name_q.unionByName(fk_q).unionByName(rname_q).unionByName(ann_q)
+    return QuadsDataFrameStore(spark, quads.select("q.*"))
+
+
+@q("sparql_star_annotation",
+   "SELECT n_name AS name, 'census-' || CAST(n_nationkey % 3 AS VARCHAR) AS src "
+   "FROM nation JOIN region ON n_regionkey = r_regionkey WHERE r_name = 'ASIA'")
+def sparql_star_annotation(spark, sf_dir) -> DataFrame:
+    """Quoted-pattern decomposition joined with a plain BGP: the star
+    subject's variable components bind via positional key extraction
+    (parser desugar → ISTRIPLE/SAMETERM key-compare fast paths), then
+    ?row joins the FK chain to region."""
+    from kineo_spark.engine import Engine
+
+    r = Engine(_star_store(spark, sf_dir)).query("""
+      SELECT ?name ?src WHERE {
+        << ?row <urn:col:nation:n_name> ?name >> <urn:prov:source> ?src .
+        ?row <urn:fk:nation:n_regionkey> ?reg .
+        ?reg <urn:col:region:r_name> "ASIA" .
+      }
+    """)
+    return extract(r.bindings, {"name": ("name", "lex"), "src": ("src", "lex")})
+
+
+@q("sparql_star_triple_fn",
+   "SELECT r_name AS rname, 'urn:t:region:' || CAST(r_regionkey AS VARCHAR) "
+   "AS stext FROM region")
+def sparql_star_triple_fn(spark, sf_dir) -> DataFrame:
+    """TRIPLE()/SUBJECT()/isTRIPLE() builtins through the text front end;
+    rewrite.fold_star_accessors collapses SUBJECT(TRIPLE(...)) so the
+    packed encoding never round-trips (plan stays under the codegen
+    cliff)."""
+    from kineo_spark.engine import Engine
+
+    r = Engine(_star_store(spark, sf_dir)).query("""
+      SELECT ?rname ?stext WHERE {
+        ?r <urn:col:region:r_name> ?rname .
+        BIND(TRIPLE(?r, <urn:col:region:r_name>, ?rname) AS ?t)
+        FILTER(isTRIPLE(?t))
+        BIND(STR(SUBJECT(?t)) AS ?stext)
+      }
+    """)
+    return extract(r.bindings, {"rname": ("rname", "lex"),
+                                "stext": ("stext", "lex")})

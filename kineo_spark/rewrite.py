@@ -46,7 +46,11 @@ def _map_children(node: A.Algebra, f) -> A.Algebra:
 
 
 def rewrite(node: A.Algebra) -> A.Algebra:
-    node = _map_children(node, rewrite)
+    return fold_star_accessors(_rewrite(node))
+
+
+def _rewrite(node: A.Algebra) -> A.Algebra:
+    node = _map_children(node, _rewrite)
     node = expand_paths(node)
     node = merge_filters(node)
     node = fold_constant_filters(node)
@@ -118,3 +122,80 @@ def fold_constant_filters(node: A.Algebra) -> A.Algebra:
     if truth is False:
         return A.UnionIdentity()
     return node
+
+
+# ---------------------------------------------------------------------------
+# RDF-star accessor folding
+# ---------------------------------------------------------------------------
+
+_ACCESSORS = ("SUBJECT", "PREDICATE", "OBJECT")
+# nodes an Extend-definition safely flows through: they neither drop
+# columns (Project) nor change which rows a variable is bound on
+# (joins/OPTIONAL/UNION) — everything else is a barrier with fresh defs
+_PASS_THROUGH = (A.Distinct, A.Reduced, A.Slice)
+
+
+def fold_star_accessors(node: A.Algebra, _defs: dict | None = None) -> A.Algebra:
+    """SUBJECT/PREDICATE/OBJECT/isTRIPLE applied to a variable BIND-bound
+    to TRIPLE(...) in the same Extend/Filter/Order chain fold to the
+    component expression (guarded so all-three-bound, via the internal
+    TRIPLECOMP op). Without this, Catalyst's project collapse inlines the
+    packed-triple construction into every accessor and the term_key×EBV
+    fan-out multiplies the expression tree past the 64 KB codegen cliff."""
+    from kineo_spark.expr import ECall
+
+    defs = {} if _defs is None else _defs
+    if isinstance(node, A.Extend):
+        child = fold_star_accessors(node.child, defs)
+        e = _fold_acc_expr(node.expr, defs)
+        if isinstance(e, ECall) and e.op == "TRIPLE" and len(e.args) == 3:
+            defs[node.name] = e
+        else:
+            defs.pop(node.name, None)
+        return A.Extend(child, e, node.name)
+    if isinstance(node, A.Filter):
+        child = fold_star_accessors(node.child, defs)
+        return A.Filter(child, _fold_acc_expr(node.expr, defs))
+    if isinstance(node, A.Order):
+        child = fold_star_accessors(node.child, defs)
+        comps = tuple(
+            replace(c, expr=_fold_acc_expr(c.expr, defs))
+            for c in node.comparators
+        )
+        return A.Order(child, comps)
+    if isinstance(node, _PASS_THROUGH):
+        return replace(node, child=fold_star_accessors(node.child, defs))
+    return _map_children(node, lambda c: fold_star_accessors(c))
+
+
+def _triple_def(arg, defs: dict):
+    from kineo_spark.expr import ECall, EVar
+
+    if isinstance(arg, ECall) and arg.op == "TRIPLE" and len(arg.args) == 3:
+        return arg
+    if isinstance(arg, EVar):
+        return defs.get(arg.name)
+    return None
+
+
+def _fold_acc_expr(e, defs: dict):
+    from kineo_spark.expr import ECall, EVar
+
+    if not isinstance(e, ECall):
+        return e
+    args = tuple(_fold_acc_expr(x, defs) for x in e.args)
+    if e.op in _ACCESSORS and len(args) == 1:
+        t = _triple_def(args[0], defs)
+        if t is not None:
+            return ECall("TRIPLECOMP", t.args,
+                         (("comp", _ACCESSORS.index(e.op)),))
+    if e.op == "ISTRIPLE" and len(args) == 1:
+        t = _triple_def(args[0], defs)
+        if t is not None:
+            # isTRIPLE(TRIPLE(a,b,c)) ≡ true when all three bound, ERROR
+            # otherwise (TRIPLE propagates unbound) — exact via the
+            # internal all-bound-or-error op
+            return ECall("ALLBOUNDTRUE", t.args)
+    if args != e.args:
+        return ECall(e.op, args, e.kwargs)
+    return e

@@ -16,7 +16,10 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from kineo_spark.model import IRI_DT, KIND_BLANK, KIND_IRI, KIND_LITERAL, NUMERIC_DTS, TEMPORAL_DTS
+from kineo_spark.model import (
+    IRI_DT, KIND_BLANK, KIND_IRI, KIND_LITERAL, NUMERIC_DTS, QUADS_SCHEMA,
+    TEMPORAL_DTS,
+)
 
 # one N-Triples/N-Quads statement:  subject predicate object [graph] .
 _IRI = r"<([^>]*)>"
@@ -80,6 +83,13 @@ def load_ntriples(
     lines = lines.filter(
         (F.length(F.trim(F.col("value"))) > 0) & ~F.trim(F.col("value")).startswith("#")
     )
+    # RDF-star: lines that may contain a quoted triple go through the
+    # recursive Arrow-batched parser (the Column regex cannot nest);
+    # routing by substring is a superset — the Python parser handles
+    # plain lines identically — and the common case stays pure Column
+    star_branch = lines.filter(F.col("value").contains("<<")).mapInPandas(
+        lambda it: _star_rows(it, default_graph), QUADS_SCHEMA)
+    lines = lines.filter(~F.col("value").contains("<<"))
     g = lambda i: F.regexp_extract(F.col("value"), _STMT, i)  # noqa: E731
 
     s_iri, s_bn = g(1), g(2)
@@ -125,7 +135,7 @@ def load_ntriples(
         dt_tok.alias("o_dt"),
         F.when(F.col("o_lang_raw") != "", F.col("o_lang_raw")).alias("o_lang"),
         num.alias("o_num"), "g_lex",
-    )
+    ).unionByName(star_branch)
 
 
 def serialize_ntriples(quads: DataFrame, with_graph: bool = False) -> DataFrame:
@@ -166,4 +176,138 @@ def serialize_ntriples(quads: DataFrame, with_graph: bool = False) -> DataFrame:
     ]
     if with_graph:
         parts.append(term(F.lit(KIND_IRI), F.col("g_lex")))
-    return quads.select(F.concat_ws(" ", *parts, F.lit(".")).alias("line"))
+    from kineo_spark.model import KIND_QUOTED
+    star_cond = (F.col("s_kind") == KIND_QUOTED) | (F.col("o_kind") == KIND_QUOTED)
+    plain = quads.filter(~star_cond).select(
+        F.concat_ws(" ", *parts, F.lit(".")).alias("line"))
+
+    def _star_lines(it):
+        import pandas as pd
+        from kineo_spark.model import PyTerm
+        for pdf in it:
+            lines = []
+            for r in pdf.itertuples(index=False):
+                dt = r.o_dt if isinstance(r.o_dt, str) else None
+                lang = r.o_lang if isinstance(r.o_lang, str) else None
+                s = PyTerm(int(r.s_kind), r.s_lex).n3()
+                p = PyTerm(KIND_IRI, r.p_lex).n3()
+                o = PyTerm(int(r.o_kind), r.o_lex, dt, lang).n3()
+                tail = (f" <{r.g_lex}>" if with_graph else "")
+                lines.append(f"{s} {p} {o}{tail} .")
+            yield pd.DataFrame({"line": lines})
+
+    star = quads.filter(star_cond).mapInPandas(_star_lines, "line string")
+    return plain.unionByName(star)
+
+
+# ---------------------------------------------------------------------------
+# N-Triples-star / N-Quads-star (RDF-star extension, KIND_QUOTED)
+# ---------------------------------------------------------------------------
+
+_PY_ESC = {"n": "\n", "t": "\t", "r": "\r", "b": "\b", "f": "\f",
+           '"': '"', "'": "'", "\\": "\\"}
+
+
+def _py_unescape(s: str) -> str:
+    """Python twin of _unescape for the star branch (same escapes)."""
+    if "\\" not in s:
+        return s
+    out, i = [], 0
+    while i < len(s):
+        c = s[i]
+        if c == "\\" and i + 1 < len(s):
+            n = s[i + 1]
+            if n == "u":
+                out.append(chr(int(s[i + 2:i + 6], 16))); i += 6
+            elif n == "U":
+                out.append(chr(int(s[i + 2:i + 10], 16))); i += 10
+            else:
+                out.append(_PY_ESC.get(n, n)); i += 2
+        else:
+            out.append(c); i += 1
+    text = "".join(out)
+    try:  # combine any \uD800-\uDFFF surrogate pairs into code points
+        return text.encode("utf-16", "surrogatepass").decode("utf-16")
+    except UnicodeDecodeError:
+        return text
+
+
+def _parse_star_term(s: str, i: int):
+    """One N-Triples-star term at s[i:] → (PyTerm, next index).
+    Recursive for << s p o >>."""
+    from kineo_spark.model import KIND_BLANK as KB, KIND_LITERAL as KL, PyTerm, iri, quoted
+
+    while i < len(s) and s[i].isspace():
+        i += 1
+    if s.startswith("<<", i):
+        i += 2
+        t1, i = _parse_star_term(s, i)
+        t2, i = _parse_star_term(s, i)
+        t3, i = _parse_star_term(s, i)
+        while i < len(s) and s[i].isspace():
+            i += 1
+        if not s.startswith(">>", i):
+            raise SyntaxError(f"unterminated quoted triple at {i}: {s!r}")
+        return quoted(t1, t2, t3), i + 2
+    if s[i] == "<":
+        j = s.index(">", i)
+        return iri(_py_unescape(s[i + 1:j])), j + 1
+    if s.startswith("_:", i):
+        j = i + 2
+        while j < len(s) and not s[j].isspace():
+            j += 1
+        return PyTerm(KB, s[i + 2:j]), j
+    if s[i] == '"':
+        j = i + 1
+        while s[j] != '"':
+            j += 2 if s[j] == "\\" else 1
+        lex = _py_unescape(s[i + 1:j])
+        j += 1
+        if s.startswith("^^<", j):
+            k = s.index(">", j)
+            dt_iri = s[j + 3:k]
+            return PyTerm(KL, lex, IRI_DT.get(dt_iri, dt_iri)), k + 1
+        if j < len(s) and s[j] == "@":
+            k = j + 1
+            while k < len(s) and (s[k].isalnum() or s[k] == "-"):
+                k += 1
+            return PyTerm(KL, lex, "langString", s[j + 1:k]), k
+        return PyTerm(KL, lex, "string"), j
+    raise SyntaxError(f"cannot parse term at {i}: {s!r}")
+
+
+def _star_rows(lines, default_graph: str):
+    """pandas iterator: full-line N-Triples-star parse via PyTerm —
+    exactly the recursive grammar the Column regex cannot express."""
+    import pandas as pd
+
+    from kineo_spark.model import KIND_IRI as KI
+
+    cols = ["s_kind", "s_lex", "p_lex", "o_kind", "o_lex", "o_dt",
+            "o_lang", "o_num", "g_lex"]
+    for pdf in lines:
+        rows = []
+        for raw in pdf["value"]:
+            line = raw.strip()
+            if not line or line.startswith("#"):
+                continue
+            s, i = _parse_star_term(line, 0)
+            p, i = _parse_star_term(line, i)
+            o, i = _parse_star_term(line, i)
+            while i < len(line) and line[i].isspace():
+                i += 1
+            g_lex = default_graph
+            if i < len(line) and line[i] != ".":
+                g, i = _parse_star_term(line, i)
+                g_lex = g.lex
+            rows.append((s.kind, s.lex, p.lex, o.kind, o.lex,
+                         o.dt, o.lang, o.num, g_lex))
+        out = pd.DataFrame(rows, columns=cols)
+        if len(out):
+            out["s_kind"] = out["s_kind"].astype("int8")
+            out["o_kind"] = out["o_kind"].astype("int8")
+            out["o_num"] = out["o_num"].astype("float64")
+        else:
+            out = out.astype({"s_kind": "int8", "o_kind": "int8",
+                              "o_num": "float64"})
+        yield out

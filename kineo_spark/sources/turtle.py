@@ -42,6 +42,7 @@ _TOKEN = re.compile(
     | (?P<BNODE>_:[{_PNU}0-9][{_PNC}.]*(?<!\.)|_:[{_PNU}0-9])
     | (?P<PNAME>[{_PNU}][{_PNC}.]*?:(?:(?:[{_PNC}.:%]|\\[_~.\-!$&'()*+,;=/?\#@%])*(?:[{_PNC}:%]|\\[_~.\-!$&'()*+,;=/?\#@%]))?|:(?:(?:[{_PNC}.%]|\\[_~.\-!$&'()*+,;=/?\#@%])*(?:[{_PNC}%]|\\[_~.\-!$&'()*+,;=/?\#@%]))?)
     | (?P<KW>@?[A-Za-z_][A-Za-z0-9_]*)
+    | (?P<QT><<|>>|\{{\||\|\}})
     | (?P<OP>\^\^|[{{}}()\[\].,;])
     """,
     re.VERBOSE,
@@ -181,8 +182,27 @@ class TurtleParser:
         self._anon += 1
         return _mk(KIND_BLANK, f"genid{self.anon_prefix}{self._anon}")
 
+    def _quoted_triple(self):
+        """Turtle-star << s p o >> — a quoted-triple term (KIND_QUOTED,
+        packed header lex; see model.quoted). Nests unbounded."""
+        from kineo_spark.model import PyTerm, quoted
+
+        self.next()  # <<
+        s = self._subject()
+        p = self._predicate()
+        o = self._object()
+        if self.peek() != ("QT", ">>"):
+            raise SyntaxError(f"turtle: expected '>>', got {self.peek()}")
+        self.next()
+        qt = quoted(PyTerm(s[0], s[1], s[2], s[3]),
+                    PyTerm(p[0], p[1], p[2], p[3]),
+                    PyTerm(o[0], o[1], o[2], o[3]))
+        return _mk(qt.kind, qt.lex)
+
     def _subject(self):
         k, v = self.peek()
+        if (k, v) == ("QT", "<<"):
+            return self._quoted_triple()
         if k == "OP" and v == "[":
             return self._blank_node_property_list()
         if k == "OP" and v == "(":
@@ -191,6 +211,8 @@ class TurtleParser:
 
     def _object(self):
         k, v = self.peek()
+        if (k, v) == ("QT", "<<"):
+            return self._quoted_triple()
         if k == "OP" and v == "[":
             return self._blank_node_property_list()
         if k == "OP" and v == "(":
@@ -239,17 +261,37 @@ class TurtleParser:
              num, self.graph)
         )
 
+    def _annotation(self, s, p, o):
+        """Turtle-star annotation ``{| p1 o1 ; ... |}``: the base triple
+        (already emitted by the caller) gets a quoted copy as the subject
+        of the annotation property list; nested annotations recurse via
+        _predicate_object_list."""
+        from kineo_spark.model import PyTerm, quoted
+
+        while self.peek() == ("QT", "{|"):
+            self.next()
+            qt = quoted(PyTerm(s[0], s[1], s[2], s[3]),
+                        PyTerm(p[0], p[1], p[2], p[3]),
+                        PyTerm(o[0], o[1], o[2], o[3]))
+            self._predicate_object_list(_mk(qt.kind, qt.lex))
+            if self.peek() != ("QT", "|}"):
+                raise SyntaxError(f"turtle: expected '|}}', got {self.peek()}")
+            self.next()
+
     def _predicate_object_list(self, subj):
         while True:
             p = self._predicate()
             while True:
                 o = self._object()
                 self._emit(subj, p, o)
+                self._annotation(subj, p, o)
                 if not self.op(","):
                     break
             if not self.op(";"):
                 break
             if self.peek()[0] == "OP" and self.peek()[1] in (".", "]", "}"):
+                break
+            if self.peek() == ("QT", "|}"):  # trailing ';' in annotation
                 break
 
     def _blank_node_property_list(self):
@@ -428,6 +470,11 @@ def _scan_line(line: str, state: tuple[str, int]):
             sig.append("S")
             continue
         if ch == "<":
+            if line[i:i + 2] == "<<":  # Turtle-star quoted-triple open
+                sig.append("q")
+                pending = False
+                i += 2
+                continue
             j = line.find(">", i + 1)
             if j < 0:
                 return (strq, depth), False, "unterminated IRI"
@@ -435,9 +482,25 @@ def _scan_line(line: str, state: tuple[str, int]):
             i = j + 1
             pending = False
             continue
+        if ch == "|" and line[i:i + 2] == "|}":
+            # Turtle-star annotation close (annotation depth rides the
+            # same cross-line state in steps of 100 — see '{|' below)
+            depth -= 100
+            if depth < 0:
+                return (strq, depth), False, "unbalanced '|}'"
+            pending = False
+            sig.append("A")
+            i += 2
+            continue
         if ch == "{":
+            if line[i:i + 2] == "{|":  # Turtle-star annotation open
+                depth += 100
+                pending = False
+                sig.append("a")
+                i += 2
+                continue
             depth += 1
-            if depth > 1:
+            if depth % 100 > 1:
                 return (strq, depth), False, "nested graph block"
             pending = False
             sig.append("{")
@@ -463,6 +526,11 @@ def _scan_line(line: str, state: tuple[str, int]):
             pending = False
             sig.append(ch)
         i += 1
+    if depth >= 100:
+        # an open {| annotation at end-of-line would leave the closed
+        # 6-state machine (annotation depth rides +100 within a line
+        # only) — multi-line annotations take the driver fallback
+        return (strq, depth), False, "annotation spans lines"
     if strq:
         return (strq, depth), False, None
     ends = pending and depth == 0

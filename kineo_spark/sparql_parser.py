@@ -119,6 +119,8 @@ _BUILTINS = {
     "SHA384", "SHA512", "COALESCE", "IF", "STRLANG", "STRDT", "SAMETERM",
     "ISIRI", "ISURI", "ISBLANK", "ISLITERAL", "ISNUMERIC", "REGEX", "SUBSTR",
     "REPLACE",
+    # SPARQL-star builtins (RDF-star extension)
+    "TRIPLE", "SUBJECT", "PREDICATE", "OBJECT", "ISTRIPLE",
 }
 _AGGS = {"COUNT", "SUM", "MIN", "MAX", "AVG", "SAMPLE", "GROUP_CONCAT"}
 
@@ -135,6 +137,11 @@ class Parser:
         # collected by the enclosing triples block
         self._pending: list[A.TriplePattern] = []
         self._pending_paths: list[A.PathPattern] = []
+        # RDF-star: bind/filter constraints desugared from quoted triple
+        # patterns (<< s p o >> with variables), applied by the
+        # enclosing triples block
+        self._star_pending: list[tuple] = []
+        self._qt_anon = 0
         # FROM / FROM NAMED clauses of the top-level query form
         self._dataset: tuple = ()
         # inside a CONSTRUCT template, bnodes stay constants (instantiated
@@ -272,11 +279,96 @@ class Parser:
         self._anon += 1
         return A.Var(f"bn-a{self._anon}")
 
+    def _quoted_pattern(self):
+        """RDF-star << s p o >> in subject/object position. All-constant
+        forms return a quoted PyTerm constant; forms with variables (or
+        nested patterns) desugar to a fresh ?qt var plus
+        ISTRIPLE/SUBJECT/PREDICATE/OBJECT constraints collected in
+        self._star_pending for the enclosing triples block — OUTER
+        constraints precede the components' own (a nested pattern's qt
+        var must be bound by the outer accessor before its constraints
+        read it)."""
+        self.next(); self.next()  # the two '<' tokens
+        mark = len(self._star_pending)
+        s = self._node()
+        tp = self.peek()
+        if tp.kind == "VAR":
+            self.next()
+            p = A.Var(tp.text[1:])
+        else:
+            p = self._term()
+        o = self._node()
+        self.expect_op(">")
+        self.expect_op(">")
+        inner = self._star_pending[mark:]
+        del self._star_pending[mark:]
+        return self._quoted_node(s, p, o, inner)
+
+    def _quoted_node(self, s, p, o, inner: list):
+        """Desugar a quoted triple over already-parsed component nodes.
+        All-constant forms return a quoted PyTerm constant; otherwise a
+        fresh ?qt var plus ISTRIPLE/accessor constraints go to
+        self._star_pending, OUTER before ``inner`` (a nested pattern's qt
+        var must be bound by the outer accessor before its constraints
+        read it)."""
+        from kineo_spark.model import quoted
+
+        if (isinstance(s, PyTerm) and isinstance(p, PyTerm)
+                and isinstance(o, PyTerm)):
+            return quoted(s, p, o)
+        self._qt_anon += 1
+        qt = f"qt-{self._qt_anon}"
+        own: list[tuple] = [("filter", mkfn("ISTRIPLE", EVar(qt)))]
+        for comp, acc in ((s, "SUBJECT"), (p, "PREDICATE"), (o, "OBJECT")):
+            e = mkfn(acc, EVar(qt))
+            if isinstance(comp, PyTerm):
+                own.append(("filter", mkfn("SAMETERM", e, comp)))
+            else:
+                own.append(("bind", comp.name, e))
+        self._star_pending.extend(own)
+        self._star_pending.extend(inner)
+        return A.Var(qt)
+
+    def _annotation(self, s, p, o, triples: list) -> None:
+        """SPARQL-star annotation block(s) ``t {| p1 o1 ; ... |}`` after a
+        triple: sugar for << s p o >> as the subject of the annotation
+        property list (the base triple is already appended by the
+        caller). Nested annotations on annotation triples recurse."""
+        while (self.peek().kind == "OP" and self.peek().text == "{"
+               and self.peek(1).kind == "OP" and self.peek(1).text == "|"):
+            self.next(); self.next()
+            qt = self._quoted_node(s, p, o, [])
+            while True:
+                t = self.peek()
+                if t.kind == "VAR":
+                    self.next()
+                    pred = A.Var(t.text[1:])
+                else:
+                    pred = self._term()
+                obj = self._node()
+                triples.append(A.TriplePattern(qt, pred, obj))
+                self._annotation(qt, pred, obj, triples)
+                while self.op(","):
+                    obj = self._node()
+                    triples.append(A.TriplePattern(qt, pred, obj))
+                    self._annotation(qt, pred, obj, triples)
+                if self.op(";"):
+                    if (self.peek().kind == "OP"
+                            and self.peek().text in ("|",)):
+                        break
+                    continue
+                break
+            self.expect_op("|")
+            self.expect_op("}")
+
     def _node(self):
         t = self.peek()
         if t.kind == "VAR":
             self.next()
             return A.Var(t.text[1:])
+        if (t.kind == "OP" and t.text == "<" and self.peek(1).kind == "OP"
+                and self.peek(1).text == "<"):
+            return self._quoted_pattern()
         if t.kind == "BNODE" and not self._in_template:
             # a blank node in a query pattern is a non-distinguished
             # variable (RDF semantics), shared across the group
@@ -703,10 +795,12 @@ class Parser:
                 self.next()
                 obj = self._node()
                 triples.append(A.TriplePattern(subj, pred, obj))
+                self._annotation(subj, pred, obj, triples)
             elif is_simple:
                 pred = self._term()
                 obj = self._node()
                 triples.append(A.TriplePattern(subj, pred, obj))
+                self._annotation(subj, pred, obj, triples)
             else:
                 path = self._path()
                 obj = self._node()
@@ -725,6 +819,7 @@ class Parser:
                     parts.append(A.PathPattern(subj, cur_path, obj))
                 else:
                     triples.append(A.TriplePattern(subj, pred, obj))  # noqa: F821
+                    self._annotation(subj, pred, obj, triples)
             if self.op(";"):
                 if self.peek().kind == "OP" and self.peek().text in ("}", "."):
                     break
@@ -739,6 +834,32 @@ class Parser:
         out: A.Algebra | None = A.BGP(tuple(triples)) if triples else None
         for p in parts:
             out = p if out is None else A.Join(out, p)
+        star = self._star_pending
+        self._star_pending = []
+        if star:
+            # RDF-star desugar: component vars bind via accessors; a var
+            # the block also binds positionally (or an earlier entry
+            # already bound) becomes a sameTerm join constraint instead
+            # of a rebinding Extend
+            block_vars = {
+                n.name for t_ in triples for n in (t_.s, t_.p, t_.o)
+                if isinstance(n, A.Var)
+            } | {
+                n.name for pp in parts for n in (pp.subject, pp.object)
+                if isinstance(n, A.Var)
+            }
+            out = out or A.JoinIdentity()
+            bound: set[str] = set()
+            for entry in star:
+                if entry[0] == "bind":
+                    _, name, e = entry
+                    if name in bound or name in block_vars:
+                        out = A.Filter(out, mkfn("SAMETERM", EVar(name), e))
+                    else:
+                        out = A.Extend(out, e, name)
+                        bound.add(name)
+                else:
+                    out = A.Filter(out, entry[1])
         return out or A.JoinIdentity()
 
     def _lookahead_path(self) -> bool:

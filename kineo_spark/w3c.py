@@ -174,6 +174,16 @@ def _term_of_json(d: dict | None):
         return (KIND_IRI, d["value"], None, None)
     if t == "bnode":
         return (KIND_BLANK, d["value"], None, None)
+    if t == "triple":
+        # SPARQL 1.2 results JSON: {"type":"triple","value":{"subject":
+        # ..., "predicate": ..., "object": ...}} → rebuild the canonical
+        # KIND_QUOTED lex so tuple equality just works
+        from kineo_spark.model import PyTerm, quoted
+
+        v = d["value"]
+        qt = quoted(*(PyTerm(*_term_of_json(v[k]))
+                      for k in ("subject", "predicate", "object")))
+        return (qt.kind, qt.lex, None, None)
     lang = d.get("xml:lang")
     if lang:
         return (KIND_LITERAL, d["value"], "langString", lang)

@@ -1,0 +1,136 @@
+"""RDF-star / SPARQL-star extension (KIND_QUOTED quoted triples).
+
+The reference declares the rdf-tests-12 suite but ships no RDF-star
+surface (VERDICT r5 notes this); here quoted triples are first-class
+terms: lex = length-prefixed concatenation of component term_keys
+(injective, recursively parseable in pure Column), SPARQL-star patterns
+desugar in the parser to TRIPLE/SUBJECT/PREDICATE/OBJECT constraints —
+the compiler is untouched.
+"""
+
+from kineo_spark.engine import Engine
+from kineo_spark.model import (
+    KIND_QUOTED, iri, lit, quoted, quoted_parts, term_from_key,
+)
+from kineo_spark.store import QuadsDataFrameStore
+
+E = "http://e/"
+
+
+def _eng(spark):
+    inner = quoted(iri(E + "alice"), iri(E + "age"), lit(30))
+    inner2 = quoted(iri(E + "bob"), iri(E + "age"), lit(25))
+    rows = [
+        (inner.kind, inner.lex, E + "certainty", 2, "0.9", "double", None, 0.9, "g"),
+        (inner2.kind, inner2.lex, E + "certainty", 2, "0.4", "double", None, 0.4, "g"),
+        (0, E + "alice", E + "age", 2, "30", "integer", None, 30.0, "g"),
+        (0, E + "alice", E + "name", 2, "Alice", "string", None, None, "g"),
+        (0, E + "bob", E + "name", 2, "Bob", "string", None, None, "g"),
+    ]
+    return Engine(QuadsDataFrameStore.from_rows(spark, rows))
+
+
+def test_python_roundtrip_and_nesting():
+    q = quoted(iri(E + "s"), iri(E + "p"), lit("x", lang="en"))
+    s, p, o = quoted_parts(q)
+    assert (s.lex, p.lex, o.lex, o.lang) == (E + "s", E + "p", "x", "en")
+    nest = quoted(q, iri(E + "q"), lit(1))
+    ns, _, no = quoted_parts(nest)
+    assert ns == q and no.lex == "1"
+    assert term_from_key(q.key()) == q
+    assert q.n3() == f'<< <{E}s> <{E}p> "x"@en >>'
+
+
+def test_constant_quoted_pattern(spark):
+    rows = _eng(spark).query(f"""
+      PREFIX e: <{E}>
+      SELECT ?c WHERE {{ << e:alice e:age 30 >> e:certainty ?c }}
+    """).bindings.collect()
+    assert [r["c"]["lex"] for r in rows] == ["0.9"]
+
+
+def test_variable_quoted_pattern_joins(spark):
+    rows = _eng(spark).query(f"""
+      PREFIX e: <{E}>
+      SELECT ?n ?age ?c WHERE {{
+        << ?who e:age ?age >> e:certainty ?c . ?who e:name ?n
+      }} ORDER BY ?n
+    """).bindings.collect()
+    got = [(r["n"]["lex"], r["age"]["lex"], r["c"]["lex"]) for r in rows]
+    assert got == [("Alice", "30", "0.9"), ("Bob", "25", "0.4")]
+
+
+def test_shared_inner_var_becomes_join_not_rebind(spark):
+    # ?who is also bound positionally in the same block — the desugar
+    # must emit a sameTerm constraint, not a rebinding Extend
+    rows = _eng(spark).query(f"""
+      PREFIX e: <{E}>
+      SELECT ?n WHERE {{
+        ?who e:name ?n . << ?who e:age 30 >> e:certainty ?c
+      }}
+    """).bindings.collect()
+    assert [r["n"]["lex"] for r in rows] == ["Alice"]
+
+
+def test_builtins_triple_accessors(spark):
+    rows = _eng(spark).query(f"""
+      PREFIX e: <{E}>
+      SELECT ?s ?o WHERE {{
+        ?x e:name ?n BIND(TRIPLE(?x, e:name, ?n) AS ?t)
+        BIND(SUBJECT(?t) AS ?s) BIND(OBJECT(?t) AS ?o)
+        FILTER(isTRIPLE(?t) && !isTRIPLE(?s))
+      }} ORDER BY ?o
+    """).bindings.collect()
+    got = [(r["s"]["lex"], r["o"]["lex"]) for r in rows]
+    assert got == [(E + "alice", "Alice"), (E + "bob", "Bob")]
+
+
+def test_accessor_on_non_triple_is_unbound(spark):
+    rows = _eng(spark).query(f"""
+      PREFIX e: <{E}>
+      SELECT ?s WHERE {{ ?x e:name ?n BIND(SUBJECT(?n) AS ?s) }}
+    """).bindings.collect()
+    assert all(r["s"] is None for r in rows) and len(rows) == 2
+
+
+def test_quoted_sorts_after_literals(spark):
+    rows = _eng(spark).query(f"""
+      PREFIX e: <{E}>
+      SELECT ?s WHERE {{ ?s ?p ?o }} ORDER BY ?s
+    """).bindings.collect()
+    kinds = [r["s"]["kind"] for r in rows]
+    assert kinds == sorted(kinds)
+    assert kinds[-1] == KIND_QUOTED
+
+
+def test_annotation_syntax(spark):
+    # {| |} sugar: the base triple must be ASSERTED and quoted-annotated.
+    # alice has both (alice age 30) and << alice age 30 >> certainty 0.9;
+    # bob's annotation exists but the base triple does not → alice only.
+    rows = _eng(spark).query(f"""
+      PREFIX e: <{E}>
+      SELECT ?n ?c WHERE {{
+        ?who e:age ?age {{| e:certainty ?c |}} . ?who e:name ?n
+      }} ORDER BY ?n
+    """).bindings.collect()
+    got = [(r["n"]["lex"], r["c"]["lex"]) for r in rows]
+    assert got == [("Alice", "0.9")]
+
+
+def test_ntriples_star_roundtrip(spark, tmp_path):
+    from kineo_spark.sources.ntriples import load_ntriples, serialize_ntriples
+
+    nt = (
+        f'<{E}a> <{E}p> "plain" .\n'
+        f'<< <{E}a> <{E}p> "plain" >> <{E}src> <{E}doc1> .\n'
+        f'<< <{E}x> <{E}q> << <{E}y> <{E}r> _:b1 >> >> <{E}says> "n\\"q\\"" .\n'
+    )
+    f = tmp_path / "star.nt"
+    f.write_text(nt)
+    df = load_ntriples(spark, str(f))
+    assert df.count() == 3
+    out = sorted(r.line for r in serialize_ntriples(df).collect())
+    f2 = tmp_path / "star2.nt"
+    f2.write_text("\n".join(out) + "\n")
+    again = sorted(map(tuple, load_ntriples(spark, str(f2)).collect()))
+    assert again == sorted(map(tuple, df.collect()))

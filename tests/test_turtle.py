@@ -261,3 +261,55 @@ def test_turtle_distributed_directory(spark, tmp_path):
         assert df2.count() == 151
     finally:
         T.load_turtle = orig
+
+
+def test_turtle_star_quoted_and_annotation(spark, tmp_path):
+    """Turtle-star: << >> quoted terms (subject and object, nested) and
+    inline {| |} annotations stay statement-parallel; a multi-line
+    annotation takes the documented driver fallback."""
+    import kineo_spark.sources.turtle as T
+    from kineo_spark.model import PyTerm, quoted_parts
+
+    text = (
+        '@prefix ex: <http://example.org/> .\n'
+        'ex:alice ex:age 30 .\n'
+        '<< ex:alice ex:age 30 >> ex:certainty 0.9 .\n'
+        'ex:doc ex:claims << ex:x ex:q << ex:y ex:r ex:z >> >> .\n'
+        'ex:bob ex:age 25 {| ex:src ex:census ; ex:conf 0.4 |} .\n'
+    )
+    p = tmp_path / "star.ttl"
+    p.write_text(text)
+    drv = load_turtle(spark, text).collect()
+    orig = T.load_turtle
+    T.load_turtle = lambda *a, **k: (_ for _ in ()).throw(
+        AssertionError("fell back to driver parser"))
+    try:
+        dist = T.load_turtle_distributed(spark, str(p)).collect()
+    finally:
+        T.load_turtle = orig
+    assert _canon(dist) == _canon(drv)
+    # quoted-subject annotation row decodes back to its components
+    ann = [r for r in dist if r.p_lex == "http://example.org/certainty"]
+    assert len(ann) == 1 and ann[0].s_kind == 3
+    s, pr, o = quoted_parts(PyTerm(3, ann[0].s_lex))
+    assert (s.lex, pr.lex, o.lex) == (
+        "http://example.org/alice", "http://example.org/age", "30")
+    # {| |} sugar asserted the base triple AND two annotation triples
+    assert any(r.s_lex == "http://example.org/bob" and r.o_lex == "25"
+               for r in dist)
+    conf = [r for r in dist if r.p_lex == "http://example.org/conf"]
+    assert len(conf) == 1 and conf[0].s_kind == 3 and conf[0].o_lex == "0.4"
+    # nested quoted object round-trips
+    deep = [r for r in dist if r.p_lex == "http://example.org/claims"]
+    assert len(deep) == 1 and deep[0].o_kind == 3
+    _, _, inner = quoted_parts(PyTerm(3, deep[0].o_lex))
+    assert inner.kind == 3
+
+    # multi-line annotation → driver fallback (not an error)
+    p2 = tmp_path / "star2.ttl"
+    p2.write_text('@prefix ex: <http://example.org/> .\n'
+                  'ex:a ex:p 1 {| ex:conf\n 0.5 |} .\n')
+    dist2 = T.load_turtle_distributed(spark, str(p2)).collect()
+    drv2 = load_turtle(spark, p2.read_text()).collect()
+    assert _canon(dist2) == _canon(drv2)
+    assert any(r.s_kind == 3 for r in dist2)
