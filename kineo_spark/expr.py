@@ -874,9 +874,10 @@ def _dispatch_call(e: ECall, a: list[Column], env: dict[str, Column]) -> Column:
         from kineo_spark.model import quoted_col
         return quoted_col(a[0], a[1], a[2])
     if op in ("SUBJECT", "PREDICATE", "OBJECT"):
-        from kineo_spark.model import quoted_component_col
-        return quoted_component_col(
-            a[0], ("SUBJECT", "PREDICATE", "OBJECT").index(op))
+        # key-space chain composition, ONE struct rebuild at the end —
+        # nested accessors otherwise multiply past the 64KB codegen cliff
+        from kineo_spark.model import term_of_key_col
+        return term_of_key_col(_component_key_col(e, env))
     if op == "TRIPLECOMP":
         # internal (rewrite.fold_star_accessors): component of a
         # TRIPLE(...) call folded past the packed encoding — the selected
@@ -1002,6 +1003,24 @@ def _eq_cond(a: Column, b: Column, dur: bool = True) -> Column:
 _STAR_ACCESSORS = ("SUBJECT", "PREDICATE", "OBJECT")
 
 
+def _is_accessor(arg: Expr) -> bool:
+    return (isinstance(arg, ECall) and arg.op in _STAR_ACCESSORS
+            and len(arg.args) == 1)
+
+
+def _component_key_col(arg: ECall, env: dict[str, Column]) -> Column:
+    """Key-space compile of a SUBJECT/PREDICATE/OBJECT accessor (chain):
+    nested accessors compose via component_key_of_key so each level
+    costs ~4 references of the level below, not a full struct rebuild."""
+    from kineo_spark.model import component_key_of_key, quoted_component_key_col
+
+    i = _STAR_ACCESSORS.index(arg.op)
+    inner = arg.args[0]
+    if _is_accessor(inner):
+        return component_key_of_key(_component_key_col(inner, env), i)
+    return quoted_component_key_col(compile_expr(inner, env), i)
+
+
 def _term_identity_key(arg: Expr, env: dict[str, Column]) -> Column:
     """Canonical term_key of ``arg`` for identity (sameTerm) comparisons,
     compiled SMALL: a constant becomes a literal key string, a quoted-
@@ -1010,11 +1029,8 @@ def _term_identity_key(arg: Expr, env: dict[str, Column]) -> Column:
     through term_key of the compiled term. NULL = unbound/error."""
     if isinstance(arg, EConst):
         return F.lit(arg.term.key())
-    if (isinstance(arg, ECall) and arg.op in _STAR_ACCESSORS
-            and len(arg.args) == 1):
-        from kineo_spark.model import quoted_component_key_col
-        t = compile_expr(arg.args[0], env)
-        return quoted_component_key_col(t, _STAR_ACCESSORS.index(arg.op))
+    if _is_accessor(arg):
+        return _component_key_col(arg, env)
     return term_key(compile_expr(arg, env))
 
 
@@ -1048,8 +1064,11 @@ def compile_filter_condition(e: Expr, env: dict[str, Column]) -> Column:
             return (_term_identity_key(e.args[0], env)
                     == _term_identity_key(e.args[1], env))
         if op == "ISTRIPLE" and len(e.args) == 1:
+            from kineo_spark.model import _SEP, KIND_QUOTED
+            if _is_accessor(e.args[0]):
+                k = _component_key_col(e.args[0], env)
+                return k.startswith(f"{KIND_QUOTED}{_SEP}")
             t = compile_expr(e.args[0], env)
-            from kineo_spark.model import KIND_QUOTED
             return t.isNotNull() & (t["kind"] == KIND_QUOTED)
         if op in ("CONTAINS", "STRSTARTS", "STRENDS"):
             a = compile_expr(e.args[0], env)

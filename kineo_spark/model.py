@@ -443,19 +443,35 @@ def term_of_key_col(key: Column) -> Column:
         .when(kind_s == str(KIND_QUOTED), quoted_t).otherwise(base)
 
 
+def _packed_component(lex: Column, i: int) -> Column:
+    """Component-i term_key out of a packed quoted lex (header format)."""
+    parts = F.split(lex, ":", 4)  # [len1, len2, len3, payload]
+    ln = lambda j: F.element_at(parts, j).cast("int")  # noqa: E731
+    start = F.lit(1)
+    for j in range(1, i + 1):
+        start = start + ln(j)
+    return F.substring(F.element_at(parts, 4), start, ln(i + 1))
+
+
 def quoted_component_key_col(t: Column, i: int) -> Column:
     """Raw component-i term_key of a quoted term — NULL when t is unbound
     or not quoted. This is the accessor's IDENTITY without the term-struct
     rebuild: sameTerm-style comparisons against another key (or a constant
     key string) stay a ~10-node expression instead of multiplying through
     term_key × bool_term × EBV fan-out (the 64KB-codegen cliff)."""
-    parts = F.split(t["lex"], ":", 4)  # [len1, len2, len3, payload]
-    ln = lambda j: F.element_at(parts, j).cast("int")  # noqa: E731
-    start = F.lit(1)
-    for j in range(1, i + 1):
-        start = start + ln(j)
-    comp_key = F.substring(F.element_at(parts, 4), start, ln(i + 1))
-    return F.when(t.isNotNull() & (t["kind"] == KIND_QUOTED), comp_key)
+    return F.when(t.isNotNull() & (t["kind"] == KIND_QUOTED),
+                  _packed_component(t["lex"], i))
+
+
+def component_key_of_key(key: Column, i: int) -> Column:
+    """Component-i term_key from a quoted term's KEY ('3' SEP lex SEP
+    SEP) — key-space composition for nested accessor chains
+    (SUBJECT(OBJECT(?qt))): each level costs ~4 references of the level
+    below instead of the ~40 a full struct rebuild would multiply in.
+    NULL when the key is NULL or not a quoted term's."""
+    lex = F.substring(key, F.lit(3), F.length(key) - 4)
+    return F.when(F.substring(key, F.lit(1), F.lit(2)) == f"{KIND_QUOTED}{_SEP}",
+                  _packed_component(lex, i))
 
 
 def quoted_component_col(t: Column, i: int) -> Column:
