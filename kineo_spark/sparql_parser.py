@@ -142,6 +142,11 @@ class Parser:
         # enclosing triples block
         self._star_pending: list[tuple] = []
         self._qt_anon = 0
+        # RDF-star in TEMPLATE position (CONSTRUCT / update quad
+        # templates): << .. ?v .. >> means CONSTRUCT the quoted term per
+        # solution, not decompose — each becomes a fresh var extended
+        # onto the WHERE algebra with TRIPLE(...)
+        self._template_extends: list[tuple] = []
         # FROM / FROM NAMED clauses of the top-level query form
         self._dataset: tuple = ()
         # inside a CONSTRUCT template, bnodes stay constants (instantiated
@@ -302,7 +307,38 @@ class Parser:
         self.expect_op(">")
         inner = self._star_pending[mark:]
         del self._star_pending[mark:]
+        if self._in_template:
+            return self._template_quoted_node(s, p, o)
         return self._quoted_node(s, p, o, inner)
+
+    def _template_quoted_node(self, s, p, o):
+        """Quoted triple in TEMPLATE position: constants stay a quoted
+        PyTerm; with variables, register a fresh var the caller extends
+        onto the WHERE algebra as TRIPLE(s, p, o) — so CONSTRUCT
+        instantiation just reads a column."""
+        from kineo_spark.model import quoted
+
+        if (isinstance(s, PyTerm) and isinstance(p, PyTerm)
+                and isinstance(o, PyTerm)):
+            return quoted(s, p, o)
+
+        def arg(n):
+            return EConst(n) if isinstance(n, PyTerm) else EVar(n.name)
+
+        self._qt_anon += 1
+        name = f"qtt-{self._qt_anon}"
+        self._template_extends.append(
+            (name, mkfn("TRIPLE", arg(s), arg(p), arg(o))))
+        return A.Var(name)
+
+    def _apply_template_extends(self, body):
+        """Wrap the WHERE algebra with the TRIPLE() extends registered
+        while parsing quoted template nodes (inner before outer — an
+        outer quoted term references its nested var)."""
+        ext, self._template_extends = self._template_extends, []
+        for name, e in ext:
+            body = A.Extend(body, e, name)
+        return body
 
     def _quoted_node(self, s, p, o, inner: list):
         """Desugar a quoted triple over already-parsed component nodes.
@@ -337,7 +373,8 @@ class Parser:
         while (self.peek().kind == "OP" and self.peek().text == "{"
                and self.peek(1).kind == "OP" and self.peek(1).text == "|"):
             self.next(); self.next()
-            qt = self._quoted_node(s, p, o, [])
+            qt = (self._template_quoted_node(s, p, o) if self._in_template
+                  else self._quoted_node(s, p, o, []))
             while True:
                 t = self.peek()
                 if t.kind == "VAR":
@@ -1086,6 +1123,7 @@ class Parser:
         self.expect_op("}")
         self._in_template = False
         body = self._where_and_modifiers_simple()
+        body = self._apply_template_extends(body)
         return A.ConstructQuery(body, tuple(template), dataset=self._dataset)
 
     def _template_triples(self, stop_kw: tuple[str, ...] = ()) -> list[A.TriplePattern]:
@@ -1103,8 +1141,11 @@ class Parser:
                 p = self._node() if self.peek().kind == "VAR" else self._term()
                 o = self._node()
                 out.append(A.TriplePattern(s, p, o))
+                self._annotation(s, p, o, out)
                 while self.op(","):
-                    out.append(A.TriplePattern(s, p, self._node()))
+                    o = self._node()
+                    out.append(A.TriplePattern(s, p, o))
+                    self._annotation(s, p, o, out)
                 if self.op(";"):
                     if self.peek().kind == "OP" and self.peek().text in ("}", "."):
                         break
@@ -1219,6 +1260,15 @@ class Parser:
         if self.kw("WHERE"):
             # DELETE WHERE { pattern }: the pattern is its own template
             pats = tuple(self._quad_block(ground=False))
+            if self._template_extends:
+                # the dual template/pattern role can't carry a quoted
+                # term with variables (it would need decomposition on
+                # the pattern side AND construction on the template
+                # side) — fail loudly, the long form expresses it
+                self._template_extends = []
+                raise SyntaxError(
+                    "quoted triples with variables are not supported in "
+                    "DELETE WHERE — use DELETE {...} WHERE {...}")
             self._no_bnodes(pats)
             return A.Modify(pats, (), _quads_algebra(pats), with_graph)
         dels = self._quad_templates()
@@ -1234,8 +1284,8 @@ class Parser:
             (named if self.kw("NAMED") else defaults).append(self._term().lex)
         dataset = (tuple(defaults), tuple(named)) if defaults or named else ()
         self.expect_kw("WHERE")
-        return A.Modify(dels, ins, self._group_graph_pattern(), with_graph,
-                        dataset)
+        body = self._apply_template_extends(self._group_graph_pattern())
+        return A.Modify(dels, ins, body, with_graph, dataset)
 
     def _graph_or_default(self):
         if self.kw("DEFAULT"):

@@ -117,6 +117,49 @@ def test_annotation_syntax(spark):
     assert got == [("Alice", "0.9")]
 
 
+def test_construct_quoted_template(spark):
+    # template position CONSTRUCTS the quoted term (TRIPLE per solution),
+    # it does not decompose — the WHERE algebra gets a TRIPLE() Extend
+    from kineo_spark.model import PyTerm
+
+    r = _eng(spark).query(f"""
+      PREFIX e: <{E}>
+      CONSTRUCT {{ << ?who e:age ?age >> e:stated e:here }}
+      WHERE {{ ?who e:age ?age }}
+    """)
+    rows = r.triples.collect()
+    assert len(rows) == 1 and rows[0]["s"]["kind"] == KIND_QUOTED
+    s, p, o = quoted_parts(PyTerm(KIND_QUOTED, rows[0]["s"]["lex"]))
+    assert (s.lex, p.lex, o.lex) == (E + "alice", E + "age", "30")
+
+
+def test_update_insert_annotation(spark):
+    from kineo_spark.model import PyTerm
+    from kineo_spark.update import GraphStore
+
+    pfx = f"PREFIX e: <{E}>\n"
+    gs = GraphStore(spark).update(
+        pfx + 'INSERT DATA { e:a e:age 30 {| e:conf 0.9 |} }')
+    rows = gs.quads.collect()
+    # base triple asserted + quoted-subject annotation
+    assert any(r.s_lex == E + "a" and r.o_lex == "30" for r in rows)
+    ann = [r for r in rows if r.p_lex == E + "conf"]
+    assert len(ann) == 1 and ann[0].s_kind == KIND_QUOTED
+    # INSERT template with variables: quoted term built per solution
+    gs = gs.update(
+        pfx + "INSERT { << ?s e:age ?o >> e:audited e:yes } "
+        "WHERE { ?s e:age ?o }")
+    aud = [r for r in gs.quads.collect() if r.p_lex == E + "audited"]
+    assert len(aud) == 1 and aud[0].s_kind == KIND_QUOTED
+    s, p, o = quoted_parts(PyTerm(KIND_QUOTED, aud[0].s_lex))
+    assert (s.lex, o.lex) == (E + "a", "30")
+    # the annotation can then be queried back via a quoted pattern
+    got = gs.query(
+        pfx + "SELECT ?c WHERE { << e:a e:age 30 >> e:conf ?c }"
+    ).bindings.collect()
+    assert [r["c"]["lex"] for r in got] == ["0.9"]
+
+
 def test_ntriples_star_roundtrip(spark, tmp_path):
     from kineo_spark.sources.ntriples import load_ntriples, serialize_ntriples
 
