@@ -265,3 +265,33 @@ def test_skew_topk_single_exchange(spark, queries):
     assert "WindowGroupLimit" in pre_shuffle and "Partial" in pre_shuffle, \
         plan[:2000]
     assert "CartesianProduct" not in plan
+
+
+def test_star_pattern_pushes_kind_filter(spark, tmp_path):
+    """A quoted-pattern subject over a parquet quads store must push
+    s_kind = 3 (KIND_QUOTED) into the FileScan: at corpus scale the
+    annotation slice is tiny and the scan filter is what bounds every
+    downstream accessor expression."""
+    from kineo_spark.engine import Engine
+    from kineo_spark.model import QUADS_SCHEMA, iri, lit, quoted
+    from kineo_spark.store import QuadsDataFrameStore
+
+    E = "http://e/"
+    qt = quoted(iri(E + "a"), iri(E + "age"), lit(30))
+    rows = [
+        (qt.kind, qt.lex, E + "conf", 2, "0.9", "double", None, 0.9, "g"),
+        (0, E + "a", E + "age", 2, "30", "integer", None, 30.0, "g"),
+    ]
+    pq = str(tmp_path / "quads.parquet")
+    spark.createDataFrame(rows, QUADS_SCHEMA).write.parquet(pq)
+    store = QuadsDataFrameStore(spark, spark.read.parquet(pq))
+    df = Engine(store).query(f"""
+      PREFIX e: <{E}>
+      SELECT ?who ?c WHERE {{ << ?who e:age 30 >> e:conf ?c }}
+    """).bindings
+    plan = _plan(df)
+    # the isTRIPLE desugar filter must reach the scan as a flat
+    # s_kind equality, and the constraint filters must not force a
+    # cartesian anywhere
+    assert "EqualTo(s_kind,3)" in plan.replace(" ", "")
+    assert "CartesianProduct" not in plan
