@@ -16,7 +16,7 @@ from xml.sax.saxutils import escape
 
 from pyspark.sql import DataFrame
 
-from kineo_spark.model import DT_IRI, KIND_BLANK, KIND_IRI, PyTerm
+from kineo_spark.model import DT_IRI, KIND_BLANK, KIND_IRI, KIND_QUOTED, PyTerm
 
 
 def _term_of_row_value(v) -> PyTerm | None:
@@ -36,6 +36,14 @@ def _json_term(t: PyTerm) -> dict:
         return {"type": "uri", "value": t.lex}
     if t.kind == KIND_BLANK:
         return {"type": "bnode", "value": t.lex}
+    if t.kind == KIND_QUOTED:
+        # SPARQL 1.2 results JSON quoted-triple term
+        from kineo_spark.model import quoted_parts
+
+        s, p, o = quoted_parts(t)
+        return {"type": "triple", "value": {
+            "subject": _json_term(s), "predicate": _json_term(p),
+            "object": _json_term(o)}}
     out = {"type": "literal", "value": t.lex}
     if t.lang:
         out["xml:lang"] = t.lang
@@ -73,7 +81,9 @@ def to_sparql_xml(df: DataFrame) -> str:
             if t is None:
                 continue
             out.write(f'<binding name="{escape(c)}">')
-            if t.kind == KIND_IRI:
+            if t.kind == KIND_QUOTED:
+                out.write(_xml_triple(t))
+            elif t.kind == KIND_IRI:
                 out.write(f"<uri>{escape(t.lex)}</uri>")
             elif t.kind == KIND_BLANK:
                 out.write(f"<bnode>{escape(t.lex)}</bnode>")
@@ -87,6 +97,29 @@ def to_sparql_xml(df: DataFrame) -> str:
         out.write("</result>")
     out.write("</results></sparql>")
     return out.getvalue()
+
+
+def _xml_triple(t: PyTerm) -> str:
+    """SPARQL 1.2 results-XML quoted-triple term (recursive)."""
+    from kineo_spark.model import quoted_parts
+
+    def part(x: PyTerm) -> str:
+        if x.kind == KIND_QUOTED:
+            return _xml_triple(x)
+        if x.kind == KIND_IRI:
+            return f"<uri>{escape(x.lex)}</uri>"
+        if x.kind == KIND_BLANK:
+            return f"<bnode>{escape(x.lex)}</bnode>"
+        if x.lang:
+            return f'<literal xml:lang="{escape(x.lang)}">{escape(x.lex)}</literal>'
+        if x.dt and x.dt != "string":
+            return f'<literal datatype="{escape(DT_IRI.get(x.dt, x.dt))}">{escape(x.lex)}</literal>'
+        return f"<literal>{escape(x.lex)}</literal>"
+
+    s, p, o = quoted_parts(t)
+    return ("<triple><subject>" + part(s) + "</subject><predicate>"
+            + part(p) + "</predicate><object>" + part(o)
+            + "</object></triple>")
 
 
 def to_sparql_tsv(df: DataFrame) -> str:
@@ -108,7 +141,11 @@ def to_sparql_csv(df: DataFrame) -> str:
     w = csv.writer(out, lineterminator="\n")
     w.writerow(cols)
     for row in _rows(df):
-        w.writerow(["" if row[c] is None else row[c].lex for c in cols])
+        w.writerow([
+            "" if row[c] is None
+            else (row[c].n3() if row[c].kind == KIND_QUOTED else row[c].lex)
+            for c in cols
+        ])
     return out.getvalue()
 
 

@@ -2,10 +2,11 @@
 
 The reference declares the rdf-tests-12 suite but ships no RDF-star
 surface (VERDICT r5 notes this); here quoted triples are first-class
-terms: lex = length-prefixed concatenation of component term_keys
-(injective, recursively parseable in pure Column), SPARQL-star patterns
-desugar in the parser to TRIPLE/SUBJECT/PREDICATE/OBJECT constraints —
-the compiler is untouched.
+terms: lex = "{l1}:{l2}:{l3}:" + component term_keys (injective; the
+length header makes each component one flat substring in Column space),
+SPARQL-star patterns desugar in the parser to
+TRIPLE/SUBJECT/PREDICATE/OBJECT constraints — the compiler is
+untouched.
 """
 
 from kineo_spark.engine import Engine
@@ -201,3 +202,28 @@ def test_ntriples_star_roundtrip(spark, tmp_path):
     f2.write_text("\n".join(out) + "\n")
     again = sorted(map(tuple, load_ntriples(spark, str(f2)).collect()))
     assert again == sorted(map(tuple, df.collect()))
+
+
+def test_serializers_quoted_terms(spark):
+    import json as _json
+
+    from kineo_spark.serializers import (
+        to_sparql_csv, to_sparql_json, to_sparql_tsv, to_sparql_xml,
+    )
+
+    r = _eng(spark).query(f"""
+      PREFIX e: <{E}>
+      SELECT ?t ?c WHERE {{ ?t e:certainty ?c }} ORDER BY ?c
+    """)
+    j = _json.loads(to_sparql_json(r.bindings))
+    b = j["results"]["bindings"]
+    assert len(b) == 2 and b[0]["t"]["type"] == "triple"
+    inner = b[0]["t"]["value"]
+    assert inner["subject"] == {"type": "uri", "value": E + "bob"}
+    assert inner["object"]["datatype"].endswith("integer")
+    xml = to_sparql_xml(r.bindings)
+    assert "<triple><subject><uri>" in xml and "</object></triple>" in xml
+    tsv = to_sparql_tsv(r.bindings)
+    assert "<< <" in tsv and "> >>" in tsv.replace(">>", "> >>", 0) or "<<" in tsv
+    csv_out = to_sparql_csv(r.bindings)
+    assert "<<" in csv_out
