@@ -1044,3 +1044,26 @@ def sparql_star_triple_fn(spark, sf_dir) -> DataFrame:
     """)
     return extract(r.bindings, {"rname": ("rname", "lex"),
                                 "stext": ("stext", "lex")})
+
+
+@q("sparql_star_id_annotation",
+   "SELECT n_name AS name, 'census-' || CAST(n_nationkey % 3 AS VARCHAR) AS src "
+   "FROM nation JOIN region ON n_regionkey = r_regionkey WHERE r_name = 'ASIA'")
+def sparql_star_id_annotation(spark, sf_dir) -> DataFrame:
+    """The annotation query through the dictionary-encoded path: quoted
+    terms intern as xxhash64 ids like any term; lazy materialization
+    restores the packed struct only where the accessor constraints read
+    it. Same oracle as the term-mode twin."""
+    from kineo_spark.dictionary import id_compiler
+    from kineo_spark.engine import Engine
+
+    eng = Engine(_star_store(spark, sf_dir))
+    eng.compiler = id_compiler(eng.store)
+    r = eng.query("""
+      SELECT ?name ?src WHERE {
+        << ?row <urn:col:nation:n_name> ?name >> <urn:prov:source> ?src .
+        ?row <urn:fk:nation:n_regionkey> ?reg .
+        ?reg <urn:col:region:r_name> "ASIA" .
+      }
+    """)
+    return extract(r.bindings, {"name": ("name", "lex"), "src": ("src", "lex")})

@@ -305,6 +305,12 @@ class Parser:
         o = self._node()
         self.expect_op(">")
         self.expect_op(">")
+        from kineo_spark.model import KIND_LITERAL
+
+        if isinstance(s, PyTerm) and s.kind == KIND_LITERAL:
+            # RDF-star grammar: a quoted subject is iri | bnode | quoted
+            raise SyntaxError(
+                "a literal cannot be the subject of a quoted triple")
         inner = self._star_pending[mark:]
         del self._star_pending[mark:]
         if self._in_template:

@@ -118,24 +118,32 @@ def test_annotation_syntax(spark):
     assert got == [("Alice", "0.9")]
 
 
-def test_id_mode_quoted_terms(spark):
+import pytest
+
+
+@pytest.mark.parametrize("key_bits", [64, 128])
+def test_id_mode_quoted_terms(spark, key_bits):
     """Quoted terms are ordinary dictionary citizens: the id is
-    xxhash64 of (kind=3, packed lex), so encode → id-space scan →
-    materialize round-trips them with no special casing."""
+    xxhash64 of (kind=3, packed lex) — one long or a two-long struct —
+    so encode → id-space scan → materialize round-trips them with no
+    special casing at either key width."""
     from kineo_spark import algebra as A
     from kineo_spark.dictionary import encode_quads, materialize, scan_ids
     from kineo_spark.model import PyTerm
 
     eng = _eng(spark)
-    dictionary, id_quads = encode_quads(eng.compiler.store.quads())
+    dictionary, id_quads = encode_quads(
+        eng.compiler.store.quads(), key_bits=key_bits)
     g = A.Var("g", binding=False)
     inner = quoted(iri(E + "alice"), iri(E + "age"), lit(30))
     pat = A.QuadPattern(inner, iri(E + "certainty"), A.Var("c"), g)
-    out = materialize(scan_ids(id_quads, pat), dictionary).collect()
+    ids = scan_ids(id_quads, pat, key_bits=key_bits)
+    out = materialize(ids, dictionary).collect()
     assert len(out) == 1 and out[0]["c"]["lex"] == "0.9"
     # and a quoted SUBJECT materializes back as the full packed term
     pat2 = A.QuadPattern(A.Var("s"), iri(E + "certainty"), A.Var("c"), g)
-    rows = materialize(scan_ids(id_quads, pat2), dictionary).collect()
+    rows = materialize(
+        scan_ids(id_quads, pat2, key_bits=key_bits), dictionary).collect()
     got = sorted(
         quoted_parts(PyTerm(KIND_QUOTED, r["s"]["lex"]))[0].lex
         for r in rows)
