@@ -152,20 +152,25 @@ def pagerank(
     ).localCheckpoint(eager=True)
     n = nodes.count()
     out_deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    # loop-invariant precomputation: degree rides on each edge (saves a
+    # join per iteration; `rank / deg` arithmetic unchanged), and the
+    # dangling set is STATIC — when it's empty the per-iteration
+    # dangling-mass job disappears entirely
+    ew = e.join(out_deg, "src").localCheckpoint(eager=True)
+    dang = nodes.join(
+        out_deg.withColumnRenamed("src", "node"), "node", "left_anti"
+    ).localCheckpoint(eager=True)
+    has_dangling = dang.count() > 0
     ranks = nodes.withColumn("rank", F.lit(1.0 / n))
     for _ in range(iterations):
-        with_deg = nodes.join(
-            out_deg.withColumnRenamed("src", "node"), "node", "left"
-        ).join(ranks, "node")
         # dangling nodes redistribute their mass uniformly (standard PR)
         dangling = (
-            with_deg.filter(F.col("deg").isNull())
+            ranks.join(F.broadcast(dang), "node")
             .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("m"))
             .collect()[0]["m"]
-        )
+        ) if has_dangling else 0.0
         contribs = (
-            e.join(out_deg, "src")
-            .join(ranks, e["src"] == ranks["node"], "inner")
+            ew.join(ranks, ew["src"] == ranks["node"], "inner")
             .select(F.col("dst").alias("node"), (F.col("rank") / F.col("deg")).alias("c"))
             .groupBy("node").agg(F.sum("c").alias("contrib"))
         )
