@@ -40,10 +40,10 @@ KIND_IRI = 0
 KIND_BLANK = 1
 KIND_LITERAL = 2
 # RDF-star quoted triple (extension — the reference declares the
-# rdf-tests-12 suite but ships no RDF-star surface). lex holds the three
-# component term_keys, each length-prefixed ("N:<key>"), which is
-# injective and recursively parseable in pure Column expressions; dt,
-# lang and num are NULL.
+# rdf-tests-12 suite but ships no RDF-star surface). lex packs the three
+# component term_keys behind a length header ("{l1}:{l2}:{l3}:"+keys),
+# injective and flat-substring-extractable in pure Column expressions
+# (see quoted()); dt, lang and num are NULL.
 KIND_QUOTED = 3
 
 XSD = "http://www.w3.org/2001/XMLSchema#"
