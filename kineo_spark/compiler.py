@@ -177,12 +177,16 @@ class Compiler:
                     child.certain | {node.graph.name}, child.id_vars)
             return child
         if isinstance(node, A.Extend):
+            from kineo_spark.expr import apply_hoisted, hoist_scope
             child = self._c(node.child, g)
             child, expr, markers = self._mark_exists(child, node.expr, g)
-            col = compile_expr(expr, _env(child.df))
-            df = child.df.withColumn(node.name, col)
-            if markers:
-                df = df.drop(*markers)
+            with hoist_scope() as hoisted:
+                col = compile_expr(expr, _env(child.df))
+            df, hnames = apply_hoisted(child.df, hoisted)
+            df = df.withColumn(node.name, col)
+            drop = markers + hnames
+            if drop:
+                df = df.drop(*drop)
             return Plan(df, child.certain, child.id_vars)
         if isinstance(node, A.Project):
             child = self._c(node.child, g)
@@ -625,13 +629,19 @@ class Compiler:
             return self._semi(self._c(node.child, g), sub, e.anti)
         child = self._c(node.child, g)
         child, e, markers = self._mark_exists(child, e, g)
-        from kineo_spark.expr import compile_filter_condition
+        from kineo_spark.expr import (apply_hoisted, compile_filter_condition,
+                                      hoist_scope)
         # df.filter keeps only TRUE rows (NULL drops) — exactly SPARQL's
         # error-drops-row rule; no wrapper, so parquet sees plain predicates
-        cond = compile_filter_condition(e, _env(child.df))
-        df = child.df.filter(cond)
-        if markers:
-            df = df.drop(*markers)
+        with hoist_scope() as hoisted:
+            cond = compile_filter_condition(e, _env(child.df))
+        # hoisted IN-branch/deep-arith subtrees: one select per dependency
+        # level, pushdown-barriered (see apply_hoisted)
+        df, hnames = apply_hoisted(child.df, hoisted)
+        df = df.filter(cond)
+        drop = markers + hnames
+        if drop:
+            df = df.drop(*drop)
         return Plan(df, child.certain, child.id_vars)
 
     # -- aggregation ------------------------------------------------------

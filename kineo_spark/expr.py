@@ -23,6 +23,8 @@ vectorized at 100 TB.
 
 from __future__ import annotations
 
+import itertools
+from contextlib import contextmanager
 from dataclasses import dataclass
 from typing import Optional
 
@@ -556,9 +558,128 @@ _HIGH_DUP_OPS = frozenset({"+", "-", "*", "/", "NEG", "ABS", "ROUND",
                            "CEIL", "FLOOR"})
 
 
+# --- hoist scope ---------------------------------------------------------
+# Catalyst analyzes expression trees nested inside higher-order-function
+# lambdas (F.aggregate / F.transform) far more slowly than the same trees
+# sitting in a plain Project: lambda-variable resolution re-walks the
+# collection argument on every analyzer fixpoint iteration. A computed
+# IN/NOT IN branch (itself a _let_deep nested-HOF tree) cost ~10-22 s of
+# one-time ANALYSIS per branch when inlined into the fold's array literal
+# (measured r6/r7). The fix is to bind such trees ONCE as projected
+# columns — the enclosing plan compiler (Filter/Extend in compiler.py)
+# opens a scope, the IN compiler registers `array(branch1..branchN)` under
+# a fresh name, and the fold references a bare attribute instead. The
+# scope owner materializes the registered columns with one select() before
+# applying the condition and drops them after.
+_HOIST_SCOPES: list[list[tuple[str, Column, int]]] = []
+_HOIST_SEQ = itertools.count()
+
+
+@contextmanager
+def hoist_scope():
+    """Collect (name, Column, level) triples that expression compilation
+    wants projected before the consuming Filter/Extend. Yields the list;
+    the caller must materialize level-by-level (``apply_hoisted``) iff it
+    is non-empty. Level k columns may reference level <k names, so each
+    level is one select() — Spark analyzes Datasets eagerly per
+    transformation, which makes one-select-per-COLUMN O(k²) in total tree
+    size; one-select-per-LEVEL is O(depth × tree) with depth ≈ the
+    expression nesting depth (single digits)."""
+    slot: list[tuple[str, Column, int]] = []
+    _HOIST_SCOPES.append(slot)
+    try:
+        yield slot
+    finally:
+        _HOIST_SCOPES.pop()
+
+
+def apply_hoisted(df, hoisted):
+    """Materialize hoist-scope columns onto ``df`` level by level.
+
+    Returns (df, names_to_drop). The top level carries a nondeterministic
+    barrier column: PushPredicateThroughNonJoin substitutes project
+    aliases into a pushed condition with NO duplication-cost guard, which
+    would re-inline the hoisted subtrees (×100-200 refs per level) and
+    reconstruct the exponential tree the hoist exists to avoid — but the
+    rule requires every project field to be deterministic, so one rand()
+    field pins the consuming Filter above the hoist Projects. Adjacent
+    hoist Projects are safe from CollapseProject by its own cost check
+    (SPARK-36718: never duplicates non-cheap multi-referenced exprs)."""
+    if not hoisted:
+        return df, []
+    names = [n for n, _, _ in hoisted]
+    levels = sorted({l for _, _, l in hoisted})
+    for lvl in levels[:-1]:
+        df = df.select(
+            "*", *[c.alias(n) for n, c, l in hoisted if l == lvl])
+    nd = f"__hoist_nd_{next(_HOIST_SEQ)}"
+    df = df.select(
+        "*", *[c.alias(n) for n, c, l in hoisted if l == levels[-1]],
+        F.rand().alias(nd))
+    return df, names + [nd]
+
+
+def _nd_identity(col: Column) -> Column:
+    """Value-preserving wrap that marks the expression nondeterministic:
+    shuffle() of a 1-element array is the identity on values but carries
+    the nondeterministic flag, which stops CollapseProject from
+    re-inlining the hoisted tree into its (single) consumer and stops
+    predicate pushdown from substituting it into a Filter condition —
+    both of which would undo the once-only binding and hand the
+    optimizer back a tree it processes quadratically."""
+    return F.element_at(F.shuffle(F.array(col)), 1)
+
+
+def _hoist(col: Column, tag: str, level: int = 0, nd: bool = False) -> Column:
+    """Register ``col`` in the innermost hoist scope and return a bare
+    reference to it. No active scope → return the column inline (always
+    correct, just slower to analyze). ``nd=True`` additionally pins the
+    column against optimizer re-inlining (see _nd_identity)."""
+    if not _HOIST_SCOPES:
+        return col
+    name = f"__hoist_{tag}_{next(_HOIST_SEQ)}"
+    _HOIST_SCOPES[-1].append((name, _nd_identity(col) if nd else col, level))
+    return F.col(name)
+
+
 def _compile_call(e: ECall, env: dict[str, Column]) -> Column:
-    a = [compile_expr(x, env) for x in e.args]
+    # compile args; when a hoist scope is active, also compute each arg's
+    # hoist LEVEL: 1 + the max level registered while compiling that arg
+    # (0 if its subtree registered nothing), so a column containing the
+    # arg lands in a select() strictly after everything it references
+    a, lv = [], []
+    for x in e.args:
+        start = len(_HOIST_SCOPES[-1]) if _HOIST_SCOPES else 0
+        a.append(compile_expr(x, env))
+        if _HOIST_SCOPES:
+            sub = _HOIST_SCOPES[-1][start:]
+            lv.append(1 + max((l for _, _, l in sub), default=-1))
+        else:
+            lv.append(0)
     if e.op in ("IN", "NOT_IN"):
+        if len(a) > 1 and _HOIST_SCOPES and any(
+                _call_depth(x) >= 1 for x in e.args[1:]):
+            # computed branch terms: project them ONCE as an array column
+            # (and a deep lhs as its own column) so Catalyst analyzes each
+            # branch tree in a plain Project instead of inside the fold's
+            # lambda literal — ~10-22 s/branch inlined vs <1 s hoisted
+            md = maybe_duration(e.args[0]) and any(
+                maybe_duration(xe) for xe in e.args[1:])
+            # each branch becomes its OWN projected column (kept apart so
+            # per-expression optimizer work — canonicalization is
+            # quadratic per tree — stays per-branch, not over one giant
+            # array literal), the array over their refs one level up
+            refs = [_hoist(x, "inb", l, nd=True) for x, l in zip(a[1:], lv[1:])]
+            arr = _hoist(F.array(*refs), "inarr", max(lv[1:]) + 1)
+            lhs = (_hoist(a[0], "inlhs", lv[0])
+                   if _call_depth(e.args[0]) >= 1 else a[0])
+            # hoist the fold RESULT as well: the consuming ebv/bool_term
+            # wrappers reference their operand ~5-10×, and canonicalizing
+            # the resulting And-chains is quadratic in Catalyst
+            # (gatherCommutative re-walks subtrees) — a bare attribute
+            # ref keeps the Filter condition tiny
+            return _hoist(_in_fold(lhs, arr, md, e.op), "inres",
+                          max(max(lv[1:]) + 1, lv[0]) + 1)
         # branch sharing comes from the fold-over-array in the dispatch
         # (each branch tree appears once in the array literal); nesting
         # one _let_deep lambda per branch instead made ANALYSIS time
@@ -570,6 +691,27 @@ def _compile_call(e: ECall, env: dict[str, Column]) -> Column:
     if deep:
         return _let_deep(a, deep, lambda bound: _dispatch_call(e, bound, env))
     return _dispatch_call(e, a, env)
+
+
+def _in_fold(lhs: Column, arr: Column, md: bool, op: str) -> Column:
+    """§17.4.1.9 IN as a fold over the branch-term array: code 2 = some
+    branch equal, 1 = no match but some branch errored, 0 = all false
+    ("true beats error beats false"); NOT IN is the 3-valued negation.
+    ``arr`` may be an inline array literal or a hoisted column ref."""
+    def _step(acc, x):
+        s = eq_terms(lhs, x, dur=md)
+        return F.greatest(
+            acc, F.when(s, 2).when(s.isNull(), 1).otherwise(0)
+        )
+
+    code = F.aggregate(arr, F.lit(0), _step)
+    cond = (
+        F.when(code == 2, F.lit(True))
+        .when(code == 1, _NULL_B())
+        .otherwise(F.lit(False))
+    )
+    inner = F.when(lhs.isNull(), _NULL_B()).otherwise(cond)
+    return bool_term(~inner if op == "NOT_IN" else inner)
 
 
 def _dispatch_call(e: ECall, a: list[Column], env: dict[str, Column]) -> Column:  # noqa: C901
@@ -607,23 +749,7 @@ def _dispatch_call(e: ECall, a: list[Column], env: dict[str, Column]) -> Column:
         md = maybe_duration(e.args[0]) and any(
             maybe_duration(xe) for xe in e.args[1:]
         )
-
-        # fold to one code: 2 = some true, 1 = no true but some error,
-        # 0 = all false ("true beats error beats false")
-        def _step(acc, x):
-            s = eq_terms(a[0], x, dur=md)
-            return F.greatest(
-                acc, F.when(s, 2).when(s.isNull(), 1).otherwise(0)
-            )
-
-        code = F.aggregate(F.array(*a[1:]), F.lit(0), _step)
-        cond = (
-            F.when(code == 2, F.lit(True))
-            .when(code == 1, _NULL_B())
-            .otherwise(F.lit(False))
-        )
-        inner = F.when(a[0].isNull(), _NULL_B()).otherwise(cond)
-        return bool_term(~inner if op == "NOT_IN" else inner)
+        return _in_fold(a[0], F.array(*a[1:]), md, op)
     if op == "BOUND":
         return bool_term(a[0].isNotNull().cast("boolean"))
 
@@ -1050,6 +1176,11 @@ def compile_filter_condition(e: Expr, env: dict[str, Column]) -> Column:
         if op == "||":
             return compile_filter_condition(e.args[0], env) | compile_filter_condition(e.args[1], env)
         if op == "IN":
+            if _HOIST_SCOPES and any(_call_depth(x) >= 1 for x in e.args[1:]):
+                # computed branches: the or-chain inlines every branch
+                # tree (multiply-referenced by _eq_cond) — use the exact
+                # fold path, which hoists the branch array into a Project
+                return ebv(compile_expr(e, env)).eqNullSafe(F.lit(True))
             a = compile_expr(e.args[0], env)
             out = None
             md0 = maybe_duration(e.args[0])

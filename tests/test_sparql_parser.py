@@ -289,32 +289,48 @@ def test_parse_nps_inverse_members():
 
 def test_wide_not_in_compiles_bounded(fixture_store):
     """Expression-tree blowup guard (r4 regression class): a NOT IN
-    with many COMPUTED branches must stay compilable and runnable in
-    bounded time. Historically this class OOMed the JVM at analysis
-    time twice: the duration compare arm (fixed by maybe_duration
-    pruning) and the per-branch eq-tree duplication in the IN or-chain
-    (fixed by folding eq inside one aggregate lambda over the branch
-    array). Branches reference a variable so constant folding cannot
-    collapse them."""
-    import time
-
+    with many COMPUTED branches must stay compilable and runnable.
+    Historically this class OOMed the JVM at analysis time twice (the
+    duration compare arm; the per-branch eq-tree duplication in the IN
+    or-chain) and then cost ~10-22 s of Catalyst ANALYSIS per branch
+    when the branch trees were inlined into the fold's array literal.
+    r7 hoists each branch as a projected column (expr.hoist_scope), so
+    the guard is now DETERMINISTIC: the analyzed plan must contain the
+    per-branch hoist columns, and the filter condition itself must stay
+    tiny (a bare hoisted-attribute ref, not a re-inlined tree). No
+    wall-clock assert — a timing bound flaked under full-suite load
+    (r6: 240 s bound, 135 s alone, >240 s under contention)."""
+    from kineo_spark.compiler import Compiler
     from kineo_spark.engine import Engine
+    from kineo_spark.sparql_parser import parse_query
 
-    # Each branch is a non-foldable computed tree over ?name. Cost
-    # profile (r4, measured): ~15 s of one-time Catalyst ANALYSIS per
-    # computed branch — linear in branch count (the or-chain compile
-    # was super-linear and OOMed at ~37 branches), data-independent,
-    # and zero at execution. 6 branches keeps the suite fast while
-    # still far past what any shallow-expression workload compiles.
-    branches = ", ".join(f"((STRLEN(?name) + {i}) * 3) / 3" for i in range(1, 7))
-    q = f"""ASK {{
+    n = 6
+    branches = ", ".join(
+        f"((STRLEN(?name) + {i}) * 3) / 3" for i in range(1, n + 1))
+    q = f"""SELECT ?name {{
       ?s <http://xmlns.com/foaf/0.1/name> ?name .
       FILTER(0 NOT IN ({branches}))
     }}"""
-    t0 = time.time()
-    result = Engine(fixture_store).query(q)
-    assert result.boolean is True  # STRLEN ≥ 1, so no branch is 0
-    assert time.time() - t0 < 240
+    plan = Compiler(fixture_store).compile(parse_query(q).algebra)
+    an = plan.df._jdf.queryExecution().analyzed()
+    txt = an.toString()
+    # one hoisted column per computed branch + the array + the result
+    assert txt.count("__hoist_inb_") >= n
+    assert "__hoist_inarr_" in txt and "__hoist_inres_" in txt
+    # the Filter condition references the hoisted result, not a
+    # re-inlined tree: walk to the top Filter and bound its size
+    node = an
+    while node.nodeName() != "Filter":
+        node = node.children().head()
+    cond_str = node.condition().toString()
+    assert "__hoist_inres_" in cond_str
+    assert len(cond_str) < 4000, f"filter condition re-inlined: {len(cond_str)} chars"
+    # and the whole ASK answers correctly (STRLEN ≥ 1, so no branch is 0)
+    result = Engine(fixture_store).query(f"""ASK {{
+      ?s <http://xmlns.com/foaf/0.1/name> ?name .
+      FILTER(0 NOT IN ({branches}))
+    }}""")
+    assert result.boolean is True
 
 
 def test_constant_arithmetic_folds():
