@@ -914,19 +914,30 @@ def _dispatch_call(e: ECall, a: list[Column], env: dict[str, Column]) -> Column:
             # the reference points — root, base dir, and its ancestors
             # for "../" dot segments — compute driver-side, so the
             # per-row case split stays pure Column (RFC 3986 §5.2)
+            import re as _re
             from urllib.parse import urlsplit
             sp = urlsplit(base)
             root = f"{sp.scheme}://{sp.netloc}"
             bdir_path = (sp.path[: sp.path.rfind("/") + 1]
                          if "/" in sp.path else "/")
             bdir = root + bdir_path
+            # §5.3: '#f' replaces the base FRAGMENT (query kept), '?q'
+            # replaces query+fragment — never appended to the full base
+            base_nofrag = base.split("#", 1)[0]
+            base_noquery = base_nofrag.split("?", 1)[0]
+            # lone '.'/'..' (and '../..' etc.) behave as './' / '../'
+            # (§5.2.4 output never keeps a dot segment); rebound locally
+            # so the absolute-IRI passthrough below keeps the raw lexical
+            rel = F.when(rel.rlike(r"(^|/)\.\.?$")
+                         & ~rel.rlike("^[A-Za-z][A-Za-z0-9+.-]*:"),
+                         F.concat(rel, F.lit("/"))).otherwise(rel)
             resolved = (
-                F.when(rel == "", F.lit(base))
+                F.when(rel == "", F.lit(base_nofrag))
                 .when(rel.startswith("//"),
                       F.concat(F.lit(sp.scheme + ":"), rel))
                 .when(rel.startswith("/"), F.concat(F.lit(root), rel))
-                .when(rel.startswith("#") | rel.startswith("?"),
-                      F.concat(F.lit(base), rel))
+                .when(rel.startswith("#"), F.concat(F.lit(base_nofrag), rel))
+                .when(rel.startswith("?"), F.concat(F.lit(base_noquery), rel))
             )
             # "../"*k climbs toward the root and floors there; segments
             # beyond the hierarchy are consumed silently per §5.2.4
@@ -946,6 +957,10 @@ def _dispatch_call(e: ECall, a: list[Column], env: dict[str, Column]) -> Column:
                                rel.substr(F.lit(3), F.length(rel))))
                 .otherwise(F.concat(F.lit(bdir), rel))
             )
+            # '../' chains deeper than the checked depth floored at the
+            # root but kept their residual dot segments — consume them
+            resolved = F.regexp_replace(
+                resolved, "^" + _re.escape(root) + r"/(\.\./)+", root + "/")
         else:
             resolved = rel
         lex = F.when(a[0]["kind"] == KIND_IRI, a[0]["lex"]).when(

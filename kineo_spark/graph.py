@@ -160,15 +160,20 @@ def pagerank(
     dang = nodes.join(
         out_deg.withColumnRenamed("src", "node"), "node", "left_anti"
     ).localCheckpoint(eager=True)
-    has_dangling = dang.count() > 0
+    n_dang = dang.count()
+    # broadcast the static dangling set only while it plausibly fits an
+    # executor (sink-heavy graphs — crawl frontiers, citation leaves —
+    # can make it a large fraction of nodes); past the cap, fall back to
+    # a shuffle join and let AQE pick the strategy
+    dang_side = F.broadcast(dang) if n_dang <= 1_000_000 else dang
     ranks = nodes.withColumn("rank", F.lit(1.0 / n))
     for _ in range(iterations):
         # dangling nodes redistribute their mass uniformly (standard PR)
         dangling = (
-            ranks.join(F.broadcast(dang), "node")
+            ranks.join(dang_side, "node")
             .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("m"))
             .collect()[0]["m"]
-        ) if has_dangling else 0.0
+        ) if n_dang else 0.0
         contribs = (
             ew.join(ranks, ew["src"] == ranks["node"], "inner")
             .select(F.col("dst").alias("node"), (F.col("rank") / F.col("deg")).alias("c"))

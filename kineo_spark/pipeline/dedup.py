@@ -568,7 +568,7 @@ def _deletion_variants(s, k: int):
 
 def fuzzy_pairs(
     df: DataFrame, id_col: str, text_col: str, max_dist: int = 1,
-    cap: int = 64,
+    cap: int = 64, observation=None,
 ) -> DataFrame:
     """Edit-distance self-join (fuzzy dedup of names/titles/URLs):
     returns (id_a, id_b, dist) for all pairs with
@@ -590,6 +590,14 @@ def fuzzy_pairs(
     lose candidate pairs that other (uncapped) shared variants almost
     always still generate — exact-dup flooding belongs to exact dedup,
     not the fuzzy pass.
+
+    Recall loss from the cap is OBSERVABLE: pass a
+    ``pyspark.sql.Observation`` and after the first action it carries
+    ``truncated_variant_buckets`` (hot variant keys that hit the cap)
+    and ``dropped_variant_rows`` (id×variant rows discarded) — both 0
+    on cap-free inputs. Callers seeing non-zero buckets should route
+    exact duplicates through exact_dedup first (they dominate hot
+    variants) or raise ``cap``.
     """
     from pyspark.sql import Window
 
@@ -599,11 +607,20 @@ def fuzzy_pairs(
         "id", "__t",
         F.explode(_deletion_variants("__t", max_dist)).alias("__v"),
     ).select("id", "__t", F.xxhash64("__v").alias("__vh"))
-    capped = var.withColumn(
+    numbered = var.withColumn(
         "__rn",
         F.row_number().over(
             Window.partitionBy("__vh").orderBy(F.col("id"))),
-    ).filter(F.col("__rn") <= cap).drop("__rn")
+    )
+    if observation is not None:
+        # exactly one row per over-cap bucket carries __rn == cap + 1
+        numbered = numbered.observe(
+            observation,
+            F.count(F.when(F.col("__rn") == cap + 1, 1)).alias(
+                "truncated_variant_buckets"),
+            F.count(F.when(F.col("__rn") > cap, 1)).alias(
+                "dropped_variant_rows"))
+    capped = numbered.filter(F.col("__rn") <= cap).drop("__rn")
     a = capped.select(F.col("id").alias("id_a"), F.col("__t").alias("__ta"),
                       "__vh")
     b = capped.select(F.col("id").alias("id_b"), F.col("__t").alias("__tb"),

@@ -254,8 +254,16 @@ def _parse_star_term(s: str, i: int):
         return iri(_py_unescape(s[i + 1:j])), j + 1
     if s.startswith("_:", i):
         j = i + 2
-        while j < len(s) and not s[j].isspace():
+        # '>' never appears in a BLANK_NODE_LABEL (stops '_:b>>')
+        while j < len(s) and not s[j].isspace() and s[j] != ">":
             j += 1
+        # dots may appear INSIDE a label but never terminate one
+        # (N-Triples grammar): a trailing '.' is the statement
+        # terminator the scan folded in — leave it for the caller,
+        # matching the Column regex path (ADVICE r6: '_:b.' at
+        # end-of-line parsed as label 'b.' only when star-routed)
+        while j > i + 2 and s[j - 1] == ".":
+            j -= 1
         return PyTerm(KB, s[i + 2:j]), j
     if s[i] == '"':
         j = i + 1

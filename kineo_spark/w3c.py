@@ -472,6 +472,17 @@ def _run_update_entry(spark, entry: TestEntry, request: str) -> TestOutcome:
     checks = []
     if entry.result_path:
         checks.append((DEFAULT_GRAPH, entry.result_path))
+    elif entry.result_graph_data:
+        # rdf-tests semantics: a result that declares ONLY ut:graphData
+        # asserts the post-state default graph is EMPTY — without this,
+        # a buggy update leaving stray default-graph triples still passes
+        n_default = gs.quads.filter(
+            F.col("g_lex") == DEFAULT_GRAPH).count()
+        if n_default:
+            return TestOutcome(
+                entry, False,
+                f"post-state default graph must be empty, got "
+                f"{n_default} triples")
     for gfile, gname in entry.result_graph_data:
         checks.append((gname, gfile))
     for gname, gfile in checks:

@@ -68,3 +68,40 @@ def test_hot_variant_cap_bounds_candidates(spark):
             assert got[(i, j)] == 0
     # no candidate pair may report a wrong distance
     assert all(d <= 1 for d in got.values())
+
+
+def test_cap_honesty_recall_loss_observable_and_exact_dedup_complete(spark):
+    """The docstring's cap semantics, pinned (r7; VERDICT r6 item 7):
+    an over-cap duplicate cluster (a) loses fuzzy pairs ONLY beyond the
+    capped slice, (b) reports the truncation through the Observation
+    channel so the loss is observable (ADVICE r6: previously silent),
+    and (c) loses nothing through the exact-dedup route, which is where
+    mass duplicates belong."""
+    from pyspark.sql import Observation
+
+    from kineo_spark.pipeline.dedup import dedup_clusters, fuzzy_pairs
+
+    cap = 8
+    n = 30  # cluster of identical strings, ~4x the cap
+    rows = [(i, "duplicate") for i in range(n)] + [(1000, "unique-tail")]
+    df = spark.createDataFrame(rows, "id long, name string")
+
+    obs = Observation("fuzzy-cap")
+    got = fuzzy_pairs(df, "id", "name", max_dist=1, cap=cap,
+                      observation=obs).collect()
+    pairs = {(r.id_a, r.id_b) for r in got}
+
+    # (a) complete within the capped slice, bounded loss beyond it
+    want_capped = {(i, j) for i in range(cap) for j in range(i + 1, cap)}
+    assert want_capped <= pairs
+    assert (cap, cap + 1) not in pairs  # beyond-cap ids: pairs dropped
+    # (b) the truncation is observable — every "duplicate" variant
+    # bucket is hot (the string has 10 variants incl. itself)
+    m = obs.get
+    assert m["truncated_variant_buckets"] > 0
+    assert m["dropped_variant_rows"] == (n - cap) * 10
+    # (c) exact dedup still clusters the full mass-duplicate group
+    clusters = dedup_clusters(df.selectExpr("id", "name as text"),
+                              "id", "text").collect()
+    assert {r.id for r in clusters} == set(range(n))
+    assert {r.canon for r in clusters} == {0}

@@ -212,6 +212,30 @@ def test_ntriples_star_roundtrip(spark, tmp_path):
     assert again == sorted(map(tuple, df.collect()))
 
 
+def test_ntriples_star_bnode_terminator(spark, tmp_path):
+    """ADVICE r6 (sources/ntriples.py): a star-routed line ending
+    '_:b.' must not fold the statement terminator into the label —
+    routing a line through the recursive parser may not change the
+    parse vs the Column regex path. Also '_:b>>' glued to a quoted
+    triple close."""
+    from kineo_spark.sources.ntriples import load_ntriples
+
+    nt = (
+        f'<< <{E}a> <{E}p> "v" >> <{E}src> _:b.\n'
+        f'<{E}a2> <{E}p> _:b.\n'  # regex path twin: same label
+        f'<< <{E}x> <{E}q> _:b>> <{E}says> "s" .\n'
+    )
+    f = tmp_path / "starb.nt"
+    f.write_text(nt)
+    rows = load_ntriples(spark, str(f)).collect()
+    assert len(rows) == 3
+    labels = {r.o_lex for r in rows if r.o_kind == 1}
+    assert labels == {"b"}  # never 'b.' or 'b>>'
+    star_lab = [r.o_lex for r in rows if r.o_kind == 1 and r.s_kind == 3]
+    reg_lab = [r.o_lex for r in rows if r.o_kind == 1 and r.s_kind == 0]
+    assert star_lab and reg_lab and star_lab[0] == reg_lab[0]
+
+
 def test_serializers_quoted_terms(spark):
     import json as _json
 
