@@ -159,6 +159,48 @@ def _shuffle_write_bytes(spark) -> int:
         return -1
 
 
+def _join_order_probe(spark, sf_dir: str) -> dict:
+    """Adversarial 5-pattern BGP, syntactically worst-first: the
+    lineitem star (600k rows at sf0.1) leads, the bound-name customer
+    star (1 row) trails. Un-hinted compilation joins in syntactic
+    order; cs_stats=True starts from the 1-row star and semi-joins
+    outward. Results must be identical; the wall pair is the measured
+    evidence for the stats-ordering claim (test_join_order pins only
+    result equality)."""
+    from kineo_spark import algebra as A
+    from kineo_spark.compiler import Compiler
+    from kineo_spark.expr import c, v
+    from kineo_spark.forms import select
+    from kineo_spark.model import iri, lit
+    from kineo_spark.store import RelationalQuadStore
+
+    store = RelationalQuadStore(spark, sf_dir)
+    tp = A.TriplePattern
+    col = lambda t, f: iri(f"urn:col:{t}:{f}")  # noqa: E731
+    fk = lambda t, f: iri(f"urn:fk:{t}:{f}")  # noqa: E731
+    alg = A.BGP((
+        tp(A.Var("li"), col("lineitem", "l_quantity"), A.Var("q")),
+        tp(A.Var("li"), fk("lineitem", "l_orderkey"), A.Var("o")),
+        tp(A.Var("o"), fk("orders", "o_custkey"), A.Var("c")),
+        tp(A.Var("c"), col("customer", "c_acctbal"), A.Var("bal")),
+        tp(A.Var("c"), col("customer", "c_name"),
+           lit("Customer#000000001")),
+    ))
+    q = A.SelectQuery(alg, ("q", "bal"))
+    out = {}
+    counts = {}
+    for key, kw in (("unhinted", {}), ("stats", {"cs_stats": True})):
+        comp = Compiler(store, **kw)
+        df = select(comp, q)
+        df.count()  # warm scan caches so both pay the same IO
+        t0 = time.time()
+        counts[key] = df.count()
+        out[f"join_order_{key}_sec"] = round(time.time() - t0, 3)
+    assert counts["unhinted"] == counts["stats"], counts
+    out["join_order_rows"] = counts["stats"]
+    return out
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").split("sf")[-1]
@@ -241,6 +283,21 @@ def main() -> None:
             print(f"# retried {name}: min now {times[name]}s", file=sys.stderr)
 
     total = round(sum(t for n, t in times.items() if t >= 0 and n in R1_BASELINE), 3)
+
+    # measured claim (VERDICT r6 item 9): the characteristic-set BGP
+    # ordering must BEAT the un-hinted syntactic order on an adversarial
+    # plan, or the claim dies. 5 patterns, largest star first, a
+    # bound-object selective star last; Catalyst never reorders join
+    # trees without CBO, so the syntactic order pays the 600k-row join
+    # before the 1-row filter. One measured pair in extras.
+    try:
+        jo = _join_order_probe(spark, sf_dir)
+        extras.update(jo)
+        print(f"# join-order probe: unhinted {jo['join_order_unhinted_sec']}s"
+              f" vs stats {jo['join_order_stats_sec']}s", file=sys.stderr)
+    except Exception as e:
+        print(f"# join-order probe failed: {type(e).__name__}: "
+              f"{str(e)[:160]}", file=sys.stderr)
 
     # per-operator runtime metrics (rows + time per physical operator,
     # post-AQE) for the top headline queries — so a round-over-round diff

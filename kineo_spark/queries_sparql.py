@@ -1004,6 +1004,78 @@ def _star_store(spark, sf_dir):
     return QuadsDataFrameStore(spark, quads.select("q.*"))
 
 
+def _star_customer_store(spark, sf_dir):
+    """RDF-star store over the tables that SCALE with the stress
+    corpus (customer/orders replicate; nation/region stay shared):
+    one annotation per customer << custRow c_name "name" >>
+    prov:source "census-{k%3}" plus the orders FK edge. Used by the
+    scale-stress star query so the s_kind=3 scan filter's shuffle
+    linearity is measured, not argued (VERDICT r6 item 6)."""
+    from pyspark.sql import functions as F
+
+    from kineo_spark.model import quoted_col, term_struct
+    from kineo_spark.store import QuadsDataFrameStore, read_table
+
+    customer = read_table(spark, sf_dir, "customer")
+    orders = read_table(spark, sf_dir, "orders")
+    ns = F.lit(None).cast("string")
+    nd = F.lit(None).cast("double")
+    b = lambda k: F.lit(k).cast("tinyint")  # noqa: E731
+
+    def quad(s_kind, s_lex, p, o_kind, o_lex, o_dt):
+        return F.struct(
+            s_kind.alias("s_kind"), s_lex.alias("s_lex"),
+            F.lit(p).alias("p_lex"), o_kind.alias("o_kind"),
+            o_lex.alias("o_lex"),
+            (F.lit(o_dt).cast("string")).alias("o_dt"),
+            ns.alias("o_lang"), nd.alias("o_num"),
+            F.lit("urn:g:star").alias("g_lex"))
+
+    c_row = F.concat(F.lit("urn:t:customer:"),
+                     F.col("c_custkey").cast("string"))
+    o_row = F.concat(F.lit("urn:t:orders:"),
+                     F.col("o_orderkey").cast("string"))
+    c_fk = F.concat(F.lit("urn:t:customer:"),
+                    F.col("o_custkey").cast("string"))
+
+    name_q = customer.select(quad(b(0), c_row, "urn:col:customer:c_name",
+                                  b(2), F.col("c_name"), "string").alias("q"))
+    qt = quoted_col(
+        term_struct(b(0), c_row, ns, ns, nd),
+        term_struct(b(0), F.lit("urn:col:customer:c_name"), ns, ns, nd),
+        term_struct(b(2), F.col("c_name"), F.lit("string"), ns, nd))
+    src = F.concat(F.lit("census-"), (F.col("c_custkey") % 3).cast("string"))
+    ann_q = customer.select(quad(qt["kind"], qt["lex"], "urn:prov:source",
+                                 b(2), src, "string").alias("q"))
+    ofk_q = orders.select(quad(b(0), o_row, "urn:fk:orders:o_custkey",
+                               b(0), c_fk, None).alias("q"))
+    quads = name_q.unionByName(ann_q).unionByName(ofk_q)
+    return QuadsDataFrameStore(spark, quads.select("q.*"))
+
+
+@q("sparql_star_fk_annotation",
+   "SELECT c_name AS name, 'urn:t:orders:' || CAST(o_orderkey AS VARCHAR) "
+   "AS orow FROM customer JOIN orders ON o_custkey = c_custkey "
+   "WHERE c_custkey % 3 = 1")
+def sparql_star_fk_annotation(spark, sf_dir) -> DataFrame:
+    """Quoted-pattern decomposition at CORPUS scale: the annotation
+    pattern's s_kind=3 scan filter bounds accessor work to the
+    annotation slice, then ?c joins the orders FK edge — the join
+    shuffle grows with orders, the star slice with customers. This is
+    the stress harness's star row (tools/stress_scale.py)."""
+    from kineo_spark.engine import Engine
+
+    r = Engine(_star_customer_store(spark, sf_dir)).query("""
+      SELECT ?name ?orow WHERE {
+        << ?c <urn:col:customer:c_name> ?name >> <urn:prov:source> "census-1" .
+        ?o <urn:fk:orders:o_custkey> ?c .
+        BIND(STR(?o) AS ?orow)
+      }
+    """)
+    return extract(r.bindings, {"name": ("name", "lex"),
+                                "orow": ("orow", "lex")})
+
+
 @q("sparql_star_annotation",
    "SELECT n_name AS name, 'census-' || CAST(n_nationkey % 3 AS VARCHAR) AS src "
    "FROM nation JOIN region ON n_regionkey = r_regionkey WHERE r_name = 'ASIA'")

@@ -393,9 +393,17 @@ _DOTLESS_DIR_END = re.compile(
     r"(?i)(?:^|[.>}])\s*(?:prefix\s+\S*\s*|base\s*)<[^<>]*>\s*$"
 )
 
-# candidate cross-line states: (open long-string quote char or "", TriG
-# graph-block depth). Valid TriG never nests blocks, so depth is 0 or 1.
-_ALL_STATES = [("", 0), ("", 1), ("'", 0), ("'", 1), ('"', 0), ('"', 1)]
+# candidate cross-line states: (open long-string quote char or "",
+# TriG graph-block depth + 100 x Turtle-star annotation depth). Valid
+# TriG never nests blocks, so graph depth is 0 or 1; `{| ... |}`
+# annotations may nest (an annotation's own objects can be annotated)
+# and span lines, tracked in steps of 100 up to depth 2 — deeper
+# nesting (vanishingly rare) takes the driver fallback. 18 states; in
+# practice branches converge after the first statement boundary.
+_ALL_STATES = [
+    (q, g + 100 * a)
+    for q in ("", "'", '"') for g in (0, 1) for a in (0, 1, 2)
+]
 _START_STATE = ("", 0)
 
 _MAX_DIRECTIVES = 10_000
@@ -495,6 +503,10 @@ def _scan_line(line: str, state: tuple[str, int]):
         if ch == "{":
             if line[i:i + 2] == "{|":  # Turtle-star annotation open
                 depth += 100
+                if depth >= 300:
+                    # the cross-line state space caps annotation depth
+                    # at 2 — deeper nesting falls back to the driver
+                    return (strq, depth), False, "deeply nested annotation"
                 pending = False
                 sig.append("a")
                 i += 2
@@ -507,9 +519,10 @@ def _scan_line(line: str, state: tuple[str, int]):
             i += 1
             continue
         if ch == "}":
-            depth -= 1
-            if depth < 0:
+            if depth % 100 == 0:
+                # no open graph block here (incl. inside an annotation)
                 return (strq, depth), False, "unbalanced '}'"
+            depth -= 1
             pending = depth == 0
             sig.append("}")
             i += 1
@@ -526,11 +539,6 @@ def _scan_line(line: str, state: tuple[str, int]):
             pending = False
             sig.append(ch)
         i += 1
-    if depth >= 100:
-        # an open {| annotation at end-of-line would leave the closed
-        # 6-state machine (annotation depth rides +100 within a line
-        # only) — multi-line annotations take the driver fallback
-        return (strq, depth), False, "annotation spans lines"
     if strq:
         return (strq, depth), False, None
     ends = pending and depth == 0

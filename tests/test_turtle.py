@@ -305,11 +305,45 @@ def test_turtle_star_quoted_and_annotation(spark, tmp_path):
     _, _, inner = quoted_parts(PyTerm(3, deep[0].o_lex))
     assert inner.kind == 3
 
-    # multi-line annotation → driver fallback (not an error)
+    # r7: multi-line {| |} annotations are STATEMENT-PARALLEL — the FSM
+    # carries annotation depth across lines (turtle.py _ALL_STATES), so
+    # the fallback (patched to raise here) must not fire. Covers: an
+    # annotation block spanning lines, a NESTED annotation spanning
+    # lines, and an annotated triple inside a multi-line TriG block.
     p2 = tmp_path / "star2.ttl"
-    p2.write_text('@prefix ex: <http://example.org/> .\n'
-                  'ex:a ex:p 1 {| ex:conf\n 0.5 |} .\n')
-    dist2 = T.load_turtle_distributed(spark, str(p2)).collect()
+    p2.write_text(
+        '@prefix ex: <http://example.org/> .\n'
+        'ex:a ex:p 1 {| ex:conf\n'
+        ' 0.5 ;\n'
+        ' ex:src ex:census |} .\n'
+        'ex:b ex:q 2 {| ex:note """multi\n'
+        'line""" ; ex:meta 7 {| ex:conf\n'
+        ' 0.8 |} |} .\n'
+        'ex:g1 {\n'
+        '  ex:c ex:r 3 {| ex:conf\n'
+        '   0.6 |} .\n'
+        '}\n'
+        'ex:tail ex:p ex:done .\n')
+    orig = T.load_turtle
+    T.load_turtle = lambda *a, **k: (_ for _ in ()).throw(
+        AssertionError("fell back to driver parser"))
+    try:
+        dist2 = T.load_turtle_distributed(spark, str(p2)).collect()
+    finally:
+        T.load_turtle = orig
     drv2 = load_turtle(spark, p2.read_text()).collect()
     assert _canon(dist2) == _canon(drv2)
-    assert any(r.s_kind == 3 for r in dist2)
+    assert sum(1 for r in dist2 if r.s_kind == 3) >= 4
+    # the annotated triple inside the TriG block lands in ex:g1
+    ing1 = [r for r in dist2 if r.g_lex == "http://example.org/g1"]
+    assert any(r.s_kind == 3 for r in ing1)
+
+    # depth-3 annotation nesting exceeds the cross-line state cap and
+    # takes the documented driver fallback (correct, just serial)
+    p3 = tmp_path / "star3.ttl"
+    p3.write_text(
+        '@prefix ex: <http://example.org/> .\n'
+        'ex:a ex:p 1 {| ex:m 2 {| ex:n 3 {| ex:o\n 4 |} |} |} .\n')
+    dist3 = T.load_turtle_distributed(spark, str(p3)).collect()
+    drv3 = load_turtle(spark, p3.read_text()).collect()
+    assert _canon(dist3) == _canon(drv3)

@@ -52,6 +52,10 @@ QUERIES = [
     # nation/region stay shared sinks)
     "pipe_exact_substring_spans",
     "sparql_bgp_3hop_join",
+    # r7: RDF-star at corpus scale — the annotation store is built over
+    # customer/orders (which replicate), so the s_kind=3 scan filter's
+    # shuffle linearity is measured (VERDICT r6 item 6)
+    "sparql_star_fk_annotation",
 ]
 
 
