@@ -61,7 +61,21 @@ def train_quality_classifier(
         featuresCol="__feat", labelCol="__label",
         maxIter=max_iter, regParam=reg,
     )
-    return lr.fit(feat)
+    model = lr.fit(feat)
+    # Drop the training summary: it captures the SparkSession, and the
+    # scoring UDF serializes the whole model into every task — which
+    # fails with NotSerializableException(ObservationManager) in any
+    # session where a Dataset Observation was ever registered (the
+    # manager field is lazily created and not transient). The summary
+    # is training-time metadata a scorer never needs.
+    try:
+        from pyspark import SparkContext
+        jvm = SparkContext._active_spark_context._jvm
+        none = jvm.scala.__getattr__("None$").__getattr__("MODULE$")
+        model._java_obj.setSummary(none)
+    except Exception:
+        pass  # future Spark renames: keep the model usable regardless
+    return model
 
 
 def score_quality(
