@@ -631,6 +631,90 @@ def synthetic_media(spark, documents: DataFrame, kind: str = "image") -> DataFra
     return documents.select("doc_id").mapInPandas(gen, schema=MEDIA_SCHEMA)
 
 
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("content", T.BinaryType()),     # re-encoded PNG
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+    ]
+)
+
+IMAGE_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("pixel_sum", T.LongType()),
+    ]
+)
+
+
+def resize_images(media: DataFrame, factor: int = 2) -> DataFrame:
+    """Nearest-neighbor integer-factor DOWNSCALE of grayscale-PNG
+    payloads: real decode (all five scanline filters) + real
+    re-encode through the pure-stdlib PNG codec, Arrow-batched
+    mapInPandas, zero shuffle (reference has no media surface; this is
+    the resize step of the §multimodal pipeline — at 100 TB the same
+    batch shape feeds a GPU resizer). Output pixel (x, y) samples
+    source (x*factor, y*factor); out dims = max(1, dim // factor)."""
+    if factor < 1:
+        raise ValueError("factor must be >= 1")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_c, ws, hs = [], [], []
+            for content in pdf["content"]:
+                w, h, px = decode_png_gray(bytes(content))
+                ow, oh = max(1, w // factor), max(1, h // factor)
+                data = bytes(
+                    px[(y * factor) * w + (x * factor)]
+                    for y in range(oh) for x in range(ow)
+                )
+                out_c.append(
+                    encode_png_gray(ow, oh, lambda x, y: data[y * ow + x]))
+                ws.append(ow)
+                hs.append(oh)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "content": out_c,
+                    "width": pd.array(ws, dtype="Int32"),
+                    "height": pd.array(hs, dtype="Int32"),
+                }
+            )
+
+    return media.filter(F.col("mime") == "image/png").select(
+        "media_id", "content").mapInPandas(run, schema=RESIZED_SCHEMA)
+
+
+def image_stats(media: DataFrame) -> DataFrame:
+    """Decode grayscale-PNG payloads and emit (media_id, width, height,
+    pixel_sum) — the verification read-back for resize/encode round
+    trips and a cheap corpus-health probe (all-black/all-white
+    detectors at scale)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ws, hs, sums = [], [], []
+            for content in pdf["content"]:
+                w, h, px = decode_png_gray(bytes(content))
+                ws.append(w)
+                hs.append(h)
+                sums.append(int(sum(px)))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "width": pd.array(ws, dtype="Int32"),
+                    "height": pd.array(hs, dtype="Int32"),
+                    "pixel_sum": pd.array(sums, dtype="Int64"),
+                }
+            )
+
+    return media.select("media_id", "content").mapInPandas(
+        run, schema=IMAGE_STATS_SCHEMA)
+
+
 def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Video frame-sampling *plan*: explode timestamps to sample at; the
     decode of each frame is the stubbed step. Shows the partitioning

@@ -1994,6 +1994,37 @@ def pipe_frame_extract(spark, sf_dir) -> DataFrame:
     return multimodal.extract_frames(media, at_ms=150)
 
 
+@q("pipe_image_resize",
+   # exact oracle: synthetic image pixels are arithmetic in doc_id
+   # (pixel(x,y) = (3x + 5y + seed) % 256, w = 1 + id%64,
+   # h = 1 + 7id%64), so the nearest-neighbor half-scale output pixel
+   # (x,y) samples source (2x,2y) = (6x + 10y + seed) % 256 — the
+   # decode -> resize -> re-encode -> decode round trip must reproduce
+   # that sum bit-exactly
+   "WITH e AS (SELECT doc_id, doc_id % 251 AS seed, "
+   "                  GREATEST(1, (1 + doc_id % 64) // 2) AS ow, "
+   "                  GREATEST(1, (1 + (doc_id * 7) % 64) // 2) AS oh "
+   "           FROM documents) "
+   "SELECT doc_id AS media_id, CAST(ow AS INT) AS width, "
+   "       CAST(oh AS INT) AS height, "
+   "       CAST(list_sum(flatten([[ (x * 6 + y * 10 + seed) % 256 "
+   "                                for x in generate_series(0, ow - 1)] "
+   "                              for y in generate_series(0, oh - 1)])) "
+   "            AS BIGINT) AS pixel_sum "
+   "FROM e")
+def pipe_image_resize(spark, sf_dir) -> DataFrame:
+    """REAL image resize (nearest-neighbor half scale) through the
+    pure-stdlib PNG codec, then a SECOND decode of the re-encoded
+    payload to checksum the pixels — pinning decode, sampling, and
+    re-encode in one oracle-hashed pass. Arrow-batched mapInPandas,
+    zero shuffle; at 100 TB the identical batch shape feeds a GPU
+    resizer."""
+    docs = read_table(spark, sf_dir, "documents")
+    media = multimodal.synthetic_media(spark, docs, kind="image")
+    resized = multimodal.resize_images(media, factor=2)
+    return multimodal.image_stats(resized)
+
+
 _STREAM_SESSION_ORACLE = """
 WITH e AS (
   SELECT user_id, event_id, epoch_us(ts) AS tu, value FROM events

@@ -146,6 +146,32 @@ def test_multimodal_plumbing(spark, docs):
     assert sorted(r.media_id for r in rows) == sorted(r.media_id for r in again)
 
 
+def test_multimodal_resize(spark, docs):
+    """resize_images: nearest-neighbor half scale through a real PNG
+    decode -> sample -> re-encode -> decode round trip; 1xN and Nx1
+    floors; non-PNG rows are filtered out, not corrupted."""
+    media = multimodal.synthetic_media(spark, docs.limit(20))
+    rs = multimodal.image_stats(multimodal.resize_images(media, factor=2))
+    rows = {r.media_id: r for r in rs.collect()}
+    assert len(rows) == 20
+    for mid, r in rows.items():
+        w, h, seed = 1 + mid % 64, 1 + (mid * 7) % 64, mid % 251
+        ow, oh = max(1, w // 2), max(1, h // 2)
+        assert (r.width, r.height) == (ow, oh)
+        want = sum((6 * x + 10 * y + seed) % 256
+                   for y in range(oh) for x in range(ow))
+        assert r.pixel_sum == want
+    # factor larger than the image floors at 1x1 = the (0,0) pixel
+    one = multimodal.image_stats(
+        multimodal.resize_images(media, factor=128)).collect()
+    for r in one:
+        assert (r.width, r.height) == (1, 1)
+        assert r.pixel_sum == r.media_id % 251 % 256
+    # audio payloads (mime audio/wav) never reach the PNG decoder
+    audio = multimodal.synthetic_media(spark, docs.limit(5), kind="audio")
+    assert multimodal.resize_images(audio, factor=2).count() == 0
+
+
 def test_multimodal_real_decode(spark, docs):
     """The real decode path parses dims out of actual PNG bytes and the
     decoded pixel histogram is a genuine feature of the image."""
