@@ -29,6 +29,16 @@ _RUNTIME_CONFS = {
     # Deeply nested SPARQL expressions compile to nested lambda bindings
     # (expr._let_deep); each nesting level costs analyzer iterations.
     "spark.sql.analyzer.maxIterations": "500",
+    # PySpark 4 wraps EVERY Column operation with Python call-site
+    # capture for richer error messages — ~5 driver->JVM round trips
+    # per op (PySparkCurrentOrigin get/set/clear + conf read). SPARQL
+    # expression compilation creates tens of thousands of Column ops
+    # per query (term-struct CASE chains), so this tagging dominated
+    # compile time (measured: ~10k of 14.5k JVM calls for an 8-branch
+    # computed IN). Error call sites point into our compiler anyway,
+    # never at user code — disable. (Read once and cached by
+    # pyspark.errors.utils at first Column op, hence a builder conf.)
+    "spark.python.sql.dataFrameDebugging.enabled": "false",
     # Bucketed+sorted ID layouts (dictionary.persist_id_layout) are
     # written one-file-per-bucket; let the scan report that sort order
     # so merge joins skip their Sort (the IDOrderedQuadPlan analog).
