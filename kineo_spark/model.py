@@ -431,9 +431,12 @@ def term_of_key_col(key: Column) -> Column:
     positionally ('3' SEP lex SEP SEP)."""
     kind_s = F.substring_index(key, _SEP, 1)
     parts = F.split(key, _SEP)
-    lex_nq = F.element_at(parts, 2)
-    dt = F.nullif(F.element_at(parts, 3), F.lit(""))
-    lang = F.nullif(F.element_at(parts, 4), F.lit(""))
+    # try_element_at: base keys always carry 4 SEP-fields, but the same
+    # CSE speculative-evaluation hazard as _packed_component applies
+    # when this expression shares a predicate with other key forms
+    lex_nq = F.try_element_at(parts, F.lit(2))
+    dt = F.nullif(F.try_element_at(parts, F.lit(3)), F.lit(""))
+    lang = F.nullif(F.try_element_at(parts, F.lit(4)), F.lit(""))
     base = term_struct(kind_s.cast("tinyint"), lex_nq, dt, lang,
                        lexical_num_col(lex_nq, dt))
     quoted_t = term_struct(_b(KIND_QUOTED),
@@ -444,13 +447,24 @@ def term_of_key_col(key: Column) -> Column:
 
 
 def _packed_component(lex: Column, i: int) -> Column:
-    """Component-i term_key out of a packed quoted lex (header format)."""
+    """Component-i term_key out of a packed quoted lex (header format).
+
+    try_element_at, NOT element_at: callers guard with
+    when(kind == KIND_QUOTED, ...), but codegen's common-subexpression
+    elimination can hoist a subexpression shared across when-branches
+    and evaluate it EAGERLY on non-quoted rows (observed: a star Update
+    WHERE predicate threw INVALID_ARRAY_INDEX_IN_ELEMENT_AT from
+    SpecificPredicate.subExpr on a 2-part plain-IRI lex). try_element_at
+    yields NULL on the speculative path and identical values on the
+    guarded one."""
     parts = F.split(lex, ":", 4)  # [len1, len2, len3, payload]
-    ln = lambda j: F.element_at(parts, j).cast("int")  # noqa: E731
+    # try_cast for the same reason: a speculatively-evaluated plain-IRI
+    # lex puts '//host/...' in parts[2], which an ANSI int cast throws on
+    ln = lambda j: F.try_element_at(parts, F.lit(j)).try_cast("int")  # noqa: E731
     start = F.lit(1)
     for j in range(1, i + 1):
         start = start + ln(j)
-    return F.substring(F.element_at(parts, 4), start, ln(i + 1))
+    return F.substring(F.try_element_at(parts, F.lit(4)), start, ln(i + 1))
 
 
 def quoted_component_key_col(t: Column, i: int) -> Column:
