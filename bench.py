@@ -88,8 +88,10 @@ HEADLINE = [
 ]
 
 # queries whose executed plans get per-operator metric trees in the output
+# (knn added r8: its r7 wall moved 1.9x with identical invariants — the
+# operator tree makes the next such move attributable)
 ANALYZE = ["sparql_bgp_3hop_join", "pipe_dedup_minhash_lsh",
-           "sparql_path_alt_plus"]
+           "sparql_path_alt_plus", "pipe_knn_bruteforce"]
 
 # round-1 per-query minima, corrected for the two host-noise spikes the
 # round-1 judge re-measured (group_concat/minus recorded 20.9/15.9 but
@@ -159,14 +161,19 @@ def _shuffle_write_bytes(spark) -> int:
         return -1
 
 
-def _join_order_probe(spark, sf_dir: str) -> dict:
+def _join_order_probe(spark, sf_dir: str, runs: int = 3) -> dict:
     """Adversarial 5-pattern BGP, syntactically worst-first: the
     lineitem star (600k rows at sf0.1) leads, the bound-name customer
     star (1 row) trails. Un-hinted compilation joins in syntactic
     order; cs_stats=True starts from the 1-row star and semi-joins
     outward. Results must be identical; the wall pair is the measured
     evidence for the stats-ordering claim (test_join_order pins only
-    result equality)."""
+    result equality).
+
+    r8: best-of-N per arm, same as the headline queries — the r7
+    single-shot row recorded the INVERSE of the (true) claim because
+    one noise spike landed on the stats arm; evidence cited as proof
+    must survive the host it was measured on."""
     from kineo_spark import algebra as A
     from kineo_spark.compiler import Compiler
     from kineo_spark.expr import c, v
@@ -193,11 +200,55 @@ def _join_order_probe(spark, sf_dir: str) -> dict:
         comp = Compiler(store, **kw)
         df = select(comp, q)
         df.count()  # warm scan caches so both pay the same IO
-        t0 = time.time()
-        counts[key] = df.count()
-        out[f"join_order_{key}_sec"] = round(time.time() - t0, 3)
+        best = None
+        for _ in range(runs):
+            t0 = time.time()
+            counts[key] = df.count()
+            dt = round(time.time() - t0, 3)
+            best = dt if best is None or dt < best else best
+        out[f"join_order_{key}_sec"] = best
     assert counts["unhinted"] == counts["stats"], counts
     out["join_order_rows"] = counts["stats"]
+    return out
+
+
+def _bloom_prefilter_probe(spark, sf_dir: str) -> dict:
+    """Measured evidence for the incremental-dedup Bloom pre-filter
+    (dedup.py): a 32x daily batch with 1% true dups against the
+    documents corpus, anti-joined with autoBroadcast DISABLED (the
+    archive-scale regime where the exact join must SMJ). The Bloom
+    variant's broadcast word-table joins route ~99% of the daily side
+    around the shuffle; both variants' shuffle bytes and result rows
+    are recorded so the drop is a persisted number, not a claim."""
+    from pyspark.sql import functions as F
+
+    from kineo_spark.pipeline import dedup
+    from kineo_spark.store import read_table
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    rep = spark.range(32).select(F.col("id").alias("rep"))
+    nid = (F.col("doc_id") * 32 + F.col("rep"))
+    new = docs.crossJoin(rep).select(
+        nid.alias("doc_id"),
+        F.when(nid % 100 == 0, F.col("text"))
+         .otherwise(F.concat(F.col("text"), F.lit(" v"),
+                             nid.cast("string"))).alias("text"))
+    out = {}
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        for key, kw in (("plain", {}), ("bloom", {"bloom": True})):
+            df = dedup.dedup_against_corpus(new, docs, "doc_id", **kw)
+            df.count()  # warm scan caches
+            s0 = _shuffle_write_bytes(spark)
+            n = df.count()
+            s1 = _shuffle_write_bytes(spark)
+            if s0 >= 0 and s1 >= 0:
+                out[f"bloom_prefilter_{key}_shuffle_mb"] = round(
+                    (s1 - s0) / 1e6, 2)
+            out[f"bloom_prefilter_{key}_rows"] = n
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
     return out
 
 
@@ -254,15 +305,6 @@ def main() -> None:
             if base and best > 2 * base:
                 print(f"# REGRESSION {name}: {best}s vs r1 min {base}s (> 2x)", file=sys.stderr)
 
-    # test hook for the invariant flag itself: inflate one query's
-    # measured shuffle so the comparison below demonstrably fires
-    # (tests/test_bench_invariants.py; never set in real runs)
-    inject = os.environ.get("KINEO_BENCH_INJECT_SHUFFLE")
-    if inject:
-        k = f"shuffle_mb_{inject}"
-        if k in extras:
-            extras[k] = round(extras[k] * 1.2 + 2.0, 2)
-
     # Noise-retry pass: the shared host shows multi-minute stall windows
     # (single-thread probe confirms 3-6x system-wide slowdowns) that can
     # swallow all three runs of one query. Any query whose best-of-3
@@ -290,13 +332,33 @@ def main() -> None:
     # bound-object selective star last; Catalyst never reorders join
     # trees without CBO, so the syntactic order pays the 600k-row join
     # before the 1-row filter. One measured pair in extras.
+    # r8: best-of-3 per arm and BOTH SFs recorded, so the persisted
+    # evidence matches the COVERAGE.md claim on a noisy host too.
+    probe_dirs = [("", sf_dir)]
+    alt = "/root/testdata/sf0.01"
+    if os.path.isdir(alt) and os.path.realpath(alt) != os.path.realpath(sf_dir):
+        probe_dirs.append(("_sf0.01", alt))
+    for suffix, d in probe_dirs:
+        try:
+            jo = _join_order_probe(spark, d)
+            extras.update({k + suffix: v for k, v in jo.items()})
+            print(f"# join-order probe{suffix or ' (headline sf)'}: unhinted "
+                  f"{jo['join_order_unhinted_sec']}s vs stats "
+                  f"{jo['join_order_stats_sec']}s (best of 3)",
+                  file=sys.stderr)
+        except Exception as e:
+            print(f"# join-order probe{suffix} failed: {type(e).__name__}: "
+                  f"{str(e)[:160]}", file=sys.stderr)
+
     try:
-        jo = _join_order_probe(spark, sf_dir)
-        extras.update(jo)
-        print(f"# join-order probe: unhinted {jo['join_order_unhinted_sec']}s"
-              f" vs stats {jo['join_order_stats_sec']}s", file=sys.stderr)
+        bp = _bloom_prefilter_probe(spark, sf_dir)
+        extras.update(bp)
+        print(f"# bloom prefilter probe: plain "
+              f"{bp.get('bloom_prefilter_plain_shuffle_mb')} MB vs bloom "
+              f"{bp.get('bloom_prefilter_bloom_shuffle_mb')} MB shuffle",
+              file=sys.stderr)
     except Exception as e:
-        print(f"# join-order probe failed: {type(e).__name__}: "
+        print(f"# bloom prefilter probe failed: {type(e).__name__}: "
               f"{str(e)[:160]}", file=sys.stderr)
 
     # per-operator runtime metrics (rows + time per physical operator,
@@ -341,6 +403,21 @@ def main() -> None:
         "sf": float(sf),
     }
 
+    # test hook for the invariant flag itself: inflate one query's
+    # measured shuffle so the comparison below demonstrably fires
+    # (tests/test_bench_invariants.py; never set in real runs). The
+    # injection touches only this comparison-side copy and suppresses
+    # the detail-file write — a hook run must never persist falsified
+    # shuffle numbers into the next round's invariant baseline.
+    inject = os.environ.get("KINEO_BENCH_INJECT_SHUFFLE")
+    compare_side = cur_detail
+    if inject:
+        compare_side = json.loads(json.dumps(cur_detail))
+        k = f"shuffle_mb_{inject}"
+        if k in compare_side["extras"]:
+            compare_side["extras"][k] = round(
+                compare_side["extras"][k] * 1.2 + 2.0, 2)
+
     # PRIMARY regression signal: invariants (rows exact, shuffle bytes
     # banded) vs the previous round's detail file — wall time on this
     # host swings 3-6x with identical plans, so it stays secondary
@@ -349,16 +426,20 @@ def main() -> None:
         try:
             with open(detail_path) as fh:
                 prev_detail = json.load(fh)
-            regressions = compare_invariants(prev_detail, cur_detail)
+            regressions = compare_invariants(prev_detail, compare_side)
         except Exception as e:
             print(f"# invariant compare skipped: {e}", file=sys.stderr)
     for r in regressions:
         print(f"# {r}", file=sys.stderr)
 
-    with open(detail_path, "w") as fh:
-        json.dump(cur_detail, fh, indent=1)
-    print(f"# detail (rows + shuffle bytes + operator trees): {detail_path}",
-          file=sys.stderr)
+    if inject:
+        print("# inject hook active: BENCH_DETAIL.json NOT written",
+              file=sys.stderr)
+    else:
+        with open(detail_path, "w") as fh:
+            json.dump(cur_detail, fh, indent=1)
+        print(f"# detail (rows + shuffle bytes + operator trees): "
+              f"{detail_path}", file=sys.stderr)
 
     line = json.dumps({
         "metric": "headline_total_wall_best_of_3_r1_comparable",

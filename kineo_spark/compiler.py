@@ -629,16 +629,35 @@ class Compiler:
             return self._semi(self._c(node.child, g), sub, e.anti)
         child = self._c(node.child, g)
         child, e, markers = self._mark_exists(child, e, g)
-        from kineo_spark.expr import (apply_hoisted, compile_filter_condition,
-                                      hoist_scope)
+        from kineo_spark.expr import (ECall, apply_hoisted,
+                                      compile_filter_condition, hoist_scope)
         # df.filter keeps only TRUE rows (NULL drops) — exactly SPARQL's
-        # error-drops-row rule; no wrapper, so parquet sees plain predicates
-        with hoist_scope() as hoisted:
-            cond = compile_filter_condition(e, _env(child.df))
+        # error-drops-row rule; no wrapper, so parquet sees plain predicates.
+        # Top-level && conjuncts compile SEPARATELY: FILTER(A && B) keeps a
+        # row iff both are literally true, so per-conjunct filters are
+        # exact — and conjuncts that register no hoist columns apply BELOW
+        # the nondeterministic hoist barrier, keeping parquet pushdown for
+        # the plain predicates that share a FILTER with a computed IN.
+        def conjuncts(x):
+            if isinstance(x, ECall) and x.op == "&&":
+                return conjuncts(x.args[0]) + conjuncts(x.args[1])
+            return [x]
+
+        env = _env(child.df)
+        plain, hoisted_conds, hoisted = [], [], []
+        for part in conjuncts(e):
+            with hoist_scope() as h:
+                cond = compile_filter_condition(part, env)
+            (hoisted_conds if h else plain).append(cond)
+            hoisted.extend(h)
+        df = child.df
+        for cond in plain:
+            df = df.filter(cond)
         # hoisted IN-branch/deep-arith subtrees: one select per dependency
         # level, pushdown-barriered (see apply_hoisted)
-        df, hnames = apply_hoisted(child.df, hoisted)
-        df = df.filter(cond)
+        df, hnames = apply_hoisted(df, hoisted)
+        for cond in hoisted_conds:
+            df = df.filter(cond)
         drop = markers + hnames
         if drop:
             df = df.drop(*drop)

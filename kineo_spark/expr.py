@@ -24,6 +24,7 @@ vectorized at 100 TB.
 from __future__ import annotations
 
 import itertools
+import threading
 from contextlib import contextmanager
 from dataclasses import dataclass
 from typing import Optional
@@ -571,8 +572,18 @@ _HIGH_DUP_OPS = frozenset({"+", "-", "*", "/", "NEG", "ABS", "ROUND",
 # a fresh name, and the fold references a bare attribute instead. The
 # scope owner materializes the registered columns with one select() before
 # applying the condition and drops them after.
-_HOIST_SCOPES: list[list[tuple[str, Column, int]]] = []
+_HOIST_TLS = threading.local()
 _HOIST_SEQ = itertools.count()
+
+
+def _hoist_scopes() -> list:
+    """Per-thread scope stack: concurrent query compilation from
+    multiple driver threads must not interleave registrations across
+    each other's scopes (that yields unresolved __hoist_* refs)."""
+    scopes = getattr(_HOIST_TLS, "scopes", None)
+    if scopes is None:
+        scopes = _HOIST_TLS.scopes = []
+    return scopes
 
 
 @contextmanager
@@ -586,11 +597,12 @@ def hoist_scope():
     size; one-select-per-LEVEL is O(depth × tree) with depth ≈ the
     expression nesting depth (single digits)."""
     slot: list[tuple[str, Column, int]] = []
-    _HOIST_SCOPES.append(slot)
+    scopes = _hoist_scopes()
+    scopes.append(slot)
     try:
         yield slot
     finally:
-        _HOIST_SCOPES.pop()
+        scopes.pop()
 
 
 def apply_hoisted(df, hoisted):
@@ -635,10 +647,11 @@ def _hoist(col: Column, tag: str, level: int = 0, nd: bool = False) -> Column:
     reference to it. No active scope → return the column inline (always
     correct, just slower to analyze). ``nd=True`` additionally pins the
     column against optimizer re-inlining (see _nd_identity)."""
-    if not _HOIST_SCOPES:
+    scopes = _hoist_scopes()
+    if not scopes:
         return col
     name = f"__hoist_{tag}_{next(_HOIST_SEQ)}"
-    _HOIST_SCOPES[-1].append((name, _nd_identity(col) if nd else col, level))
+    scopes[-1].append((name, _nd_identity(col) if nd else col, level))
     return F.col(name)
 
 
@@ -648,16 +661,17 @@ def _compile_call(e: ECall, env: dict[str, Column]) -> Column:
     # (0 if its subtree registered nothing), so a column containing the
     # arg lands in a select() strictly after everything it references
     a, lv = [], []
+    scopes = _hoist_scopes()
     for x in e.args:
-        start = len(_HOIST_SCOPES[-1]) if _HOIST_SCOPES else 0
+        start = len(scopes[-1]) if scopes else 0
         a.append(compile_expr(x, env))
-        if _HOIST_SCOPES:
-            sub = _HOIST_SCOPES[-1][start:]
+        if scopes:
+            sub = scopes[-1][start:]
             lv.append(1 + max((l for _, _, l in sub), default=-1))
         else:
             lv.append(0)
     if e.op in ("IN", "NOT_IN"):
-        if len(a) > 1 and _HOIST_SCOPES and any(
+        if len(a) > 1 and scopes and any(
                 _call_depth(x) >= 1 for x in e.args[1:]):
             # computed branch terms: project them ONCE as an array column
             # (and a deep lhs as its own column) so Catalyst analyzes each
@@ -1191,7 +1205,7 @@ def compile_filter_condition(e: Expr, env: dict[str, Column]) -> Column:
         if op == "||":
             return compile_filter_condition(e.args[0], env) | compile_filter_condition(e.args[1], env)
         if op == "IN":
-            if _HOIST_SCOPES and any(_call_depth(x) >= 1 for x in e.args[1:]):
+            if _hoist_scopes() and any(_call_depth(x) >= 1 for x in e.args[1:]):
                 # computed branches: the or-chain inlines every branch
                 # tree (multiply-referenced by _eq_cond) — use the exact
                 # fold path, which hoists the branch array into a Project

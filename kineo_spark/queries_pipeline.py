@@ -1648,11 +1648,15 @@ def pipe_ppl_buckets(spark, sf_dir) -> DataFrame:
    f"SELECT id, fp FROM nf WHERE fp NOT IN (SELECT fp FROM sf)")
 def pipe_dedup_incremental(spark, sf_dir) -> DataFrame:
     """Incremental dedup of a 'new batch' (doc_id >= 250) against the
-    already-ingested corpus (doc_id < 250) by fingerprint anti-join."""
+    already-ingested corpus (doc_id < 250): a broadcast Bloom of the
+    seen-side fingerprints routes Bloom-negative rows around the exact
+    anti-join map-side (r8; the oracle is unchanged because the result
+    is identical by construction — the anti-join remains the exact
+    residual check for Bloom-positive candidates)."""
     docs = read_table(spark, sf_dir, "documents")
     return dedup.dedup_against_corpus(
         docs.filter(F.col("doc_id") >= 250),
-        docs.filter(F.col("doc_id") < 250), "doc_id")
+        docs.filter(F.col("doc_id") < 250), "doc_id", bloom=True)
 
 
 @q("pipe_len_quantile_sketch",

@@ -271,10 +271,24 @@ TABLES: dict[str, tuple[list[str], dict[str, str]]] = {
 }
 
 
+_READ_CACHE: dict = {}
+
+
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read a driver parquet table, normalizing nanosecond timestamps
     (events.ts is TIMESTAMP(NANOS); Spark reads it as long with
-    spark.sql.legacy.parquet.nanosAsLong — convert to µs timestamps)."""
+    spark.sql.legacy.parquet.nanosAsLong — convert to µs timestamps).
+
+    The resulting DataFrame (an immutable logical plan) is memoized per
+    (session, dir, table) — the catalog-metadata-cache pattern: repeated
+    queries against the same table shouldn't re-read parquet footers and
+    re-run schema inference on every call (~0.1 s driver time each)."""
+    # id() alone could be reused after a stopped session is collected;
+    # the applicationId pins the key to the live Spark app as well.
+    key = (id(spark), spark.sparkContext.applicationId, sf_dir, name)
+    cached = _READ_CACHE.get(key)
+    if cached is not None:
+        return cached
     from kineo_spark.session import tune
     tune(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
@@ -287,6 +301,9 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             # parquet ms-timestamps without UTC flag arrive as NTZ; the
             # engine speaks instants (session tz is UTC, so same wall clock)
             df = df.withColumn(f_.name, F.col(f_.name).cast("timestamp"))
+    if len(_READ_CACHE) > 256:  # bound: (session, dir, table) triples
+        _READ_CACHE.clear()
+    _READ_CACHE[key] = df
     return df
 
 

@@ -15,7 +15,18 @@ SF = "/root/testdata/sf0.001"
 
 
 def _plan(df) -> str:
-    return df._jdf.queryExecution().executedPlan().toString()
+    """Executed-plan string with metadata truncation lifted: the default
+    spark.sql.maxMetadataStringLength=100 cuts PushedFilters lists mid-
+    entry, so a pushdown assert could fail merely because MORE filters
+    pushed (r8: the FILTER conjunct split pushed extra predicates ahead
+    of the asserted one)."""
+    spark = df.sparkSession
+    prev = spark.conf.get("spark.sql.maxMetadataStringLength")
+    spark.conf.set("spark.sql.maxMetadataStringLength", "10000")
+    try:
+        return df._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.maxMetadataStringLength", prev)
 
 
 @pytest.fixture(scope="module")

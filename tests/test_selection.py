@@ -322,3 +322,52 @@ def test_frozen_quality_classifier_exact_and_sane(spark):
         "SELECT id, logit_micro FROM (" +
         quality_model.frozen_oracle_sql() + ")").fetchall()}
     assert oracle == {i: r["logit_micro"] for i, r in got.items()}
+
+
+def test_bloom_prefiltered_incremental_dedup(spark):
+    """bloom=True must return exactly the plain anti-join's rows (the
+    Bloom routes only definite-negatives around the join; positives
+    still hit the exact residual check), the candidate rate must stay
+    near the true-dup rate (~1% + sub-1% false positives), and the
+    probe-side word joins must be BROADCAST even with autoBroadcast
+    disabled — that is the map-side property that kills the daily-side
+    shuffle at archive scale."""
+    from pyspark.sql import functions as F
+
+    from kineo_spark.pipeline import dedup
+
+    seen = spark.createDataFrame(
+        [(i, f"archived doc {i}") for i in range(3000)],
+        "doc_id long, text string")
+    new = spark.createDataFrame(
+        [(i, f"fresh doc {i}") for i in range(2970)]
+        + [(10_000 + i, f"archived doc {i}") for i in range(30)],  # 1% dups
+        "doc_id long, text string")
+
+    plain = sorted(r["id"] for r in
+                   dedup.dedup_against_corpus(new, seen, "doc_id").collect())
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        out = dedup.dedup_against_corpus(new, seen, "doc_id", bloom=True)
+        got = sorted(r["id"] for r in out.collect())
+        assert got == plain  # identical by construction
+        assert len(got) == 2970
+
+        # candidate rate: Bloom-positives ≈ true dups + small fp tail
+        nf = new.select(F.col("doc_id").alias("id"),
+                        dedup.fingerprint(F.col("text")).alias("fp"))
+        sf = seen.select(dedup.fingerprint(F.col("text")).alias("fp"))
+        m_bits = 3000 * 14
+        words = dedup._bloom_words(sf, m_bits, 3)
+        probed, cand = dedup._bloom_probe(nf, words, m_bits, 3)
+        n_pos = probed.filter(cand).count()
+        assert 30 <= n_pos <= 30 + 90  # ≤3% false positives (expect ~0.7%)
+
+        # map-side: all three word joins are BroadcastHashJoin despite
+        # the -1 threshold (explicit broadcast() hint), so the probe
+        # side never shuffles for the Bloom test itself
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("BroadcastHashJoin") >= 3
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)

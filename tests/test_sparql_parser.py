@@ -325,6 +325,24 @@ def test_wide_not_in_compiles_bounded(fixture_store):
     cond_str = node.condition().toString()
     assert "__hoist_inres_" in cond_str
     assert len(cond_str) < 4000, f"filter condition re-inlined: {len(cond_str)} chars"
+    # The same class of pin on the OPTIMIZED plan: the hoist survives
+    # because of version-specific rule behavior (SPARK-36718's
+    # CollapseProject cost check; PushPredicateThroughNonJoin's
+    # determinism requirement on the rand() barrier) — a Spark upgrade
+    # that re-inlines the branch TREES must fail here, loudly, not as a
+    # silent 10-22 s/branch analysis slowdown. The optimizer legitimately
+    # inlines the cheap inres/inarr REF layers (bare attribute refs) into
+    # the Filter condition, so the invariant pinned is that the expensive
+    # per-branch trees stay bound once: the nd-wrapped __hoist_inb_
+    # project columns survive, and each branch's length() tree appears a
+    # small constant number of times (~4/branch internally; a re-inline
+    # multiplies that by the fold's 6-10 consumer refs).
+    opt = plan.df._jdf.queryExecution().optimizedPlan()
+    opt_txt = opt.toString()
+    assert opt_txt.count("__hoist_inb_") >= n, "optimizer dropped branch binds"
+    n_trees = opt_txt.lower().count("length(")
+    assert n_trees <= 8 * n, (
+        f"optimizer re-inlined branch trees: {n_trees} length() mentions")
     # and the whole ASK answers correctly (STRLEN ≥ 1, so no branch is 0)
     result = Engine(fixture_store).query(f"""ASK {{
       ?s <http://xmlns.com/foaf/0.1/name> ?name .
@@ -353,3 +371,55 @@ def test_constant_arithmetic_folds():
     assert t3.lex == "42" and t3.dt == "integer"
     t4 = _fold_arith(ECall("NEG", (c(lit(5)),)))
     assert t4.lex == "-5" and t4.dt == "integer"
+
+
+def test_plain_conjunct_filters_below_hoist_barrier(fixture_store):
+    """A FILTER mixing a plain conjunct with a computed IN must not
+    lose the plain predicate's pushdown to the rand() hoist barrier:
+    the compiler splits top-level && conjuncts and applies
+    hoist-independent ones BELOW apply_hoisted (r8, ADVICE item). The
+    pin: the optimized plan has a Filter strictly underneath the
+    Project that carries the nondeterministic barrier column."""
+    from kineo_spark.compiler import Compiler
+    from kineo_spark.engine import Engine
+    from kineo_spark.sparql_parser import parse_query
+
+    branches = ", ".join(
+        f"((STRLEN(?name) + {i}) * 3) / 3" for i in range(1, 4))
+    q = f"""SELECT ?name {{
+      ?s <http://xmlns.com/foaf/0.1/name> ?name .
+      FILTER(STRLEN(?name) > 0 && 0 NOT IN ({branches}))
+    }}"""
+    plan = Compiler(fixture_store).compile(parse_query(q).algebra)
+    opt = plan.df._jdf.queryExecution().optimizedPlan()
+
+    def find_barrier(node):
+        # the barrier is the Project computing the nd-wrapped branch
+        # binds (__hoist_inb_* via shuffle(array(...))); the __hoist_nd_
+        # rand column itself is legitimately pruned once the nd-wrapped
+        # binds carry the nondeterminism
+        head = node.toString().split("\n")[0]
+        if node.nodeName() == "Project" and "__hoist_inb_" in head:
+            return node
+        for i in range(node.children().length()):
+            got = find_barrier(node.children().apply(i))
+            if got is not None:
+                return got
+        return None
+
+    barrier = find_barrier(opt)
+    assert barrier is not None, "hoist barrier Project missing"
+
+    def has_filter(node):
+        if node.nodeName() == "Filter":
+            return True
+        return any(has_filter(node.children().apply(i))
+                   for i in range(node.children().length()))
+
+    assert any(
+        has_filter(barrier.children().apply(i))
+        for i in range(barrier.children().length())
+    ), "plain conjunct did not filter below the hoist barrier"
+    # and the answers stay correct (both conjuncts true for every name)
+    res = Engine(fixture_store).query(q)
+    assert len(list(res.bindings.collect())) > 0
