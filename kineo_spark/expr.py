@@ -924,57 +924,51 @@ def _dispatch_call(e: ECall, a: list[Column], env: dict[str, Column]) -> Column:
         base = kw.get("base", "")
         rel = a[0]["lex"]
         if base:
-            # §17.4.2.8 resolution against the (constant) query base:
-            # the reference points — root, base dir, and its ancestors
-            # for "../" dot segments — compute driver-side, so the
-            # per-row case split stays pure Column (RFC 3986 §5.2)
-            import re as _re
+            # §17.4.2.8 resolution against the (constant) query base,
+            # restructured r8 as RFC 3986 §5.2.3 merge + §5.2.4
+            # remove_dot_segments: the base root and directory are
+            # driver-side constants, the per-row work is one merge
+            # concat and a bounded collapse loop of regexp_replaces on
+            # the PATH part only (query/fragment split off first). This
+            # replaced the r7 per-depth "../" when-cascade — smaller
+            # expression tree AND full mid-path dot-segment coverage
+            # (rel='a/../b', 'a/..', 'x/./y').
             from urllib.parse import urlsplit
             sp = urlsplit(base)
             root = f"{sp.scheme}://{sp.netloc}"
             bdir_path = (sp.path[: sp.path.rfind("/") + 1]
                          if "/" in sp.path else "/")
-            bdir = root + bdir_path
             # §5.3: '#f' replaces the base FRAGMENT (query kept), '?q'
             # replaces query+fragment — never appended to the full base
             base_nofrag = base.split("#", 1)[0]
             base_noquery = base_nofrag.split("?", 1)[0]
-            # lone '.'/'..' (and '../..' etc.) behave as './' / '../'
-            # (§5.2.4 output never keeps a dot segment); rebound locally
-            # so the absolute-IRI passthrough below keeps the raw lexical
-            rel = F.when(rel.rlike(r"(^|/)\.\.?$")
-                         & ~rel.rlike("^[A-Za-z][A-Za-z0-9+.-]*:"),
-                         F.concat(rel, F.lit("/"))).otherwise(rel)
+            rhead = F.regexp_replace(rel, r"[?#].*$", "")
+            rtail = F.regexp_extract(rel, r"([?#].*)$", 1)
+            # lone '.'/'..' behave as './' / '../' (§5.2.4 output never
+            # keeps a dot segment)
+            rhead = F.when(rhead.rlike(r"(^|/)\.\.?$"),
+                           F.concat(rhead, F.lit("/"))).otherwise(rhead)
+            # §5.2.3 merge: absolute-path refs replace the base path,
+            # relative ones append to the base directory
+            merged = F.when(rhead.startswith("/"), rhead) \
+                .otherwise(F.concat(F.lit(bdir_path), rhead))
+            # §5.2.4: each pass removes all '/./', one nesting level of
+            # 'seg/../', and one leading '/..' (floor at the root); 12
+            # passes cover any sane IRI, deeper residuals stay (bounded
+            # by construction, never wrong direction)
+            for _ in range(12):
+                merged = F.regexp_replace(merged, r"/\.(?=/|$)", "")
+                merged = F.regexp_replace(
+                    merged, r"(^|/)(?!\.\./)[^/]+/\.\.(/|$)", "$1")
+                merged = F.regexp_replace(merged, r"^/\.\.(?=/|$)", "")
             resolved = (
                 F.when(rel == "", F.lit(base_nofrag))
                 .when(rel.startswith("//"),
                       F.concat(F.lit(sp.scheme + ":"), rel))
-                .when(rel.startswith("/"), F.concat(F.lit(root), rel))
                 .when(rel.startswith("#"), F.concat(F.lit(base_nofrag), rel))
                 .when(rel.startswith("?"), F.concat(F.lit(base_noquery), rel))
+                .otherwise(F.concat(F.lit(root), merged, rtail))
             )
-            # "../"*k climbs toward the root and floors there; segments
-            # beyond the hierarchy are consumed silently per §5.2.4
-            segs = [s for s in bdir_path.split("/") if s]
-            for k in range(len(segs) + 2, 0, -1):
-                up = "../" * k
-                anc = "/" + "".join(
-                    s + "/" for s in segs[: max(0, len(segs) - k)])
-                resolved = resolved.when(
-                    rel.startswith(up),
-                    F.concat(F.lit(root + anc),
-                             rel.substr(F.lit(len(up) + 1), F.length(rel))))
-            resolved = (
-                resolved
-                .when(rel.startswith("./"),
-                      F.concat(F.lit(bdir),
-                               rel.substr(F.lit(3), F.length(rel))))
-                .otherwise(F.concat(F.lit(bdir), rel))
-            )
-            # '../' chains deeper than the checked depth floored at the
-            # root but kept their residual dot segments — consume them
-            resolved = F.regexp_replace(
-                resolved, "^" + _re.escape(root) + r"/(\.\./)+", root + "/")
         else:
             resolved = rel
         lex = F.when(a[0]["kind"] == KIND_IRI, a[0]["lex"]).when(

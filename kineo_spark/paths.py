@@ -27,26 +27,51 @@ from kineo_spark.model import PyTerm, term_key
 # pair frame columns: __s term, __o term, __sk, __ok (keys)
 
 
-def _pairs(df: DataFrame, s, o) -> DataFrame:
+def _gvar(graph) -> str | None:
+    """Name of a BINDING graph variable (``GRAPH ?g { path }``), else
+    None. A binding graph var means the path must evaluate PER NAMED
+    GRAPH: every pair key becomes a {g, n} struct so composition joins,
+    closure iterations, and dedups stay within one graph, and ?g rides
+    along as the __g column (§18.1.7 — eval(D(G), Graph(var, P))
+    unions eval(D(D[g]), P) over each named graph with var bound)."""
+    if isinstance(graph, A.Var) and getattr(graph, "binding", False):
+        return graph.name
+    return None
+
+
+def _pairs(df: DataFrame, s, o, g=None) -> DataFrame:
+    if g is None:
+        return df.select(
+            s.alias("__s"), o.alias("__o"),
+            term_key(s).alias("__sk"), term_key(o).alias("__ok"),
+        )
+    gk = term_key(g)
     return df.select(
-        s.alias("__s"), o.alias("__o"),
-        term_key(s).alias("__sk"), term_key(o).alias("__ok"),
+        s.alias("__s"), o.alias("__o"), g.alias("__g"),
+        F.struct(gk.alias("g"), term_key(s).alias("n")).alias("__sk"),
+        F.struct(gk.alias("g"), term_key(o).alias("n")).alias("__ok"),
     )
 
 
 def _edges_for(compiler, path: A.Path, graph) -> DataFrame:
-    """One-step relation for a path as (__s, __o, __sk, __ok)."""
+    """One-step relation for a path as (__s, __o, __sk, __ok) — plus
+    __g with graph-scoped struct keys under a binding graph var."""
     A_ = A
+    gname = _gvar(graph)
     if isinstance(path, A.PLink):
         sv, ov = A.Var("__ps"), A.Var("__po")
         plan = compiler._scan(A.QuadPattern(sv, path.iri, ov, graph))
-        return _pairs(plan.df, plan.df["__ps"], plan.df["__po"])
+        return _pairs(plan.df, plan.df["__ps"], plan.df["__po"],
+                      plan.df[gname] if gname else None)
     if isinstance(path, A.PInv):
         inner = _edges_for(compiler, path.path, graph)
-        return inner.select(
+        cols = [
             inner["__o"].alias("__s"), inner["__s"].alias("__o"),
             inner["__ok"].alias("__sk"), inner["__sk"].alias("__ok"),
-        )
+        ]
+        if gname:
+            cols.append(inner["__g"])
+        return inner.select(*cols)
     if isinstance(path, A.PSeq):
         l = _edges_for(compiler, path.lhs, graph)
         r = _edges_for(compiler, path.rhs, graph)
@@ -54,10 +79,13 @@ def _edges_for(compiler, path: A.Path, graph) -> DataFrame:
             r["__s"].alias("__ms"), r["__o"].alias("__ro"),
             r["__sk"].alias("__msk"), r["__ok"].alias("__rok"),
         )
+        # scoped keys make the hop join per-graph automatically
         j = l.join(r2, l["__ok"] == r2["__msk"], "inner")
-        return j.select(
-            j["__s"], j["__ro"].alias("__o"), j["__sk"], j["__rok"].alias("__ok")
-        )
+        cols = [j["__s"], j["__ro"].alias("__o"), j["__sk"],
+                j["__rok"].alias("__ok")]
+        if gname:
+            cols.append(l["__g"])
+        return j.select(*cols)
     if isinstance(path, A.PAlt):
         return _edges_for(compiler, path.lhs, graph).unionByName(
             _edges_for(compiler, path.rhs, graph)
@@ -68,7 +96,8 @@ def _edges_for(compiler, path: A.Path, graph) -> DataFrame:
         df = plan.df
         excluded = [t.lex for t in path.iris]
         df = df.filter(~df["__pp"]["lex"].isin(excluded))
-        return _pairs(df, df["__ps"], df["__po"])
+        return _pairs(df, df["__ps"], df["__po"],
+                      df[gname] if gname else None)
     # NESTED closures (a star/plus/opt under seq/alt/inv, e.g.
     # ((p/q)|^(r+))* ): evaluate the inner fixpoint to a pair relation
     # and keep composing relationally. Top-level closures still go
@@ -82,7 +111,8 @@ def _edges_for(compiler, path: A.Path, graph) -> DataFrame:
                 .dropDuplicates(["__sk", "__ok"])
         else:
             one = _closure(compiler, _edges_for(compiler, path.path, graph),
-                           compiler.max_path_iterations, strategy=strategy)
+                           compiler.max_path_iterations, strategy=strategy,
+                           scoped=bool(gname))
         if isinstance(path, A.PPlus):
             return one
         # zero-length arm: every graph node relates to itself (§18.4 ALP)
@@ -93,7 +123,7 @@ def _edges_for(compiler, path: A.Path, graph) -> DataFrame:
 
 def _closure(compiler, edges: DataFrame, max_iterations: int,
              seed_key: str | None = None, reverse: bool = False,
-             strategy: str = "seminaive") -> DataFrame:
+             strategy: str = "seminaive", scoped: bool = False) -> DataFrame:
     """Semi-naive transitive closure, iterated in KEY SPACE.
 
     The fixpoint loop moves only (a, b) pairs of 8-byte ``xxhash64``
@@ -109,33 +139,51 @@ def _closure(compiler, edges: DataFrame, max_iterations: int,
     OBJECT): only the reachable set is computed, not the full closure —
     the reference's ``alp`` procedure does exactly this
     (MaterializedQueryPlan.swift:2101-2174)."""
+    if scoped:
+        # graph-scoped keys: hash graph and node parts SEPARATELY into a
+        # {g, n} struct (32 B/row instead of 16) so the fixpoint joins
+        # stay per-graph while seeded BFS can still filter on the node
+        # part alone — the seed matches in every graph it has edges in.
+        def hkey(c):
+            return F.struct(F.xxhash64(F.col(c)["g"]).alias("g"),
+                            F.xxhash64(F.col(c)["n"]).alias("n"))
+    else:
+        def hkey(c):
+            return F.xxhash64(F.col(c))
     ek = edges.select(
-        F.xxhash64("__sk").alias("__a"), F.xxhash64("__ok").alias("__b")
+        hkey("__sk").alias("__a"), hkey("__ok").alias("__b")
     ).dropDuplicates(["__a", "__b"])
+    ncols = lambda key, term: [  # noqa: E731
+        hkey(key).alias("__k"), F.col(term).alias("__n"),
+        F.col(key).alias("__nk"),
+    ] + ([F.col("__g").alias("__ng")] if scoped else [])
     nodes = (
-        edges.select(F.xxhash64("__sk").alias("__k"),
-                     F.col("__s").alias("__n"), F.col("__sk").alias("__nk"))
-        .unionByName(
-            edges.select(F.xxhash64("__ok").alias("__k"),
-                         F.col("__o").alias("__n"), F.col("__ok").alias("__nk")))
+        edges.select(*ncols("__sk", "__s"))
+        .unionByName(edges.select(*ncols("__ok", "__o")))
         .dropDuplicates(["__k"])
     )
     seed_col = F.xxhash64(F.lit(seed_key)) if seed_key is not None else None
-    acc = _closure_pairs(ek, max_iterations, seed_col, reverse, strategy)
-    na = nodes.select(F.col("__k").alias("__ka"), F.col("__n").alias("__s"),
-                      F.col("__nk").alias("__sk"))
+    acc = _closure_pairs(ek, max_iterations, seed_col, reverse, strategy,
+                         scoped=scoped)
+    na_cols = [F.col("__k").alias("__ka"), F.col("__n").alias("__s"),
+               F.col("__nk").alias("__sk")]
+    if scoped:
+        na_cols.append(F.col("__ng").alias("__g"))
+    na = nodes.select(*na_cols)
     nb = nodes.select(F.col("__k").alias("__kb"), F.col("__n").alias("__o"),
                       F.col("__nk").alias("__ok"))
     out = (
         acc.join(na, acc["__a"] == na["__ka"], "inner")
         .join(nb, acc["__b"] == nb["__kb"], "inner")
     )
-    return out.select("__s", "__o", "__sk", "__ok")
+    return out.select("__s", "__o", "__sk", "__ok",
+                      *(["__g"] if scoped else []))
 
 
 def _closure_pairs(ek: DataFrame, max_iterations: int,
                    seed_col=None, reverse: bool = False,
-                   strategy: str = "seminaive") -> DataFrame:
+                   strategy: str = "seminaive",
+                   scoped: bool = False) -> DataFrame:
     """The pure long-pair fixpoint: input and output are (__a, __b)
     8-byte key pairs — shared by the term path (keys = xxhash64 of the
     injective term key) and the ID path (keys = dictionary ids). All
@@ -169,7 +217,10 @@ def _closure_pairs(ek: DataFrame, max_iterations: int,
                 f"path closure did not converge in {max_iterations} iterations")
     else:
         if seed_col is not None:
-            frontier = ek.filter(F.col("__a") == seed_col)
+            # scoped: match the seed's NODE hash in every graph — the
+            # BFS then runs per graph from that graph's copy of the seed
+            frontier = ek.filter(
+                (F.col("__a")["n"] if scoped else F.col("__a")) == seed_col)
         else:
             frontier = ek
         acc = frontier.localCheckpoint(eager=True)
@@ -194,7 +245,7 @@ def _closure_pairs(ek: DataFrame, max_iterations: int,
     return acc
 
 
-def _term_pair(compiler, t: PyTerm) -> DataFrame:
+def _term_pair(compiler, t: PyTerm, scoped: bool = False) -> DataFrame:
     """Single zero-length pair (t, t) — the whole zero-length
     contribution when an endpoint is bound: ALP starts from the bound
     term itself, whether or not it appears in the graph (reference
@@ -207,18 +258,38 @@ def _term_pair(compiler, t: PyTerm) -> DataFrame:
                            T.StructField("__o", TERM_SCHEMA)])
     tup = (t.kind, t.lex, t.dt, t.lang, t.num)
     df = compiler.spark.createDataFrame([(tup, tup)], schema)
+    if scoped:
+        # under GRAPH ?g the zero-length pair (t, t) holds in EVERY
+        # named graph of the dataset (ALP starts from the bound term
+        # regardless of graph membership)
+        g = compiler.store.graph_terms()
+        j = df.crossJoin(F.broadcast(g))
+        return _pairs(j, j["__s"], j["__o"], j["__g"])
     return _pairs(df, df["__s"], df["__o"])
 
 
 def _graph_nodes(compiler, graph) -> DataFrame:
     """All terms appearing as subject or object (zero-length path
-    endpoints, reference MaterializedQueryPlan.swift:1986-2174)."""
+    endpoints, reference MaterializedQueryPlan.swift:1986-2174) —
+    PER NAMED GRAPH under a binding graph var."""
+    gname = _gvar(graph)
     sv, pv, ov = A.Var("__ps"), A.Var("__pp", binding=False), A.Var("__po")
     plan = compiler._scan(A.QuadPattern(sv, pv, ov, graph))
     df = plan.df
-    subs = df.select(df["__ps"].alias("__n"))
-    objs = df.select(df["__po"].alias("__n"))
+    gcol = [df[gname].alias("__g")] if gname else []
+    subs = df.select(df["__ps"].alias("__n"), *gcol)
+    objs = df.select(df["__po"].alias("__n"), *gcol)
     nodes = subs.unionByName(objs)
+    if gname:
+        nodes = nodes.withColumn(
+            "__nk", F.struct(term_key(nodes["__g"]).alias("g"),
+                             term_key(nodes["__n"]).alias("n")))
+        nodes = nodes.dropDuplicates(["__nk"])
+        return nodes.select(
+            nodes["__n"].alias("__s"), nodes["__n"].alias("__o"),
+            nodes["__g"],
+            nodes["__nk"].alias("__sk"), nodes["__nk"].alias("__ok"),
+        )
     nodes = nodes.withColumn("__nk", term_key(nodes["__n"])).dropDuplicates(["__nk"])
     return nodes.select(
         nodes["__n"].alias("__s"), nodes["__n"].alias("__o"),
@@ -240,12 +311,20 @@ def _id_edges_for(compiler, path: A.Path, graph) -> DataFrame:
 
     kb = getattr(compiler, "_key_bits", 64)
     id_of_term_col = lambda t: _idc(t, kb)  # noqa: E731
+    gname = _gvar(graph)
+
+    def _mk(df, col):
+        # graph-scoped: {g, n} id struct so closure joins stay per-graph
+        if gname:
+            return F.struct(id_of_term_col(df[gname]).alias("g"),
+                            id_of_term_col(col).alias("n"))
+        return id_of_term_col(col)
 
     if isinstance(path, A.PLink):
         sv, ov = A.Var("__ps"), A.Var("__po")
         df = compiler._scan(A.QuadPattern(sv, path.iri, ov, graph)).df
-        return df.select(id_of_term_col(df["__ps"]).alias("__a"),
-                         id_of_term_col(df["__po"]).alias("__b"))
+        return df.select(_mk(df, df["__ps"]).alias("__a"),
+                         _mk(df, df["__po"]).alias("__b"))
     if isinstance(path, A.PInv):
         inner = _id_edges_for(compiler, path.path, graph)
         return inner.select(inner["__b"].alias("__a"),
@@ -263,8 +342,8 @@ def _id_edges_for(compiler, path: A.Path, graph) -> DataFrame:
         sv, pv, ov = A.Var("__ps"), A.Var("__pp"), A.Var("__po")
         df = compiler._scan(A.QuadPattern(sv, pv, ov, graph)).df
         df = df.filter(~df["__pp"]["lex"].isin([t.lex for t in path.iris]))
-        return df.select(id_of_term_col(df["__ps"]).alias("__a"),
-                         id_of_term_col(df["__po"]).alias("__b"))
+        return df.select(_mk(df, df["__ps"]).alias("__a"),
+                         _mk(df, df["__po"]).alias("__b"))
     # nested closures: same composition as the term path (_edges_for) —
     # inner fixpoint on id longs, identity arm from the graph node ids
     if isinstance(path, (A.PPlus, A.PStar, A.PZeroOrOne)):
@@ -276,7 +355,7 @@ def _id_edges_for(compiler, path: A.Path, graph) -> DataFrame:
             ek = _id_edges_for(compiler, path.path, graph) \
                 .dropDuplicates(["__a", "__b"])
             one = _closure_pairs(ek, compiler.max_path_iterations,
-                                 strategy=strategy)
+                                 strategy=strategy, scoped=bool(gname))
         if isinstance(path, A.PPlus):
             return one
         ident = _id_graph_nodes(compiler, graph).select(
@@ -298,7 +377,7 @@ def _id_nodes_for(compiler, path: A.Path, graph) -> DataFrame:
         # a nested zero-arm introduces identity pairs over EVERY graph
         # node — the node map must cover them or materialize drops rows
         return _id_nodes_for(compiler, path.path, graph).unionByName(
-            _id_graph_nodes(compiler, graph))
+            _id_graph_nodes(compiler, graph, scoped=False))
     if isinstance(path, (A.PInv, A.PPlus)):
         return _id_nodes_for(compiler, path.path, graph)
     if isinstance(path, (A.PSeq, A.PAlt)):
@@ -318,20 +397,29 @@ def _id_nodes_for(compiler, path: A.Path, graph) -> DataFrame:
         .unionByName(df.select(id_of_term_col(o).alias("__k"), o.alias("__n")))
 
 
-def _id_graph_nodes(compiler, graph) -> DataFrame:
+def _id_graph_nodes(compiler, graph, scoped: bool = True) -> DataFrame:
     """(__k, __n) over every subject/object in the graph (zero-length
-    endpoints for unbound ``p*`` / ``p?``)."""
+    endpoints for unbound ``p*`` / ``p?``). Under a binding graph var
+    the key is a per-graph {g, n} id struct (``scoped=False`` forces
+    plain node ids — the shape the materialization node map needs)."""
     from kineo_spark.dictionary import id_of_term_col as _idc
 
     kb = getattr(compiler, "_key_bits", 64)
     id_of_term_col = lambda t: _idc(t, kb)  # noqa: E731
+    gname = _gvar(graph) if scoped else None
+
+    def _mk(df, col):
+        if gname:
+            return F.struct(id_of_term_col(df[gname]).alias("g"),
+                            id_of_term_col(col).alias("n"))
+        return id_of_term_col(col)
 
     sv, pv, ov = A.Var("__ps"), A.Var("__pp", binding=False), A.Var("__po")
     df = compiler._scan(A.QuadPattern(sv, pv, ov, graph)).df
     return (
-        df.select(id_of_term_col(df["__ps"]).alias("__k"),
+        df.select(_mk(df, df["__ps"]).alias("__k"),
                   df["__ps"].alias("__n"))
-        .unionByName(df.select(id_of_term_col(df["__po"]).alias("__k"),
+        .unionByName(df.select(_mk(df, df["__po"]).alias("__k"),
                                df["__po"].alias("__n")))
         .dropDuplicates(["__k"])
     )
@@ -347,12 +435,15 @@ def _eval_path_ids(compiler, node: A.PathPattern, graph) -> "Plan":
     802-1225."""
     from kineo_spark.compiler import Plan
     from kineo_spark.dictionary import _const_id as _cid
+    from kineo_spark.dictionary import id_of_term_col as _idc
 
     kb = getattr(compiler, "_key_bits", 64)
     _const_id = lambda t: _cid(t, kb)  # noqa: E731
 
     path = node.path
     spark = compiler.spark
+    gname = _gvar(graph)
+    scoped = gname is not None
     seed_term, seed_rev = None, False
     if isinstance(node.subject, PyTerm):
         seed_term = node.subject
@@ -363,6 +454,13 @@ def _eval_path_ids(compiler, node: A.PathPattern, graph) -> "Plan":
 
     def zero_pairs() -> DataFrame:
         if seed_term is not None:
+            if scoped:
+                # (t, t) holds in EVERY named graph (ALP starts from the
+                # bound term regardless of graph membership)
+                g = compiler.store.graph_terms()
+                k = F.struct(_idc(F.col("__g"), kb).alias("g"),
+                             _const_id(seed_term).alias("n"))
+                return g.select(k.alias("__a"), k.alias("__b"))
             return spark.range(1).select(
                 _const_id(seed_term).alias("__a"),
                 _const_id(seed_term).alias("__b"))
@@ -374,13 +472,13 @@ def _eval_path_ids(compiler, node: A.PathPattern, graph) -> "Plan":
         ek = _id_edges_for(compiler, path.path, graph) \
             .dropDuplicates(["__a", "__b"])
         pairs = _closure_pairs(ek, compiler.max_path_iterations, seed_col,
-                               seed_rev, strategy)
+                               seed_rev, strategy, scoped=scoped)
         inner = path.path
     elif isinstance(path, A.PStar):
         ek = _id_edges_for(compiler, path.path, graph) \
             .dropDuplicates(["__a", "__b"])
         plus = _closure_pairs(ek, compiler.max_path_iterations, seed_col,
-                              seed_rev, strategy)
+                              seed_rev, strategy, scoped=scoped)
         pairs = plus.unionByName(zero_pairs()).dropDuplicates(["__a", "__b"])
         inner, zero_used = path.path, True
     elif isinstance(path, A.PZeroOrOne):
@@ -397,24 +495,39 @@ def _eval_path_ids(compiler, node: A.PathPattern, graph) -> "Plan":
     certain: set[str] = set()
     for endpoint, colname in ((node.subject, "__a"), (node.object, "__b")):
         if isinstance(endpoint, PyTerm):
-            df = df.filter(F.col(colname) == _const_id(endpoint))
+            nk = F.col(colname)["n"] if scoped else F.col(colname)
+            df = df.filter(nk == _const_id(endpoint))
         else:
             if endpoint.name in out_cols:  # same var both ends
                 df = df.filter(F.col("__a") == F.col("__b"))
             elif endpoint.binding:
                 out_cols[endpoint.name] = colname
                 certain.add(endpoint.name)
-    df = df.select(*[F.col(c).alias(n) for n, c in out_cols.items()])
+    sel = {n: (F.col(c)["n"] if scoped else F.col(c))
+           for n, c in out_cols.items()}
+    if scoped:
+        # ?g binds from the graph part of the key (an id; materialized
+        # below from the graph-term map iff the query reads its value)
+        sel[gname] = F.col("__a")["g"]
+        out_cols[gname] = "__a"
+        certain.add(gname)
+    df = df.select(*[c.alias(n) for n, c in sel.items()])
 
     mat = [v for v in out_cols if not compiler._is_id_var(v)]
     if mat:
         nodes = _id_nodes_for(compiler, inner, graph)
         if zero_used and seed_term is None:
-            nodes = nodes.unionByName(_id_graph_nodes(compiler, graph))
+            nodes = nodes.unionByName(
+                _id_graph_nodes(compiler, graph, scoped=False))
         if seed_term is not None:
             nodes = nodes.unionByName(spark.range(1).select(
                 _const_id(seed_term).alias("__k"),
                 seed_term.as_column().alias("__n")))
+        if scoped:
+            g = compiler.store.graph_terms()
+            nodes = nodes.unionByName(g.select(
+                _idc(F.col("__g"), kb).alias("__k"),
+                F.col("__g").alias("__n")))
         nodes = nodes.dropDuplicates(["__k"])
         for v in mat:
             nv = nodes.select(F.col("__k").alias(f"__k_{v}"),
@@ -433,6 +546,8 @@ def eval_path(compiler, node: A.PathPattern, graph) -> "Plan":
         return _eval_path_ids(compiler, node, graph)
 
     path = node.path
+    gname = _gvar(graph)
+    scoped = gname is not None
     # bound endpoint → seed the closure BFS there instead of computing
     # the full closure and filtering after (alp-style, see _closure)
     seed_key, seed_rev = None, False
@@ -445,17 +560,17 @@ def eval_path(compiler, node: A.PathPattern, graph) -> "Plan":
     if isinstance(path, A.PPlus):
         pairs = _closure(compiler, _edges_for(compiler, path.path, graph),
                          compiler.max_path_iterations, seed_key, seed_rev,
-                         strategy)
+                         strategy, scoped=scoped)
     elif isinstance(path, A.PStar):
         plus = _closure(compiler, _edges_for(compiler, path.path, graph),
                         compiler.max_path_iterations, seed_key, seed_rev,
-                        strategy)
-        zero = (_term_pair(compiler, seed_term) if seed_key is not None
+                        strategy, scoped=scoped)
+        zero = (_term_pair(compiler, seed_term, scoped) if seed_key is not None
                 else _graph_nodes(compiler, graph))
         pairs = plus.unionByName(zero).dropDuplicates(["__sk", "__ok"])
     elif isinstance(path, A.PZeroOrOne):
         one = _edges_for(compiler, path.path, graph).dropDuplicates(["__sk", "__ok"])
-        zero = (_term_pair(compiler, seed_term) if seed_key is not None
+        zero = (_term_pair(compiler, seed_term, scoped) if seed_key is not None
                 else _graph_nodes(compiler, graph))
         pairs = one.unionByName(zero).dropDuplicates(["__sk", "__ok"])
     else:
@@ -470,12 +585,17 @@ def eval_path(compiler, node: A.PathPattern, graph) -> "Plan":
         (node.object, "__o", "__ok"),
     ):
         if isinstance(endpoint, PyTerm):
-            df = df.filter(F.col(key) == endpoint.key())
+            nk = F.col(key)["n"] if scoped else F.col(key)
+            df = df.filter(nk == endpoint.key())
         else:
             if endpoint.name in out_cols:  # same var both ends
                 df = df.filter(F.col("__sk") == F.col("__ok"))
             elif endpoint.binding:
                 out_cols[endpoint.name] = col
                 certain.add(endpoint.name)
+    if scoped:
+        # ?g binds from the carried graph column (§18.1.7)
+        out_cols[gname] = "__g"
+        certain.add(gname)
     df = df.select(*[F.col(c).alias(n) for n, c in out_cols.items()])
     return Plan(df, frozenset(certain))

@@ -259,10 +259,14 @@ def _parse_star_term(s: str, i: int):
             j += 1
         # dots may appear INSIDE a label but never terminate one
         # (N-Triples grammar): a trailing '.' is the statement
-        # terminator the scan folded in — leave it for the caller,
-        # matching the Column regex path (ADVICE r6: '_:b.' at
-        # end-of-line parsed as label 'b.' only when star-routed)
-        while j > i + 2 and s[j - 1] == ".":
+        # terminator the scan folded in — give back AT MOST ONE dot
+        # for the caller, matching the Column regex path (ADVICE r6:
+        # '_:b.' at end-of-line parsed as label 'b.' only when
+        # star-routed). Stripping ALL trailing dots would silently
+        # reshape invalid labels like '_:b..' into 'b' instead of
+        # letting deeper validation reject the dot-final label
+        # (ADVICE r7).
+        if j > i + 2 and s[j - 1] == ".":
             j -= 1
         return PyTerm(KB, s[i + 2:j]), j
     if s[i] == '"':

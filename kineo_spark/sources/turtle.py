@@ -397,12 +397,17 @@ _DOTLESS_DIR_END = re.compile(
 # TriG graph-block depth + 100 x Turtle-star annotation depth). Valid
 # TriG never nests blocks, so graph depth is 0 or 1; `{| ... |}`
 # annotations may nest (an annotation's own objects can be annotated)
-# and span lines, tracked in steps of 100 up to depth 2 — deeper
-# nesting (vanishingly rare) takes the driver fallback. 18 states; in
-# practice branches converge after the first statement boundary.
+# and span lines, tracked in steps of 100 up to depth
+# _MAX_ANNOT_DEPTH (r8: 2 -> 4; the state count grows LINEARLY in the
+# depth bound — 3 quote states x 2 graph depths x (k+1) annotation
+# depths = 30 states at k=4) — deeper nesting (pathological) takes the
+# driver fallback. In practice branches converge after the first
+# statement boundary, so pass-1 cost is far below the worst case.
+_MAX_ANNOT_DEPTH = 4
 _ALL_STATES = [
     (q, g + 100 * a)
-    for q in ("", "'", '"') for g in (0, 1) for a in (0, 1, 2)
+    for q in ("", "'", '"') for g in (0, 1)
+    for a in range(_MAX_ANNOT_DEPTH + 1)
 ]
 _START_STATE = ("", 0)
 
@@ -503,9 +508,9 @@ def _scan_line(line: str, state: tuple[str, int]):
         if ch == "{":
             if line[i:i + 2] == "{|":  # Turtle-star annotation open
                 depth += 100
-                if depth >= 300:
+                if depth >= 100 * (_MAX_ANNOT_DEPTH + 1):
                     # the cross-line state space caps annotation depth
-                    # at 2 — deeper nesting falls back to the driver
+                    # at _MAX_ANNOT_DEPTH — deeper falls back to the driver
                     return (strq, depth), False, "deeply nested annotation"
                 pending = False
                 sig.append("a")

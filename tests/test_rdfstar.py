@@ -259,3 +259,18 @@ def test_serializers_quoted_terms(spark):
     assert "<< <" in tsv and "> >>" in tsv.replace(">>", "> >>", 0) or "<<" in tsv
     csv_out = to_sparql_csv(r.bindings)
     assert "<<" in csv_out
+
+
+def test_star_blank_label_single_dot_trim():
+    """_parse_star_term gives back AT MOST ONE trailing dot (the
+    statement terminator the scan folded in); an invalid '_:b..' label
+    must surface as 'b.' + leftover '.' for deeper validation to
+    reject, never be silently reshaped to 'b' (ADVICE r7)."""
+    from kineo_spark.sources.ntriples import _parse_star_term
+
+    t, j = _parse_star_term("_:b.", 0)
+    assert t.lex == "b" and j == 3
+    t2, j2 = _parse_star_term("_:b..", 0)
+    assert t2.lex == "b." and j2 == 4
+    t3, j3 = _parse_star_term("_:b.c.", 0)  # interior dot is legal
+    assert t3.lex == "b.c" and j3 == 5

@@ -338,12 +338,31 @@ def test_turtle_star_quoted_and_annotation(spark, tmp_path):
     ing1 = [r for r in dist2 if r.g_lex == "http://example.org/g1"]
     assert any(r.s_kind == 3 for r in ing1)
 
-    # depth-3 annotation nesting exceeds the cross-line state cap and
-    # takes the documented driver fallback (correct, just serial)
+    # r8: the FSM depth bound is _MAX_ANNOT_DEPTH=4 (state count grows
+    # linearly in the bound) — depth-3 and depth-4 multi-line nesting
+    # stay STATEMENT-PARALLEL (fallback patched to raise), only deeper
+    # takes the documented driver fallback.
     p3 = tmp_path / "star3.ttl"
     p3.write_text(
         '@prefix ex: <http://example.org/> .\n'
-        'ex:a ex:p 1 {| ex:m 2 {| ex:n 3 {| ex:o\n 4 |} |} |} .\n')
-    dist3 = T.load_turtle_distributed(spark, str(p3)).collect()
+        'ex:a ex:p 1 {| ex:m 2 {| ex:n 3 {| ex:o\n 4 |} |} |} .\n'
+        'ex:b ex:p 1 {| ex:m 2 {| ex:n 3 {| ex:o 4 {| ex:q\n'
+        ' 5 |} |} |} |} .\n')
+    T.load_turtle = lambda *a, **k: (_ for _ in ()).throw(
+        AssertionError("fell back to driver parser"))
+    try:
+        dist3 = T.load_turtle_distributed(spark, str(p3)).collect()
+    finally:
+        T.load_turtle = orig
     drv3 = load_turtle(spark, p3.read_text()).collect()
     assert _canon(dist3) == _canon(drv3)
+
+    # depth-5 exceeds the cap and takes the fallback (correct, serial)
+    p5 = tmp_path / "star5.ttl"
+    p5.write_text(
+        '@prefix ex: <http://example.org/> .\n'
+        'ex:a ex:p 1 {| ex:a 2 {| ex:b 3 {| ex:c 4 {| ex:d 5 {| ex:e\n'
+        ' 6 |} |} |} |} |} .\n')
+    dist5 = T.load_turtle_distributed(spark, str(p5)).collect()
+    drv5 = load_turtle(spark, p5.read_text()).collect()
+    assert _canon(dist5) == _canon(drv5)

@@ -25,11 +25,12 @@ ENTRIES = (manifest_entries("/root/repo/tests/w3c/manifest.ttl")
            + manifest_entries("/root/repo/tests/w3c/manifest15.ttl")
            + manifest_entries("/root/repo/tests/w3c/manifest16.ttl")
            + manifest_entries("/root/repo/tests/w3c/manifest17.ttl")
-           + manifest_entries("/root/repo/tests/w3c/manifest18.ttl"))
+           + manifest_entries("/root/repo/tests/w3c/manifest18.ttl")
+           + manifest_entries("/root/repo/tests/w3c/manifest19.ttl"))
 
 
 def test_manifest_parsed():
-    assert len(ENTRIES) == 293
+    assert len(ENTRIES) == 307
     assert all(e.query_path for e in ENTRIES)
     # every evaluation entry checks SOMETHING: a result document, or
     # (update entries) expected named-graph post-state
