@@ -690,6 +690,42 @@ def sparql_path_alt_plus(spark, sf_dir) -> DataFrame:
     })
 
 
+@q("sparql_graph_path_scoped",
+   # per-graph closure: the two FK edge kinds live in DIFFERENT named
+   # graphs (urn:g:orders / urn:g:customer), so (fk_oc|fk_cn)+ under
+   # GRAPH ?g must yield only single hops per graph - NO orders->
+   # customer->nation composition across graphs. The r7 evaluator ran
+   # the closure over the union of graphs and cross-joined the graph
+   # list; this oracle pins the per-graph semantics the r8 fix gives.
+   "SELECT 'urn:g:orders' AS g, "
+   "'urn:t:orders:' || CAST(o_orderkey AS VARCHAR) AS src, "
+   "'urn:t:customer:' || CAST(o_custkey AS VARCHAR) AS dst FROM orders "
+   "WHERE o_orderkey % 20 = 0 "
+   "UNION ALL SELECT 'urn:g:customer', "
+   "'urn:t:customer:' || CAST(c_custkey AS VARCHAR), "
+   "'urn:t:nation:' || CAST(c_nationkey AS VARCHAR) FROM customer")
+def sparql_graph_path_scoped(spark, sf_dir) -> DataFrame:
+    """GRAPH ?g { ?src (fk_orders_cust|fk_customer_nation)+ ?dst } -
+    the alternation's edges come from different named graphs, so the
+    per-graph closure reduces to single hops with ?g bound per table
+    graph (SPARQL 1.1 \u00a718.1.7). The orders side is thinned with a
+    key filter so the result set stays driver-comparable."""
+    comp = compiler_for(spark, sf_dir)
+    alg = A.NamedGraph(A.Var("g"), A.PathPattern(
+        A.Var("src"),
+        A.PPlus(A.PAlt(A.PLink(fk("orders", "o_custkey")),
+                       A.PLink(fk("customer", "c_nationkey")))),
+        A.Var("dst"),
+    ))
+    out = extract(select(comp, A.SelectQuery(alg, ("g", "src", "dst"))), {
+        "g": ("g", "lex"), "src": ("src", "lex"), "dst": ("dst", "lex"),
+    })
+    from pyspark.sql import functions as F2
+    return out.filter(
+        (F2.col("g") != "urn:g:orders")
+        | (F2.split(F2.col("src"), ":").getItem(3).cast("long") % 20 == 0))
+
+
 @q("sparql_path_zero_or_one",
    "SELECT 'urn:t:nation:0' AS dst "
    "UNION ALL SELECT 'urn:t:region:' || CAST(n_regionkey AS VARCHAR) "
