@@ -617,6 +617,60 @@ def dedup_against_corpus(
     return negatives.unionByName(survivors).drop(*drop)
 
 
+def write_corpus_fingerprints(
+    seen: DataFrame,
+    name: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    buckets: int = 32,
+    path: str | None = None,
+) -> None:
+    """Persist the ingested corpus's fingerprints as a BUCKETED+SORTED
+    table (bucketBy fp) — the archive-side half of the 100 TB
+    incremental-dedup design: the daily anti-join then reads the
+    archive pre-partitioned on the join key, so the archive side of the
+    residual check is ZERO-Exchange (same persisted-layout pattern as
+    the dictionary ID layout, dictionary.py write_id_layout). Combined
+    with the broadcast Bloom pre-filter, total shuffle per daily batch
+    ≈ the Bloom-positive candidate slice only."""
+    sf = seen.select(F.col(id_col).alias("id"),
+                     fingerprint(F.col(text_col)).alias("fp"))
+    w = (sf.repartition(buckets, "fp")
+         .write.format("parquet").mode("overwrite")
+         .bucketBy(buckets, "fp").sortBy("fp"))
+    if path:
+        w = w.option("path", path)
+    w.saveAsTable(name)
+
+
+def dedup_against_corpus_indexed(
+    new: DataFrame,
+    name: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bloom: bool = True,
+    expected_items: int | None = None,
+) -> DataFrame:
+    """Incremental exact dedup against a PERSISTED bucketed fingerprint
+    index (write_corpus_fingerprints). Identical results to
+    dedup_against_corpus; the plan differs: the archive side scans its
+    buckets with no Exchange, and (with bloom) the daily side shuffles
+    only the Bloom-positive candidates."""
+    spark = new.sparkSession
+    sf = spark.table(name).select("fp")
+    nf = new.select(F.col(id_col).alias("id"),
+                    fingerprint(F.col(text_col)).alias("fp"))
+    if not bloom:
+        return nf.join(sf, "fp", "left_anti")
+    n_seen = expected_items if expected_items is not None else sf.count()
+    m_bits = max(1024, n_seen * 14)
+    words = _bloom_words(sf, m_bits, 3)
+    probed, cand = _bloom_probe(nf, words, m_bits, 3)
+    negatives = probed.filter(~cand).select("id", "fp")
+    candidates = probed.filter(cand).select("id", "fp")
+    return negatives.unionByName(candidates.join(sf, "fp", "left_anti"))
+
+
 def _deletion_variants(s, k: int):
     """Column of all strings reachable from ``s`` by deleting up to
     ``k`` characters (the FastSS neighborhood, k ∈ {1, 2}). Built as a

@@ -371,3 +371,61 @@ def test_bloom_prefiltered_incremental_dedup(spark):
         assert plan.count("BroadcastHashJoin") >= 3
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_indexed_incremental_dedup_zero_exchange_archive(spark, tmp_path):
+    """The persisted bucketed fingerprint index: identical results to
+    the un-indexed path, and the archive side of the residual anti-join
+    reads its buckets with NO Exchange (the daily side shuffles only
+    the candidate slice) — the full 100 TB incremental-dedup shape."""
+    from kineo_spark.pipeline import dedup
+
+    seen = spark.createDataFrame(
+        [(i, f"archived doc {i}") for i in range(2000)],
+        "doc_id long, text string")
+    new = spark.createDataFrame(
+        [(i, f"fresh doc {i}") for i in range(1980)]
+        + [(9_000 + i, f"archived doc {i}") for i in range(20)],
+        "doc_id long, text string")
+    # bucket count matches spark.sql.shuffle.partitions: the other
+    # join side shuffles to the same partitioning, so the bucketed
+    # side needs no Exchange (at cluster scale you pick the bucket
+    # count once, at ingest, to match the job's partitioning)
+    nbuckets = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    dedup.write_corpus_fingerprints(
+        seen, "t_fp_index", buckets=nbuckets,
+        path=str(tmp_path / "fpidx"))
+    try:
+        want = sorted(r["id"] for r in
+                      dedup.dedup_against_corpus(new, seen, "doc_id").collect())
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            out = dedup.dedup_against_corpus_indexed(new, "t_fp_index")
+            got = sorted(r["id"] for r in out.collect())
+            assert got == want and len(got) == 1980
+            # plan shape: walk to the anti-join; its ARCHIVE (right)
+            # subtree must contain no Exchange — the bucketed scan IS
+            # the partitioning
+            plan = out._jdf.queryExecution().executedPlan().toString()
+            # AQE prints the final plan followed by an "Initial Plan"
+            # section — pin the FINAL plan only
+            plan = plan.split("Initial Plan")[0]
+            assert "SelectedBucketsCount" in plan  # bucketed scan used
+            # exactly ONE fp exchange: the daily candidate slice; the
+            # archive side of the LeftAnti SMJ reads its buckets
+            # pre-partitioned and pre-sorted (no Exchange, no Sort)
+            n_exchange = plan.count("Exchange hashpartitioning(fp")
+            assert n_exchange == 1, f"archive side exchanged:\n{plan}"
+            # no Sort node directly above the bucketed archive scan
+            # (sortBy at write time feeds the SMJ directly)
+            anti = plan[plan.index("LeftAnti"):]
+            scan_pos = anti.index(
+                "FileScan parquet spark_catalog.default.t_fp_index")
+            archive_side = anti[:scan_pos].splitlines()[-3:]
+            assert not any("Sort [fp#" in l and "ASC" in l
+                           for l in archive_side), archive_side
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_fp_index")
