@@ -161,3 +161,69 @@ def test_nested_closure_id_mode(path_store):
         A.PSeq(A.PZeroOrOne(A.PLink(iri(LIKES))), A.PPlus(A.PLink(iri(KNOWS)))),
     ):
         assert _pairs(idc, p) == _pairs(term_comp, p)
+
+
+def test_graph_scoped_paths_all_modes(spark):
+    """GRAPH ?g { path } evaluates PER NAMED GRAPH (r8 fix: the closure
+    previously ran over the union of graphs and cross-joined the graph
+    list). Pins: closures never compose across graphs, the seeded
+    star's zero-length arm yields (t, t) in EVERY named graph, NPS and
+    sequences scope per graph, and ?g binds — identically in term
+    mode, id64, and id128."""
+    from kineo_spark.dictionary import id_compiler
+    from kineo_spark.forms import select
+    from kineo_spark.sparql_parser import parse_query
+
+    P = EX + "p"
+
+    def q(g, s, o):
+        return (0, EX + s, P, 0, EX + o, None, None, None, f"urn:g:{g}")
+
+    # g1: a->b->c   g2: a->c->d   g3: only m->n (a absent entirely)
+    rows = [q("g1", "a", "b"), q("g1", "b", "c"),
+            q("g2", "a", "c"), q("g2", "c", "d"),
+            q("g3", "m", "n")]
+    store = QuadsDataFrameStore.from_rows(spark, rows)
+
+    def run(comp_factory, text):
+        query = parse_query(f"PREFIX ex: <{EX}>\n{text}")
+        comp = comp_factory()
+        if hasattr(comp, "prepare"):
+            comp.prepare(query)
+        df = select(comp, query)
+        out = set()
+        for r in df.collect():
+            out.add(tuple(
+                (r[c]["lex"].rsplit(":", 1)[-1].rsplit("/", 1)[-1])
+                for c in df.columns))
+        return out
+
+    factories = {
+        "term": lambda: Compiler(store),
+        "id64": lambda: id_compiler(store, key_bits=64),
+        "id128": lambda: id_compiler(store, key_bits=128),
+    }
+    cases = [
+        # per-graph plus closure: no a->...->d via g1+g2 mixing
+        ("SELECT ?g ?x WHERE { GRAPH ?g { ex:a ex:p+ ?x } }",
+         {("g1", "b"), ("g1", "c"), ("g2", "c"), ("g2", "d")}),
+        # seeded star: zero arm (a, a) appears in EVERY named graph,
+        # including g3 where a has no triples (ALP starts at the term)
+        ("SELECT ?g ?x WHERE { GRAPH ?g { ex:a ex:p* ?x } }",
+         {("g1", "a"), ("g1", "b"), ("g1", "c"),
+          ("g2", "a"), ("g2", "c"), ("g2", "d"),
+          ("g3", "a")}),
+        # sequence scopes per graph: a->b->c only inside g1
+        ("SELECT ?g ?x WHERE { GRAPH ?g { ex:a ex:p/ex:p ?x } }",
+         {("g1", "c"), ("g2", "d")}),
+        # NPS under GRAPH ?g
+        ("SELECT ?g ?x WHERE { GRAPH ?g { ex:m !ex:q ?x } }",
+         {("g3", "n")}),
+        # zero-or-one, unbound subject: zero arm per graph
+        ("SELECT ?g ?x WHERE { GRAPH ?g { ex:m ex:p? ?x } }",
+         {("g1", "m"), ("g2", "m"), ("g3", "m"), ("g3", "n")}),
+    ]
+    for text, want in cases:
+        got = {m: run(f, text) for m, f in factories.items()}
+        for m, res in got.items():
+            assert res == want, f"{m}: {text}\n got {res}\nwant {want}"
