@@ -67,6 +67,9 @@ _TWINNED = [
     # r6: EXISTS in expression position (mark join) over id-mode plans —
     # the semi/anti partition and marker union run on dictionary ids
     "sparql_exists_bind",
+    # r8: per-named-graph path closure (GRAPH ?g over a cross-graph FK
+    # alternation) — the id evaluator scopes {g, n} id-struct keys
+    "sparql_graph_path_scoped",
 ]
 
 
@@ -129,6 +132,8 @@ _TWINNED_128 = [
     "sparql_describe",
     # r6: the mark-join EXISTS at the collision-safe struct width
     "sparql_exists_bind",
+    # r8: per-named-graph path closure at the 128-bit key width
+    "sparql_graph_path_scoped",
 ]
 
 for _name in _TWINNED_128:
