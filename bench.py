@@ -142,9 +142,19 @@ def compare_invariants(prev: dict, cur: dict) -> list[str]:
         if pmb is None or pmb < 0 or mb < 0:
             continue
         if abs(mb - pmb) > max(1.0, 0.2 * max(pmb, 0.01)):
-            out.append(
-                f"REGRESSION {k[len('shuffle_mb_'):]}: shuffle "
-                f"{pmb} MB -> {mb} MB (>20% and >1 MB drift)")
+            if mb < pmb:
+                # a DECREASE with identical result rows is a plan
+                # improvement (e.g. r8's Bloom pre-filter cut the
+                # incremental-dedup shuffle ~10x) — surface it, but it
+                # is not a regression; data loss is caught by the exact
+                # row compare above
+                out.append(
+                    f"IMPROVEMENT {k[len('shuffle_mb_'):]}: shuffle "
+                    f"{pmb} MB -> {mb} MB")
+            else:
+                out.append(
+                    f"REGRESSION {k[len('shuffle_mb_'):]}: shuffle "
+                    f"{pmb} MB -> {mb} MB (>20% and >1 MB drift)")
     return out
 
 
@@ -431,6 +441,8 @@ def main() -> None:
             print(f"# invariant compare skipped: {e}", file=sys.stderr)
     for r in regressions:
         print(f"# {r}", file=sys.stderr)
+    # improvements are surfaced above but are not regressions
+    regressions = [r for r in regressions if r.startswith("REGRESSION")]
 
     if inject:
         print("# inject hook active: BENCH_DETAIL.json NOT written",

@@ -59,3 +59,14 @@ def test_new_query_and_failed_probe_skipped():
     cur = _detail(rows={"brand_new": 7},
                   shuffle={"brand_new": 3.0, "old": -1})
     assert compare_invariants(prev, cur) == []
+
+
+def test_shuffle_decrease_is_improvement_not_regression():
+    """A >20% shuffle DROP with identical rows is a plan improvement
+    (r8: the Bloom pre-filter cut incremental dedup ~10x) — it is
+    surfaced as IMPROVEMENT, never as REGRESSION (data loss is caught
+    by the exact row compare)."""
+    prev = _detail(rows={"q": 100}, shuffle={"q": 10.0})
+    cur = _detail(rows={"q": 100}, shuffle={"q": 0.9})
+    flags = compare_invariants(prev, cur)
+    assert len(flags) == 1 and flags[0].startswith("IMPROVEMENT")
