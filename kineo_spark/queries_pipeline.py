@@ -1656,7 +1656,8 @@ def pipe_dedup_incremental(spark, sf_dir) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents")
     return dedup.dedup_against_corpus(
         docs.filter(F.col("doc_id") >= 250),
-        docs.filter(F.col("doc_id") < 250), "doc_id", bloom=True)
+        docs.filter(F.col("doc_id") < 250), "doc_id", bloom=True,
+        expected_items=250)  # seen side is doc_id<250 at every SF
 
 
 @q("pipe_len_quantile_sketch",
