@@ -1964,6 +1964,47 @@ def pipe_stream_tumbling(spark, sf_dir) -> DataFrame:
     )
 
 
+@q("pipe_stream_dedup_corpus",
+   f"WITH nf AS (SELECT DISTINCT md5({_NORM}) AS fp FROM documents "
+   f"            WHERE doc_id >= 250), "
+   f"sf AS (SELECT DISTINCT md5({_NORM}) AS fp FROM documents "
+   f"       WHERE doc_id < 250) "
+   "SELECT fp FROM nf WHERE fp NOT IN (SELECT fp FROM sf)")
+def pipe_stream_dedup_corpus(spark, sf_dir) -> DataFrame:
+    """STREAMING twin of pipe_dedup_incremental: the 'new batch'
+    (doc_id >= 250) arrives as a document STREAM, deduped in-stream by
+    fingerprint (watermark-bounded dropDuplicatesWithinWatermark) and
+    against the persisted corpus via a stream-static anti-join
+    (streaming/events.py dedup_stream_against_corpus) — the continuous
+    form of the daily-crawl pattern. Output is the distinct surviving
+    fingerprints (id-level survivorship of in-stream duplicates is
+    micro-batch-order-dependent, fp-level survival is exact), which
+    must hash-match the batch anti-join's answer."""
+    import uuid
+
+    from kineo_spark.pipeline.text import fingerprint
+    from kineo_spark.streaming import events as se
+
+    stream = (
+        spark.readStream
+        .schema("doc_id long, text string, lang string, "
+                "source string, n_chars long")
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+        .filter(F.col("doc_id") >= 250)
+        .withColumn("ts", F.to_timestamp(F.lit("2026-01-01 00:00:00")))
+    )
+    corpus = (read_table(spark, sf_dir, "documents")
+              .filter(F.col("doc_id") < 250)
+              .select(fingerprint(F.col("text")).alias("fp")))
+    out = se.dedup_stream_against_corpus(stream, corpus)
+    name = f"t_stream_dedup_{uuid.uuid4().hex[:8]}"
+    q_ = (out.writeStream.format("memory").queryName(name)
+          .outputMode("append").trigger(availableNow=True).start())
+    q_.awaitTermination(300)
+    return spark.table(name).select("fp").distinct()
+
+
 @q("pipe_langid_confusion",
    f"WITH p AS ({_LANGID_ORACLE}) "
    "SELECT labeled, predicted, COUNT(*) AS n, "

@@ -72,6 +72,38 @@ def dedup_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
     return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(["event_id"])
 
 
+def dedup_stream_against_corpus(
+    docs: DataFrame,
+    corpus_index: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Continuous incremental dedup — the streaming completion of the
+    daily-crawl-vs-archive pattern (pipeline/dedup.py): a document
+    stream is deduped (a) WITHIN the stream by normalized fingerprint
+    with watermark-bounded state (dropDuplicatesWithinWatermark — exact
+    within the watermark horizon, which is the correct streaming
+    relaxation: an unbounded exact set is unbounded state), then (b)
+    against the PERSISTED corpus via a stream-static left-anti join.
+    ``corpus_index`` is a static frame with an ``fp`` column — at
+    archive scale, the bucketed table written by
+    dedup.write_corpus_fingerprints, so the static side re-reads its
+    buckets per micro-batch with no shuffle of stream state.
+
+    Returns the surviving (id, fp, ts) stream (append mode).
+    """
+    from kineo_spark.pipeline.dedup import fingerprint
+
+    fp = fingerprint(F.col(text_col)).alias("fp")
+    new = docs.select(F.col(id_col).alias("id"), fp,
+                      F.col(ts_col).alias("ts"))
+    in_stream = (new.withWatermark("ts", watermark)
+                 .dropDuplicatesWithinWatermark(["fp"]))
+    return in_stream.join(corpus_index.select("fp"), "fp", "left_anti")
+
+
 def events_to_quads(events: DataFrame, with_time: bool = False) -> DataFrame:
     """Streaming relational→RDF: each event row becomes column quads in
     the flat FIXTURES §0 schema (append-only quad stream).

@@ -292,3 +292,37 @@ def test_continuous_windowed_aggregate_equals_batch(spark, event_dir):
         if r["w"]["end"].timestamp() <= max_ts
     }
     assert got == want and len(got) > 0
+
+
+def test_streaming_dedup_against_corpus(spark, tmp_path):
+    """Continuous incremental dedup: in-stream fingerprint dedup
+    (watermark-bounded state) + stream-static anti-join against the
+    persisted corpus — survivors are exactly the batch path's answer
+    on the same data, minus in-stream duplicates."""
+    docs = read_table(spark, SF, "documents").limit(60)
+    # corpus = first 30 docs' fingerprints (static side)
+    from kineo_spark.pipeline.dedup import fingerprint
+    corpus = (docs.filter(F.col("doc_id") < 30)
+              .select(fingerprint(F.col("text")).alias("fp")))
+    corpus_pq = str(tmp_path / "corpus_fp")
+    corpus.write.mode("overwrite").parquet(corpus_pq)
+    # stream = all 60 docs + one in-stream duplicate of doc 45
+    dup = docs.filter(F.col("doc_id") == 45).withColumn(
+        "doc_id", F.lit(9999).cast("long"))
+    stream_rows = docs.unionByName(dup).withColumn(
+        "ts", F.to_timestamp(F.lit("2026-01-01 00:00:00")))
+    stream_pq = str(tmp_path / "docs_stream")
+    stream_rows.coalesce(1).write.mode("overwrite").parquet(stream_pq)
+
+    sdf = (spark.readStream.schema(
+        spark.read.parquet(stream_pq).schema).parquet(stream_pq))
+    out = se.dedup_stream_against_corpus(
+        sdf, spark.read.parquet(corpus_pq))
+    q = (out.writeStream.format("memory").queryName("t_corpus_dedup")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {r["id"] for r in spark.table("t_corpus_dedup").collect()}
+    # docs 0-29 dropped (in corpus); 30-59 survive; the in-stream dup
+    # of 45 collapses to ONE of {45, 9999}
+    assert got - {45, 9999} == set(range(30, 60)) - {45}
+    assert len(got & {45, 9999}) == 1
