@@ -2,10 +2,13 @@
 
 entry(spark)    — flagship query smoke check at sf0.001.
 queries()       — every implemented operator, (spark, sf_dir) → DataFrame.
-oracle_sql()    — DuckDB twin SQL per query (omitted only for operators
-                  whose hashing is engine-specific: MinHash-LSH, SimHash,
-                  hyperplane ANN — those get rows-only checks and are
-                  validated against ground truth in tests/).
+oracle_sql()    — DuckDB twin SQL per query. Since r8 EVERY entry has
+                  one: the hashing-dependent operators (MinHash-LSH,
+                  SimHash, hyperplane ANN) replicate the engine hashing
+                  in SQL, the approximate sketches hash ε-band flags
+                  (README, driver contract), and the learned quality
+                  classifier scores frozen integer coefficients its
+                  oracle embeds verbatim.
 """
 
 from __future__ import annotations

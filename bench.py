@@ -85,6 +85,9 @@ HEADLINE = [
     # key_bits=128, so this is the width users actually run)
     "sparql_id128_bgp_3hop_join",
     "sparql_id128_path_alt_plus",
+    # round-8: per-named-graph path closure (GRAPH ?g over a cross-graph
+    # FK alternation) — tracks the scoped {g, n} struct-key fixpoint
+    "sparql_graph_path_scoped",
 ]
 
 # queries whose executed plans get per-operator metric trees in the output
