@@ -610,11 +610,10 @@ def dedup_against_corpus(
     m_bits = max(1024, n_seen * bits_per_key)
     words = _bloom_words(sf, m_bits, bloom_k)
     probed, cand = _bloom_probe(nf, words, m_bits, bloom_k)
-    drop = [c for c in probed.columns if c.startswith("__b")]
     negatives = probed.filter(~cand).select("id", "fp")
     candidates = probed.filter(cand).select("id", "fp")
     survivors = candidates.join(sf, "fp", "left_anti")
-    return negatives.unionByName(survivors).drop(*drop)
+    return negatives.unionByName(survivors)
 
 
 def write_corpus_fingerprints(
