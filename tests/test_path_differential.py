@@ -152,3 +152,35 @@ def test_path_differential_graph_scoped(spark, seed):
     assert got == want, (
         f"seed {seed}: path {path}\nquads {quads}\n"
         f"extra={got - want}\nmissing={want - got}")
+
+
+@pytest.mark.parametrize("seed,kb", [(s, kb) for s in range(5)
+                                     for kb in (64, 128)])
+def test_path_differential_id_modes(spark, seed, kb):
+    """The same spec-reference differential through the ID-mode path
+    evaluator (scoped {g, n} id-struct closure) at both key widths."""
+    from kineo_spark.dictionary import id_compiler
+
+    rng = random.Random(1000 + seed)  # same graphs/paths as term seeds
+    quads = rand_quads(rng)
+    path = rand_path(rng, 2)
+    store = QuadsDataFrameStore.from_rows(
+        spark, [(0, s, p, 0, o, None, None, None, g) for s, p, o, g in quads])
+
+    alg = A.NamedGraph(A.Var("g"), A.PathPattern(A.Var("x"), path, A.Var("y")))
+    q = A.SelectQuery(alg, ("g", "x", "y"))
+    from kineo_spark.forms import select
+    comp = id_compiler(store, key_bits=kb)
+    comp.prepare(q)
+    df = select(comp, q)
+    got = Counter(
+        (r["g"]["lex"], _short(r["x"]["lex"]), _short(r["y"]["lex"]))
+        for r in df.collect())
+
+    want = Counter()
+    for g in ("urn:g:g1", "urn:g:g2"):
+        for (s, o), n in ref_eval(path, quads, g).items():
+            want[(g, _short(s), _short(o))] += n
+    assert got == want, (
+        f"seed {seed} kb {kb}: path {path}\nquads {quads}\n"
+        f"extra={got - want}\nmissing={want - got}")
