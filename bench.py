@@ -122,17 +122,73 @@ def _cpu_probe_ms() -> float:
     return (time.perf_counter() - t0) * 1000
 
 
+def _entry_fingerprint(f) -> str:
+    """Definition fingerprint of a queries() entry: md5 over the
+    SOURCE of the callable plus any callables reachable through its
+    defaults/closure/__wrapped__ (id-mode twins are closures over the
+    base query fn, so a change to the base changes the twin's print
+    too). Recorded per entry in BENCH_DETAIL so the invariant compare
+    can tell 'the plan regressed' apart from 'the entry now runs
+    something else' — r8's pipe_dedup_incremental moved 2.59x wall on
+    an entry-definition change and the rows+shuffle invariants stayed
+    silent (VERDICT r8 #2)."""
+    import hashlib
+    import inspect
+
+    parts: list[str] = []
+    seen: set[int] = set()
+
+    def add(fn, depth=0):
+        if id(fn) in seen or depth > 2 or not callable(fn):
+            return
+        seen.add(id(fn))
+        try:
+            parts.append(inspect.getsource(fn))
+        except (OSError, TypeError):
+            parts.append(repr(getattr(fn, "__code__", fn)))
+        for d in getattr(fn, "__defaults__", None) or ():
+            add(d, depth + 1)
+        for cell in getattr(fn, "__closure__", None) or ():
+            try:
+                add(cell.cell_contents, depth + 1)
+            except ValueError:
+                continue
+        w = getattr(fn, "__wrapped__", None)
+        if w is not None:
+            add(w, depth + 1)
+
+    add(f)
+    return hashlib.md5("".join(parts).encode()).hexdigest()[:12]
+
+
 def compare_invariants(prev: dict, cur: dict) -> list[str]:
     """Round-over-round regression check on the EXECUTION INVARIANTS —
     result rows (exact) and steady-state shuffle bytes (>20% or >1 MB
     drift) — which are bit-stable across host-noise windows that swing
     wall time 3-6x (r6: three runs 13.2/17.3/20.3 s with identical
     shuffle bytes). Wall time stays a secondary, noise-annotated
-    signal. Returns human-readable REGRESSION lines (empty = clean)."""
+    signal. Returns human-readable REGRESSION lines (empty = clean).
+
+    Entries whose DEFINITION FINGERPRINT changed between rounds (the
+    query function's source — see _entry_fingerprint) are excluded from
+    both checks and reported as 'ENTRY CHANGED ... not comparable':
+    an entry that now runs different code re-baselines instead of
+    silently passing (or failing) invariants that no longer mean
+    anything."""
     out = []
+    prev_defs = prev.get("defs", {})
+    cur_defs = cur.get("defs", {})
+    changed = {q for q, h in cur_defs.items()
+               if q in prev_defs and prev_defs[q] != h}
+    for q in sorted(changed):
+        out.append(f"ENTRY CHANGED {q}: definition fingerprint "
+                   f"{prev_defs[q]} -> {cur_defs[q]} — wall/rows/shuffle "
+                   f"not comparable this round (re-baselined)")
     prev_rows = prev.get("rows", {})
     cur_rows = cur.get("rows", {})
     for q, r in cur_rows.items():
+        if q in changed:
+            continue
         pr = prev_rows.get(q)
         if pr is not None and pr != r:
             out.append(f"REGRESSION {q}: result rows {pr} -> {r}")
@@ -140,6 +196,8 @@ def compare_invariants(prev: dict, cur: dict) -> list[str]:
     cur_sh = cur.get("extras", {})
     for k, mb in cur_sh.items():
         if not k.startswith("shuffle_mb_"):
+            continue
+        if k[len("shuffle_mb_"):] in changed:
             continue
         pmb = prev_sh.get(k)
         if pmb is None or pmb < 0 or mb < 0:
@@ -404,6 +462,12 @@ def main() -> None:
 
     detail_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
+    defs = {}
+    for name in HEADLINE:
+        try:
+            defs[name] = _entry_fingerprint(qs[name])
+        except Exception:
+            pass
     cur_detail = {
         "metric": "headline_total_wall_best_of_3_r1_comparable",
         "value": total,
@@ -412,6 +476,7 @@ def main() -> None:
         "rows": rows,
         "extras": extras,
         "operators": operators,
+        "defs": defs,
         "noise": noise,
         "sf": float(sf),
     }

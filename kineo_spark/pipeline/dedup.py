@@ -521,6 +521,45 @@ def winnow_fingerprints(
     )
 
 
+def _parse_spark_size(v: str) -> int:
+    """Parse a Spark size conf value ('10485760', '10MB', '-1') to
+    bytes. Bare numbers are bytes (autoBroadcastJoinThreshold's
+    documented unit)."""
+    s = str(v).strip().lower()
+    for suf, m in (("tb", 1024 ** 4), ("gb", 1024 ** 3), ("mb", 1024 ** 2),
+                   ("kb", 1024), ("t", 1024 ** 4), ("g", 1024 ** 3),
+                   ("m", 1024 ** 2), ("k", 1024), ("b", 1)):
+        if s.endswith(suf):
+            return int(float(s[: -len(suf)]) * m)
+    return int(float(s))
+
+
+# conservative in-memory bytes per seen-side fingerprint row inside a
+# BroadcastHashJoin relation (32-char md5 string + UnsafeRow + hash-map
+# entry overhead); used only by the Bloom gate below, so an over-
+# estimate merely keeps the Bloom on a little longer than strictly
+# needed — never changes results
+_FP_BROADCAST_ROW_BYTES = 96
+
+
+def _anti_join_broadcasts(spark, n_seen: int) -> bool:
+    """True when the plain fingerprint anti-join against ``n_seen``
+    archive rows would already run as a broadcast hash join — the
+    regime where a Bloom pre-filter is pure fixed cost (the r8 bench
+    showed the unconditional Bloom build costing 2.6x wall at sf0.1
+    where the 250-row seen side broadcasts). Mirrors the dangling-set
+    broadcast gate in graph.py: compare the estimated build-side bytes
+    to spark.sql.autoBroadcastJoinThreshold; a disabled threshold (-1,
+    the archive-scale regime the bench probe simulates) always keeps
+    the Bloom."""
+    try:
+        thr = _parse_spark_size(
+            spark.conf.get("spark.sql.autoBroadcastJoinThreshold"))
+    except Exception:
+        thr = 10 * 1024 * 1024
+    return thr > 0 and n_seen * _FP_BROADCAST_ROW_BYTES <= thr
+
+
 def _bloom_words(fps: DataFrame, m_bits: int, k: int) -> DataFrame:
     """Distributed Bloom build: k xxhash64 positions per fingerprint,
     packed into 64-bit words with a bit_or aggregation. The result is a
@@ -599,6 +638,13 @@ def dedup_against_corpus(
     on the seen side (a metadata-cheap scan of the fingerprint column)
     determines it.
 
+    ``bloom=True`` is ADAPTIVE (r9): when the seen side is small enough
+    that the plain anti-join already broadcasts
+    (n_seen × ~96 B ≤ spark.sql.autoBroadcastJoinThreshold), the Bloom
+    build is skipped — at that scale it is pure fixed cost (measured
+    2.6× wall at sf0.1 in BENCH_r08). With the threshold disabled (-1,
+    the archive regime), the Bloom always runs.
+
     Returns the surviving (id, fp) rows of the new batch.
     """
     nf = new.select(F.col(id_col).alias("id"),
@@ -607,6 +653,12 @@ def dedup_against_corpus(
     if not bloom:
         return nf.join(sf, "fp", "left_anti")
     n_seen = expected_items if expected_items is not None else sf.count()
+    if _anti_join_broadcasts(new.sparkSession, n_seen):
+        # r9 adaptive gate: the seen side fits a broadcast hash
+        # anti-join, so the Bloom build/probe would be pure overhead —
+        # same result by construction (the Bloom never changes
+        # semantics, only routes rows around the shuffle)
+        return nf.join(sf, "fp", "left_anti")
     m_bits = max(1024, n_seen * bits_per_key)
     words = _bloom_words(sf, m_bits, bloom_k)
     probed, cand = _bloom_probe(nf, words, m_bits, bloom_k)
@@ -662,6 +714,8 @@ def dedup_against_corpus_indexed(
     if not bloom:
         return nf.join(sf, "fp", "left_anti")
     n_seen = expected_items if expected_items is not None else sf.count()
+    if _anti_join_broadcasts(spark, n_seen):
+        return nf.join(sf, "fp", "left_anti")  # r9 gate — see above
     m_bits = max(1024, n_seen * 14)
     words = _bloom_words(sf, m_bits, 3)
     probed, cand = _bloom_probe(nf, words, m_bits, 3)

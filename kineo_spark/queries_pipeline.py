@@ -1648,11 +1648,14 @@ def pipe_ppl_buckets(spark, sf_dir) -> DataFrame:
    f"SELECT id, fp FROM nf WHERE fp NOT IN (SELECT fp FROM sf)")
 def pipe_dedup_incremental(spark, sf_dir) -> DataFrame:
     """Incremental dedup of a 'new batch' (doc_id >= 250) against the
-    already-ingested corpus (doc_id < 250): a broadcast Bloom of the
-    seen-side fingerprints routes Bloom-negative rows around the exact
-    anti-join map-side (r8; the oracle is unchanged because the result
-    is identical by construction — the anti-join remains the exact
-    residual check for Bloom-positive candidates)."""
+    already-ingested corpus (doc_id < 250). ``bloom=True`` is adaptive
+    (r9): at this scale the 250-row seen side broadcasts, so the gate
+    in dedup_against_corpus skips the Bloom build and runs the plain
+    broadcast anti-join; at archive scale (autoBroadcast disabled —
+    the bench probe's regime) the broadcast Bloom routes ~99% of the
+    batch around the shuffle map-side. Results identical either way
+    (the anti-join remains the exact residual check), so the oracle is
+    unchanged."""
     docs = read_table(spark, sf_dir, "documents")
     return dedup.dedup_against_corpus(
         docs.filter(F.col("doc_id") >= 250),

