@@ -227,3 +227,33 @@ def test_graph_scoped_paths_all_modes(spark):
         got = {m: run(f, text) for m, f in factories.items()}
         for m, res in got.items():
             assert res == want, f"{m}: {text}\n got {res}\nwant {want}"
+
+
+def test_recursive_cte_union_dedup_unsupported(spark):
+    """The r9 ruling (SCALE.md): Spark 4.1.2's WITH RECURSIVE cannot
+    replace paths.py's semi-naive driver-loop fixpoint because the
+    dedup-per-wave form (UNION) is rejected at analysis time — and
+    semi-naive closure REQUIRES per-wave dedup on cyclic graphs.
+    This is the fast half of the repro; the slow half (cyclic UNION
+    ALL exceeds the recursion level limit) is the skipped test below.
+    If this test ever FAILS (i.e. UNION starts working), re-evaluate
+    the driver loop against a recursive-CTE closure."""
+    import pytest as _pt
+
+    with _pt.raises(Exception, match="UNION_NOT_SUPPORTED_IN_RECURSIVE_CTE"):
+        spark.sql(
+            "WITH RECURSIVE r(n) AS (SELECT 0 UNION SELECT n+1 FROM r "
+            "WHERE n < 5) SELECT * FROM r").collect()
+
+
+@pytest.mark.skip(reason="documents the r9 recursive-CTE ruling: a cyclic "
+                  "closure via UNION ALL re-derives pairs forever and throws "
+                  "RECURSION_LEVEL_LIMIT_EXCEEDED after ~28s (verified on "
+                  "Spark 4.1.2, 2026-08); run manually when a Spark release "
+                  "adds UNION-dedup recursion")
+def test_recursive_cte_unsuitable_repro(spark):
+    # two-line repro: 2-cycle edge set, transitive closure by UNION ALL
+    spark.sql(
+        "WITH RECURSIVE r(s,d) AS (SELECT 0 s, 1 d UNION ALL "
+        "SELECT r.s, e.d FROM r JOIN (SELECT 0 s, 1 d UNION ALL "
+        "SELECT 1, 0) e ON r.d = e.s) SELECT count(*) FROM r").collect()
