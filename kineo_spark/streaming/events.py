@@ -74,7 +74,7 @@ def dedup_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
 
 def dedup_stream_against_corpus(
     docs: DataFrame,
-    corpus_index: DataFrame,
+    corpus_index: "DataFrame | str",
     id_col: str = "doc_id",
     text_col: str = "text",
     ts_col: str = "ts",
@@ -87,15 +87,22 @@ def dedup_stream_against_corpus(
     within the watermark horizon, which is the correct streaming
     relaxation: an unbounded exact set is unbounded state), then (b)
     against the PERSISTED corpus via a stream-static left-anti join.
-    ``corpus_index`` is a static frame with an ``fp`` column — at
-    archive scale, the bucketed table written by
-    dedup.write_corpus_fingerprints, so the static side re-reads its
-    buckets per micro-batch with no shuffle of stream state.
+    ``corpus_index`` is a static frame with an ``fp`` column, or (r9)
+    the NAME of the bucketed+sorted fingerprint table written by
+    dedup.write_corpus_fingerprints — with the bucket count matching
+    spark.sql.shuffle.partitions, every micro-batch's anti-join reads
+    the archive side pre-partitioned and pre-sorted straight off its
+    parquet buckets (zero Exchange, no per-batch Sort; the stream side
+    is already hash-partitioned on fp by the dedup state operator).
+    That is the archive-scale shape: per micro-batch, total shuffle ≈
+    the batch's own fingerprints, never the archive.
 
     Returns the surviving (id, fp, ts) stream (append mode).
     """
     from kineo_spark.pipeline.dedup import fingerprint
 
+    if isinstance(corpus_index, str):
+        corpus_index = docs.sparkSession.table(corpus_index)
     fp = fingerprint(F.col(text_col)).alias("fp")
     new = docs.select(F.col(id_col).alias("id"), fp,
                       F.col(ts_col).alias("ts"))

@@ -326,3 +326,55 @@ def test_streaming_dedup_against_corpus(spark, tmp_path):
     # of 45 collapses to ONE of {45, 9999}
     assert got - {45, 9999} == set(range(30, 60)) - {45}
     assert len(got & {45, 9999}) == 1
+
+
+def test_streaming_dedup_against_persisted_index(spark, tmp_path):
+    """r9 (VERDICT r8 #5): the streaming incremental dedup drains
+    against the PERSISTED bucketed fingerprint index
+    (dedup.write_corpus_fingerprints) — same survivors as the
+    DataFrame-corpus path, and the micro-batch plan reads the archive
+    side straight off its buckets with NO Exchange and NO Sort (the
+    only fp Exchange is the stream side's dedup state partitioning)."""
+    from kineo_spark.pipeline import dedup
+    from kineo_spark.pipeline.dedup import fingerprint
+
+    docs = read_table(spark, SF, "documents").limit(60)
+    corpus = docs.filter(F.col("doc_id") < 30)
+    nbuckets = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    dedup.write_corpus_fingerprints(
+        corpus, "t_stream_fp_index", buckets=nbuckets,
+        path=str(tmp_path / "fpidx"))
+    stream_rows = docs.withColumn(
+        "ts", F.to_timestamp(F.lit("2026-01-01 00:00:00")))
+    stream_pq = str(tmp_path / "docs_stream")
+    stream_rows.coalesce(1).write.mode("overwrite").parquet(stream_pq)
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        sdf = (spark.readStream.schema(
+            spark.read.parquet(stream_pq).schema).parquet(stream_pq))
+        out = se.dedup_stream_against_corpus(sdf, "t_stream_fp_index")
+        q = (out.writeStream.format("memory").queryName("t_idx_dedup")
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        got = {r["id"] for r in spark.table("t_idx_dedup").collect()}
+        assert got == set(range(30, 60)), got
+
+        # plan pin on the LAST micro-batch's executed plan: the archive
+        # side scans its buckets (SelectedBucketsCount), the LeftAnti
+        # join sees exactly ONE fp Exchange (the stream side's state
+        # partitioning), and no Sort feeds the bucketed scan
+        plan = q._jsq.explainInternal(True)
+        final = plan.split("Initial Plan")[0]
+        assert "SelectedBucketsCount" in final, final
+        assert final.count("Exchange hashpartitioning(fp") == 1, final
+        anti = final[final.index("LeftAnti"):]
+        scan_pos = anti.index(
+            "FileScan parquet spark_catalog.default.t_stream_fp_index")
+        archive_side = anti[:scan_pos].splitlines()[-3:]
+        assert not any("Sort [fp#" in l and "ASC" in l
+                       for l in archive_side), archive_side
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS t_stream_fp_index")
