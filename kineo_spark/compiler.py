@@ -405,7 +405,17 @@ class Compiler:
         right = self._bind_prefilter(right, left, shared)
         rdf, ren = self._prep_right(right)
         if not shared:
-            df = left.df.crossJoin(rdf)
+            # nested-loop join (reference NestedLoopJoinPlan) — broadcast
+            # the right side: a plain CartesianProduct MULTIPLIES
+            # partition counts (n_l x n_r tasks; r9 found a bound-subject
+            # 4-pattern star running 8^4 = 4096 tasks over 4 single-row
+            # branches), while BroadcastNestedLoopJoin keeps the left
+            # side's partitioning. A cross join with an UNBOUNDED right
+            # side is a query pathology either way (the reference
+            # materializes the rhs in memory too); bounded sides —
+            # VALUES tables, bound-subject stars — are what this path
+            # actually serves.
+            df = left.df.crossJoin(F.broadcast(rdf))
         else:
             maybe = [v for v in shared
                      if v not in left.certain or v not in right.certain]
@@ -463,7 +473,9 @@ class Compiler:
                 ])
                 branches.append(lb.join(rb, cond, "inner"))
             else:
-                branches.append(lb.crossJoin(rb))
+                # null-slice branch (tiny by construction): broadcast so
+                # partition counts don't multiply (see _join)
+                branches.append(lb.crossJoin(F.broadcast(rb)))
         out = branches[0]
         for b in branches[1:]:
             out = out.unionByName(b)

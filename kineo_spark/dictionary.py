@@ -521,7 +521,10 @@ def bgp_ids(id_quads: DataFrame, patterns: list[A.QuadPattern],
             out = nxt
         else:
             shared = [c for c in out.columns if c in nxt.columns]
-            out = out.join(nxt, on=shared, how="inner") if shared else out.crossJoin(nxt)
+            # no shared id-columns → nested loop; broadcast the new
+            # pattern so partition counts don't multiply (compiler._join)
+            out = (out.join(nxt, on=shared, how="inner") if shared
+                   else out.crossJoin(F.broadcast(nxt)))
     return out
 
 

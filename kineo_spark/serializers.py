@@ -16,7 +16,8 @@ from xml.sax.saxutils import escape
 
 from pyspark.sql import DataFrame
 
-from kineo_spark.model import DT_IRI, KIND_BLANK, KIND_IRI, KIND_QUOTED, PyTerm
+from kineo_spark.model import (DT_IRI, IRI_DT, KIND_BLANK, KIND_IRI,
+                               KIND_LITERAL, KIND_QUOTED, PyTerm)
 
 
 def _term_of_row_value(v) -> PyTerm | None:
@@ -26,8 +27,13 @@ def _term_of_row_value(v) -> PyTerm | None:
 
 
 def _rows(df: DataFrame):
+    # collect(), not toLocalIterator(): the serializers build the whole
+    # output string in memory anyway (result sets are human-scale), and
+    # toLocalIterator runs ONE SEQUENTIAL JOB PER PARTITION — a
+    # many-partition result df turned each serialization into hundreds
+    # of tiny Spark jobs (r9, surfaced by the csv-tsv-res round-trips)
     cols = [c for c in df.columns if not c.startswith("__")]
-    for row in df.toLocalIterator():
+    for row in df.collect():
         yield {c: _term_of_row_value(row[c]) for c in cols}
 
 
@@ -122,18 +128,32 @@ def _xml_triple(t: PyTerm) -> str:
             + "</object></triple>")
 
 
+def _tsv_term(t: PyTerm) -> str:
+    """One TSV cell: Turtle/N-Triples term syntax with the TWO
+    TSV-specific rules (csv-tsv-res spec §4 / SPARQLTSV.swift:11-153):
+    xsd:integer literals abbreviate to the bare lexical form, and tab /
+    CR are backslash-escaped inside literals (a raw tab would break the
+    column framing; n3() already escapes backslash, quote and LF)."""
+    if t.kind == KIND_LITERAL and t.dt == "integer":
+        return t.lex
+    return t.n3().replace("\t", "\\t").replace("\r", "\\r")
+
+
 def to_sparql_tsv(df: DataFrame) -> str:
     """text/tab-separated-values (SPARQLTSV.swift:11-153): terms in
     Turtle/N-Triples syntax, unbound empty."""
     cols = [c for c in df.columns if not c.startswith("__")]
     lines = ["\t".join("?" + c for c in cols)]
     for row in _rows(df):
-        lines.append("\t".join("" if row[c] is None else row[c].n3() for c in cols))
+        lines.append("\t".join(
+            "" if row[c] is None else _tsv_term(row[c]) for c in cols))
     return "\n".join(lines) + "\n"
 
 
 def to_sparql_csv(df: DataFrame) -> str:
-    """text/csv per SPARQL 1.1 results CSV: plain lexical values."""
+    """text/csv per SPARQL 1.1 results CSV: plain lexical values —
+    IRIs and literals lose their type markers by design; blank nodes
+    keep the ``_:label`` form (csv-tsv-res spec §3)."""
     import csv
 
     cols = [c for c in df.columns if not c.startswith("__")]
@@ -141,12 +161,113 @@ def to_sparql_csv(df: DataFrame) -> str:
     w = csv.writer(out, lineterminator="\n")
     w.writerow(cols)
     for row in _rows(df):
-        w.writerow([
-            "" if row[c] is None
-            else (row[c].n3() if row[c].kind == KIND_QUOTED else row[c].lex)
-            for c in cols
-        ])
+        cells = []
+        for c in cols:
+            t = row[c]
+            if t is None:
+                cells.append("")
+            elif t.kind == KIND_BLANK:
+                cells.append("_:" + t.lex)
+            elif t.kind == KIND_QUOTED:
+                cells.append(t.n3())
+            else:
+                cells.append(t.lex)
+        w.writerow(cells)
     return out.getvalue()
+
+
+# -- result parsers (the read side of the csv-tsv-res family) ---------------
+
+_TSV_UNESC = {"t": "\t", "n": "\n", "r": "\r", '"': '"', "\\": "\\",
+              "'": "'", "b": "\b", "f": "\f"}
+
+
+def _parse_tsv_cell(cell: str) -> PyTerm | None:
+    """One TSV cell → PyTerm (None = unbound). Accepts the N-Triples
+    term forms the spec allows plus the bare numeric/boolean
+    abbreviations (SPARQLTSVParser, SPARQLTSV.swift:11-153)."""
+    import re
+
+    if cell == "":
+        return None
+    if cell.startswith("<") and cell.endswith(">"):
+        return PyTerm(KIND_IRI, cell[1:-1])
+    if cell.startswith("_:"):
+        return PyTerm(KIND_BLANK, cell[2:])
+    if cell.startswith('"'):
+        # scan to the closing quote, honoring backslash escapes
+        out, i = [], 1
+        while i < len(cell):
+            ch = cell[i]
+            if ch == "\\" and i + 1 < len(cell):
+                nxt = cell[i + 1]
+                if nxt == "u" and i + 5 < len(cell):
+                    out.append(chr(int(cell[i + 2:i + 6], 16)))
+                    i += 6
+                    continue
+                if nxt == "U" and i + 9 < len(cell):
+                    out.append(chr(int(cell[i + 2:i + 10], 16)))
+                    i += 10
+                    continue
+                out.append(_TSV_UNESC.get(nxt, nxt))
+                i += 2
+                continue
+            if ch == '"':
+                break
+            out.append(ch)
+            i += 1
+        lex, rest = "".join(out), cell[i + 1:]
+        if rest.startswith("@"):
+            return PyTerm(KIND_LITERAL, lex, "langString", rest[1:])
+        if rest.startswith("^^<") and rest.endswith(">"):
+            dt_iri = rest[3:-1]
+            return PyTerm(KIND_LITERAL, lex, IRI_DT.get(dt_iri, dt_iri))
+        return PyTerm(KIND_LITERAL, lex, "string")
+    if cell in ("true", "false"):
+        return PyTerm(KIND_LITERAL, cell, "boolean")
+    if re.fullmatch(r"[+-]?\d+", cell):
+        return PyTerm(KIND_LITERAL, cell, "integer")
+    if re.fullmatch(r"[+-]?\d*\.\d+", cell):
+        return PyTerm(KIND_LITERAL, cell, "decimal")
+    if re.fullmatch(r"[+-]?(\d+\.?\d*|\.\d+)[eE][+-]?\d+", cell):
+        return PyTerm(KIND_LITERAL, cell, "double")
+    raise ValueError(f"unparseable TSV term: {cell!r}")
+
+
+def from_sparql_tsv(text: str) -> tuple[list[str], list[dict]]:
+    """Parse text/tab-separated-values results: (variables, rows) with
+    rows as var→PyTerm dicts (unbound vars absent)."""
+    lines = text.split("\n")
+    if lines and lines[-1] == "":
+        lines.pop()
+    header = [h[1:] if h.startswith("?") else h
+              for h in lines[0].split("\t")] if lines else []
+    rows = []
+    for line in lines[1:]:
+        cells = line.split("\t")
+        row = {}
+        for var, cell in zip(header, cells):
+            t = _parse_tsv_cell(cell)
+            if t is not None:
+                row[var] = t
+        rows.append(row)
+    return header, rows
+
+
+def from_sparql_csv(text: str) -> tuple[list[str], list[dict]]:
+    """Parse text/csv results: (variables, rows) with rows as
+    var→string dicts. CSV is lossy by design (no type markers; unbound
+    and empty string are both the empty cell — kept as absent)."""
+    import csv
+
+    rdr = csv.reader(io.StringIO(text))
+    table = list(rdr)
+    header = table[0] if table else []
+    rows = []
+    for cells in table[1:]:
+        rows.append({var: cell for var, cell in zip(header, cells)
+                     if cell != ""})
+    return header, rows
 
 
 CONTENT_TYPES = {

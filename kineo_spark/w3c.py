@@ -411,6 +411,10 @@ def _run_entry(spark, entry: TestEntry) -> TestOutcome:
             return TestOutcome(entry, ok, "" if ok else
                                f"graphs differ: expected {len(exp_rows)} triples, got {len(act_rows)}")
 
+        if entry.result_path.endswith(".tsv"):
+            return _check_tsv(entry, result)
+        if entry.result_path.endswith(".csv"):
+            return _check_csv(entry, result)
         kind, (variables, exp_rows) = load_expected_srj(entry.result_path)
         act_rows = _df_rows(result.bindings)
         if "ORDER BY" in query_text.upper():
@@ -430,6 +434,67 @@ def _run_entry(spark, entry: TestEntry) -> TestOutcome:
         return TestOutcome(entry, ok, detail)
     except Exception as e:  # noqa: BLE001 — conformance failure, not crash
         return TestOutcome(entry, False, f"{type(e).__name__}: {e}")
+
+
+def _term_tuple(t) -> tuple:
+    """PyTerm → the (kind, lex, dt, lang) row-tuple _df_rows uses, with
+    the same 'string' normalization load_expected_srj applies."""
+    if t.kind != KIND_LITERAL:
+        return (t.kind, t.lex, None, None)
+    return (t.kind, t.lex, t.dt or "string", t.lang)
+
+
+def _check_tsv(entry: TestEntry, result) -> TestOutcome:
+    """csv-tsv-res family, TSV side: the expected file is
+    text/tab-separated-values; additionally ROUND-TRIP the engine's own
+    result through to_sparql_tsv → from_sparql_tsv — the serializer
+    must reproduce its input terms exactly (quoting, typing, unbound
+    cells), which is the reference's SPARQLTSVSyntax test surface
+    (SPARQLTSVSyntax.swift:46-160)."""
+    from kineo_spark.serializers import from_sparql_tsv, to_sparql_tsv
+
+    with open(entry.result_path) as fh:
+        variables, exp = from_sparql_tsv(fh.read())
+    exp_rows = [{v: _term_tuple(t) for v, t in r.items()} for r in exp]
+    act_rows = _df_rows(result.bindings)
+    if not rows_isomorphic(exp_rows, act_rows):
+        return TestOutcome(entry, False,
+                           f"tsv mismatch: expected {exp_rows[:3]} … "
+                           f"got {act_rows[:3]}")
+    _, rt = from_sparql_tsv(to_sparql_tsv(result.bindings))
+    rt_rows = [{v: _term_tuple(t) for v, t in r.items()} for r in rt]
+    ok = rows_isomorphic(act_rows, rt_rows)
+    return TestOutcome(entry, ok, "" if ok else
+                       f"tsv round-trip diverged: {rt_rows[:3]}")
+
+
+def _check_csv(entry: TestEntry, result) -> TestOutcome:
+    """csv-tsv-res family, CSV side: lexical-only comparison (CSV is
+    lossy by design — no type markers), blank nodes keep the _:label
+    form and compare modulo bijection. Round-trips the engine result
+    through to_sparql_csv → from_sparql_csv."""
+    from kineo_spark.serializers import from_sparql_csv, to_sparql_csv
+
+    def lex_rows(rows: list[dict]) -> list[dict]:
+        out = []
+        for r in rows:
+            row = {}
+            for v, cell in r.items():
+                if cell.startswith("_:"):
+                    row[v] = (KIND_BLANK, cell[2:], None, None)
+                else:
+                    row[v] = (KIND_LITERAL, cell, "string", None)
+            out.append(row)
+        return out
+
+    with open(entry.result_path) as fh:
+        exp_rows = lex_rows(from_sparql_csv(fh.read())[1])
+    act_csv = to_sparql_csv(result.bindings)
+    act_rows = lex_rows(from_sparql_csv(act_csv)[1])
+    ok = rows_isomorphic(exp_rows, act_rows)
+    return TestOutcome(entry, ok, "" if ok else
+                       f"csv mismatch: expected {exp_rows[:3]} … "
+                       f"got {act_rows[:3]}")
 
 
 def _run_update_entry(spark, entry: TestEntry, request: str) -> TestOutcome:

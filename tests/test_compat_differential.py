@@ -1,0 +1,273 @@
+"""Differential fuzz for compatibility-join semantics (SURVEY §7.4
+hard part #2): random algebra trees of Join / LeftJoin(expr) / MINUS /
+UNION over random BGPs and VALUES tables with UNDEF cells (partial
+bindings), engine vs an independent Python implementation of SPARQL 1.1
+§18.5 written from the spec (compatible-mappings bag join, LeftJoin =
+Filter(Join) ∪ Diff with error-as-not-true, MINUS with the
+dom-disjointness rule) — the same evidence class as
+test_path_differential.py, aimed at the hardest semantic corner:
+unbound shared variables. Runs in term mode and through the id64/id128
+dictionary compilers (reference semantics:
+MaterializedQueryPlan.swift:444-484 DiffPlan, :554-569 MinusPlan;
+ResultProtocol.join QuadStore.swift:587)."""
+
+import random
+from collections import Counter
+
+import pytest
+
+from kineo_spark import algebra as A
+from kineo_spark.compiler import Compiler
+from kineo_spark.expr import c, v
+from kineo_spark.forms import select
+from kineo_spark.model import iri
+from kineo_spark.store import QuadsDataFrameStore
+
+EX = "http://example.org/"
+PREDS = [EX + "p", EX + "q"]
+NODES = [EX + f"n{i}" for i in range(5)]
+VARS = ["va", "vb", "vc", "vd"]
+G = "urn:g:default"
+
+
+# --- independent reference evaluator (spec, §18.5) --------------------------
+# Mappings are dicts var->lex; bag = Counter keyed by sorted item tuples.
+
+def _key(m: dict) -> tuple:
+    return tuple(sorted(m.items()))
+
+
+def _compatible(m1: dict, m2: dict) -> bool:
+    return all(m1[k] == m2[k] for k in m1.keys() & m2.keys())
+
+
+def _ev_expr(expr, m: dict):
+    """Evaluate the (tiny) expression language: returns True, False, or
+    'error' (unbound operand → type error per §17.2/§17.3, which
+    LeftJoin treats as not-true)."""
+    if expr is None:
+        return True
+    kind = expr[0]
+    if kind == "eq_const":
+        _, var, lex = expr
+        if var not in m:
+            return "error"
+        return m[var] == lex
+    if kind == "eq_var":
+        _, v1, v2 = expr
+        if v1 not in m or v2 not in m:
+            return "error"
+        return m[v1] == m[v2]
+    raise NotImplementedError(kind)
+
+
+def _join(b1: Counter, b2: Counter) -> Counter:
+    out = Counter()
+    for k1, n1 in b1.items():
+        d1 = dict(k1)
+        for k2, n2 in b2.items():
+            d2 = dict(k2)
+            if _compatible(d1, d2):
+                out[_key(d1 | d2)] += n1 * n2
+    return out
+
+
+def _leftjoin(b1: Counter, b2: Counter, expr) -> Counter:
+    """LeftJoin(Ω1, Ω2, expr) = Filter(expr, Join(Ω1,Ω2)) ∪
+    Diff(Ω1, Ω2, expr): μ1 survives alone iff NO compatible μ2 passes
+    expr (false and error both count as not-true)."""
+    out = Counter()
+    for k1, n1 in b1.items():
+        d1 = dict(k1)
+        matched = 0
+        for k2, n2 in b2.items():
+            d2 = dict(k2)
+            if _compatible(d1, d2):
+                merged = d1 | d2
+                if _ev_expr(expr, merged) is True:
+                    out[_key(merged)] += n1 * n2
+                    matched += n2
+        if matched == 0:
+            out[k1] += n1
+    return out
+
+
+def _minus(b1: Counter, b2: Counter) -> Counter:
+    """§18.5: μ survives unless some μ' is compatible AND shares at
+    least one variable (dom-disjoint mappings do NOT exclude)."""
+    out = Counter()
+    for k1, n1 in b1.items():
+        d1 = dict(k1)
+        excluded = any(
+            _compatible(d1, dict(k2)) and (d1.keys() & dict(k2).keys())
+            for k2 in b2)
+        if not excluded:
+            out[k1] += n1
+    return out
+
+
+def _unify(pat: A.TriplePattern, s, p, o):
+    m = {}
+    for node, val in ((pat.s, s), (pat.p, p), (pat.o, o)):
+        if isinstance(node, A.Var):
+            if node.name in m and m[node.name] != val:
+                return None
+            m[node.name] = val
+        elif node.lex != val:
+            return None
+    return m
+
+
+def ref_eval(alg, quads) -> Counter:
+    if isinstance(alg, A.BGP):
+        b = Counter({(): 1})
+        for pat in alg.patterns:
+            matches = Counter()
+            for s, p, o, g in quads:
+                if g != G:
+                    continue
+                m = _unify(pat, s, p, o)
+                if m is not None:
+                    matches[_key(m)] += 1
+            b = _join(b, matches)
+        return b
+    if isinstance(alg, A.Table):
+        b = Counter()
+        for row in alg.rows:
+            m = {var: t.lex for var, t in zip(alg.variables, row)
+                 if t is not None}
+            b[_key(m)] += 1
+        return b
+    if isinstance(alg, A.Join):
+        return _join(ref_eval(alg.lhs, quads), ref_eval(alg.rhs, quads))
+    if isinstance(alg, A.LeftJoin):
+        return _leftjoin(ref_eval(alg.lhs, quads), ref_eval(alg.rhs, quads),
+                         getattr(alg, "_fuzz_expr", None))
+    if isinstance(alg, A.Minus):
+        return _minus(ref_eval(alg.lhs, quads), ref_eval(alg.rhs, quads))
+    if isinstance(alg, A.Union):
+        return ref_eval(alg.lhs, quads) + ref_eval(alg.rhs, quads)
+    raise NotImplementedError(type(alg).__name__)
+
+
+# --- random generators -------------------------------------------------------
+
+def rand_quads(rng: random.Random):
+    quads = set()
+    for _ in range(rng.randint(6, 12)):
+        quads.add((rng.choice(NODES), rng.choice(PREDS),
+                   rng.choice(NODES), G))
+    return sorted(quads)
+
+
+def rand_bgp(rng: random.Random) -> A.BGP:
+    pats = []
+    for _ in range(rng.randint(1, 2)):
+        s = (A.Var(rng.choice(VARS)) if rng.random() < 0.8
+             else iri(rng.choice(NODES)))
+        o = (A.Var(rng.choice(VARS)) if rng.random() < 0.8
+             else iri(rng.choice(NODES)))
+        pats.append(A.TriplePattern(s, iri(rng.choice(PREDS)), o))
+    return A.BGP(tuple(pats))
+
+
+def rand_table(rng: random.Random) -> A.Table:
+    vs = tuple(rng.sample(VARS, rng.randint(1, 3)))
+    rows = tuple(
+        tuple(iri(rng.choice(NODES)) if rng.random() < 0.7 else None
+              for _ in vs)
+        for _ in range(rng.randint(1, 5)))
+    return A.Table(vs, rows)
+
+
+def rand_expr(rng: random.Random):
+    """Returns (engine_expr, ref_expr). Deliberately references vars
+    that may be UNBOUND in the merged mapping — the error-as-not-true
+    corner of LeftJoin."""
+    r = rng.random()
+    if r < 0.4:
+        return None, None
+    if r < 0.7:
+        var, node = rng.choice(VARS), rng.choice(NODES)
+        return v(var) == c(iri(node)), ("eq_const", var, node)
+    v1, v2 = rng.sample(VARS, 2)
+    return v(v1) == v(v2), ("eq_var", v1, v2)
+
+
+def rand_alg(rng: random.Random, depth: int):
+    if depth == 0:
+        return rand_bgp(rng) if rng.random() < 0.5 else rand_table(rng)
+    op = rng.choice(["join", "left", "left", "minus", "union"])
+    lhs, rhs = rand_alg(rng, depth - 1), rand_alg(rng, depth - 1)
+    if op == "join":
+        return A.Join(lhs, rhs)
+    if op == "left":
+        e_eng, e_ref = rand_expr(rng)
+        node = A.LeftJoin(lhs, rhs, e_eng)
+        # smuggle the ref-side expr tuple past the frozen dataclass
+        object.__setattr__(node, "_fuzz_expr", e_ref)
+        return node
+    if op == "minus":
+        return A.Minus(lhs, rhs)
+    return A.Union(lhs, rhs)
+
+
+def all_vars(alg) -> set:
+    if isinstance(alg, A.BGP):
+        return {n.name for p in alg.patterns
+                for n in (p.s, p.p, p.o) if isinstance(n, A.Var)}
+    if isinstance(alg, A.Table):
+        return set(alg.variables)
+    return all_vars(alg.lhs) | all_vars(alg.rhs)
+
+
+def _short(x):
+    return x.rsplit("/", 1)[-1] if x else x
+
+
+def _run_case(spark, seed: int, compile_df):
+    rng = random.Random(7000 + seed)
+    quads = rand_quads(rng)
+    alg = rand_alg(rng, 2)
+    proj = tuple(sorted(all_vars(alg)))
+    store = QuadsDataFrameStore.from_rows(
+        spark, [(0, s, p, 0, o, None, None, None, g) for s, p, o, g in quads])
+
+    df = compile_df(store, A.SelectQuery(alg, proj))
+    got = Counter()
+    for r in df.collect():
+        got[tuple(
+            _short(r[var]["lex"]) if r[var] is not None
+            and r[var]["lex"] is not None else None
+            for var in proj)] += 1
+
+    want = Counter()
+    for k, n in ref_eval(alg, quads).items():
+        d = dict(k)
+        want[tuple(_short(d.get(var)) for var in proj)] += n
+
+    assert got == want, (
+        f"seed {seed}: alg {alg}\nquads {quads}\nproj {proj}\n"
+        f"extra={got - want}\nmissing={want - got}")
+
+
+@pytest.mark.parametrize("seed", range(14))
+def test_compat_differential_term_mode(spark, seed):
+    def compile_df(store, q):
+        return select(Compiler(store), q)
+    _run_case(spark, seed, compile_df)
+
+
+@pytest.mark.parametrize("seed,kb", [(s, kb) for s in range(6)
+                                     for kb in (64, 128)])
+def test_compat_differential_id_modes(spark, seed, kb):
+    """The same spec-reference differential through the dictionary
+    compilers at both key widths: table terms intern as struct binders,
+    the compat encoding must agree on ids exactly as on terms."""
+    from kineo_spark.dictionary import id_compiler
+
+    def compile_df(store, q):
+        comp = id_compiler(store, key_bits=kb)
+        comp.prepare(q)
+        return select(comp, q)
+    _run_case(spark, seed, compile_df)

@@ -64,3 +64,84 @@ def test_best_language_filter(spark):
     out = best_language_quads(quads, "en;q=0.9, de;q=0.5").collect()
     lex = sorted(r.o_lex for r in out)
     assert lex == ["5", "Hello"]
+
+
+def test_tsv_parser_reference_fixture():
+    """The reference's SPARQLTSVParser fixture, byte for byte
+    (SPARQLTSVSyntax.swift:46-90): IRIs, bnodes, dquote escapes, empty
+    cells, fully-empty rows, lang tags, bare-integer abbreviation."""
+    from kineo_spark.serializers import from_sparql_tsv
+
+    tsv = ('?x\t?literal\n'
+           '<http://example/x>\t"String"\n'
+           '<http://example/x>\t"String-with-dquote\\""\n'
+           '_:blank0\t"Blank node"\n'
+           '\t"Missing \'x\'"\n'
+           '\t\n'
+           '<http://example/x>\t\n'
+           '_:blank1\t"String-with-lang"@en\n'
+           '_:blank1\t123\n')
+    variables, rows = from_sparql_tsv(tsv)
+    assert variables == ["x", "literal"]
+    assert len(rows) == 8
+    assert rows[0]["x"].lex == "http://example/x"
+    assert rows[1]["literal"].lex == 'String-with-dquote"'
+    assert rows[2]["x"].kind == 1 and rows[2]["x"].lex == "blank0"
+    assert "x" not in rows[3] and rows[3]["literal"].lex == "Missing 'x'"
+    assert rows[4] == {}
+    assert "literal" not in rows[5]
+    assert rows[6]["literal"].lang == "en"
+    assert (rows[7]["literal"].lex, rows[7]["literal"].dt) == ("123", "integer")
+
+
+def test_tsv_serializer_escapes_and_abbreviates(spark):
+    """Serialize side (SPARQLTSV.swift:11-153 / SPARQLTSVSyntax.swift
+    testTSV1-2): bare xsd:integer, typed double, TAB/LF escaped inside
+    literal cells so framing survives, unbound = empty cell — and the
+    round trip through from_sparql_tsv reproduces the input terms."""
+    from pyspark.sql import functions as F
+
+    from kineo_spark.model import (iri_col, lit_numeric_col, lit_string_col)
+    from kineo_spark.serializers import from_sparql_tsv, to_sparql_tsv
+
+    df = spark.range(1).select(
+        lit_string_col(F.lit("Berlin")).alias("name"),
+        lit_numeric_col(F.lit(7), "integer").alias("value"),
+        lit_numeric_col(F.lit(1.2), "double").alias("weight"),
+        lit_string_col(F.lit("a\tb\nc")).alias("messy"),
+        F.when(F.lit(False), iri_col(F.lit("x"), nonnull=True))
+         .alias("missing"),  # always-null term column = unbound
+    )
+    text = to_sparql_tsv(df)
+    lines = text.split("\n")
+    assert lines[0] == "?name\t?value\t?weight\t?messy\t?missing"
+    cells = lines[1].split("\t")
+    assert cells[0] == '"Berlin"'
+    assert cells[1] == "7"  # bare integer abbreviation
+    assert cells[2].endswith("XMLSchema#double>")
+    assert cells[3] == '"a\\tb\\nc"'  # TAB and LF escaped, framing intact
+    assert cells[4] == ""
+    _, rows = from_sparql_tsv(text)
+    r = rows[0]
+    assert r["messy"].lex == "a\tb\nc" and "missing" not in r
+    assert (r["value"].lex, r["value"].dt) == ("7", "integer")
+
+
+def test_csv_serializer_bnode_and_quoting(spark):
+    """CSV side (csv-tsv-res §3): plain lexical values, RFC 4180
+    quoting, blank nodes keep _:label."""
+    from pyspark.sql import functions as F
+
+    from kineo_spark.model import blank_col, lit_string_col
+    from kineo_spark.serializers import from_sparql_csv, to_sparql_csv
+
+    df = spark.range(1).select(
+        lit_string_col(F.lit('say "hi", ok')).alias("a"),
+        blank_col(F.lit("b0")).alias("b"),
+    )
+    text = to_sparql_csv(df)
+    assert text.splitlines()[0] == "a,b"
+    assert '"say ""hi"", ok"' in text
+    assert "_:b0" in text
+    _, rows = from_sparql_csv(text)
+    assert rows[0] == {"a": 'say "hi", ok', "b": "_:b0"}

@@ -56,6 +56,13 @@ QUERIES = [
     # customer/orders (which replicate), so the s_kind=3 scan filter's
     # shuffle linearity is measured (VERDICT r6 item 6)
     "sparql_star_fk_annotation",
+    # r9: per-named-graph path closure (GRAPH ?g over the cross-graph
+    # FK alternation) — the newest fixpoint variant ({g, n} struct keys,
+    # 32 B/row vs the 16 B longs above) at term and 128-bit widths; the
+    # orders side replicates (KOFF = 1e8 is divisible by 20, so the
+    # o_orderkey % 20 thinning filter scales rows exactly xN)
+    "sparql_graph_path_scoped",
+    "sparql_id128_graph_path_scoped",
 ]
 
 
