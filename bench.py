@@ -244,7 +244,15 @@ def _join_order_probe(spark, sf_dir: str, runs: int = 3) -> dict:
     r8: best-of-N per arm, same as the headline queries — the r7
     single-shot row recorded the INVERSE of the (true) claim because
     one noise spike landed on the stats arm; evidence cited as proof
-    must survive the host it was measured on."""
+    must survive the host it was measured on.
+
+    r9: the nested-loop-broadcast fix (compiler._join) removed the
+    LOCAL wall gap — the worst-first order's disjoint star groups now
+    compile to a BroadcastNestedLoopJoin of the 1-row star instead of
+    a CartesianProduct, so the two arms run at par at sf0.1. Both arms
+    stay recorded; the stats-ordering defense is architectural (it
+    never needs the orders table broadcast — see COVERAGE.md), and the
+    probe's result-equality assert remains the correctness pin."""
     from kineo_spark import algebra as A
     from kineo_spark.compiler import Compiler
     from kineo_spark.expr import c, v
