@@ -147,6 +147,22 @@ def ref_eval(alg, quads) -> Counter:
         return _minus(ref_eval(alg.lhs, quads), ref_eval(alg.rhs, quads))
     if isinstance(alg, A.Union):
         return ref_eval(alg.lhs, quads) + ref_eval(alg.rhs, quads)
+    if isinstance(alg, A.Filter):
+        # §17.2 EBV over the expression: false AND error both drop
+        return Counter({k: n for k, n in ref_eval(alg.child, quads).items()
+                        if _ev_expr(alg._fuzz_expr, dict(k)) is True})
+    if isinstance(alg, A.Extend):
+        # BIND: expression error leaves the variable UNBOUND
+        # (MaterializedQueryPlan.swift:501-513); our exprs yield
+        # xsd:boolean terms whose lex matches the engine's lit_bool_col
+        out = Counter()
+        for k, n in ref_eval(alg.child, quads).items():
+            d = dict(k)
+            r = _ev_expr(alg._fuzz_expr, d)
+            if r != "error":
+                d[alg.name] = "true" if r else "false"
+            out[_key(d)] += n
+        return out
     raise NotImplementedError(type(alg).__name__)
 
 
@@ -194,9 +210,36 @@ def rand_expr(rng: random.Random):
     return v(v1) == v(v2), ("eq_var", v1, v2)
 
 
+EVARS = ["ex", "ey"]  # BIND targets — boolean terms, maybe-unbound
+
+
 def rand_alg(rng: random.Random, depth: int):
     if depth == 0:
         return rand_bgp(rng) if rng.random() < 0.5 else rand_table(rng)
+    r = rng.random()
+    if r < 0.15:
+        # FILTER: our exprs reference maybe-unbound vars, so this
+        # exercises error-drops-row alongside plain false-drops-row
+        child = rand_alg(rng, depth - 1)
+        e_eng, e_ref = rand_expr(rng)
+        while e_eng is None:
+            e_eng, e_ref = rand_expr(rng)
+        node = A.Filter(child, e_eng)
+        object.__setattr__(node, "_fuzz_expr", e_ref)
+        return node
+    if r < 0.3:
+        # BIND: error → unbound; two subtrees extending the SAME name
+        # later joined make a maybe-unbound boolean shared var
+        child = rand_alg(rng, depth - 1)
+        free = [v_ for v_ in EVARS if v_ not in all_vars(child)]
+        if free:
+            e_eng, e_ref = rand_expr(rng)
+            while e_eng is None:
+                e_eng, e_ref = rand_expr(rng)
+            node = A.Extend(child, e_eng, rng.choice(free))
+            object.__setattr__(node, "_fuzz_expr", e_ref)
+            return node
+        # fall through to a binary op when both names are taken
     op = rng.choice(["join", "left", "left", "minus", "union"])
     lhs, rhs = rand_alg(rng, depth - 1), rand_alg(rng, depth - 1)
     if op == "join":
@@ -218,6 +261,10 @@ def all_vars(alg) -> set:
                 for n in (p.s, p.p, p.o) if isinstance(n, A.Var)}
     if isinstance(alg, A.Table):
         return set(alg.variables)
+    if isinstance(alg, A.Filter):
+        return all_vars(alg.child)
+    if isinstance(alg, A.Extend):
+        return all_vars(alg.child) | {alg.name}
     return all_vars(alg.lhs) | all_vars(alg.rhs)
 
 
