@@ -328,7 +328,10 @@ class PyTerm:
         if self.kind == KIND_QUOTED:
             s, p, o = quoted_parts(self)
             return f"<< {s.n3()} {p.n3()} {o.n3()} >>"
-        esc = self.lex.replace("\\", "\\\\").replace('"', '\\"').replace("\n", "\\n")
+        # N-Triples STRING_LITERAL_QUOTE forbids raw LF and CR (tab is
+        # legal raw); CR escaping also keeps line-framed sinks intact
+        esc = (self.lex.replace("\\", "\\\\").replace('"', '\\"')
+               .replace("\n", "\\n").replace("\r", "\\r"))
         if self.lang:
             return f'"{esc}"@{self.lang}'
         if self.dt and self.dt != "string":

@@ -154,3 +154,23 @@ def test_sum_numeric_groups_unaffected(fixture_store):
         PFX + "SELECT (SUM(?v) AS ?t) WHERE { ?s ex:value ?v }"
     ).bindings.collect()
     assert rows[0]["t"]["num"] == pytest.approx(32.7 - 118.0)
+
+
+def test_ntriples_star_branch_escapes_cr(spark, tmp_path):
+    """r9: the STAR serializer branch goes through PyTerm.n3(), which
+    did not escape CR — a literal containing '\\r' broke the line
+    framing of the N-Triples sink (the JVM plain branch escaped it).
+    Round-trip a quoted-triple annotation whose object literal carries
+    CR, LF and a raw TAB (tab is legal raw in N-Triples)."""
+    from kineo_spark.sources.ntriples import load_ntriples, serialize_ntriples
+
+    nt = '<< <http://e/s> <http://e/p> "x" >> <http://e/q> "a\\rb\\nc\td" .'
+    f = tmp_path / "star.nt"
+    f.write_text(nt)
+    q1 = load_ntriples(spark, str(f))
+    line = serialize_ntriples(q1).collect()[0]["line"]
+    assert "\r" not in line and "\n" not in line  # framing intact
+    f2 = tmp_path / "star2.nt"
+    f2.write_text(line)
+    assert load_ntriples(spark, str(f2)).collect()[0]["o_lex"] == \
+        q1.collect()[0]["o_lex"] == "a\rb\nc\td"
