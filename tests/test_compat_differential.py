@@ -147,6 +147,19 @@ def ref_eval(alg, quads) -> Counter:
         return _minus(ref_eval(alg.lhs, quads), ref_eval(alg.rhs, quads))
     if isinstance(alg, A.Union):
         return ref_eval(alg.lhs, quads) + ref_eval(alg.rhs, quads)
+    if isinstance(alg, A.SemiJoin):
+        # FILTER (NOT) EXISTS, decorrelated compat form — the semantics
+        # BOTH this engine and the reference implement (ExistsPlan,
+        # MaterializedQueryPlan.swift:1617-1660): μ survives iff some
+        # (no) compatible μ' exists in the rhs
+        b1, b2 = ref_eval(alg.lhs, quads), ref_eval(alg.rhs, quads)
+        out = Counter()
+        for k1, n1 in b1.items():
+            d1 = dict(k1)
+            hit = any(_compatible(d1, dict(k2)) for k2 in b2)
+            if hit != alg.anti:
+                out[k1] += n1
+        return out
     if isinstance(alg, A.Filter):
         # §17.2 EBV over the expression: false AND error both drop
         return Counter({k: n for k, n in ref_eval(alg.child, quads).items()
@@ -240,10 +253,13 @@ def rand_alg(rng: random.Random, depth: int):
             object.__setattr__(node, "_fuzz_expr", e_ref)
             return node
         # fall through to a binary op when both names are taken
-    op = rng.choice(["join", "left", "left", "minus", "union"])
+    op = rng.choice(["join", "left", "left", "minus", "union",
+                     "semi", "anti"])
     lhs, rhs = rand_alg(rng, depth - 1), rand_alg(rng, depth - 1)
     if op == "join":
         return A.Join(lhs, rhs)
+    if op in ("semi", "anti"):
+        return A.SemiJoin(lhs, rhs, anti=(op == "anti"))
     if op == "left":
         e_eng, e_ref = rand_expr(rng)
         node = A.LeftJoin(lhs, rhs, e_eng)
@@ -261,6 +277,8 @@ def all_vars(alg) -> set:
                 for n in (p.s, p.p, p.o) if isinstance(n, A.Var)}
     if isinstance(alg, A.Table):
         return set(alg.variables)
+    if isinstance(alg, A.SemiJoin):
+        return all_vars(alg.lhs)  # rhs vars do not project out of EXISTS
     if isinstance(alg, A.Filter):
         return all_vars(alg.child)
     if isinstance(alg, A.Extend):
