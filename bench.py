@@ -94,7 +94,10 @@ HEADLINE = [
 # (knn added r8: its r7 wall moved 1.9x with identical invariants — the
 # operator tree makes the next such move attributable)
 ANALYZE = ["sparql_bgp_3hop_join", "pipe_dedup_minhash_lsh",
-           "sparql_path_alt_plus", "pipe_knn_bruteforce"]
+           "sparql_path_alt_plus", "pipe_knn_bruteforce",
+           # r9: the newest fixpoint variant ({g,n} struct keys) gets a
+           # per-operator tree so its next wall move is attributable
+           "sparql_graph_path_scoped"]
 
 # round-1 per-query minima, corrected for the two host-noise spikes the
 # round-1 judge re-measured (group_concat/minus recorded 20.9/15.9 but

@@ -63,6 +63,10 @@ QUERIES = [
     # o_orderkey % 20 thinning filter scales rows exactly xN)
     "sparql_graph_path_scoped",
     "sparql_id128_graph_path_scoped",
+    # r9: sequence packing — the hierarchical global-cumsum claim (16
+    # ordered hash buckets, no single-partition window) measured: rows
+    # and shuffle must scale linearly with the documents corpus
+    "pipe_pack_sequences",
 ]
 
 
