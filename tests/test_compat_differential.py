@@ -118,13 +118,13 @@ def _unify(pat: A.TriplePattern, s, p, o):
     return m
 
 
-def ref_eval(alg, quads) -> Counter:
+def ref_eval(alg, quads, graph: str = G) -> Counter:
     if isinstance(alg, A.BGP):
         b = Counter({(): 1})
         for pat in alg.patterns:
             matches = Counter()
             for s, p, o, g in quads:
-                if g != G:
+                if g != graph:
                     continue
                 m = _unify(pat, s, p, o)
                 if m is not None:
@@ -139,20 +139,20 @@ def ref_eval(alg, quads) -> Counter:
             b[_key(m)] += 1
         return b
     if isinstance(alg, A.Join):
-        return _join(ref_eval(alg.lhs, quads), ref_eval(alg.rhs, quads))
+        return _join(ref_eval(alg.lhs, quads, graph), ref_eval(alg.rhs, quads, graph))
     if isinstance(alg, A.LeftJoin):
-        return _leftjoin(ref_eval(alg.lhs, quads), ref_eval(alg.rhs, quads),
+        return _leftjoin(ref_eval(alg.lhs, quads, graph), ref_eval(alg.rhs, quads, graph),
                          getattr(alg, "_fuzz_expr", None))
     if isinstance(alg, A.Minus):
-        return _minus(ref_eval(alg.lhs, quads), ref_eval(alg.rhs, quads))
+        return _minus(ref_eval(alg.lhs, quads, graph), ref_eval(alg.rhs, quads, graph))
     if isinstance(alg, A.Union):
-        return ref_eval(alg.lhs, quads) + ref_eval(alg.rhs, quads)
+        return ref_eval(alg.lhs, quads, graph) + ref_eval(alg.rhs, quads, graph)
     if isinstance(alg, A.SemiJoin):
         # FILTER (NOT) EXISTS, decorrelated compat form — the semantics
         # BOTH this engine and the reference implement (ExistsPlan,
         # MaterializedQueryPlan.swift:1617-1660): μ survives iff some
         # (no) compatible μ' exists in the rhs
-        b1, b2 = ref_eval(alg.lhs, quads), ref_eval(alg.rhs, quads)
+        b1, b2 = ref_eval(alg.lhs, quads, graph), ref_eval(alg.rhs, quads, graph)
         out = Counter()
         for k1, n1 in b1.items():
             d1 = dict(k1)
@@ -162,14 +162,14 @@ def ref_eval(alg, quads) -> Counter:
         return out
     if isinstance(alg, A.Filter):
         # §17.2 EBV over the expression: false AND error both drop
-        return Counter({k: n for k, n in ref_eval(alg.child, quads).items()
+        return Counter({k: n for k, n in ref_eval(alg.child, quads, graph).items()
                         if _ev_expr(alg._fuzz_expr, dict(k)) is True})
     if isinstance(alg, A.Extend):
         # BIND: expression error leaves the variable UNBOUND
         # (MaterializedQueryPlan.swift:501-513); our exprs yield
         # xsd:boolean terms whose lex matches the engine's lit_bool_col
         out = Counter()
-        for k, n in ref_eval(alg.child, quads).items():
+        for k, n in ref_eval(alg.child, quads, graph).items():
             d = dict(k)
             r = _ev_expr(alg._fuzz_expr, d)
             if r != "error":
@@ -336,3 +336,50 @@ def test_compat_differential_id_modes(spark, seed, kb):
         comp.prepare(q)
         return select(comp, q)
     _run_case(spark, seed, compile_df)
+
+
+# --- GRAPH ?g around compat trees (dataset semantics × unbound vars) --------
+
+GRAPHS = ["urn:g:g1", "urn:g:g2"]
+
+
+def rand_quads_multi(rng: random.Random):
+    quads = set()
+    for _ in range(rng.randint(8, 14)):
+        quads.add((rng.choice(NODES), rng.choice(PREDS),
+                   rng.choice(NODES), rng.choice(GRAPHS)))
+    return sorted(quads)
+
+
+@pytest.mark.parametrize("seed", range(8))
+def test_compat_differential_graph_scoped(spark, seed):
+    """GRAPH ?g { <random compat tree> }: §13.3 — the tree evaluates
+    once per named graph with BGPs scoped to that graph (VALUES tables
+    are graph-transparent), each solution extended with ?g. Every
+    compat corner above now also runs under per-graph scoping."""
+    rng = random.Random(9000 + seed)
+    quads = rand_quads_multi(rng)
+    tree = rand_alg(rng, 2)
+    alg = A.NamedGraph(A.Var("g"), tree)
+    proj = ("g",) + tuple(sorted(all_vars(tree)))
+    store = QuadsDataFrameStore.from_rows(
+        spark, [(0, s, p, 0, o, None, None, None, g) for s, p, o, g in quads])
+
+    df = select(Compiler(store), A.SelectQuery(alg, proj))
+    got = Counter()
+    for r in df.collect():
+        got[tuple(
+            _short(r[var]["lex"]) if r[var] is not None
+            and r[var]["lex"] is not None else None
+            for var in proj)] += 1
+
+    want = Counter()
+    for g in GRAPHS:
+        for k, n in ref_eval(tree, quads, g).items():
+            d = dict(k)
+            d["g"] = g
+            want[tuple(_short(d.get(var)) for var in proj)] += n
+
+    assert got == want, (
+        f"seed {seed}: tree {tree}\nquads {quads}\nproj {proj}\n"
+        f"extra={got - want}\nmissing={want - got}")
