@@ -67,6 +67,10 @@ QUERIES = [
     # ordered hash buckets, no single-partition window) measured: rows
     # and shuffle must scale linearly with the documents corpus
     "pipe_pack_sequences",
+    # r9: OPTIONAL-with-filter (LeftJoin compat path): supplier stays 1×
+    # (shared sink), customer replicates — the left-join family's first
+    # stress row
+    "sparql_optional_leftjoin",
 ]
 
 
