@@ -133,8 +133,16 @@ def _tsv_term(t: PyTerm) -> str:
     TSV-specific rules (csv-tsv-res spec §4 / SPARQLTSV.swift:11-153):
     xsd:integer literals abbreviate to the bare lexical form, and tab /
     CR are backslash-escaped inside literals (a raw tab would break the
-    column framing; n3() already escapes backslash, quote and LF)."""
-    if t.kind == KIND_LITERAL and t.dt == "integer":
+    column framing; n3() already escapes backslash, quote and LF).
+
+    Only LEXICALLY VALID integers abbreviate: an ill-formed typed
+    literal (legal RDF, e.g. "abc"^^xsd:integer) keeps the quoted typed
+    form — a bare ill-formed lex would be unparseable or, worse, break
+    the column framing (found by the hypothesis round-trip property)."""
+    import re
+
+    if (t.kind == KIND_LITERAL and t.dt == "integer"
+            and re.fullmatch(r"[+-]?\d+", t.lex)):
         return t.lex
     return t.n3().replace("\t", "\\t").replace("\r", "\\r")
 

@@ -145,3 +145,48 @@ def test_csv_serializer_bnode_and_quoting(spark):
     assert "_:b0" in text
     _, rows = from_sparql_csv(text)
     assert rows[0] == {"a": 'say "hi", ok', "b": "_:b0"}
+
+
+def test_tsv_cell_roundtrip_property():
+    """Property: any PyTerm serialized by the TSV rules re-parses to an
+    equal term (hypothesis over IRIs, bnodes, plain/lang/typed literals
+    with adversarial lexical content incl. tabs, CRLF, quotes,
+    backslashes, non-BMP)."""
+    from hypothesis import given, settings, strategies as st
+
+    from kineo_spark.model import KIND_BLANK, KIND_IRI, KIND_LITERAL, PyTerm
+    from kineo_spark.serializers import _parse_tsv_cell, _tsv_term
+
+    lexes = st.text(
+        alphabet=st.one_of(
+            st.characters(min_codepoint=32, max_codepoint=0x10FFFF,
+                          blacklist_categories=("Cs",)),
+            st.sampled_from(list('\t\n\r"\\'))),
+        min_size=0, max_size=40)
+    safe_iri = st.text(alphabet=st.characters(
+        min_codepoint=33, max_codepoint=126,
+        blacklist_characters="<>\"{}|^`\\"), min_size=1, max_size=30)
+    label = st.from_regex(r"[A-Za-z][A-Za-z0-9]{0,10}", fullmatch=True)
+    lang = st.from_regex(r"[a-z]{2}(-[A-Za-z0-9]{1,8})?", fullmatch=True)
+    dts = st.sampled_from(
+        ["string", "integer", "decimal", "double", "boolean", "date",
+         "dateTime", "http://example.org/customDT"])
+
+    terms = st.one_of(
+        st.builds(lambda l: PyTerm(KIND_IRI, l), safe_iri),
+        st.builds(lambda l: PyTerm(KIND_BLANK, l), label),
+        st.builds(lambda l: PyTerm(KIND_LITERAL, l, "string"), lexes),
+        st.builds(lambda l, lg: PyTerm(KIND_LITERAL, l, "langString", lg),
+                  lexes, lang),
+        st.builds(lambda l, d: PyTerm(KIND_LITERAL, l, d), lexes, dts),
+    )
+
+    @settings(max_examples=400, deadline=None)
+    @given(terms)
+    def check(t):
+        cell = _tsv_term(t)
+        assert "\t" not in cell and "\n" not in cell and "\r" not in cell
+        back = _parse_tsv_cell(cell)
+        assert back == t, (t, cell, back)
+
+    check()
