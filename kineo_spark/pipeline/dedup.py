@@ -675,6 +675,9 @@ def write_corpus_fingerprints(
     text_col: str = "text",
     buckets: int = 32,
     path: str | None = None,
+    bloom: bool = True,
+    bits_per_key: int = 14,
+    bloom_k: int = 3,
 ) -> None:
     """Persist the ingested corpus's fingerprints as a BUCKETED+SORTED
     table (bucketBy fp) — the archive-side half of the 100 TB
@@ -683,7 +686,15 @@ def write_corpus_fingerprints(
     residual check is ZERO-Exchange (same persisted-layout pattern as
     the dictionary ID layout, dictionary.py write_id_layout). Combined
     with the broadcast Bloom pre-filter, total shuffle per daily batch
-    ≈ the Bloom-positive candidate slice only."""
+    ≈ the Bloom-positive candidate slice only.
+
+    ``bloom=True`` (r9) additionally persists the Bloom WORD TABLE as
+    ``{name}_bloom`` (word_idx, word, m_bits, k): the filter build is
+    O(archive) — measured 14.5 MB of position shuffle per call at a
+    500k-row archive — so it is paid ONCE at ingest, not per daily
+    batch. dedup_against_corpus_indexed then probes the persisted words
+    (a kilobytes-to-megabytes broadcast) with zero per-batch build."""
+    spark = seen.sparkSession
     sf = seen.select(F.col(id_col).alias("id"),
                      fingerprint(F.col(text_col)).alias("fp"))
     w = (sf.repartition(buckets, "fp")
@@ -692,6 +703,17 @@ def write_corpus_fingerprints(
     if path:
         w = w.option("path", path)
     w.saveAsTable(name)
+    if bloom:
+        n_seen = spark.table(name).count()
+        m_bits = max(1024, n_seen * bits_per_key)
+        words = _bloom_words(spark.table(name).select("fp"),
+                             m_bits, bloom_k)
+        bw = (words.withColumn("m_bits", F.lit(m_bits))
+                   .withColumn("k", F.lit(bloom_k))
+                   .write.format("parquet").mode("overwrite"))
+        if path:
+            bw = bw.option("path", path + "_bloom")
+        bw.saveAsTable(f"{name}_bloom")
 
 
 def dedup_against_corpus_indexed(
@@ -706,19 +728,32 @@ def dedup_against_corpus_indexed(
     index (write_corpus_fingerprints). Identical results to
     dedup_against_corpus; the plan differs: the archive side scans its
     buckets with no Exchange, and (with bloom) the daily side shuffles
-    only the Bloom-positive candidates."""
+    only the Bloom-positive candidates.
+
+    r9: when the index was written with its Bloom word table
+    (``{name}_bloom``), the probe reads the PERSISTED words — per-batch
+    cost is the word-table broadcast plus the candidate anti-join; the
+    O(archive) filter build was paid once at ingest. Without the
+    companion table, the filter is built on the fly (the pre-r9
+    behavior), still gated by the broadcast-anti-join check."""
     spark = new.sparkSession
     sf = spark.table(name).select("fp")
     nf = new.select(F.col(id_col).alias("id"),
                     fingerprint(F.col(text_col)).alias("fp"))
     if not bloom:
         return nf.join(sf, "fp", "left_anti")
-    n_seen = expected_items if expected_items is not None else sf.count()
-    if _anti_join_broadcasts(spark, n_seen):
-        return nf.join(sf, "fp", "left_anti")  # r9 gate — see above
-    m_bits = max(1024, n_seen * 14)
-    words = _bloom_words(sf, m_bits, 3)
-    probed, cand = _bloom_probe(nf, words, m_bits, 3)
+    if spark.catalog.tableExists(f"{name}_bloom"):
+        bt = spark.table(f"{name}_bloom")
+        meta = bt.select("m_bits", "k").first()
+        probed, cand = _bloom_probe(
+            nf, bt.select("word_idx", "word"), meta["m_bits"], meta["k"])
+    else:
+        n_seen = expected_items if expected_items is not None else sf.count()
+        if _anti_join_broadcasts(spark, n_seen):
+            return nf.join(sf, "fp", "left_anti")  # r9 gate — see above
+        m_bits = max(1024, n_seen * 14)
+        probed, cand = _bloom_probe(nf, _bloom_words(sf, m_bits, 3),
+                                    m_bits, 3)
     negatives = probed.filter(~cand).select("id", "fp")
     candidates = probed.filter(cand).select("id", "fp")
     return negatives.unionByName(candidates.join(sf, "fp", "left_anti"))

@@ -478,3 +478,44 @@ def test_bloom_gate_adaptive(spark):
     # with the default threshold (the 100 TB case: the gate is about
     # the seen side's size, not the conf alone)
     assert not dedup._anti_join_broadcasts(spark, 10_000_000)
+
+
+def test_indexed_dedup_uses_persisted_bloom(spark, tmp_path):
+    """r9: write_corpus_fingerprints persists the Bloom word table
+    beside the bucketed index; dedup_against_corpus_indexed must PROBE
+    the persisted words (FileScan of {name}_bloom in the plan, no
+    bit_or build aggregation per batch) and return exactly the plain
+    anti-join's rows. The O(archive) filter build is paid once at
+    ingest, not per daily batch."""
+    from kineo_spark.pipeline import dedup
+
+    seen = spark.createDataFrame(
+        [(i, f"archived doc {i}") for i in range(1500)],
+        "doc_id long, text string")
+    new = spark.createDataFrame(
+        [(i, f"fresh doc {i}") for i in range(1480)]
+        + [(9_000 + i, f"archived doc {i}") for i in range(20)],
+        "doc_id long, text string")
+    nbuckets = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    dedup.write_corpus_fingerprints(
+        seen, "t_fp_bloom_idx", buckets=nbuckets,
+        path=str(tmp_path / "fpidx"))
+    try:
+        assert spark.catalog.tableExists("t_fp_bloom_idx_bloom")
+        meta = spark.table("t_fp_bloom_idx_bloom").select("m_bits", "k").first()
+        assert meta["m_bits"] == 1500 * 14 and meta["k"] == 3
+
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            out = dedup.dedup_against_corpus_indexed(new, "t_fp_bloom_idx")
+            plan = out._jdf.queryExecution().executedPlan().toString()
+            assert "t_fp_bloom_idx_bloom" in plan  # persisted words probed
+            assert "bit_or" not in plan            # no per-batch build
+            got = sorted(r["id"] for r in out.collect())
+            assert got == list(range(1480))
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_fp_bloom_idx")
+        spark.sql("DROP TABLE IF EXISTS t_fp_bloom_idx_bloom")
