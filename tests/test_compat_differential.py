@@ -383,3 +383,42 @@ def test_compat_differential_graph_scoped(spark, seed):
     assert got == want, (
         f"seed {seed}: tree {tree}\nquads {quads}\nproj {proj}\n"
         f"extra={got - want}\nmissing={want - got}")
+
+
+@pytest.mark.parametrize("seed,kb", [(s, kb) for s in range(3)
+                                     for kb in (64, 128)])
+def test_compat_differential_graph_scoped_id_modes(spark, seed, kb):
+    """The GRAPH ?g compat family through the dictionary compilers at
+    both key widths — completes the matrix (term/id64/id128 × plain/
+    graph-scoped)."""
+    from kineo_spark.dictionary import id_compiler
+
+    rng = random.Random(9000 + seed)  # same trees as the term seeds
+    quads = rand_quads_multi(rng)
+    tree = rand_alg(rng, 2)
+    alg = A.NamedGraph(A.Var("g"), tree)
+    proj = ("g",) + tuple(sorted(all_vars(tree)))
+    store = QuadsDataFrameStore.from_rows(
+        spark, [(0, s, p, 0, o, None, None, None, g) for s, p, o, g in quads])
+
+    q = A.SelectQuery(alg, proj)
+    comp = id_compiler(store, key_bits=kb)
+    comp.prepare(q)
+    df = select(comp, q)
+    got = Counter()
+    for r in df.collect():
+        got[tuple(
+            _short(r[var]["lex"]) if r[var] is not None
+            and r[var]["lex"] is not None else None
+            for var in proj)] += 1
+
+    want = Counter()
+    for g in GRAPHS:
+        for k, n in ref_eval(tree, quads, g).items():
+            d = dict(k)
+            d["g"] = g
+            want[tuple(_short(d.get(var)) for var in proj)] += n
+
+    assert got == want, (
+        f"seed {seed} kb {kb}: tree {tree}\nquads {quads}\n"
+        f"extra={got - want}\nmissing={want - got}")
