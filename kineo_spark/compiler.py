@@ -221,9 +221,9 @@ class Compiler:
                 cols.append(k.asc() if cmp.ascending else k.desc())
             return Plan(child.df.orderBy(*cols), child.certain, child.id_vars)
         if isinstance(node, A.Table):
-            return self._table(node)
+            return self._scope_graph(self._table(node), g)
         if isinstance(node, A.JoinIdentity):
-            return self._join_identity()
+            return self._scope_graph(self._join_identity(), g)
         if isinstance(node, A.UnionIdentity):
             df = self.spark.createDataFrame([], T.StructType([]))
             return Plan(df, frozenset())
@@ -329,6 +329,27 @@ class Compiler:
     def _scan(self, pattern: A.QuadPattern) -> Plan:
         df = self.store.scan(pattern)
         return Plan(df, frozenset(pattern.variables()))
+
+    def _scope_graph(self, plan: Plan, g: "A.Node | None") -> Plan:
+        """Under ``GRAPH ?var``, graph-transparent leaves (VALUES, the
+        join identity) must carry the per-graph binding FROM THE LEAF:
+        §18.1.7 evaluates the scoped pattern once per named graph, so a
+        row independent of the graph appears once per graph with ?var
+        bound. Binding ?var only at scan leaves evaluated the scoped
+        tree ONCE globally with the graph as a join column — which
+        computes non-monotonic operators (LeftJoin diff, MINUS,
+        NOT EXISTS) ACROSS graphs: an r9 differential-fuzz seed caught
+        a LeftJoin diff row (rhs unmatched in one graph, matched in
+        another) losing both its ?g binding and its per-graph
+        multiplicity."""
+        if not (isinstance(g, A.Var) and g.binding):
+            return plan
+        if g.name in plan.df.columns:
+            return plan
+        gdf = self.store.graph_terms().withColumnRenamed("__g", g.name)
+        return Plan(plan.df.crossJoin(F.broadcast(gdf)),
+                    plan.certain | {g.name}, plan.id_vars,
+                    plan.bind_values)
 
     def _table(self, node: A.Table) -> Plan:
         schema = T.StructType([T.StructField(v, TERM_SCHEMA) for v in node.variables])

@@ -138,6 +138,20 @@ def ref_eval(alg, quads, graph: str = G) -> Counter:
                  if t is not None}
             b[_key(m)] += 1
         return b
+    if isinstance(alg, A.PathPattern):
+        # reuse the spec-derived §18.4 path evaluator from the path
+        # differential — paths as leaves inside compat trees tie the
+        # two evidence classes together
+        from tests.test_path_differential import ref_eval as path_ref
+        out = Counter()
+        for (s_, o_), n in path_ref(alg.path, quads, graph).items():
+            if alg.subject.name == alg.object.name:
+                if s_ == o_:
+                    out[_key({alg.subject.name: s_})] += n
+            else:
+                out[_key({alg.subject.name: s_,
+                          alg.object.name: o_})] += n
+        return out
     if isinstance(alg, A.Join):
         return _join(ref_eval(alg.lhs, quads, graph), ref_eval(alg.rhs, quads, graph))
     if isinstance(alg, A.LeftJoin):
@@ -226,9 +240,18 @@ def rand_expr(rng: random.Random):
 EVARS = ["ex", "ey"]  # BIND targets — boolean terms, maybe-unbound
 
 
+def rand_path_leaf(rng: random.Random) -> A.PathPattern:
+    from tests.test_path_differential import rand_path
+    x, y = rng.choice(VARS), rng.choice(VARS)  # may coincide (diagonal)
+    return A.PathPattern(A.Var(x), rand_path(rng, 1), A.Var(y))
+
+
 def rand_alg(rng: random.Random, depth: int):
     if depth == 0:
-        return rand_bgp(rng) if rng.random() < 0.5 else rand_table(rng)
+        r = rng.random()
+        if r < 0.2:
+            return rand_path_leaf(rng)
+        return rand_bgp(rng) if r < 0.6 else rand_table(rng)
     r = rng.random()
     if r < 0.15:
         # FILTER: our exprs reference maybe-unbound vars, so this
@@ -277,6 +300,8 @@ def all_vars(alg) -> set:
                 for n in (p.s, p.p, p.o) if isinstance(n, A.Var)}
     if isinstance(alg, A.Table):
         return set(alg.variables)
+    if isinstance(alg, A.PathPattern):
+        return {alg.subject.name, alg.object.name}
     if isinstance(alg, A.SemiJoin):
         return all_vars(alg.lhs)  # rhs vars do not project out of EXISTS
     if isinstance(alg, A.Filter):
@@ -385,7 +410,7 @@ def test_compat_differential_graph_scoped(spark, seed):
         f"extra={got - want}\nmissing={want - got}")
 
 
-@pytest.mark.parametrize("seed,kb", [(s, kb) for s in range(3)
+@pytest.mark.parametrize("seed,kb", [(s, kb) for s in range(5)
                                      for kb in (64, 128)])
 def test_compat_differential_graph_scoped_id_modes(spark, seed, kb):
     """The GRAPH ?g compat family through the dictionary compilers at

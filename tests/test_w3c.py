@@ -31,7 +31,7 @@ ENTRIES = (manifest_entries("/root/repo/tests/w3c/manifest.ttl")
 
 
 def test_manifest_parsed():
-    assert len(ENTRIES) == 318
+    assert len(ENTRIES) == 319
     assert all(e.query_path for e in ENTRIES)
     # every evaluation entry checks SOMETHING: a result document, or
     # (update entries) expected named-graph post-state
