@@ -164,6 +164,34 @@ def _entry_fingerprint(f) -> str:
     return hashlib.md5("".join(parts).encode()).hexdigest()[:12]
 
 
+def wall_anomaly_retries(times: dict, defs: dict, prev: dict,
+                         factor: float = 1.8) -> list[str]:
+    """Entries needing an ENVIRONMENT re-measure before recording
+    (r9 judge #1): fingerprint unchanged vs the previous record, yet
+    wall moved > ``factor``×. The fingerprint system catches
+    *definition* changes; this is the complementary check for a noise
+    window the CPU probe missed — BENCH_r09 recorded a 4.393 s
+    graph_path_scoped that re-measured at 2.19 s with a byte-identical
+    operator tree. A changed fingerprint re-baselines instead (the
+    wall is not comparable); a missing previous wall or a failed run
+    never retries."""
+    out = []
+    prev_q = prev.get("queries", {})
+    prev_defs = prev.get("defs", {})
+    for name, t in times.items():
+        if t is None or t <= 0:
+            continue
+        p = prev_q.get(name)
+        if p is None or p <= 0:
+            continue
+        d = defs.get(name)
+        if d is None or prev_defs.get(name) != d:
+            continue
+        if t > factor * p:
+            out.append(name)
+    return out
+
+
 def compare_invariants(prev: dict, cur: dict) -> list[str]:
     """Round-over-round regression check on the EXECUTION INVARIANTS —
     result rows (exact) and steady-state shuffle bytes (>20% or >1 MB
@@ -406,6 +434,45 @@ def main() -> None:
                 times[name] = min(times[name], dt)
             print(f"# retried {name}: min now {times[name]}s", file=sys.stderr)
 
+    # Wall-anomaly guard (r9 judge #1): an entry whose definition
+    # fingerprint is unchanged but whose wall moved >1.8x vs the prior
+    # record gets ONE automatic re-measure pass before recording — the
+    # CPU probe brackets queries, so a stall landing entirely INSIDE a
+    # driver-loop query (r9's 4.393 s graph_path_scoped, judge-measured
+    # 2.19 s) can slip past it; the prior record is the cheap second
+    # witness.
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
+    defs = {}
+    for name in HEADLINE:
+        try:
+            defs[name] = _entry_fingerprint(qs[name])
+        except Exception:
+            pass
+    prev_detail = None
+    if os.path.exists(detail_path):
+        try:
+            with open(detail_path) as fh:
+                prev_detail = json.load(fh)
+        except Exception as e:
+            print(f"# previous detail unreadable: {e}", file=sys.stderr)
+    if prev_detail:
+        for name in wall_anomaly_retries(times, defs, prev_detail):
+            suspect = times[name]
+            f = qs[name]
+            for _ in range(3):
+                t0 = time.time()
+                try:
+                    f(spark, sf_dir).count()
+                except Exception:
+                    break
+                times[name] = min(times[name], round(time.time() - t0, 3))
+            extras[f"wall_anomaly_{name}"] = suspect
+            print(f"# WALL ANOMALY {name}: {suspect}s vs prior "
+                  f"{prev_detail['queries'].get(name)}s with unchanged "
+                  f"fingerprint — re-measured, min now {times[name]}s",
+                  file=sys.stderr)
+
     total = round(sum(t for n, t in times.items() if t >= 0 and n in R1_BASELINE), 3)
 
     # measured claim (VERDICT r6 item 9): the characteristic-set BGP
@@ -471,14 +538,6 @@ def main() -> None:
     noise = {"probe_ms_min": p_min, "stalls": stalls,
              "probes": len(probes)}
 
-    detail_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
-    defs = {}
-    for name in HEADLINE:
-        try:
-            defs[name] = _entry_fingerprint(qs[name])
-        except Exception:
-            pass
     cur_detail = {
         "metric": "headline_total_wall_best_of_3_r1_comparable",
         "value": total,
@@ -511,10 +570,8 @@ def main() -> None:
     # banded) vs the previous round's detail file — wall time on this
     # host swings 3-6x with identical plans, so it stays secondary
     regressions: list[str] = []
-    if os.path.exists(detail_path):
+    if prev_detail:
         try:
-            with open(detail_path) as fh:
-                prev_detail = json.load(fh)
             regressions = compare_invariants(prev_detail, compare_side)
         except Exception as e:
             print(f"# invariant compare skipped: {e}", file=sys.stderr)

@@ -66,6 +66,12 @@ class Plan:
     # everything, shuffle, join" into "scan the rows the VALUES can
     # possibly match".
     bind_values: dict[str, tuple[str, ...]] | None = None
+    # Driver-literal leaf (VALUES / join identity) of compile-time-known
+    # cardinality — always safe to broadcast into a nested-loop join
+    # (the rows already live on the driver). Catalyst reports
+    # Long.MaxValue for LogicalRDD relations, so the size-estimate gate
+    # alone cannot recognize these.
+    bounded: bool = False
 
     @property
     def variables(self) -> list[str]:
@@ -249,7 +255,8 @@ class Compiler:
         return g
 
     def _join_identity(self) -> Plan:
-        return Plan(self.spark.range(1).drop("id"), frozenset())
+        return Plan(self.spark.range(1).drop("id"), frozenset(),
+                    bounded=True)
 
     def _bgp(self, node: A.BGP, g: A.Node | None) -> Plan:
         """BGP compilation with star-join collapse: patterns sharing a
@@ -344,9 +351,30 @@ class Compiler:
         multiplicity."""
         if not (isinstance(g, A.Var) and g.binding):
             return plan
+        gdf = self.store.graph_terms()
         if g.name in plan.df.columns:
-            return plan
-        gdf = self.store.graph_terms().withColumnRenamed("__g", g.name)
+            # §18.1.7 restricts ?g to names(D) even when the leaf itself
+            # binds it: GRAPH ?g { VALUES ?g { <urn:x> } } evaluates the
+            # VALUES once per named graph gi joined with {?g→gi}, so a
+            # row naming a non-graph yields NOTHING, and a row with ?g
+            # UNDEF binds once per named graph (r9 ADVICE: this leaf
+            # previously escaped unscoped). Leaves reach here straight
+            # from _table/_join_identity, so the column is a term
+            # struct, never an id.
+            gcol = F.col(g.name)
+            bound = plan.df.filter(gcol.isNotNull()).join(
+                F.broadcast(gdf),
+                term_key(gcol) == term_key(gdf["__g"]), "left_semi")
+            if g.name in plan.certain:
+                return Plan(bound, plan.certain, plan.id_vars,
+                            plan.bind_values)
+            named = gdf.withColumnRenamed("__g", g.name)
+            undef = (plan.df.filter(gcol.isNull()).drop(g.name)
+                     .crossJoin(F.broadcast(named)))
+            return Plan(bound.unionByName(undef),
+                        plan.certain | {g.name}, plan.id_vars,
+                        plan.bind_values)
+        gdf = gdf.withColumnRenamed("__g", g.name)
         return Plan(plan.df.crossJoin(F.broadcast(gdf)),
                     plan.certain | {g.name}, plan.id_vars,
                     plan.bind_values)
@@ -372,7 +400,7 @@ class Compiler:
                 v: tuple(sorted({row[i].lex for row in node.rows}))
                 for i, v in enumerate(node.variables) if v in certain
             }
-        return Plan(df, certain, bind_values=bind or None)
+        return Plan(df, certain, bind_values=bind or None, bounded=True)
 
     def _distinct(self, df: DataFrame, id_vars: frozenset[str] = frozenset()) -> DataFrame:
         vars_ = [c for c in df.columns if not c.startswith("__")]
@@ -396,6 +424,32 @@ class Compiler:
     _MAX_SPLIT_VARS = 2
     # VALUES tables at or below this row count seed a bind join
     _BIND_JOIN_MAX_ROWS = 1000
+
+    @staticmethod
+    def broadcast_if_small(df: DataFrame) -> DataFrame:
+        """Broadcast hint gated on Catalyst's own size estimate vs
+        spark.sql.autoBroadcastJoinThreshold (r9 ADVICE): the r9
+        nested-loop fix hinted EVERY disjoint join side, which turns a
+        slow-but-working CartesianProduct into a driver OOM when the
+        side is genuinely large. The estimate is free (no job) and
+        exact for VALUES/local relations and cached views — the inputs
+        this path actually serves; for an unpruned 100 TB scan it reads
+        as the file size, so the hint correctly falls away and the
+        pathology degrades to the pre-r9 cartesian. Threshold <= 0
+        (user disabled broadcasting) is honored."""
+        spark = df.sparkSession
+        raw = str(spark.conf.get(
+            "spark.sql.autoBroadcastJoinThreshold", "10MB")).strip()
+        if raw.startswith("-") or raw in ("0", "0b"):
+            return df
+        try:
+            thr = int(spark._jvm.org.apache.spark.network.util.JavaUtils
+                      .byteStringAsBytes(raw))
+            est = int(str(df._jdf.queryExecution().optimizedPlan()
+                          .stats().sizeInBytes()))
+        except Exception:
+            return df  # unknown size: prefer the OOM-safe plan
+        return F.broadcast(df) if est <= thr else df
 
     def _bind_prefilter(self, plan: Plan, other: Plan, shared: list[str]) -> Plan:
         """Superset pre-filter from the other side's bind_values (see
@@ -435,8 +489,11 @@ class Compiler:
             # side is a query pathology either way (the reference
             # materializes the rhs in memory too); bounded sides —
             # VALUES tables, bound-subject stars — are what this path
-            # actually serves.
-            df = left.df.crossJoin(F.broadcast(rdf))
+            # actually serves — so the hint is gated on the estimated
+            # size (broadcast_if_small) rather than unconditional.
+            df = left.df.crossJoin(
+                F.broadcast(rdf) if right.bounded
+                else self.broadcast_if_small(rdf))
         else:
             maybe = [v for v in shared
                      if v not in left.certain or v not in right.certain]
@@ -451,7 +508,8 @@ class Compiler:
                 df = left.df.join(rdf, cond, "inner")
         df = self._merge(df, left, right, ren)
         return Plan(df, left.certain | right.certain,
-                    left.id_vars | right.id_vars)
+                    left.id_vars | right.id_vars,
+                    bounded=left.bounded and right.bounded)
 
     def _compat_split_join(
         self, ldf: DataFrame, rdf: DataFrame, ren: dict[str, str],

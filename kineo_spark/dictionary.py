@@ -523,8 +523,12 @@ def bgp_ids(id_quads: DataFrame, patterns: list[A.QuadPattern],
             shared = [c for c in out.columns if c in nxt.columns]
             # no shared id-columns → nested loop; broadcast the new
             # pattern so partition counts don't multiply (compiler._join)
-            out = (out.join(nxt, on=shared, how="inner") if shared
-                   else out.crossJoin(F.broadcast(nxt)))
+            # — size-gated, same rationale as Compiler.broadcast_if_small
+            if shared:
+                out = out.join(nxt, on=shared, how="inner")
+            else:
+                from kineo_spark.compiler import Compiler
+                out = out.crossJoin(Compiler.broadcast_if_small(nxt))
     return out
 
 

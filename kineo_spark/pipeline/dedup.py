@@ -704,16 +704,57 @@ def write_corpus_fingerprints(
         w = w.option("path", path)
     w.saveAsTable(name)
     if bloom:
+        import uuid
+
+        # Pairing token (r9 ADVICE): the bloom is only sound for the
+        # EXACT archive it was built from — a stale filter silently
+        # passes duplicates (false negatives bypass the residual
+        # anti-join). The token lives in the word table AND as a
+        # TBLPROPERTY on the fingerprint table; any out-of-band
+        # overwrite of the fingerprints (saveAsTable recreates the
+        # table, clearing properties) breaks the pair and the reader
+        # falls back to an on-the-fly build. Metadata-only — no
+        # per-batch count job.
+        token = uuid.uuid4().hex
         n_seen = spark.table(name).count()
         m_bits = max(1024, n_seen * bits_per_key)
         words = _bloom_words(spark.table(name).select("fp"),
                              m_bits, bloom_k)
         bw = (words.withColumn("m_bits", F.lit(m_bits))
                    .withColumn("k", F.lit(bloom_k))
+                   .withColumn("pair_id", F.lit(token))
                    .write.format("parquet").mode("overwrite"))
         if path:
             bw = bw.option("path", path + "_bloom")
         bw.saveAsTable(f"{name}_bloom")
+        spark.sql(f"ALTER TABLE {name} SET TBLPROPERTIES "
+                  f"('kineo.bloom_pair'='{token}')")
+    else:
+        # bloom=False must not leave a previously persisted word table
+        # behind: it would describe the OLD archive (r9 ADVICE finding)
+        spark.sql(f"DROP TABLE IF EXISTS {name}_bloom")
+
+
+def _bloom_paired(spark, name: str) -> bool:
+    """True iff the persisted ``{name}_bloom`` word table was built from
+    the CURRENT ``{name}`` fingerprint table: the write stamps one token
+    in both (a pair_id column there, a TBLPROPERTY here — named to dodge SHOW TBLPROPERTIES'  "token" redaction). Unpaired — property
+    cleared by an out-of-band overwrite, or a pre-token table — means
+    the filter may produce false negatives, so the caller must not
+    trust it. Metadata-only check (no job)."""
+    bt = spark.table(f"{name}_bloom")
+    if "pair_id" not in bt.columns:
+        return False
+    try:
+        props = {r["key"]: r["value"]
+                 for r in spark.sql(f"SHOW TBLPROPERTIES {name}").collect()}
+    except Exception:
+        return False
+    want = props.get("kineo.bloom_pair")
+    if not want:
+        return False
+    have = bt.select("pair_id").first()
+    return have is not None and have["pair_id"] == want
 
 
 def dedup_against_corpus_indexed(
@@ -742,7 +783,8 @@ def dedup_against_corpus_indexed(
                     fingerprint(F.col(text_col)).alias("fp"))
     if not bloom:
         return nf.join(sf, "fp", "left_anti")
-    if spark.catalog.tableExists(f"{name}_bloom"):
+    if spark.catalog.tableExists(f"{name}_bloom") and _bloom_paired(
+            spark, name):
         bt = spark.table(f"{name}_bloom")
         meta = bt.select("m_bits", "k").first()
         probed, cand = _bloom_probe(

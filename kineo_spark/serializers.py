@@ -198,6 +198,14 @@ def _parse_tsv_cell(cell: str) -> PyTerm | None:
 
     if cell == "":
         return None
+    if cell.startswith("<<"):
+        # RDF-star quoted triple << s p o >> — must dispatch BEFORE the
+        # IRI branch: '<< <s> <p> <o> >>' also starts with '<' and ends
+        # with '>' and previously parsed as a malformed IRI (r9 ADVICE)
+        t, pos = _parse_n3_term(cell, 0)
+        if cell[pos:].strip():
+            raise ValueError(f"trailing content after quoted triple: {cell!r}")
+        return t
     if cell.startswith("<") and cell.endswith(">"):
         return PyTerm(KIND_IRI, cell[1:-1])
     if cell.startswith("_:"):
@@ -240,6 +248,54 @@ def _parse_tsv_cell(cell: str) -> PyTerm | None:
     if re.fullmatch(r"[+-]?(\d+\.?\d*|\.\d+)[eE][+-]?\d+", cell):
         return PyTerm(KIND_LITERAL, cell, "double")
     raise ValueError(f"unparseable TSV term: {cell!r}")
+
+
+def _parse_n3_term(s: str, i: int) -> "tuple[PyTerm, int]":
+    """Recursive-descent term parse inside a TSV cell, returning
+    (term, next_pos). Needed only because quoted triples nest: the
+    component terms of ``<< s p o >>`` are delimited by structure, not
+    by the cell boundary. Leaf terms re-use _parse_tsv_cell on the
+    scanned slice so escape/abbreviation handling stays in one place."""
+    from kineo_spark.model import quoted
+
+    n = len(s)
+    while i < n and s[i].isspace():
+        i += 1
+    if s.startswith("<<", i):
+        i += 2
+        sub, i = _parse_n3_term(s, i)
+        prd, i = _parse_n3_term(s, i)
+        obj, i = _parse_n3_term(s, i)
+        while i < n and s[i].isspace():
+            i += 1
+        if not s.startswith(">>", i):
+            raise ValueError(f"unterminated quoted triple: {s!r}")
+        return quoted(sub, prd, obj), i + 2
+    start = i
+    if s.startswith("<", i):
+        j = s.index(">", i)  # IRIREF cannot contain '>'
+        return PyTerm(KIND_IRI, s[i + 1:j]), j + 1
+    if s.startswith('"', i):
+        j = i + 1
+        while j < n and s[j] != '"':
+            j += 2 if s[j] == "\\" else 1
+        j += 1  # past the closing quote
+        if s.startswith("@", j):
+            while j < n and (s[j].isalnum() or s[j] in "@-"):
+                j += 1
+        elif s.startswith("^^<", j):
+            j = s.index(">", j) + 1
+        t = _parse_tsv_cell(s[start:j])
+        assert t is not None
+        return t, j
+    # blank node or bare numeric/boolean: runs to whitespace or '>'
+    j = i
+    while j < n and not s[j].isspace() and s[j] != ">":
+        j += 1
+    t = _parse_tsv_cell(s[i:j])
+    if t is None:
+        raise ValueError(f"empty term at {i} in {s!r}")
+    return t, j
 
 
 def from_sparql_tsv(text: str) -> tuple[list[str], list[dict]]:

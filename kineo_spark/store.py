@@ -78,7 +78,25 @@ class QuadStore(ABC):
     def graph_terms(self) -> DataFrame:
         """Distinct named-graph terms, one row, column ``__g`` — the
         range of ``GRAPH ?g`` when its pattern binds nothing (e.g.
-        ``GRAPH ?g {}`` enumerates the named graphs, §13.3)."""
+        ``GRAPH ?g {}`` enumerates the named graphs, §13.3).
+
+        Memoized per store instance behind a lazy localCheckpoint: under
+        ``GRAPH ?var`` every graph-transparent leaf (VALUES, join
+        identity) needs names(D), and without the memo each leaf re-ran
+        a full-corpus ``distinct()`` over the g column — per-query cost
+        O(leaves × corpus) at 100 TB. The checkpoint truncates lineage,
+        so the distinct scan runs at most once per store no matter how
+        many leaves (or queries) consume it; stores are cheap wrappers
+        re-created on mutation (update.GraphStore builds a fresh
+        QuadsDataFrameStore per read), so the memo never serves stale
+        graphs."""
+        memo = getattr(self, "_graph_terms_memo", None)
+        if memo is None:
+            memo = self._graph_terms_build().localCheckpoint(eager=False)
+            self._graph_terms_memo = memo
+        return memo
+
+    def _graph_terms_build(self) -> DataFrame:
         q = self.quads()
         ns = F.lit(None).cast("string")
         return q.select(
@@ -216,9 +234,10 @@ class DatasetGraphStore(QuadStore):
     def _named_quads(self) -> DataFrame:
         return self._base.quads().filter(F.col("g_lex").isin(list(self._named)))
 
-    def graph_terms(self) -> DataFrame:
+    def _graph_terms_build(self) -> DataFrame:
         """GRAPH ranges over exactly the FROM NAMED set (§13.2)."""
-        return QuadsDataFrameStore(self.spark, self._named_quads()).graph_terms()
+        return QuadsDataFrameStore(
+            self.spark, self._named_quads())._graph_terms_build()
 
     def scan(self, pattern: A.QuadPattern) -> DataFrame:
         g = pattern.g
@@ -333,7 +352,7 @@ class RelationalQuadStore(QuadStore):
             self._cache[name] = df
         return self._cache[name]
 
-    def graph_terms(self) -> DataFrame:
+    def _graph_terms_build(self) -> DataFrame:
         """One urn:g:{table} graph per mapped table — known statically,
         no scan (the base implementation would distinct over the whole
         union view)."""

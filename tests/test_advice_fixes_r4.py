@@ -1,0 +1,272 @@
+"""Round-10 regression tests for the round-9 ADVICE findings plus the
+judge's #3 ask:
+
+1. ``GRAPH ?g`` restricts ?g to names(D) even when the scoped pattern
+   itself binds it (``GRAPH ?g { VALUES ?g { <urn:not-a-graph> } }``
+   previously escaped unscoped), and a VALUES row with ?g UNDEF binds
+   once per named graph (§18.1.7 per-graph evaluation).
+2. A persisted ``{name}_bloom`` word table is only trusted when it was
+   built from the CURRENT fingerprint table (pairing token); writing
+   with ``bloom=False`` drops a previously persisted word table.
+3. ``from_sparql_tsv`` parses RDF-star quoted triples (``<< .. >>``
+   previously fell into the IRI branch and produced a malformed term).
+4. The no-shared-variable nested-loop broadcast is gated on Catalyst's
+   size estimate (disabled threshold → no hint → CartesianProduct, the
+   OOM-safe degradation).
+5. ``graph_terms()`` is memoized per store: one names(D) derivation per
+   query no matter how many graph-transparent leaves consume it.
+"""
+
+from collections import Counter
+
+import pytest
+
+from kineo_spark import algebra as A
+from kineo_spark.compiler import Compiler
+from kineo_spark.forms import select
+from kineo_spark.model import KIND_IRI, KIND_QUOTED, iri, lit, quoted
+from kineo_spark.store import QuadsDataFrameStore
+
+EX = "http://example.org/"
+G1, G2 = "urn:g:g1", "urn:g:g2"
+
+
+@pytest.fixture(scope="module")
+def two_graph_store(spark):
+    rows = [
+        (0, EX + "a", EX + "p", 0, EX + "b", None, None, None, G1),
+        (0, EX + "b", EX + "p", 0, EX + "c", None, None, None, G2),
+    ]
+    return QuadsDataFrameStore.from_rows(spark, rows)
+
+
+def _lexes(df, var):
+    return Counter(
+        r[var]["lex"] if r[var] is not None else None for r in df.collect())
+
+
+# --- 1: GRAPH ?g over a leaf that binds ?g ---------------------------------
+
+def _graph_values_alg(terms):
+    return A.NamedGraph(
+        A.Var("g"), A.Table(("g",), tuple((t,) for t in terms)))
+
+
+def test_graph_values_restricted_to_named_graphs(spark, two_graph_store):
+    alg = _graph_values_alg([iri(G1), iri("urn:not-a-graph")])
+    df = select(Compiler(two_graph_store), A.SelectQuery(alg, ("g",)))
+    assert _lexes(df, "g") == Counter({G1: 1})
+
+
+def test_graph_values_non_graph_only_is_empty(spark, two_graph_store):
+    alg = _graph_values_alg([iri("urn:not-a-graph")])
+    df = select(Compiler(two_graph_store), A.SelectQuery(alg, ("g",)))
+    assert df.count() == 0
+
+
+def test_graph_values_undef_binds_per_named_graph(spark, two_graph_store):
+    # VALUES (?g ?x) { (UNDEF 1) (g1 2) }: the UNDEF row joins with
+    # {?g→gi} for EVERY named graph; the bound row only in its own
+    alg = A.NamedGraph(A.Var("g"), A.Table(
+        ("g", "x"),
+        ((None, lit(1)), (iri(G1), lit(2)))))
+    df = select(Compiler(two_graph_store), A.SelectQuery(alg, ("g", "x")))
+    got = Counter((r["g"]["lex"], r["x"]["lex"]) for r in df.collect())
+    assert got == Counter({(G1, "1"): 1, (G2, "1"): 1, (G1, "2"): 1})
+
+
+@pytest.mark.parametrize("kb", [64, 128])
+def test_graph_values_restricted_id_modes(spark, two_graph_store, kb):
+    from kineo_spark.dictionary import id_compiler
+
+    alg = _graph_values_alg([iri(G2), iri("urn:not-a-graph")])
+    q = A.SelectQuery(alg, ("g",))
+    comp = id_compiler(two_graph_store, key_bits=kb)
+    comp.prepare(q)
+    df = select(comp, q)
+    assert _lexes(df, "g") == Counter({G2: 1})
+
+
+def test_graph_values_through_text_parser(spark, two_graph_store):
+    from kineo_spark.sparql_parser import parse_query
+
+    q = parse_query(
+        "SELECT ?g WHERE { GRAPH ?g { VALUES ?g { <urn:g:g2> "
+        "<urn:not-a-graph> } } }")
+    df = select(Compiler(two_graph_store), q)
+    assert _lexes(df, "g") == Counter({G2: 1})
+
+
+# --- 2: stale Bloom word tables are never trusted ---------------------------
+
+def _docs(spark, lo, hi):
+    return spark.createDataFrame(
+        [(i, f"document body {i}") for i in range(lo, hi)],
+        "doc_id long, text string")
+
+
+def test_bloom_false_drops_stale_word_table(spark, tmp_path):
+    from kineo_spark.pipeline.dedup import (
+        dedup_against_corpus_indexed, write_corpus_fingerprints)
+
+    name = "r4_fp_drop"
+    write_corpus_fingerprints(_docs(spark, 0, 40), name,
+                              path=str(tmp_path / "a"), bloom=True)
+    assert spark.catalog.tableExists(f"{name}_bloom")
+    # re-ingest a DIFFERENT archive without a bloom: the old word table
+    # must not survive to mis-describe the new fingerprints
+    write_corpus_fingerprints(_docs(spark, 40, 80), name,
+                              path=str(tmp_path / "b"), bloom=False)
+    assert not spark.catalog.tableExists(f"{name}_bloom")
+    # everything in the new batch is in the new archive → 0 survivors
+    out = dedup_against_corpus_indexed(_docs(spark, 40, 80), name)
+    assert out.count() == 0
+
+
+def test_unpaired_bloom_table_not_trusted(spark, tmp_path):
+    from kineo_spark.pipeline.dedup import (
+        _bloom_paired, dedup_against_corpus_indexed,
+        write_corpus_fingerprints)
+
+    name = "r4_fp_pair"
+    write_corpus_fingerprints(_docs(spark, 0, 40), name,
+                              path=str(tmp_path / "a"), bloom=True)
+    stale = spark.table(f"{name}_bloom").collect()
+    # new archive, new token
+    write_corpus_fingerprints(_docs(spark, 40, 80), name,
+                              path=str(tmp_path / "b"), bloom=True)
+    assert _bloom_paired(spark, name)
+    # out-of-band: restore the OLD word table (stale token)
+    (spark.createDataFrame(stale).write.format("parquet")
+     .mode("overwrite").option("path", str(tmp_path / "stale"))
+     .saveAsTable(f"{name}_bloom"))
+    assert not _bloom_paired(spark, name)
+    # a stale bloom would answer "definitely unseen" for all of 40..80
+    # and let every duplicate through; the guard falls back and drops
+    # them all
+    out = dedup_against_corpus_indexed(_docs(spark, 40, 80), name)
+    assert out.count() == 0
+
+
+# --- 3: TSV quoted-triple parsing -------------------------------------------
+
+def test_tsv_parses_quoted_triple_roundtrip():
+    from kineo_spark.serializers import _parse_tsv_cell
+
+    t = quoted(iri(EX + "s"), iri(EX + "p"), lit("o w", lang="en"))
+    got = _parse_tsv_cell(t.n3())
+    assert got is not None and got.kind == KIND_QUOTED
+    assert got.key() == t.key()
+
+
+def test_tsv_parses_nested_quoted_triple():
+    from kineo_spark.serializers import _parse_tsv_cell
+
+    inner = quoted(iri(EX + "a"), iri(EX + "b"), lit(42))
+    t = quoted(inner, iri(EX + "says"), lit("3.5", dt="decimal"))
+    got = _parse_tsv_cell(t.n3())
+    assert got.key() == t.key()
+
+
+def test_tsv_malformed_quoted_triple_raises():
+    from kineo_spark.serializers import _parse_tsv_cell
+
+    with pytest.raises(ValueError):
+        _parse_tsv_cell("<< <urn:a> <urn:b> >>")  # only two components
+    with pytest.raises(ValueError):
+        _parse_tsv_cell("<< <urn:a> <urn:b> <urn:c> >> tail")
+
+
+def test_tsv_plain_iri_still_parses():
+    from kineo_spark.serializers import _parse_tsv_cell
+
+    got = _parse_tsv_cell("<urn:x>")
+    assert got.kind == KIND_IRI and got.lex == "urn:x"
+
+
+# --- 4: size-gated nested-loop broadcast ------------------------------------
+
+@pytest.fixture(scope="module")
+def parquet_store(spark, tmp_path_factory):
+    """Parquet-backed quads — Catalyst has a REAL size estimate for the
+    scan side (LogicalRDD fixtures report Long.MaxValue)."""
+    d = str(tmp_path_factory.mktemp("r4quads") / "quads")
+    QuadsDataFrameStore.from_rows(spark, [
+        (0, EX + "a", EX + "p", 0, EX + f"b{i}", None, None, None, G1)
+        for i in range(6)
+    ]).quads().write.parquet(d)
+    return QuadsDataFrameStore(spark, spark.read.parquet(d))
+
+
+def _disjoint_join_plan(store):
+    # VALUES ?a { .. }  JOIN  { ?s <p> ?o }: no shared variables, the
+    # scan is the RIGHT side → the nested-loop hint must consult the
+    # scan's estimated size
+    alg = A.Join(
+        A.Table(("a",), ((iri(EX + "x"),),)),
+        A.BGP((A.TriplePattern(A.Var("s"), iri(EX + "p"), A.Var("o")),)))
+    df = select(Compiler(store), A.SelectQuery(alg, ("a", "s", "o")))
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_disjoint_join_broadcasts_small_scan_side(spark, parquet_store):
+    plan = _disjoint_join_plan(parquet_store)
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_disjoint_join_honors_disabled_threshold(spark, parquet_store):
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = _disjoint_join_plan(parquet_store)
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "CartesianProduct" in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_disjoint_join_unknown_size_not_broadcast(spark, two_graph_store):
+    """A LogicalRDD scan side (no size stats → Long.MaxValue) must NOT
+    be hinted: unknown size is treated as too big, the OOM-safe plan."""
+    plan = _disjoint_join_plan(two_graph_store)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" in plan
+
+
+def test_disjoint_join_values_side_always_broadcast(spark, two_graph_store):
+    """A driver-literal VALUES side is bounded by construction and is
+    hinted even when the size estimate is unavailable."""
+    alg = A.Join(
+        A.Table(("a",), ((iri(EX + "x"),),)),
+        A.Table(("b",), ((iri(EX + "y"),), (iri(EX + "z"),))))
+    df = select(Compiler(two_graph_store), A.SelectQuery(alg, ("a", "b")))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+# --- 5: graph_terms memoization ---------------------------------------------
+
+def test_graph_terms_memoized_per_store(spark, two_graph_store):
+    gt1 = two_graph_store.graph_terms()
+    gt2 = two_graph_store.graph_terms()
+    assert gt1 is gt2
+
+
+def test_multi_leaf_graph_query_single_names_derivation(spark):
+    """Three VALUES leaves under GRAPH ?g: the names(D) derivation is
+    served from ONE checkpointed DataFrame — the executed plan contains
+    no distinct-aggregation (the memo's localCheckpoint shows up as an
+    RDD scan), where the unmemoized compile ran one full-corpus
+    distinct per leaf."""
+    rows = [(0, EX + "a", EX + "p", 0, EX + "b", None, None, None, G1)]
+    store = QuadsDataFrameStore.from_rows(spark, rows)
+    leaves = [A.Table((v,), ((lit(i),),)) for i, v in enumerate("xyz")]
+    alg = A.NamedGraph(A.Var("g"),
+                       A.Join(A.Join(leaves[0], leaves[1]), leaves[2]))
+    df = select(Compiler(store), A.SelectQuery(alg, ("g", "x", "y", "z")))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "HashAggregate" not in plan and "SortAggregate" not in plan
+    got = [(r["g"]["lex"], r["x"]["lex"]) for r in df.collect()]
+    assert got == [(G1, "0")]

@@ -120,3 +120,44 @@ def test_entry_fingerprint_tracks_twin_base():
     t1, t1b, t2 = make(base_v1), make(base_v1), make(base_v2)
     assert _entry_fingerprint(t1) == _entry_fingerprint(t1b)
     assert _entry_fingerprint(t1) != _entry_fingerprint(t2)
+
+
+# --- wall-anomaly guard (r10; judge r9 #1) ----------------------------------
+
+from bench import wall_anomaly_retries  # noqa: E402
+
+
+def _prev(queries=None, defs=None):
+    return {"queries": queries or {}, "defs": defs or {}}
+
+
+def test_wall_anomaly_fires_on_unchanged_fingerprint():
+    prev = _prev(queries={"q": 1.9}, defs={"q": "abc"})
+    assert wall_anomaly_retries({"q": 4.4}, {"q": "abc"}, prev) == ["q"]
+
+
+def test_wall_anomaly_quiet_below_factor():
+    prev = _prev(queries={"q": 2.0}, defs={"q": "abc"})
+    # 1.8x exactly is NOT an anomaly (strictly greater fires)
+    assert wall_anomaly_retries({"q": 3.6}, {"q": "abc"}, prev) == []
+
+
+def test_wall_anomaly_skips_changed_fingerprint():
+    # a changed definition re-baselines: wall not comparable
+    prev = _prev(queries={"q": 1.0}, defs={"q": "abc"})
+    assert wall_anomaly_retries({"q": 9.0}, {"q": "zzz"}, prev) == []
+
+
+def test_wall_anomaly_skips_new_and_failed_entries():
+    prev = _prev(queries={"old": 1.0, "broken": -1.0},
+                 defs={"old": "a", "broken": "b", "new": "c"})
+    times = {"new": 5.0,       # no prior wall
+             "broken": 5.0,    # prior run failed (-1)
+             "old": -1.0}      # current run failed
+    assert wall_anomaly_retries(times, {"old": "a", "broken": "b",
+                                        "new": "c"}, prev) == []
+
+
+def test_wall_anomaly_skips_missing_fingerprint():
+    prev = _prev(queries={"q": 1.0}, defs={})
+    assert wall_anomaly_retries({"q": 9.0}, {}, prev) == []
