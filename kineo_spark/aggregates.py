@@ -132,7 +132,17 @@ def _agg_column(spec: A.AggSpec, value: Column | None) -> Column:
     raise ValueError(f"unknown aggregate {op}")
 
 
-def compile_aggregate(compiler, node: A.Aggregate, child) -> "Plan":
+def compile_aggregate(compiler, node: A.Aggregate, child,
+                      graph_var: str | None = None) -> "Plan":
+    """``graph_var`` set = the aggregate sits under ``GRAPH ?var``
+    (§18.1.7): the whole subtree evaluates once per named graph, so the
+    graph column joins the GROUP BY keys implicitly — the distributed
+    form of the reference's per-graph union (QueryPlanner.swift:
+    834-878): one shuffle keyed by (graph, group keys), not a driver
+    loop over graphs. An UNGROUPED aggregate additionally emits its
+    empty-bag row (COUNT=0, SUM=0, MIN/MAX/AVG unbound) for every named
+    graph the child produced NO rows for — exactly what evaluating the
+    scalar aggregate per graph yields."""
     from kineo_spark.compiler import Plan, _env, _tmp
 
     df = child.df
@@ -140,23 +150,53 @@ def compile_aggregate(compiler, node: A.Aggregate, child) -> "Plan":
 
     group_terms = {name: compile_expr(e, env) for name, e in zip(node.group_names, node.groups)}
     key_cols = {name: _tmp(f"gk_{name}") for name in group_terms}
+    gkey = None
+    if graph_var is not None:
+        gkey = _tmp("gk_graph")
+        key_cols = {**key_cols, graph_var: gkey}
+        group_terms = {**group_terms, graph_var: df[graph_var]}
 
     work = df.select(
         *[c for c in df.columns if not c.startswith("__")],
-        *[term_key(t).alias(key_cols[n]) for n, t in group_terms.items()],
+        *[(t if n == graph_var and n in child.id_vars
+           else term_key(t)).alias(key_cols[n])
+          for n, t in group_terms.items()],
         *[t.alias(f"__gt_{n}") for n, t in group_terms.items()],
     )
 
-    aggs = []
-    for name in group_terms:
-        aggs.append(F.first(F.col(f"__gt_{name}")).alias(name))
+    group_firsts = [F.first(F.col(f"__gt_{name}")).alias(name)
+                    for name in group_terms]
+    value_aggs = []
     for var, spec in node.aggs:
         value = compile_expr(spec.expr, {v: work[v] for v in df.columns if not v.startswith("__")}) if spec.expr is not None else None
-        aggs.append(_agg_column(spec, value).alias(var))
+        value_aggs.append(_agg_column(spec, value).alias(var))
+    aggs = group_firsts + value_aggs
 
-    if group_terms:
+    out_vars = ([n for n in group_terms if n != graph_var]
+                + ([graph_var] if graph_var else [])
+                + [var for var, _ in node.aggs])
+    explicit_groups = len(node.group_names) > 0
+    if explicit_groups:
         out = work.groupBy(*[F.col(k) for k in key_cols.values()]).agg(*aggs)
-        out = out.select(*list(group_terms), *[var for var, _ in node.aggs])
+        out = out.select(*out_vars)
+    elif graph_var is not None:
+        # ungrouped aggregate under GRAPH ?var: group by the graph
+        # alone, then fill the empty-bag row (the engine's own global
+        # agg over zero rows — COUNT=0/SUM=0, MIN/MAX/AVG unbound) for
+        # every named graph the child produced no rows for: per-graph
+        # evaluation of a scalar aggregate emits one row PER NAMED
+        # GRAPH (§18.5 over the empty multiset). The fill joins the
+        # memoized graph_terms — broadcast-sized.
+        out = work.groupBy(F.col(gkey)).agg(*aggs).select(*out_vars)
+        if graph_var not in child.id_vars:
+            empty = work.limit(0).agg(*value_aggs)
+            have = out.select(term_key(F.col(graph_var)).alias("__k"))
+            gt = (compiler.store.graph_terms()
+                  .withColumnRenamed("__g", graph_var))
+            absent = gt.join(have,
+                             term_key(gt[graph_var]) == have["__k"],
+                             "left_anti")
+            out = out.unionByName(absent.crossJoin(F.broadcast(empty)))
     else:
         # no GROUP BY: single global group; Spark's global agg emits one
         # row on empty input — matching emitOnEmpty
@@ -173,4 +213,6 @@ def compile_aggregate(compiler, node: A.Aggregate, child) -> "Plan":
         for name, e in zip(node.group_names, node.groups)
         if isinstance(e, EVar) and e.name in child.certain
     )
+    if graph_var is not None and graph_var in child.certain:
+        certain |= {graph_var}
     return Plan(out, certain)

@@ -195,14 +195,12 @@ class Compiler:
                 df = df.drop(*drop)
             return Plan(df, child.certain, child.id_vars)
         if isinstance(node, A.Project):
-            child = self._c(node.child, g)
-            cols = [
-                (child.df[v] if v in child.df.columns else F.lit(None).cast(TERM_SCHEMA)).alias(v)
-                for v in node.variables
-            ]
-            return Plan(child.df.select(*cols),
-                        child.certain & set(node.variables),
-                        child.id_vars & set(node.variables))
+            # active-graph passthrough inside _c_project_of: a subquery
+            # projection under GRAPH ?var happens inside each graph's
+            # evaluation (§18.1.7) — dropping the graph column here
+            # would collapse the per-graph bags before the extension
+            # with ?var
+            return self._c_project_of(node, self._c(node.child, g), g)
         if isinstance(node, (A.Distinct, A.Reduced)):
             # REDUCED may drop any duplicates (spec); full dedup is a valid
             # and scale-friendly implementation (ReducedPlan,
@@ -211,6 +209,11 @@ class Compiler:
             return Plan(self._distinct(child.df, child.id_vars), child.certain,
                         child.id_vars)
         if isinstance(node, A.Slice):
+            if isinstance(g, A.Var) and g.binding:
+                # §18.1.7: inside GRAPH ?var the whole subtree evaluates
+                # once per named graph, so OFFSET/LIMIT apply PER GRAPH
+                # — a global limit would take k rows across graphs
+                return self._slice_per_graph(node, g)
             child = self._c(node.child, g)
             df = child.df
             if node.offset:
@@ -755,6 +758,33 @@ class Compiler:
         return Plan(df, child.certain, child.id_vars)
 
     # -- aggregation ------------------------------------------------------
+    def _graph_scoped_child(self, node_child: A.Algebra,
+                            g: "A.Node | None") -> tuple[Plan, str | None]:
+        """Compile the child of a non-monotonic operator (Aggregate /
+        Window / Slice) under an active graph. Under ``GRAPH ?var`` the
+        operator must evaluate PER GRAPH (§18.1.7; the reference wraps
+        ALL operators in the per-graph union, QueryPlanner.swift:
+        834-878) — here that means the graph column becomes an implicit
+        group/partition key, which is the scale-out form: one shuffle
+        keyed by (graph, keys) instead of a per-graph driver loop.
+        Returns (child plan with the graph column guaranteed bound,
+        graph var name) — or (child, None) outside a GRAPH ?var scope."""
+        child = self._c(node_child, g)
+        if not (isinstance(g, A.Var) and g.binding):
+            return child, None
+        if g.name not in child.df.columns:
+            # graph-transparent subtree (VALUES-only and friends):
+            # bind ?var per named graph first
+            child = self._scope_graph(child, g)
+        return child, g.name
+
+    def graph_key_col(self, plan: Plan, gname: str) -> Column:
+        """Per-graph key column, representation-aware: dictionary ids
+        group/partition directly (id equality == sameTerm); term structs
+        go through the canonical flat key."""
+        col = plan.df[gname]
+        return col if gname in plan.id_vars else term_key(col)
+
     def _aggregate(self, node: A.Aggregate, g: A.Node | None) -> Plan:
         from kineo_spark.aggregates import compile_aggregate
         if self.cs_stats and not self.plans_only:
@@ -762,10 +792,69 @@ class Compiler:
             plan = try_count_star_plan(self, node, g)
             if plan is not None:
                 return plan
-        child = self._c(node.child, g)
-        return compile_aggregate(self, node, child)
+        child, gv = self._graph_scoped_child(node.child, g)
+        return compile_aggregate(self, node, child, graph_var=gv)
 
     def _window(self, node: A.Window, g: A.Node | None) -> Plan:
         from kineo_spark.windows import compile_window
-        child = self._c(node.child, g)
-        return compile_window(node, child)
+        child, gv = self._graph_scoped_child(node.child, g)
+        return compile_window(node, child, graph_var=gv,
+                              graph_key=(self.graph_key_col(child, gv)
+                                         if gv else None))
+
+    def _slice_per_graph(self, node: A.Slice, g: A.Var) -> Plan:
+        """OFFSET/LIMIT under GRAPH ?var: per-graph row_number instead
+        of a global limit. When the slice sits on an ORDER BY (directly
+        or through the subquery projection — the standard
+        Slice(Project(Order(..))) translation), the comparators order
+        the rows WITHIN each graph, so per-graph top-k matches the
+        reference's per-graph evaluation of the ordered subquery."""
+        from pyspark.sql import Window as W
+
+        proj_node = None
+        cur = node.child
+        if isinstance(cur, A.Project):
+            proj_node, cur = cur, cur.child
+        order_node = None
+        if isinstance(cur, A.Order):
+            order_node, cur = cur, cur.child
+        child, gv = self._graph_scoped_child(cur, g)
+        df = child.df
+        env = _env(df)
+        orders = []
+        if order_node is not None:
+            for cmp in order_node.comparators:
+                k = sort_key(compile_expr(cmp.expr, env))
+                orders.append(k.asc() if cmp.ascending else k.desc())
+        w = (W.partitionBy(self.graph_key_col(child, gv))
+             .orderBy(*(orders or [F.lit(1)])))
+        tmp = _tmp("rn")
+        out = df.withColumn(tmp, F.row_number().over(w))
+        lo = node.offset or 0
+        cond = F.col(tmp) > lo
+        if node.limit is not None:
+            cond = cond & (F.col(tmp) <= lo + node.limit)
+        plan = Plan(out.filter(cond).drop(tmp), child.certain,
+                    child.id_vars)
+        if proj_node is not None:
+            return self._c_project_of(proj_node, plan, g)
+        return plan
+
+    def _c_project_of(self, node: A.Project, child: Plan,
+                      g: "A.Node | None") -> Plan:
+        """Apply a Project node to an already-compiled child (used by
+        _slice_per_graph, which compiles through the projection to keep
+        the ORDER BY keys in scope), with the same active-graph
+        passthrough as the _c Project branch."""
+        cols = [
+            (child.df[v] if v in child.df.columns
+             else F.lit(None).cast(TERM_SCHEMA)).alias(v)
+            for v in node.variables
+        ]
+        keep = set(node.variables)
+        if (isinstance(g, A.Var) and g.binding
+                and g.name in child.df.columns and g.name not in keep):
+            cols.append(child.df[g.name].alias(g.name))
+            keep.add(g.name)
+        return Plan(child.df.select(*cols), child.certain & keep,
+                    child.id_vars & keep)

@@ -28,7 +28,17 @@ def select_plan(compiler: Compiler, q: A.SelectQuery, graph=None) -> Plan:
         (plan.df[v] if v in plan.df.columns else F.lit(None).cast(TERM_SCHEMA)).alias(v)
         for v in q.variables
     ]
-    return Plan(plan.df.select(*cols), plan.certain & set(q.variables))
+    keep = set(q.variables)
+    if (isinstance(graph, A.Var) and graph.binding
+            and graph.name in plan.df.columns and graph.name not in keep):
+        # subquery under GRAPH ?var: per-graph evaluation (§18.1.7)
+        # keeps the active-graph column through the subquery's
+        # projection — it is the carrier of "which graph produced this
+        # row", consumed by the enclosing NamedGraph
+        cols.append(plan.df[graph.name].alias(graph.name))
+        keep.add(graph.name)
+    return Plan(plan.df.select(*cols), plan.certain & keep,
+                plan.id_vars & keep)
 
 
 def _prepare(compiler: Compiler, q) -> None:

@@ -859,6 +859,64 @@ def sparql_graph_stats(spark, sf_dir) -> DataFrame:
     })
 
 
+@q("sparql_graph_subquery_count",
+   "SELECT 'urn:g:customer' AS g, CAST(COUNT(*) AS BIGINT) AS c FROM customer "
+   "UNION ALL SELECT 'urn:g:' || t, 0 FROM (VALUES ('region'),('nation'),"
+   "('supplier'),('part'),('orders'),('lineitem'),('events'),('documents'),"
+   "('embeddings')) AS x(t)")
+def sparql_graph_subquery_count(spark, sf_dir) -> DataFrame:
+    """GRAPH ?g { { SELECT (COUNT(*) AS ?c) WHERE { ?s
+    <urn:col:customer:c_acctbal> ?bal } } }: §18.1.7 per-graph
+    evaluation of a SCALAR subquery aggregate — one row per named
+    graph, including the empty-bag COUNT()=0 rows for the nine graphs
+    the pattern never matches (the r10 fix; previously this returned
+    one cross-graph total bound to an arbitrary graph). Reference:
+    per-graph union wraps all operators, QueryPlanner.swift:834-878."""
+    comp = compiler_for(spark, sf_dir)
+    agg = A.Aggregate(
+        A.Triple(tp("s", col("customer", "c_acctbal"), "bal")),
+        groups=(), group_names=(),
+        aggs=(("c", A.AggSpec("COUNT*")),))
+    alg = A.NamedGraph(
+        A.Var("g"), A.Subquery(A.SelectQuery(agg, ("c",))))
+    return extract(select(comp, A.SelectQuery(alg, ("g", "c"))), {
+        "g": ("g", "lex"), "c": ("c", "int"),
+    })
+
+
+@q("sparql_graph_subquery_limit",
+   "SELECT 'urn:g:region' AS g, (SELECT min('urn:t:region:' || CAST(r_regionkey AS VARCHAR)) FROM region) AS s "
+   "UNION ALL SELECT 'urn:g:nation', (SELECT min('urn:t:nation:' || CAST(n_nationkey AS VARCHAR)) FROM nation) "
+   "UNION ALL SELECT 'urn:g:customer', (SELECT min('urn:t:customer:' || CAST(c_custkey AS VARCHAR)) FROM customer) "
+   "UNION ALL SELECT 'urn:g:supplier', (SELECT min('urn:t:supplier:' || CAST(s_suppkey AS VARCHAR)) FROM supplier) "
+   "UNION ALL SELECT 'urn:g:part', (SELECT min('urn:t:part:' || CAST(p_partkey AS VARCHAR)) FROM part) "
+   "UNION ALL SELECT 'urn:g:orders', (SELECT min('urn:t:orders:' || CAST(o_orderkey AS VARCHAR)) FROM orders) "
+   "UNION ALL SELECT 'urn:g:lineitem', 'urn:t:lineitem:0' "
+   "UNION ALL SELECT 'urn:g:events', (SELECT min('urn:t:events:' || CAST(event_id AS VARCHAR)) FROM events) "
+   "UNION ALL SELECT 'urn:g:documents', (SELECT min('urn:t:documents:' || CAST(doc_id AS VARCHAR)) FROM documents) "
+   "UNION ALL SELECT 'urn:g:embeddings', (SELECT min('urn:t:embeddings:' || CAST(vec_id AS VARCHAR)) FROM embeddings)")
+def sparql_graph_subquery_limit(spark, sf_dir) -> DataFrame:
+    """GRAPH ?g { { SELECT ?s WHERE { ?s ?p ?o } ORDER BY ?s LIMIT 1 } }:
+    OFFSET/LIMIT under GRAPH ?var apply PER GRAPH (§18.1.7) — the
+    lexically-smallest subject of EVERY named graph, not a single
+    global row. Compiles to one per-graph row_number window, no
+    driver loop (the 100 TB form). The lineitem oracle branch is the
+    constant 'urn:t:lineitem:0': its row IRIs use the parquet row
+    index, whose string-min is always \"0\"."""
+    comp = compiler_for(spark, sf_dir)
+    inner = A.Slice(
+        A.Project(
+            A.Order(A.Triple(tp("s", A.Var("p"), A.Var("o"))),
+                    (A.SortComparator(v("s"), True),)),
+            ("s",)),
+        offset=0, limit=1)
+    alg = A.NamedGraph(
+        A.Var("g"), A.Subquery(A.SelectQuery(inner, ("s",))))
+    return extract(select(comp, A.SelectQuery(alg, ("g", "s"))), {
+        "g": ("g", "lex"), "s": ("s", "lex"),
+    })
+
+
 # ---------------------------------------------------------------------------
 # Expression surface
 # ---------------------------------------------------------------------------

@@ -239,6 +239,10 @@ def try_count_star_plan(compiler, node: A.Aggregate, g):
 
     if node.groups or len(node.aggs) != 1:
         return None
+    if isinstance(g, A.Var) and g.binding:
+        # GRAPH ?var scope: §18.1.7 wants one count PER NAMED GRAPH —
+        # no single store-wide scalar answers that
+        return None
     name, spec = node.aggs[0]
     star = _star_shape(node.child)
     if star is None:

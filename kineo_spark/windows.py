@@ -22,7 +22,13 @@ def _frame(spec: A.WindowSpec) -> tuple[int, int]:
     return lo, hi
 
 
-def compile_window(node: A.Window, child) -> "Plan":
+def compile_window(node: A.Window, child, graph_var: str | None = None,
+                   graph_key=None) -> "Plan":
+    """``graph_var``/``graph_key`` set = the window sits under
+    ``GRAPH ?var`` (§18.1.7): every PARTITION BY implicitly includes the
+    active graph, so ranks/frames never span graphs — the distributed
+    form of the reference's per-graph evaluation (QueryPlanner.swift:
+    834-878)."""
     from kineo_spark.compiler import Plan, _env
 
     df = child.df
@@ -30,6 +36,8 @@ def compile_window(node: A.Window, child) -> "Plan":
     out = df
     for var, spec in node.functions:
         parts = [term_key(compile_expr(e, env)) for e in spec.partition]
+        if graph_key is not None:
+            parts = [graph_key] + parts
         orders = []
         for cmp in spec.order:
             k = sort_key(compile_expr(cmp.expr, env))

@@ -1,0 +1,175 @@
+"""Per-graph evaluation of non-monotonic operators under ``GRAPH ?var``
+(SPARQL 1.1 §18.1.7; reference: the per-graph union wraps ALL operators,
+QueryPlanner.swift:834-878).
+
+Round-10 fix: Aggregate, Window, and Slice previously evaluated GLOBALLY
+under GRAPH ?var — a subquery COUNT inside GRAPH ?g returned one
+cross-graph total (bound to an arbitrary graph), grouped counts paired
+groups with the WRONG graphs, and LIMIT took k rows across graphs. The
+engine now threads the active-graph column as an implicit group /
+partition / slice key — the distributed form of the reference's
+per-graph loop (one shuffle keyed by (graph, keys), no driver
+iteration).
+"""
+
+from collections import Counter
+
+import pytest
+
+from kineo_spark import algebra as A
+from kineo_spark.compiler import Compiler
+from kineo_spark.expr import v
+from kineo_spark.forms import select
+from kineo_spark.model import iri
+from kineo_spark.store import QuadsDataFrameStore
+
+EX = "http://example.org/"
+G1, G2 = "urn:g:g1", "urn:g:g2"
+
+
+@pytest.fixture(scope="module")
+def store(spark):
+    rows = [
+        (0, EX + "a", EX + "p", 2, "3", "integer", None, 3.0, G1),
+        (0, EX + "b", EX + "p", 2, "1", "integer", None, 1.0, G1),
+        (0, EX + "c", EX + "p", 2, "2", "integer", None, 2.0, G2),
+    ]
+    return QuadsDataFrameStore.from_rows(spark, rows)
+
+
+def _rows(df, cols):
+    return Counter(
+        tuple(r[c]["lex"] if r[c] is not None else None for c in cols)
+        for r in df.collect())
+
+
+def _sub(child, proj):
+    return A.Subquery(A.SelectQuery(child, proj))
+
+
+SCAN = A.BGP((A.TriplePattern(A.Var("s"), iri(EX + "p"), A.Var("val")),))
+
+
+def _run(store, alg, proj, kb=None):
+    q = A.SelectQuery(alg, proj)
+    if kb is None:
+        comp = Compiler(store)
+    else:
+        from kineo_spark.dictionary import id_compiler
+        comp = id_compiler(store, key_bits=kb)
+        comp.prepare(q)
+    return _rows(select(comp, q), proj)
+
+
+@pytest.mark.parametrize("kb", [None, 64, 128])
+def test_scalar_count_under_graph_var(store, kb):
+    agg = A.Aggregate(SCAN, (), (), (("c", A.AggSpec("COUNT*")),))
+    alg = A.NamedGraph(A.Var("g"), _sub(agg, ("c",)))
+    got = _run(store, alg, ("g", "c"), kb)
+    assert got == Counter({(G1, "2"): 1, (G2, "1"): 1})
+
+
+def test_scalar_count_empty_graph_fill(store):
+    """A graph where the pattern matches NOTHING still emits its
+    empty-bag row: COUNT()=0 per §18.5 over the empty multiset — the
+    per-graph evaluation of the subquery runs once per named graph."""
+    scan_a = A.BGP((A.TriplePattern(iri(EX + "a"), iri(EX + "p"),
+                                    A.Var("val")),))
+    agg = A.Aggregate(scan_a, (), (), (("c", A.AggSpec("COUNT*")),))
+    alg = A.NamedGraph(A.Var("g"), _sub(agg, ("c",)))
+    got = _run(store, alg, ("g", "c"))
+    assert got == Counter({(G1, "1"): 1, (G2, "0"): 1})
+
+
+def test_grouped_count_under_graph_var(store):
+    agg = A.Aggregate(SCAN, (v("s"),), ("s",),
+                      (("c", A.AggSpec("COUNT*")),))
+    alg = A.NamedGraph(A.Var("g"), _sub(agg, ("s", "c")))
+    got = _run(store, alg, ("g", "s", "c"))
+    assert got == Counter({
+        (G1, EX + "a", "1"): 1, (G1, EX + "b", "1"): 1,
+        (G2, EX + "c", "1"): 1})
+
+
+def test_sum_groups_per_graph_not_across(store):
+    agg = A.Aggregate(SCAN, (), (),
+                      (("t", A.AggSpec("SUM", expr=v("val"))),))
+    alg = A.NamedGraph(A.Var("g"), _sub(agg, ("t",)))
+    got = _run(store, alg, ("g", "t"))
+    assert got == Counter({(G1, "4"): 1, (G2, "2"): 1})
+
+
+@pytest.mark.parametrize("kb", [None, 64, 128])
+def test_rank_window_partitions_per_graph(store, kb):
+    w = A.Window(SCAN, functions=(
+        ("r", A.WindowSpec("RANK",
+                           order=(A.SortComparator(v("val"), True),))),))
+    alg = A.NamedGraph(A.Var("g"), w)
+    got = _run(store, alg, ("g", "s", "r"), kb)
+    assert got == Counter({
+        (G1, EX + "a", "2"): 1, (G1, EX + "b", "1"): 1,
+        (G2, EX + "c", "1"): 1})
+
+
+def test_running_sum_frame_stays_in_graph(store):
+    w = A.Window(SCAN, functions=(
+        ("rs", A.WindowSpec("SUM", expr=v("val"),
+                            order=(A.SortComparator(v("val"), True),),
+                            frame_start=None, frame_end=0)),))
+    alg = A.NamedGraph(A.Var("g"), w)
+    got = _run(store, alg, ("g", "s", "rs"))
+    # g1: b(1)->1, a(3)->4; g2: c(2)->2 — a cross-graph frame would
+    # fold g2's 2 into g1's running sums
+    assert got == Counter({
+        (G1, EX + "b", "1.0"): 1, (G1, EX + "a", "4.0"): 1,
+        (G2, EX + "c", "2.0"): 1})
+
+
+@pytest.mark.parametrize("kb", [None, 64, 128])
+def test_ordered_limit_under_graph_var(store, kb):
+    inner = A.Slice(
+        A.Project(A.Order(SCAN, (A.SortComparator(v("val"), True),)),
+                  ("s",)),
+        offset=0, limit=1)
+    alg = A.NamedGraph(A.Var("g"), _sub(inner, ("s",)))
+    got = _run(store, alg, ("g", "s"), kb)
+    # smallest val per graph: b (1) in g1, c (2) in g2 — a global
+    # LIMIT 1 would return a single row
+    assert got == Counter({(G1, EX + "b"): 1, (G2, EX + "c"): 1})
+
+
+def test_offset_under_graph_var(store):
+    inner = A.Slice(
+        A.Project(A.Order(SCAN, (A.SortComparator(v("val"), True),)),
+                  ("s",)),
+        offset=1, limit=None)
+    alg = A.NamedGraph(A.Var("g"), _sub(inner, ("s",)))
+    got = _run(store, alg, ("g", "s"))
+    # skip the first per graph: g1 keeps a (val 3), g2 keeps nothing
+    assert got == Counter({(G1, EX + "a"): 1})
+
+
+def test_subquery_projection_keeps_per_graph_bags(store):
+    """A subquery projecting AWAY everything graph-specific must still
+    union per-graph bags: SELECT ?val inside GRAPH ?g keeps one row per
+    (graph, solution), not a cross-graph bag."""
+    alg = A.NamedGraph(A.Var("g"), _sub(SCAN, ("val",)))
+    got = _run(store, alg, ("g", "val"))
+    assert got == Counter({
+        (G1, "3"): 1, (G1, "1"): 1, (G2, "2"): 1})
+
+
+def test_global_aggregate_unchanged(store):
+    """Outside GRAPH ?var nothing changes: one global row."""
+    agg = A.Aggregate(SCAN, (), (), (("c", A.AggSpec("COUNT*")),))
+    got = _run(store, _sub(agg, ("c",)), ("c",))
+    assert got == Counter({("3",): 1})
+
+
+def test_graph_constant_aggregate_scopes_to_that_graph(store):
+    """GRAPH <g1> { subquery COUNT } — a CONSTANT graph needs no
+    per-graph key, just the scope."""
+    agg = A.Aggregate(SCAN, (), (), (("c", A.AggSpec("COUNT*")),))
+    alg = A.NamedGraph(iri(G1), _sub(agg, ("c",)))
+    got = _run(store, alg, ("c",))
+    assert got == Counter({("2",): 1})
