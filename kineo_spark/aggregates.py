@@ -215,4 +215,7 @@ def compile_aggregate(compiler, node: A.Aggregate, child,
     )
     if graph_var is not None and graph_var in child.certain:
         certain |= {graph_var}
-    return Plan(out, certain)
+    ids = (frozenset({graph_var})
+           if graph_var is not None and graph_var in child.id_vars
+           else frozenset())
+    return Plan(out, certain, ids)
