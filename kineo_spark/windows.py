@@ -53,7 +53,11 @@ def compile_window(node: A.Window, child, graph_var: str | None = None,
         elif op == "NTILE":
             col = num_term(F.ntile(spec.n or 1).over(w).cast("double"), F.lit("integer"))
         else:
-            value = compile_expr(spec.expr, env)
+            # COUNT* has no operand (r10 fuzz find: compiling the None
+            # expr crashed every COUNT(*) OVER (...) — the branch below
+            # never reads `value` for it)
+            value = (compile_expr(spec.expr, env)
+                     if spec.expr is not None else None)
             lo, hi = _frame(spec)
             if spec.frame_type == "RANGE":
                 # RANGE frames peer-group on the ORDER BY VALUE — Spark

@@ -365,6 +365,28 @@ def ref_eval(alg, quads, graph: str = G) -> Counter:
                     res[var] = t
             out[_key(res)] += 1
         return out
+    if isinstance(alg, A.Distinct):
+        return Counter(dict.fromkeys(ref_eval(alg.child, quads, graph), 1))
+    if isinstance(alg, A.Window):
+        # COUNT(*) OVER (PARTITION BY ?x) with an unbounded frame — the
+        # one deterministic window shape (no ORDER BY, no peer ties):
+        # every row gains the size of its partition (unbound keys group
+        # together, §18 window extension). Under GRAPH ?g the engine
+        # adds the graph to the partition implicitly; the ref gets that
+        # for free by evaluating per graph.
+        b = ref_eval(alg.child, quads, graph)
+        var, spec = alg.functions[0]
+        pkey = spec.partition[0].name
+        sizes = Counter()
+        for k, n in b.items():
+            sizes[dict(k).get(pkey)] += n
+        out = Counter()
+        for k, n in b.items():
+            d = dict(k)
+            cnt = sizes[d.get(pkey)]
+            d[var] = (KIND_LITERAL, str(cnt), "integer")
+            out[_key(d)] += n
+        return out
     if isinstance(alg, A.Subquery):
         # projection inside the tree: keep multiplicity (bag), or set
         # semantics under Distinct
@@ -522,6 +544,16 @@ def rand_aggregate(rng: random.Random, depth: int) -> A.Algebra:
                        ((rng.choice(res), spec),))
 
 
+def rand_window(rng: random.Random, depth: int) -> A.Algebra:
+    child = rand_alg(rng, depth - 1)
+    cvars = sorted(all_vars(child) & set(VARS))
+    res = [a for a in AVARS if a not in all_vars(child)]
+    if not cvars or not res:
+        return child
+    spec = A.WindowSpec("COUNT*", partition=(v(rng.choice(cvars)),))
+    return A.Window(child, functions=((rng.choice(res), spec),))
+
+
 def rand_subquery(rng: random.Random, depth: int) -> A.Algebra:
     child = rand_alg(rng, depth - 1)
     cvars = sorted(all_vars(child))
@@ -547,10 +579,14 @@ def rand_alg(rng: random.Random, depth: int):
         node = A.Filter(child, e_eng)
         object.__setattr__(node, "_fuzz_expr", e_ref)
         return node
-    if r < 0.21:
+    if r < 0.2:
         return rand_aggregate(rng, depth)
-    if r < 0.29:
+    if r < 0.27:
         return rand_subquery(rng, depth)
+    if r < 0.32:
+        return rand_window(rng, depth)
+    if r < 0.36:
+        return A.Distinct(rand_alg(rng, depth - 1))
     if r < 0.4:
         # BIND: error → unbound; two subtrees extending the SAME name
         # later joined make a maybe-unbound boolean shared var
@@ -598,6 +634,10 @@ def all_vars(alg) -> set:
         return all_vars(alg.child) | {alg.name}
     if isinstance(alg, A.Aggregate):
         return set(alg.group_names) | {var for var, _ in alg.aggs}
+    if isinstance(alg, A.Distinct):
+        return all_vars(alg.child)
+    if isinstance(alg, A.Window):
+        return all_vars(alg.child) | {var for var, _ in alg.functions}
     if isinstance(alg, A.Subquery):
         return set(alg.query.variables)
     return all_vars(alg.lhs) | all_vars(alg.rhs)
@@ -681,8 +721,12 @@ def test_compat_differential_agg_subquery(spark, seed):
     COUNT(?v) / SUM(?v) (DISTINCT mix) and bag/DISTINCT projections
     composed over random compat subtrees."""
     def force(rng, depth):
-        return (rand_aggregate(rng, depth) if rng.random() < 0.5
-                else rand_subquery(rng, depth))
+        r = rng.random()
+        if r < 0.4:
+            return rand_aggregate(rng, depth)
+        if r < 0.75:
+            return rand_subquery(rng, depth)
+        return rand_window(rng, depth)
 
     def compile_df(store, q):
         return select(Compiler(store), q)
@@ -771,8 +815,12 @@ def test_compat_differential_graph_scoped_agg_subquery(spark, seed):
     (INCLUDING each graph's empty-bag row) and subquery projections
     must never mix graphs."""
     def force(rng, depth):
-        return (rand_aggregate(rng, depth) if rng.random() < 0.5
-                else rand_subquery(rng, depth))
+        r = rng.random()
+        if r < 0.4:
+            return rand_aggregate(rng, depth)
+        if r < 0.75:
+            return rand_subquery(rng, depth)
+        return rand_window(rng, depth)
 
     def compile_df(store, q):
         return select(Compiler(store), q)

@@ -86,3 +86,19 @@ def test_pandas_grouped_agg_custom_window(spark, store):
 def test_unknown_window_still_raises(spark, store):
     with pytest.raises(Exception):
         _collect(store, "NO_SUCH_WINDOW_FN")
+
+
+def test_count_star_window_partition(spark, store):
+    """COUNT(*) OVER (PARTITION BY ?g) — r10 fuzz regression: the spec
+    has NO operand expression and compile_window previously crashed
+    compiling the None expr. Each row gains its partition's size."""
+    from kineo_spark.model import iri
+
+    alg = A.Window(
+        A.BGP((A.TriplePattern(A.Var("s"), iri("urn:grp"), A.Var("g")),)),
+        functions=(("w", A.WindowSpec("COUNT*", partition=(v("g"),))),),
+    )
+    comp = Compiler(store)
+    df = select(comp, A.SelectQuery(alg, ("g", "w")))
+    got = {(r["g"]["lex"], r["w"]["lex"]) for r in df.collect()}
+    assert got == {("a", "2"), ("b", "3")}
