@@ -70,6 +70,11 @@ _TWINNED = [
     # r8: per-named-graph path closure (GRAPH ?g over a cross-graph FK
     # alternation) — the id evaluator scopes {g, n} id-struct keys
     "sparql_graph_path_scoped",
+    # r10: per-graph evaluation of Aggregate and Slice under GRAPH ?var
+    # (the graph column as implicit group / row_number key) over
+    # id-mode plans
+    "sparql_graph_subquery_count",
+    "sparql_graph_subquery_limit",
 ]
 
 
@@ -134,6 +139,9 @@ _TWINNED_128 = [
     "sparql_exists_bind",
     # r8: per-named-graph path closure at the 128-bit key width
     "sparql_graph_path_scoped",
+    # r10: per-graph subquery aggregate/limit at the 128-bit key width
+    "sparql_graph_subquery_count",
+    "sparql_graph_subquery_limit",
 ]
 
 for _name in _TWINNED_128:
