@@ -205,6 +205,33 @@ class Compiler:
             # REDUCED may drop any duplicates (spec); full dedup is a valid
             # and scale-friendly implementation (ReducedPlan,
             # MaterializedQueryPlan.swift:646-667).
+            proj_node = (node.child
+                         if isinstance(node.child, A.Project) else None)
+            probe = proj_node.child if proj_node else node.child
+            if isinstance(probe, A.Order):
+                # ORDER BY under DISTINCT: dedup FIRST, then sort —
+                # dropDuplicates does not preserve row order, so the
+                # previous sort-then-dedup handed an arbitrary order to
+                # a Slice above (r10 find: ordered-DISTINCT-LIMIT
+                # returned the term-KEY-string minima, not the term-
+                # order minima). SPARQL restricts ORDER BY under
+                # DISTINCT to projected expressions, so the keys stay
+                # computable on the dedup output; out-of-scope keys
+                # (spec-invalid) sort as NULL = unspecified order.
+                # Dedup-then-sort is also the cheaper plan: the Sort
+                # sees only distinct rows, and a LIMIT above folds it
+                # into TakeOrderedAndProject.
+                base = (A.Project(probe.child, proj_node.variables)
+                        if proj_node else probe.child)
+                child = self._c(base, g)
+                ddf = self._distinct(child.df, child.id_vars)
+                env = _env(ddf)
+                cols = []
+                for cmp in probe.comparators:
+                    k = sort_key(compile_expr(cmp.expr, env))
+                    cols.append(k.asc() if cmp.ascending else k.desc())
+                return Plan(ddf.orderBy(*cols), child.certain,
+                            child.id_vars)
             child = self._c(node.child, g)
             return Plan(self._distinct(child.df, child.id_vars), child.certain,
                         child.id_vars)
@@ -811,14 +838,26 @@ class Compiler:
         reference's per-graph evaluation of the ordered subquery."""
         from pyspark.sql import Window as W
 
-        proj_node = None
         cur = node.child
+        distinct_node = None
+        if isinstance(cur, (A.Distinct, A.Reduced)):
+            distinct_node, cur = cur, cur.child
+        proj_node = None
         if isinstance(cur, A.Project):
             proj_node, cur = cur, cur.child
         order_node = None
         if isinstance(cur, A.Order):
             order_node, cur = cur, cur.child
         child, gv = self._graph_scoped_child(cur, g)
+        if distinct_node is not None:
+            # DISTINCT applies to the PROJECTED rows, before the slice;
+            # the per-graph row_number below then re-establishes the
+            # ORDER BY the dedup shuffle destroyed
+            if proj_node is not None:
+                child = self._c_project_of(proj_node, child, g)
+                proj_node = None
+            child = Plan(self._distinct(child.df, child.id_vars),
+                         child.certain, child.id_vars)
         df = child.df
         env = _env(df)
         orders = []

@@ -859,6 +859,27 @@ def sparql_graph_stats(spark, sf_dir) -> DataFrame:
     })
 
 
+@q("sparql_distinct_order_limit",
+   "SELECT DISTINCT c_mktsegment AS seg FROM customer ORDER BY seg LIMIT 3")
+def sparql_distinct_order_limit(spark, sf_dir) -> DataFrame:
+    """SELECT DISTINCT ?seg ... ORDER BY ?seg LIMIT 3 — the r10 fix:
+    dedup runs FIRST, then the sort (dropDuplicates does not preserve
+    row order, so the previous sort-then-dedup handed the LIMIT an
+    arbitrary order). The plan folds into dedup +
+    TakeOrderedAndProject."""
+    comp = compiler_for(spark, sf_dir)
+    alg = A.Slice(
+        A.Distinct(A.Project(
+            A.Order(A.Triple(tp("c", col("customer", "c_mktsegment"),
+                              "seg")),
+                    (A.SortComparator(v("seg"), True),)),
+            ("seg",))),
+        offset=0, limit=3)
+    return extract(select(comp, A.SelectQuery(alg, ("seg",))), {
+        "seg": ("seg", "lex"),
+    })
+
+
 @q("sparql_graph_subquery_count",
    "SELECT 'urn:g:customer' AS g, CAST(COUNT(*) AS BIGINT) AS c FROM customer "
    "UNION ALL SELECT 'urn:g:' || t, 0 FROM (VALUES ('region'),('nation'),"

@@ -173,3 +173,52 @@ def test_graph_constant_aggregate_scopes_to_that_graph(store):
     alg = A.NamedGraph(iri(G1), _sub(agg, ("c",)))
     got = _run(store, alg, ("c",))
     assert got == Counter({("2",): 1})
+
+
+# --- ordered DISTINCT + LIMIT (r10 find: dedup destroyed sort order) --------
+
+@pytest.fixture(scope="module")
+def many_store(spark):
+    rows = []
+    vals = [5, 3, 9, 1, 3, 7, 1, 8, 9, 2]
+    for i, val in enumerate(vals):
+        grp = G1 if i % 2 == 0 else G2
+        rows.append((0, EX + f"s{i}", EX + "p", 2, str(val), "integer",
+                     None, float(val), grp))
+    return QuadsDataFrameStore.from_rows(spark, rows)
+
+
+def _distinct_limit_alg(k, desc=False):
+    return A.Slice(
+        A.Distinct(A.Project(
+            A.Order(SCAN, (A.SortComparator(v("val"), not desc),)),
+            ("val",))),
+        offset=0, limit=k)
+
+
+def test_ordered_distinct_limit_global(spark, many_store):
+    """SELECT DISTINCT ?val ... ORDER BY ?val LIMIT 2 — dropDuplicates
+    does not preserve sort order, so the engine must dedup FIRST and
+    re-sort (previously the limit took term-KEY-string minima)."""
+    got = [int(r["val"]["lex"]) for r in
+           select(Compiler(many_store),
+                  A.SelectQuery(_distinct_limit_alg(2), ("val",))).collect()]
+    # all values across both graphs: distinct sorted = 1,2,3,5,7,8,9
+    assert got == [1, 2]
+    got_desc = [int(r["val"]["lex"]) for r in
+                select(Compiler(many_store),
+                       A.SelectQuery(_distinct_limit_alg(2, desc=True),
+                                     ("val",))).collect()]
+    assert got_desc == [9, 8]
+
+
+@pytest.mark.parametrize("kb", [None, 64, 128])
+def test_ordered_distinct_limit_under_graph_var(spark, many_store, kb):
+    """The same shape inside GRAPH ?g: per-graph DISTINCT, per-graph
+    re-sort, per-graph LIMIT. g1 vals {5,9,3,1,9}->distinct min 1;
+    g2 vals {3,1,7,8,2}->distinct min 1; second-smallest differ."""
+    inner = _distinct_limit_alg(2)
+    alg = A.NamedGraph(A.Var("g"), _sub(inner, ("val",)))
+    got = _run(many_store, alg, ("g", "val"), kb)
+    assert got == Counter({
+        (G1, "1"): 1, (G1, "3"): 1, (G2, "1"): 1, (G2, "2"): 1})
