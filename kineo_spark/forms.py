@@ -22,7 +22,8 @@ def select_plan(compiler: Compiler, q: A.SelectQuery, graph=None) -> Plan:
         bn = [c for c in plan.df.columns if c.startswith("bn-")]
         if bn:
             keep = [c for c in plan.df.columns if not c.startswith("bn-")]
-            return Plan(plan.df.select(*keep), plan.certain - set(bn))
+            return Plan(plan.df.select(*keep), plan.certain - set(bn),
+                        plan.id_vars - set(bn))
         return plan
     cols = [
         (plan.df[v] if v in plan.df.columns else F.lit(None).cast(TERM_SCHEMA)).alias(v)

@@ -222,3 +222,37 @@ def test_ordered_distinct_limit_under_graph_var(spark, many_store, kb):
     got = _run(many_store, alg, ("g", "val"), kb)
     assert got == Counter({
         (G1, "1"): 1, (G1, "3"): 1, (G2, "1"): 1, (G2, "2"): 1})
+
+
+# --- id-mode representation through subquery projections (r10) --------------
+
+@pytest.mark.parametrize("kb", [64, 128])
+def test_idmode_join_of_two_subqueries_on_id_var(spark, kb):
+    """Two subqueries joined on a var neither projects the VALUE of:
+    in id mode the var rides as a dictionary id through BOTH subquery
+    projections — select_plan must preserve the Plan.id_vars marking,
+    or the join above would term_key() raw longs (r10: select_plan
+    previously stripped id_vars)."""
+    from kineo_spark.dictionary import id_compiler
+
+    rows = [
+        (0, EX + "c1", EX + "bal", 2, "10", "integer", None, 10.0, G1),
+        (0, EX + "c1", EX + "age", 2, "30", "integer", None, 30.0, G1),
+        (0, EX + "c1", EX + "name", 2, "alice", "string", None, None, G1),
+        (0, EX + "c2", EX + "age", 2, "40", "integer", None, 40.0, G1),
+    ]
+    store = QuadsDataFrameStore.from_rows(spark, rows)
+    sub1 = A.Subquery(A.SelectQuery(
+        A.BGP((A.TriplePattern(A.Var("c"), iri(EX + "bal"),
+                               A.Var("b")),)), ("c",)))
+    sub2 = A.Subquery(A.SelectQuery(
+        A.BGP((A.TriplePattern(A.Var("c"), iri(EX + "age"),
+                               A.Var("a")),)), ("c",)))
+    alg = A.Join(A.Join(sub1, sub2),
+                 A.BGP((A.TriplePattern(A.Var("c"), iri(EX + "name"),
+                                        A.Var("n")),)))
+    q = A.SelectQuery(alg, ("n",))
+    comp = id_compiler(store, key_bits=kb)
+    comp.prepare(q)
+    got = [r["n"]["lex"] for r in select(comp, q).collect()]
+    assert got == ["alice"]
