@@ -733,6 +733,19 @@ def test_compat_differential_agg_subquery(spark, seed):
     _run_case(spark, 600 + seed, compile_df, force=force)
 
 
+@pytest.mark.parametrize("seed", range(6))
+def test_compat_differential_deep_trees(spark, seed):
+    """Depth-3 trees: three levels of operator nesting (e.g. an
+    Aggregate over a LeftJoin over a MINUS of subqueries) — the
+    structural compositions the depth-2 families cannot reach."""
+    def force(rng, depth):
+        return rand_alg(rng, 3)
+
+    def compile_df(store, q):
+        return select(Compiler(store), q)
+    _run_case(spark, 900 + seed, compile_df, force=force)
+
+
 @pytest.mark.parametrize("seed,kb", [(s, kb) for s in range(6)
                                      for kb in (64, 128)])
 def test_compat_differential_id_modes(spark, seed, kb):
@@ -856,3 +869,72 @@ def test_compat_differential_graph_scoped_agg_id_modes(spark, seed, kb):
         comp.prepare(q)
         return select(comp, q)
     _run_graph_case(spark, 600 + seed, compile_df, force=force)
+
+
+# --- query forms over compat trees: ASK and CONSTRUCT ------------------------
+
+@pytest.mark.parametrize("seed", range(10))
+def test_compat_differential_ask(spark, seed):
+    """ASK = bag non-emptiness of the pattern (its own evaluation path:
+    limit(1).isEmpty) over random compat trees."""
+    from kineo_spark.forms import ask
+
+    rng = random.Random(1200 + seed)
+    quads = rand_quads(rng)
+    alg = rand_alg(rng, 2)
+    store = QuadsDataFrameStore.from_rows(spark, _quad_rows(quads))
+    got = ask(Compiler(store), A.AskQuery(alg))
+    want = sum(ref_eval(alg, quads).values()) > 0
+    assert got == want, f"seed {seed}: alg {alg}\nquads {quads}"
+
+
+@pytest.mark.parametrize("seed", range(8))
+def test_compat_differential_construct(spark, seed):
+    """CONSTRUCT template instantiation per §16.2 over random compat
+    trees: unbound template vars skip the triple, a literal subject or
+    non-IRI predicate skips it, output is a SET of triples. (Template
+    blank nodes are excluded — fresh per-row labels need isomorphism,
+    which the W3C harness covers.)"""
+    from kineo_spark.forms import construct
+
+    rng = random.Random(1300 + seed)
+    quads = rand_quads(rng)
+    alg = rand_alg(rng, 2)
+    vars_ = sorted(all_vars(alg))
+    store = QuadsDataFrameStore.from_rows(spark, _quad_rows(quads))
+
+    def tnode():
+        if vars_ and rng.random() < 0.6:
+            return A.Var(rng.choice(vars_))
+        return rng.choice(TERMS)
+
+    template = tuple(A.TriplePattern(tnode(), tnode(), tnode())
+                     for _ in range(rng.randint(1, 3)))
+    df = construct(Compiler(store), A.ConstructQuery(alg, template))
+    got = set()
+    for r in df.collect():
+        trip = []
+        for c_ in ("s", "p", "o"):
+            t = r[c_]
+            trip.append((int(t["kind"]), t["lex"],
+                         t["dt"] if t["kind"] == KIND_LITERAL else None))
+        got.add(tuple(trip))
+
+    want = set()
+    for k, _n in ref_eval(alg, quads).items():
+        d = dict(k)
+        for tp_ in template:
+            vals = []
+            for node in (tp_.s, tp_.p, tp_.o):
+                t = d.get(node.name) if isinstance(node, A.Var) else tt(node)
+                vals.append(t)
+            if any(t is None for t in vals):
+                continue  # unbound var: triple skipped
+            s_, p_, o_ = vals
+            if s_[0] == KIND_LITERAL or p_[0] != KIND_IRI:
+                continue  # ill-formed instantiation skipped
+            want.add((s_, p_, o_))
+
+    assert got == want, (
+        f"seed {seed}: alg {alg}\ntemplate {template}\nquads {quads}\n"
+        f"extra={got - want}\nmissing={want - got}")
