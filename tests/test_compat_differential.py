@@ -495,7 +495,12 @@ def rand_expr(rng: random.Random, depth: int = 1, ebv_ok: bool = False):
         e2, r2 = rand_expr(rng, depth - 1, ebv_ok)
         return ((e1 & e2), ("and", r1, r2)) if op == "and" \
             else ((e1 | e2), ("or", r1, r2))
-    var = rng.choice(VARS)
+    # 15%: reference an AGGREGATE result name — when the expression
+    # sits above an Aggregate this is HAVING (numeric comparisons over
+    # COUNT/SUM outputs, unbound when SUM errored); elsewhere it is the
+    # always-unbound corner
+    var = (rng.choice(AVARS) if rng.random() < 0.15
+           else rng.choice(VARS))
     r = rng.random()
     if r < 0.22:
         t = rng.choice(TERMS)
