@@ -306,3 +306,19 @@ def test_star_pattern_pushes_kind_filter(spark, tmp_path):
     # cartesian anywhere
     assert "EqualTo(s_kind,3)" in plan.replace(" ", "")
     assert "CartesianProduct" not in plan
+
+
+def test_graph_scoped_aggregate_single_shuffle_shape(spark, queries):
+    """Per-graph subquery aggregate (r10): the GRAPH ?g scalar COUNT
+    compiles to ONE partial+final aggregation keyed by the graph — not
+    a per-graph driver loop — plus the broadcast empty-bag fill against
+    the MEMOIZED names(D) list (one checkpointed-RDD scan, no second
+    distinct over the corpus)."""
+    import re
+
+    df = queries["sparql_graph_subquery_count"](spark, SF)
+    plan = _plan(df)
+    assert plan.count("HashAggregate") == 2  # partial + final, once
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) <= 2
+    assert plan.count("Scan ExistingRDD") == 1  # memoized graph_terms
+    assert "CartesianProduct" not in plan
