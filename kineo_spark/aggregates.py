@@ -188,15 +188,33 @@ def compile_aggregate(compiler, node: A.Aggregate, child,
         # GRAPH (§18.5 over the empty multiset). The fill joins the
         # memoized graph_terms — broadcast-sized.
         out = work.groupBy(F.col(gkey)).agg(*aggs).select(*out_vars)
-        if graph_var not in child.id_vars:
-            empty = work.limit(0).agg(*value_aggs)
+        empty = work.limit(0).agg(*value_aggs)
+        gt = (compiler.store.graph_terms()
+              .withColumnRenamed("__g", graph_var))
+        if graph_var in child.id_vars:
+            # id mode: the graph column rides as a dictionary id (the
+            # query never reads ?g's VALUE), so encode names(D) through
+            # the same hash the scans use (id_of_term_col at the
+            # compiler's key width) and anti-join in pure id space —
+            # the fill rows then carry the id form every downstream
+            # consumer expects. (128-bit struct ids compare/union
+            # field-wise; 64-bit repaired ids can in principle diverge
+            # from the hash, but repair only fires on an actual xxhash64
+            # collision — the same currency every star-collapsed scan
+            # already trades in, see dictionary.py:722.)
+            from kineo_spark.dictionary import id_of_term_col
+            key_bits = getattr(compiler, "_key_bits", 64)
+            gt = gt.select(
+                id_of_term_col(F.col(graph_var), key_bits).alias(graph_var))
+            have = out.select(F.col(graph_var).alias("__k"))
+            absent = gt.join(have, gt[graph_var] == have["__k"],
+                             "left_anti")
+        else:
             have = out.select(term_key(F.col(graph_var)).alias("__k"))
-            gt = (compiler.store.graph_terms()
-                  .withColumnRenamed("__g", graph_var))
             absent = gt.join(have,
                              term_key(gt[graph_var]) == have["__k"],
                              "left_anti")
-            out = out.unionByName(absent.crossJoin(F.broadcast(empty)))
+        out = out.unionByName(absent.crossJoin(F.broadcast(empty)))
     else:
         # no GROUP BY: single global group; Spark's global agg emits one
         # row on empty input — matching emitOnEmpty

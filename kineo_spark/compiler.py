@@ -838,22 +838,36 @@ class Compiler:
         reference's per-graph evaluation of the ordered subquery."""
         from pyspark.sql import Window as W
 
+        # Peel Distinct/Reduced, Project, and Order in WHATEVER order
+        # they layer (at most one of each): the canonical translation is
+        # Slice(Distinct(Project(Order(X)))), but a
+        # Slice(Project(Distinct(Order(X)))) tree must still find the
+        # inner Order — probing a fixed order left it undetected, so the
+        # per-graph row_number ordered by lit(1) and returned arbitrary
+        # rows despite the ORDER BY (ADVICE r10).
         cur = node.child
-        distinct_node = None
-        if isinstance(cur, (A.Distinct, A.Reduced)):
-            distinct_node, cur = cur, cur.child
-        proj_node = None
-        if isinstance(cur, A.Project):
-            proj_node, cur = cur, cur.child
-        order_node = None
-        if isinstance(cur, A.Order):
-            order_node, cur = cur, cur.child
+        distinct_node = proj_node = order_node = None
+        distinct_below_proj = False
+        while order_node is None:
+            if isinstance(cur, (A.Distinct, A.Reduced)) and distinct_node is None:
+                distinct_below_proj = proj_node is not None
+                distinct_node, cur = cur, cur.child
+            elif isinstance(cur, A.Project) and proj_node is None:
+                proj_node, cur = cur, cur.child
+            elif isinstance(cur, A.Order):
+                order_node, cur = cur, cur.child
+            else:
+                break
         child, gv = self._graph_scoped_child(cur, g)
         if distinct_node is not None:
-            # DISTINCT applies to the PROJECTED rows, before the slice;
-            # the per-graph row_number below then re-establishes the
-            # ORDER BY the dedup shuffle destroyed
-            if proj_node is not None:
+            # DISTINCT applies at its place in the tree: in the
+            # canonical shape it dedups the PROJECTED rows (apply the
+            # projection first, then drop it); in the
+            # Project(Distinct(...)) shape it dedups the full-width
+            # rows and the projection still runs AFTER the slice. Either
+            # way the per-graph row_number below re-establishes the
+            # ORDER BY the dedup shuffle destroyed.
+            if proj_node is not None and not distinct_below_proj:
                 child = self._c_project_of(proj_node, child, g)
                 proj_node = None
             child = Plan(self._distinct(child.df, child.id_vars),

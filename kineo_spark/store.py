@@ -80,19 +80,24 @@ class QuadStore(ABC):
         range of ``GRAPH ?g`` when its pattern binds nothing (e.g.
         ``GRAPH ?g {}`` enumerates the named graphs, §13.3).
 
-        Memoized per store instance behind a lazy localCheckpoint: under
-        ``GRAPH ?var`` every graph-transparent leaf (VALUES, join
+        Memoized per store instance behind persist(MEMORY_AND_DISK):
+        under ``GRAPH ?var`` every graph-transparent leaf (VALUES, join
         identity) needs names(D), and without the memo each leaf re-ran
         a full-corpus ``distinct()`` over the g column — per-query cost
-        O(leaves × corpus) at 100 TB. The checkpoint truncates lineage,
-        so the distinct scan runs at most once per store no matter how
-        many leaves (or queries) consume it; stores are cheap wrappers
-        re-created on mutation (update.GraphStore builds a fresh
-        QuadsDataFrameStore per read), so the memo never serves stale
-        graphs."""
+        O(leaves × corpus) at 100 TB. persist keeps the LINEAGE intact
+        (unlike localCheckpoint, whose truncated-lineage blocks die with
+        their executor — a lost/decommissioned executor, routine under
+        dynamic allocation at scale, would fail every later consumer
+        instead of recomputing; ADVICE r10), while still amortizing the
+        distinct scan to once per store across however many leaves (or
+        queries) consume it. Stores are cheap wrappers re-created on
+        mutation (update.GraphStore builds a fresh QuadsDataFrameStore
+        per read), so the memo never serves stale graphs."""
         memo = getattr(self, "_graph_terms_memo", None)
         if memo is None:
-            memo = self._graph_terms_build().localCheckpoint(eager=False)
+            from pyspark import StorageLevel
+            memo = self._graph_terms_build().persist(
+                StorageLevel.MEMORY_AND_DISK)
             self._graph_terms_memo = memo
         return memo
 

@@ -69,7 +69,8 @@ def test_scalar_count_under_graph_var(store, kb):
     assert got == Counter({(G1, "2"): 1, (G2, "1"): 1})
 
 
-def test_scalar_count_empty_graph_fill(store):
+@pytest.mark.parametrize("kb", [None, 64, 128])
+def test_scalar_count_empty_graph_fill(store, kb):
     """A graph where the pattern matches NOTHING still emits its
     empty-bag row: COUNT()=0 per §18.5 over the empty multiset — the
     per-graph evaluation of the subquery runs once per named graph."""
@@ -77,8 +78,35 @@ def test_scalar_count_empty_graph_fill(store):
                                     A.Var("val")),))
     agg = A.Aggregate(scan_a, (), (), (("c", A.AggSpec("COUNT*")),))
     alg = A.NamedGraph(A.Var("g"), _sub(agg, ("c",)))
-    got = _run(store, alg, ("g", "c"))
+    got = _run(store, alg, ("g", "c"), kb)
     assert got == Counter({(G1, "1"): 1, (G2, "0"): 1})
+
+
+@pytest.mark.parametrize("kb", [None, 64, 128])
+def test_scalar_count_empty_graph_fill_unprojected_g(store, kb):
+    """Same fill, but ?g is NEVER read — in id mode the graph var then
+    rides as a dictionary id (needed_value_vars doesn't mark it), which
+    the r10 fill skipped entirely: the COUNT=0 row for the empty graph
+    was silently lost (ADVICE r10, medium). The fill now anti-joins
+    names(D) in id space too (aggregates.py)."""
+    scan_a = A.BGP((A.TriplePattern(iri(EX + "a"), iri(EX + "p"),
+                                    A.Var("val")),))
+    agg = A.Aggregate(scan_a, (), (), (("c", A.AggSpec("COUNT*")),))
+    alg = A.NamedGraph(A.Var("g"), _sub(agg, ("c",)))
+    got = _run(store, alg, ("c",), kb)
+    assert got == Counter({("1",): 1, ("0",): 1})
+
+
+@pytest.mark.parametrize("kb", [64, 128])
+def test_scalar_sum_empty_graph_fill_unprojected_g(store, kb):
+    """SUM's empty-bag row is 0 (§18.5.1.3) — per empty graph, id mode."""
+    scan_a = A.BGP((A.TriplePattern(iri(EX + "a"), iri(EX + "p"),
+                                    A.Var("val")),))
+    agg = A.Aggregate(scan_a, (), (),
+                      (("t", A.AggSpec("SUM", expr=v("val"))),))
+    alg = A.NamedGraph(A.Var("g"), _sub(agg, ("t",)))
+    got = _run(store, alg, ("t",), kb)
+    assert got == Counter({("3",): 1, ("0",): 1})
 
 
 def test_grouped_count_under_graph_var(store):
@@ -220,6 +248,32 @@ def test_ordered_distinct_limit_under_graph_var(spark, many_store, kb):
     inner = _distinct_limit_alg(2)
     alg = A.NamedGraph(A.Var("g"), _sub(inner, ("val",)))
     got = _run(many_store, alg, ("g", "val"), kb)
+    assert got == Counter({
+        (G1, "1"): 1, (G1, "3"): 1, (G2, "1"): 1, (G2, "2"): 1})
+
+
+@pytest.mark.parametrize("kb", [None, 64, 128])
+def test_project_of_distinct_order_limit_under_graph_var(spark, many_store,
+                                                         kb):
+    """Non-canonical layering Slice(Project(Distinct(Order(X)))) — the
+    DISTINCT dedups FULL-WIDTH rows below the projection. The r10
+    decomposition probed Distinct→Project→Order in that fixed order, so
+    this tree's inner Order went undetected and the per-graph
+    row_number ordered by lit(1) (ADVICE r10). Here full-width dedup
+    collapses the duplicate (s,val) row in each graph (s2/s8 share
+    val 9 in g1 but differ in s — NOT dedup'd), then the slice takes
+    the 2 smallest vals per graph."""
+    inner = A.Slice(
+        A.Project(
+            A.Distinct(A.Order(SCAN,
+                               (A.SortComparator(v("val"), True),))),
+            ("val",)),
+        offset=0, limit=2)
+    alg = A.NamedGraph(A.Var("g"), _sub(inner, ("val",)))
+    got = _run(many_store, alg, ("g", "val"), kb)
+    # g1 rows (s,val): (s0,5)(s2,9)(s4,3)(s6,1)(s8,9) — all distinct
+    # full-width; ordered vals 1,3,5,9,9 → limit 2 → {1,3}
+    # g2 rows: (s1,3)(s3,1)(s5,7)(s7,8)(s9,2) → ordered 1,2,3,7,8 → {1,2}
     assert got == Counter({
         (G1, "1"): 1, (G1, "3"): 1, (G2, "1"): 1, (G2, "2"): 1})
 
