@@ -192,6 +192,41 @@ def wall_anomaly_retries(times: dict, defs: dict, prev: dict,
     return out
 
 
+def suite_noise_ratio(times: dict, defs: dict, prev: dict,
+                      min_entries: int = 5) -> float | None:
+    """Suite-LEVEL noise estimate (r10 judge #2): median(current wall /
+    prior wall) over entries whose definition fingerprint is unchanged
+    and which succeeded in both rounds. The per-entry 1.8× anomaly
+    guard (wall_anomaly_retries) catches a stall landing on ONE query;
+    a degraded host window inflates EVERY query 1.2-1.7× uniformly and
+    slips under it — BENCH_r10 recorded a phantom 24.6% 'regression'
+    that way. The median over unchanged entries is robust to the few
+    genuinely-changed plans and reads ~1.0 on a quiet host. Returns
+    None when fewer than ``min_entries`` entries are comparable (a
+    median over two queries is itself noise)."""
+    import statistics
+
+    prev_q = prev.get("queries", {})
+    prev_defs = prev.get("defs", {})
+    ratios = []
+    for name, t in times.items():
+        if t is None or t <= 0:
+            continue
+        p = prev_q.get(name)
+        if p is None or p <= 0:
+            continue
+        d = defs.get(name)
+        if d is None or prev_defs.get(name) != d:
+            continue
+        ratios.append(t / p)
+    if len(ratios) < min_entries:
+        return None
+    return round(statistics.median(ratios), 3)
+
+
+SUITE_NOISE_FACTOR = 1.25
+
+
 def compare_invariants(prev: dict, cur: dict) -> list[str]:
     """Round-over-round regression check on the EXECUTION INVARIANTS —
     result rows (exact) and steady-state shuffle bytes (>20% or >1 MB
@@ -473,7 +508,39 @@ def main() -> None:
                   f"fingerprint — re-measured, min now {times[name]}s",
                   file=sys.stderr)
 
+    # Suite-level noise guard (r10 judge #2): a degraded host window
+    # inflates EVERY wall 1.2-1.7x uniformly, under the per-entry 1.8x
+    # guard's radar. If the MEDIAN wall ratio over unchanged-fingerprint
+    # entries exceeds 1.25, run ONE full re-measure pass (min over both
+    # passes); if the ratio persists, record host_degraded so a
+    # BENCH_rN vs BENCH_rN-1 wall comparison carries its own caveat.
+    s_ratio = (suite_noise_ratio(times, defs, prev_detail)
+               if prev_detail else None)
+    if s_ratio is not None and s_ratio > SUITE_NOISE_FACTOR:
+        extras["suite_noise_ratio_first_pass"] = s_ratio
+        print(f"# SUITE NOISE: median wall ratio {s_ratio} vs prior round "
+              f"over unchanged entries (> {SUITE_NOISE_FACTOR}) — full "
+              f"re-measure pass", file=sys.stderr)
+        for name in HEADLINE:
+            if times.get(name, -1) <= 0:
+                continue
+            t0 = time.time()
+            try:
+                qs[name](spark, sf_dir).count()
+            except Exception:
+                continue
+            times[name] = min(times[name], round(time.time() - t0, 3))
+        s_ratio = suite_noise_ratio(times, defs, prev_detail)
+        print(f"# suite noise ratio after re-measure: {s_ratio}",
+              file=sys.stderr)
+    host_degraded = s_ratio is not None and s_ratio > SUITE_NOISE_FACTOR
+    if host_degraded:
+        print(f"# HOST DEGRADED: suite noise ratio {s_ratio} persists "
+              f"after re-measure — walls this round are inflated; compare "
+              f"rows/shuffle/operator trees instead", file=sys.stderr)
+
     total = round(sum(t for n, t in times.items() if t >= 0 and n in R1_BASELINE), 3)
+    total_all = round(sum(t for t in times.values() if t and t >= 0), 3)
 
     # measured claim (VERDICT r6 item 9): the characteristic-set BGP
     # ordering must BEAT the un-hinted syntactic order on an adversarial
@@ -536,11 +603,15 @@ def main() -> None:
     p_min = round(min(probes), 1)
     stalls = sum(1 for p in probes if p > 2 * min(probes))
     noise = {"probe_ms_min": p_min, "stalls": stalls,
-             "probes": len(probes)}
+             "probes": len(probes),
+             "suite_noise_ratio": s_ratio,
+             "host_degraded": host_degraded}
 
     cur_detail = {
         "metric": "headline_total_wall_best_of_3_r1_comparable",
         "value": total,
+        "r1_comparable_total": total,
+        "all_queries_total": total_all,
         "unit": "sec",
         "queries": times,
         "rows": rows,
@@ -592,6 +663,8 @@ def main() -> None:
     line = json.dumps({
         "metric": "headline_total_wall_best_of_3_r1_comparable",
         "value": total,
+        "r1_comparable_total": total,
+        "all_queries_total": total_all,
         "unit": "sec",
         "queries": times,
         "noise": noise,
@@ -602,6 +675,8 @@ def main() -> None:
         line = json.dumps({
             "metric": "headline_total_wall_best_of_3_r1_comparable",
             "value": total,
+            "r1_comparable_total": total,
+            "all_queries_total": total_all,
             "unit": "sec",
             "queries": {k: v for k, v in times.items() if k in R1_BASELINE},
             "noise": noise,

@@ -163,7 +163,10 @@ class Compiler:
         if isinstance(node, A.LeftJoin):
             return self._left_join(self._c(node.lhs, g), self._c(node.rhs, g), node.expr)
         if isinstance(node, A.Minus):
-            return self._minus(self._c(node.lhs, g), self._c(node.rhs, g))
+            return self._minus(
+                self._c(node.lhs, g), self._c(node.rhs, g),
+                graph_var=(g.name if isinstance(g, A.Var) and g.binding
+                           else None))
         if isinstance(node, A.SemiJoin):
             return self._semi(self._c(node.lhs, g), self._c(node.rhs, g), node.anti)
         if isinstance(node, A.Filter):
@@ -658,9 +661,21 @@ class Compiler:
         certain = left.certain  # RHS-only vars may be unbound
         return Plan(df, certain, left.id_vars | right.id_vars)
 
-    def _minus(self, left: Plan, right: Plan) -> Plan:
+    def _minus(self, left: Plan, right: Plan,
+               graph_var: str | None = None) -> Plan:
+        """``graph_var`` = the active-graph column threaded under
+        ``GRAPH ?var``. Per §18.1.7 the spec evaluates Minus PER GRAPH
+        with plain §18.5 semantics, where ?var is NOT part of the
+        mappings (the extension with {?var→g} happens outside the
+        pattern) — so the threaded column joins the COMPATIBILITY
+        condition (per-graph separation: a g2 right row must not cancel
+        a g1 left row) but never counts toward dom-disjointness. r11
+        fuzz find (order/slice graph family, seed 10): a VALUES-only
+        MINUS under GRAPH ?g cancelled everything because both sides
+        'shared' the threaded ?g."""
         shared = [v for v in left.variables if v in right.variables]
-        if not shared:
+        real = [v for v in shared if v != graph_var]
+        if not real:
             return left  # disjoint domains never cancel (:554-569)
         rdf, ren = self._prep_right(right)
         ids = left.id_vars | right.id_vars
@@ -668,7 +683,8 @@ class Compiler:
         if strict:
             cond = self._join_cond(left.df, rdf, ren, shared, True, ids)
         else:
-            # ≥1 shared var bound on both sides AND all shared bound vars equal
+            # ≥1 shared REAL var bound on both sides AND all shared
+            # bound vars (graph column included) equal
             compat, overlap = None, None
             for vname in shared:
                 if vname in ids:
@@ -676,8 +692,10 @@ class Compiler:
                 else:
                     lk, rk = term_key(left.df[vname]), term_key(rdf[ren[vname]])
                 c = lk.isNull() | rk.isNull() | (lk == rk)
-                o = lk.isNotNull() & rk.isNotNull()
                 compat = c if compat is None else (compat & c)
+                if vname == graph_var:
+                    continue
+                o = lk.isNotNull() & rk.isNotNull()
                 overlap = o if overlap is None else (overlap | o)
             cond = compat & overlap
         return Plan(left.df.join(rdf, cond, "left_anti"), left.certain,

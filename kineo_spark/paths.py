@@ -183,11 +183,17 @@ def _closure(compiler, edges: DataFrame, max_iterations: int,
 def _closure_pairs(ek: DataFrame, max_iterations: int,
                    seed_col=None, reverse: bool = False,
                    strategy: str = "seminaive",
-                   scoped: bool = False) -> DataFrame:
+                   scoped: bool = False,
+                   rounds_out: list | None = None) -> DataFrame:
     """The pure long-pair fixpoint: input and output are (__a, __b)
     8-byte key pairs — shared by the term path (keys = xxhash64 of the
     injective term key) and the ID path (keys = dictionary ids). All
-    shuffles inside the loop move 16 B/row at any scale."""
+    shuffles inside the loop move 16 B/row at any scale.
+
+    ``rounds_out``: optional list the executed fixpoint rounds are
+    appended to (one entry per round, including the final empty-delta
+    round) — the stress harness records rounds as measured numbers,
+    not formulas (tools/stress_path_diameter.py)."""
     if reverse:
         ek = ek.select(F.col("__b").alias("__a"), F.col("__a").alias("__b"))
     ek = ek.localCheckpoint(eager=True)
@@ -201,7 +207,9 @@ def _closure_pairs(ek: DataFrame, max_iterations: int,
         # bottleneck at cluster scale: every round is a full shuffle
         # stage + driver sync. Same key-space currency (16 B/row).
         acc = ek
-        for _ in range(max_iterations):
+        for _round in range(max_iterations):
+            if rounds_out is not None:
+                rounds_out.append(_round + 1)
             r2 = acc.select(F.col("__a").alias("__ja"), F.col("__b").alias("__jb"))
             grown = (
                 acc.join(r2, acc["__b"] == r2["__ja"], "inner")
@@ -226,7 +234,9 @@ def _closure_pairs(ek: DataFrame, max_iterations: int,
         acc = frontier.localCheckpoint(eager=True)
         frontier = acc
         e2 = ek.select(F.col("__a").alias("__ea"), F.col("__b").alias("__eb"))
-        for _ in range(max_iterations):
+        for _round in range(max_iterations):
+            if rounds_out is not None:
+                rounds_out.append(_round + 1)
             grown = (
                 frontier.join(e2, frontier["__b"] == e2["__ea"], "inner")
                 .select(frontier["__a"], F.col("__eb").alias("__b"))

@@ -75,6 +75,9 @@ _TWINNED = [
     # id-mode plans
     "sparql_graph_subquery_count",
     "sparql_graph_subquery_limit",
+    # r11: MINUS under GRAPH ?var — dom-disjointness over the pattern's
+    # own vars, the threaded graph column as scope only
+    "sparql_graph_minus_disjoint",
 ]
 
 
@@ -142,6 +145,8 @@ _TWINNED_128 = [
     # r10: per-graph subquery aggregate/limit at the 128-bit key width
     "sparql_graph_subquery_count",
     "sparql_graph_subquery_limit",
+    # r11: graph-scoped MINUS dom-disjointness at the struct key width
+    "sparql_graph_minus_disjoint",
 ]
 
 for _name in _TWINNED_128:

@@ -938,6 +938,30 @@ def sparql_graph_subquery_limit(spark, sf_dir) -> DataFrame:
     })
 
 
+@q("sparql_graph_minus_disjoint",
+   "SELECT 'urn:g:nation' AS g, "
+   "'urn:t:nation:' || CAST(n_nationkey AS VARCHAR) AS s, n_name AS n "
+   "FROM nation")
+def sparql_graph_minus_disjoint(spark, sf_dir) -> DataFrame:
+    """GRAPH ?g { ?s <n_name> ?n MINUS { VALUES ?z { 1 } } } — §18.1.7:
+    the MINUS evaluates per graph with plain §18.5 semantics, where the
+    active-graph var is evaluation SCOPE, not a mapping variable. The
+    sides share no variables, so dom-disjointness means NOTHING is
+    cancelled (r11 fuzz find: the threaded graph column previously
+    made both sides 'share' ?g, and the graph-transparent VALUES row —
+    bound once per named graph — cancelled every row of its graph).
+    Reference: MinusPlan dom-disjointness,
+    MaterializedQueryPlan.swift:554-569."""
+    comp = compiler_for(spark, sf_dir)
+    alg = A.NamedGraph(
+        A.Var("g"),
+        A.Minus(A.Triple(tp("s", col("nation", "n_name"), "n")),
+                A.Table(("z",), ((lit(1),),))))
+    return extract(select(comp, A.SelectQuery(alg, ("g", "s", "n"))), {
+        "g": ("g", "lex"), "s": ("s", "lex"), "n": ("n", "lex"),
+    })
+
+
 # ---------------------------------------------------------------------------
 # Expression surface
 # ---------------------------------------------------------------------------

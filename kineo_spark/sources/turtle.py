@@ -397,26 +397,51 @@ _DOTLESS_DIR_END = re.compile(
 # TriG graph-block depth + 100 x Turtle-star annotation depth). Valid
 # TriG never nests blocks, so graph depth is 0 or 1; `{| ... |}`
 # annotations may nest (an annotation's own objects can be annotated)
-# and span lines, tracked in steps of 100 up to depth
-# _MAX_ANNOT_DEPTH (r8: 2 -> 4; the state count grows LINEARLY in the
-# depth bound — 3 quote states x 2 graph depths x (k+1) annotation
-# depths = 30 states at k=4) — deeper nesting (pathological) takes the
+# and span lines, tracked in steps of 100 up to a CONFIGURABLE depth
+# bound (r8: 2 -> 4; r11: 4 -> 8 default + set_annot_depth — the state
+# count grows LINEARLY in the bound: 3 quote states x 2 graph depths x
+# (k+1) annotation depths = 54 states at k=8, cheap insurance for
+# machine-generated RDF-star) — deeper nesting (pathological) takes the
 # driver fallback. In practice branches converge after the first
 # statement boundary, so pass-1 cost is far below the worst case.
-_MAX_ANNOT_DEPTH = 4
-_ALL_STATES = [
-    (q, g + 100 * a)
-    for q in ("", "'", '"') for g in (0, 1)
-    for a in range(_MAX_ANNOT_DEPTH + 1)
-]
+_MAX_ANNOT_DEPTH = 8
 _START_STATE = ("", 0)
+
+
+def _make_states(k: int) -> list[tuple[str, int]]:
+    return [(q, g + 100 * a)
+            for q in ("", "'", '"') for g in (0, 1)
+            for a in range(k + 1)]
+
+
+_ALL_STATES = _make_states(_MAX_ANNOT_DEPTH)
+
+
+def set_annot_depth(k: int) -> None:
+    """Reconfigure the statement-parallel scanner's RDF-star annotation
+    depth bound (pass-1 branch count grows linearly in ``k``; nesting
+    beyond the bound falls back to the driver parser, correctness
+    unchanged)."""
+    global _MAX_ANNOT_DEPTH, _ALL_STATES
+    if k < 1:
+        raise ValueError("annotation depth bound must be >= 1")
+    _MAX_ANNOT_DEPTH = k
+    _ALL_STATES = _make_states(k)
 
 _MAX_DIRECTIVES = 10_000
 
 
-def _scan_line(line: str, state: tuple[str, int]):
+def _scan_line(line: str, state: tuple[str, int],
+               max_annot_depth: int | None = None):
     """Scan one physical line given the cross-line lexical state at its
     start. Returns (state_out, ends_statement, unsupported_reason).
+
+    ``max_annot_depth`` is passed BY VALUE from the driver at job
+    creation (default: the module bound): the pass-1/pass-2 closures
+    run on Python workers whose own module import may carry a different
+    default than a driver that called set_annot_depth, and the two
+    sides must agree or the driver fold follows a state the branch
+    tables never enumerated.
 
     ends_statement is True iff the next line begins a new statement:
     the line's last significant token (outside strings, IRIs, comments)
@@ -508,7 +533,9 @@ def _scan_line(line: str, state: tuple[str, int]):
         if ch == "{":
             if line[i:i + 2] == "{|":  # Turtle-star annotation open
                 depth += 100
-                if depth >= 100 * (_MAX_ANNOT_DEPTH + 1):
+                k = (_MAX_ANNOT_DEPTH if max_annot_depth is None
+                     else max_annot_depth)
+                if depth >= 100 * (k + 1):
                     # the cross-line state space caps annotation depth
                     # at _MAX_ANNOT_DEPTH — deeper falls back to the driver
                     return (strq, depth), False, "deeply nested annotation"
@@ -603,10 +630,16 @@ def load_turtle_distributed(
         lambda pid, it: ((pid * (1 << 40) + j, line) for j, line in enumerate(it))
     ).cache()
 
+    # capture the depth bound and state list BY VALUE at job creation:
+    # worker processes re-import this module, so a driver-side
+    # set_annot_depth would otherwise desynchronize the two sides
+    annot_k = _MAX_ANNOT_DEPTH
+    all_states = _make_states(annot_k)
+
     def part_summary(pid, it):
         # branch per candidate incoming state; branches whose current
         # states coincide share one scan per line
-        branches = {s: [s, 0, None] for s in _ALL_STATES}
+        branches = {s: [s, 0, None] for s in all_states}
         for _, line in it:
             cache = {}
             for b in branches.values():
@@ -614,7 +647,7 @@ def load_turtle_distributed(
                     continue  # this branch already left the subset
                 cur = b[0]
                 if cur not in cache:
-                    cache[cur] = _scan_line(line, cur)
+                    cache[cur] = _scan_line(line, cur, annot_k)
                 st, e, bad = cache[cur]
                 b[0] = st
                 if e:
@@ -650,7 +683,7 @@ def load_turtle_distributed(
         st, sid = offsets[pid]
         for idx, line in it:
             yield (sid, idx, line)
-            st, e, _ = _scan_line(line, st)
+            st, e, _ = _scan_line(line, st, annot_k)
             if e:
                 sid += 1
 

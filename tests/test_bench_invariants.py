@@ -161,3 +161,78 @@ def test_wall_anomaly_skips_new_and_failed_entries():
 def test_wall_anomaly_skips_missing_fingerprint():
     prev = _prev(queries={"q": 1.0}, defs={})
     assert wall_anomaly_retries({"q": 9.0}, {}, prev) == []
+
+
+# --- suite-level noise ratio (r10 judge #2) ----------------------------------
+# The per-entry 1.8x guard misses UNIFORM host inflation (r10: all 41
+# walls 1.2-1.7x up, identical plans, no single entry crossing 1.8x).
+# suite_noise_ratio is the complementary median-over-unchanged-entries
+# signal; > 1.25 triggers one re-measure pass, persisting > 1.25
+# records host_degraded in the JSON.
+
+from bench import SUITE_NOISE_FACTOR, suite_noise_ratio  # noqa: E402
+
+
+def _prev(queries, defs):
+    return {"queries": queries, "defs": defs}
+
+
+def test_suite_noise_uniform_inflation_detected():
+    names = [f"q{i}" for i in range(8)]
+    defs = {n: "abc" for n in names}
+    prev = _prev({n: 1.0 for n in names}, defs)
+    times = {n: 1.4 for n in names}  # uniform 1.4x — r10's exact miss
+    r = suite_noise_ratio(times, defs, prev)
+    assert r == 1.4 and r > SUITE_NOISE_FACTOR
+
+
+def test_suite_noise_quiet_host_near_one():
+    names = [f"q{i}" for i in range(8)]
+    defs = {n: "abc" for n in names}
+    prev = _prev({n: 1.0 for n in names}, defs)
+    times = {n: 1.0 + 0.02 * (i % 3) for i, n in enumerate(names)}
+    r = suite_noise_ratio(times, defs, prev)
+    assert r is not None and r <= SUITE_NOISE_FACTOR
+
+
+def test_suite_noise_median_robust_to_one_changed_plan():
+    """One genuinely-regressed (or stalled) entry must not flip the
+    suite signal: the MEDIAN over 9 unchanged-at-1.0x entries stays
+    1.0 even with a 6x outlier."""
+    names = [f"q{i}" for i in range(10)]
+    defs = {n: "abc" for n in names}
+    prev = _prev({n: 1.0 for n in names}, defs)
+    times = {n: 1.0 for n in names}
+    times["q0"] = 6.0
+    assert suite_noise_ratio(times, defs, prev) == 1.0
+
+
+def test_suite_noise_excludes_changed_fingerprints():
+    """Entries whose definition changed re-baseline: their ratio says
+    nothing about the host. 5 unchanged at 1.0x + 5 changed at 2.0x
+    must read 1.0."""
+    defs = {f"u{i}": "same" for i in range(5)}
+    defs.update({f"c{i}": "new" for i in range(5)})
+    prev_defs = {f"u{i}": "same" for i in range(5)}
+    prev_defs.update({f"c{i}": "old" for i in range(5)})
+    prev = _prev({**{f"u{i}": 1.0 for i in range(5)},
+                  **{f"c{i}": 1.0 for i in range(5)}}, prev_defs)
+    times = {**{f"u{i}": 1.0 for i in range(5)},
+             **{f"c{i}": 2.0 for i in range(5)}}
+    assert suite_noise_ratio(times, defs, prev) == 1.0
+
+
+def test_suite_noise_needs_enough_entries():
+    # a median over < 5 comparable entries is itself noise → None
+    defs = {"q1": "a", "q2": "b"}
+    prev = _prev({"q1": 1.0, "q2": 1.0}, defs)
+    assert suite_noise_ratio({"q1": 1.5, "q2": 1.5}, defs, prev) is None
+
+
+def test_suite_noise_skips_failed_and_new_entries():
+    names = [f"q{i}" for i in range(6)]
+    defs = {n: "abc" for n in names} | {"newq": "zz", "failq": "ff"}
+    prev = _prev({n: 1.0 for n in names} | {"failq": 1.0}, 
+                 {n: "abc" for n in names} | {"failq": "ff"})
+    times = {n: 1.0 for n in names} | {"newq": 9.9, "failq": -1.0}
+    assert suite_noise_ratio(times, defs, prev) == 1.0

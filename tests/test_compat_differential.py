@@ -624,6 +624,10 @@ def rand_alg(rng: random.Random, depth: int):
 
 
 def all_vars(alg) -> set:
+    if isinstance(alg, (A.Order, A.Slice, A.Reduced)):
+        return all_vars(alg.child)
+    if isinstance(alg, A.Project):
+        return set(alg.variables)
     if isinstance(alg, A.BGP):
         return {n.name for p in alg.patterns
                 for n in (p.s, p.p, p.o) if isinstance(n, A.Var)}
@@ -943,3 +947,388 @@ def test_compat_differential_construct(spark, seed):
     assert got == want, (
         f"seed {seed}: alg {alg}\ntemplate {template}\nquads {quads}\n"
         f"extra={got - want}\nmissing={want - got}")
+
+
+# --- ORDER BY / Slice / ordered-DISTINCT (r11, judge #1) ---------------------
+# The r10 round's one real wrong answer (ordered DISTINCT+LIMIT, wrong
+# since r1) lived exactly where rand_alg could not generate trees:
+# no A.Order / A.Slice nodes, and the multiset compare cannot see order.
+# These families put Order/Slice (and both DISTINCT sandwiches) over
+# random compat subtrees with an ORDER-AWARE independent evaluator:
+# rows group into equivalence classes under the engine's documented
+# total term order (unbound < blank < IRI < literal, valued literals by
+# numeric shadow — OrderPlan, MaterializedQueryPlan.swift:705-748), a
+# LIMIT/OFFSET window may split only BOUNDARY classes, and the rows an
+# engine takes from a split class must be a sub-bag of that class.
+
+import functools
+
+
+def _ref_sort_field(val):
+    # Spark struct ordering: null is the smallest value of every field
+    return (0,) if val is None else (1, val)
+
+
+def _ref_sort_key(t):
+    """Spec-side model of model.sort_key over a term triple (None =
+    unbound): (kind_rank, vflag, num, lex, dt), None-as-minimum per
+    field. The fuzz pool has no blanks/langStrings, so lang is omitted."""
+    if t is None:
+        return (_ref_sort_field(-1), _ref_sort_field(None),
+                _ref_sort_field(None), _ref_sort_field(None),
+                _ref_sort_field(None))
+    k, lex, dt = t
+    num = None
+    if k == KIND_IRI:
+        rank = 1
+    else:
+        rank = 2
+        if dt in NUM_DTS:
+            num = float(lex)
+        elif dt == "boolean":
+            num = 1.0 if lex == "true" else 0.0
+    vflag = -1 if num is not None else 0
+    return (_ref_sort_field(rank), _ref_sort_field(vflag),
+            _ref_sort_field(num), _ref_sort_field(lex),
+            _ref_sort_field(dt))
+
+
+def _norm_term(t):
+    if t is None:
+        return None
+    k, lex, dt = t
+    return (k, _short(lex) if k == KIND_IRI else lex, dt)
+
+
+def _ordered_classes(sub_bag: Counter, keys, ascs, proj, distinct=None):
+    """Equivalence classes of the (possibly deduplicated, projected)
+    bag under the ORDER BY keys, sorted by the directional comparator.
+    distinct: None | 'projected' (canonical Distinct(Project(Order)))
+    | 'fullwidth' (Project(Distinct(Order)) — dedup BELOW the
+    projection). Returns [(normalized key tuple, Counter of projected
+    row tuples)] in output order."""
+    if distinct == "fullwidth":
+        sub_bag = Counter(dict.fromkeys(sub_bag, 1))
+    classes: dict = {}
+    for kmap, n in sub_bag.items():
+        d = dict(kmap)
+        kt = tuple(d.get(k) for k in keys)
+        classes.setdefault(kt, Counter())[_want_key(d, proj)] += n
+    if distinct == "projected":
+        # keys ⊆ proj by construction, so global dedup == per-class
+        for kt in list(classes):
+            classes[kt] = Counter(dict.fromkeys(classes[kt], 1))
+
+    def cmp(a, b):
+        for ka, kb, asc in zip(a, b, ascs):
+            sa, sb = _ref_sort_key(ka), _ref_sort_key(kb)
+            if sa != sb:
+                r = -1 if sa < sb else 1
+                return r if asc else -r
+        return 0
+
+    ordered = sorted(classes.items(),
+                     key=functools.cmp_to_key(lambda x, y: cmp(x[0], y[0])))
+    # equal sort keys imply identical terms, so adjacent classes never
+    # compare equal — each class is one tie group
+    return [(tuple(_norm_term(k) for k in kt), bag) for kt, bag in ordered]
+
+
+def _assert_ordered_slice(got, proj, keys, classes, off, lim,
+                          check_sorted, ctx):
+    """got = engine rows IN OUTPUT ORDER (normalized tuples over proj).
+    Valid iff: every row's ORDER key belongs to a known class, the rows
+    taken per class are a sub-bag of the class of exactly the size the
+    [offset, offset+limit) window allots it, and (check_sorted) classes
+    appear in non-decreasing comparator order."""
+    kidx = [proj.index(k) for k in keys]
+    index = {nk: i for i, (nk, _b) in enumerate(classes)}
+    total = sum(sum(b.values()) for _nk, b in classes)
+    hi = total if lim is None else min(total, off + lim)
+    takes, pos = [], 0
+    for _nk, b in classes:
+        s = sum(b.values())
+        takes.append(max(0, min(pos + s, hi) - max(pos, off)))
+        pos += s
+    got_by_class: dict = {}
+    seen = []
+    for row in got:
+        nk = tuple(row[i] for i in kidx)
+        assert nk in index, f"{ctx}: row {row} has unknown ORDER key {nk}"
+        ci = index[nk]
+        seen.append(ci)
+        got_by_class.setdefault(ci, Counter())[row] += 1
+    if check_sorted:
+        assert seen == sorted(seen), \
+            f"{ctx}: output violates ORDER BY (class sequence {seen})"
+    for ci, (nk, bag) in enumerate(classes):
+        gb = got_by_class.get(ci, Counter())
+        assert sum(gb.values()) == takes[ci], (
+            f"{ctx}: class {nk} took {sum(gb.values())} rows, window "
+            f"allots {takes[ci]} (takes={takes})\ngot={got}\nclasses={classes}")
+        for r in gb:
+            assert gb[r] <= bag[r], (
+                f"{ctx}: class {nk} rows {dict(gb)} not a sub-bag of "
+                f"{dict(bag)}")
+
+
+ORDER_SHAPES = ["order", "slice_order", "slice_proj",
+                "distinct_sandwich", "proj_distinct"]
+
+
+def rand_order_slice(rng: random.Random, depth: int):
+    """Random ordered/sliced tree over a random compat subtree. Returns
+    (alg, meta) with meta = (sub, keys, ascs, out, off, lim, distinct).
+    ORDER keys are always kept in the projection so the compare can
+    identify each output row's tie class."""
+    sub = rand_alg(rng, depth - 1)
+    for _ in range(5):
+        if sorted(all_vars(sub) & set(VARS + EVARS + AVARS)):
+            break
+        sub = rand_alg(rng, depth - 1)
+    vars_ = sorted(all_vars(sub) & set(VARS + EVARS + AVARS))
+    if not vars_:
+        sub = rand_table(rng)
+        vars_ = sorted(all_vars(sub))
+    keys = rng.sample(vars_, rng.randint(1, min(2, len(vars_))))
+    ascs = [rng.random() < 0.65 for _ in keys]
+    comps = tuple(A.SortComparator(v(k), a) for k, a in zip(keys, ascs))
+    shape = rng.choice(ORDER_SHAPES)
+    off = rng.choice([0, 0, 0, 1, 2])
+    lim = rng.choice([1, 2, 3, 4, None])
+    ordered = A.Order(sub, comps)
+    if shape in ("order", "slice_order"):
+        out = tuple(sorted(all_vars(sub)))
+        if shape == "order":
+            return A.Order(sub, comps), (sub, keys, ascs, out, 0, None, None)
+        return (A.Slice(ordered, offset=off, limit=lim),
+                (sub, keys, ascs, out, off, lim, None))
+    others = [x for x in vars_ if x not in keys]
+    extra = rng.sample(others, rng.randint(0, len(others)))
+    out = tuple(sorted(set(keys) | set(extra)))
+    if shape == "slice_proj":
+        return (A.Slice(A.Project(ordered, out), offset=off, limit=lim),
+                (sub, keys, ascs, out, off, lim, None))
+    if shape == "distinct_sandwich":
+        return (A.Slice(A.Distinct(A.Project(ordered, out)),
+                        offset=off, limit=lim),
+                (sub, keys, ascs, out, off, lim, "projected"))
+    return (A.Slice(A.Project(A.Distinct(ordered), out),
+                    offset=off, limit=lim),
+            (sub, keys, ascs, out, off, lim, "fullwidth"))
+
+
+def _run_order_case(spark, seed: int, compile_df, check_sorted=True):
+    rng = random.Random(11000 + seed)
+    quads = rand_quads(rng)
+    alg, (sub, keys, ascs, out, off, lim, distinct) = \
+        rand_order_slice(rng, 2)
+    store = QuadsDataFrameStore.from_rows(spark, _quad_rows(quads))
+    df = compile_df(store, A.SelectQuery(alg, out))
+    got = [_got_key(r, out) for r in df.collect()]
+    classes = _ordered_classes(ref_eval(sub, quads), keys, ascs, out,
+                               distinct)
+    _assert_ordered_slice(got, out, keys, classes, off, lim, check_sorted,
+                          f"seed {seed}: alg {alg}\nquads {quads}")
+
+
+@pytest.mark.parametrize("seed", range(14))
+def test_order_slice_differential_term_mode(spark, seed):
+    def compile_df(store, q):
+        return select(Compiler(store), q)
+    _run_order_case(spark, seed, compile_df)
+
+
+@pytest.mark.parametrize("seed,kb", [(s, kb) for s in range(5)
+                                     for kb in (64, 128)])
+def test_order_slice_differential_id_modes(spark, seed, kb):
+    """ORDER/Slice through the dictionary compilers: the order keys'
+    VALUES are read (sort_key), so prepare() must materialize them while
+    join-only vars keep riding as ids."""
+    from kineo_spark.dictionary import id_compiler
+
+    def compile_df(store, q):
+        comp = id_compiler(store, key_bits=kb)
+        comp.prepare(q)
+        return select(comp, q)
+    _run_order_case(spark, seed, compile_df)
+
+
+def _run_graph_order_case(spark, seed: int, compile_df):
+    """GRAPH ?g { SELECT ... ORDER BY ... LIMIT k } — §18.1.7: the
+    subquery (slice included) evaluates once per named graph, so the
+    window applies PER GRAPH; output order across graphs is undefined,
+    so only class-take validity is checked, per graph."""
+    rng = random.Random(12000 + seed)
+    quads = rand_quads(rng, graphs=GRAPHS)
+    alg, (sub, keys, ascs, out, off, lim, distinct) = \
+        rand_order_slice(rng, 2)
+    top = A.NamedGraph(A.Var("g"),
+                       A.Subquery(A.SelectQuery(alg, out)))
+    proj = ("g",) + out
+    store = QuadsDataFrameStore.from_rows(spark, _quad_rows(quads))
+    df = compile_df(store, A.SelectQuery(top, proj))
+    by_graph: dict = {}
+    for r in df.collect():
+        row = _got_key(r, proj)
+        by_graph.setdefault(row[0], []).append(row[1:])
+    names = sorted({g for *_rest, g in quads})
+    assert set(by_graph) <= {_norm_term((KIND_IRI, g, None)) for g in names}, \
+        f"seed {seed}: rows bound to unknown graphs {set(by_graph)}"
+    for g in names:
+        gkey = _norm_term((KIND_IRI, g, None))
+        classes = _ordered_classes(ref_eval(sub, quads, g), keys, ascs,
+                                   out, distinct)
+        _assert_ordered_slice(
+            by_graph.get(gkey, []), out, keys, classes, off, lim, False,
+            f"seed {seed} graph {g}: alg {alg}\nquads {quads}")
+
+
+@pytest.mark.parametrize("seed", range(12))
+def test_order_slice_differential_graph_scoped(spark, seed):
+    """The composition that caught the r9 AND r10 finds: per-graph
+    evaluation × the newest operator family (here _slice_per_graph's
+    Order detection and per-graph row_number window). Seed 10 generates
+    the Project(Distinct(Order)) layering whose inner Order the r10
+    decomposition missed — verified to FAIL on the r10 compiler."""
+    def compile_df(store, q):
+        return select(Compiler(store), q)
+    _run_graph_order_case(spark, seed, compile_df)
+
+
+@pytest.mark.parametrize("seed,kb", [(s, kb) for s in range(4)
+                                     for kb in (64, 128)])
+def test_order_slice_differential_graph_scoped_id_modes(spark, seed, kb):
+    from kineo_spark.dictionary import id_compiler
+
+    def compile_df(store, q):
+        comp = id_compiler(store, key_bits=kb)
+        comp.prepare(q)
+        return select(comp, q)
+    _run_graph_order_case(spark, seed, compile_df)
+
+
+# --- aggregates over ROWS frames (r11, judge #5) -----------------------------
+# SUM/COUNT*/MIN/MAX OVER (PARTITION BY ?x ORDER BY ?n ROWS a..b) with
+# the reference's explicit bound pairs (Window.swift:52-82). The ORDER
+# BY key doubles as the aggregated operand and is drawn from an
+# exact-in-binary numeric pool (halves), so every frame sum is exact
+# and its double→string form agrees between Spark and Python. Ties in
+# the key make the row↔frame assignment WITHIN a tie class arbitrary
+# (any assignment arises from some tie order), so the compare matches,
+# per (partition, tie-class): the multiset of base rows AND the
+# multiset of frame results — exact, without over-constraining.
+
+FRAME_PAIRS = [(None, 0), (None, 2), (-2, 0), (-1, 1), (0, None),
+               (0, 2), (-3, -1), (1, 3), (None, None)]
+NUM_LITS = [lit("0.5", dt="decimal"), lit(1), lit("1.5", dt="decimal"),
+            lit(2), lit(3), lit("2.0", dt="double")]
+FRAME_OPS = ["SUM", "SUM", "COUNT*", "MIN", "MAX"]
+
+
+def rand_framed_window(rng: random.Random, depth: int):
+    child = rand_alg(rng, depth - 1)
+    vn = "vn"  # never in VARS: the numeric table cross-joins cleanly
+    table = A.Table((vn,), tuple((rng.choice(NUM_LITS),)
+                                 for _ in range(rng.randint(2, 5))))
+    base = A.Join(child, table)
+    cvars = sorted(all_vars(child) & set(VARS))
+    pname = (rng.choice(cvars) if cvars and rng.random() < 0.8 else None)
+    asc = rng.random() < 0.7
+    fs, fe = rng.choice(FRAME_PAIRS)
+    op = rng.choice(FRAME_OPS)
+    res = rng.choice(AVARS)
+    spec = A.WindowSpec(op, expr=None if op == "COUNT*" else v(vn),
+                        partition=(v(pname),) if pname else (),
+                        order=(A.SortComparator(v(vn), asc),),
+                        frame_start=fs, frame_end=fe)
+    return (A.Window(base, functions=((res, spec),)),
+            (base, vn, pname, asc, (fs, fe), op, res))
+
+
+def _frame_result(op, vals, lo, hi):
+    """One frame's aggregate over the sorted per-partition value list
+    (engine analog: F.sum/min/max over num, count over 1)."""
+    n = len(vals)
+    lo = 0 if lo is None else max(0, lo)
+    hi = n - 1 if hi is None else min(n - 1, hi)
+    window = vals[lo:hi + 1] if lo <= hi else []
+    if op == "COUNT*":
+        return (KIND_LITERAL, str(len(window)), "integer")
+    if not window:
+        return None  # empty frame: null aggregate = unbound
+    r = {"SUM": sum(window), "MIN": min(window), "MAX": max(window)}[op]
+    return (KIND_LITERAL, str(float(r)), "double")
+
+
+def _run_framed_case(spark, seed: int, compile_df):
+    rng = random.Random(13000 + seed)
+    quads = rand_quads(rng)
+    alg, (base, vn, pname, asc, (fs, fe), op, res) = \
+        rand_framed_window(rng, 2)
+    out = tuple(sorted(all_vars(base)))
+    proj = out + (res,)
+    store = QuadsDataFrameStore.from_rows(spark, _quad_rows(quads))
+    df = compile_df(store, A.SelectQuery(alg, proj))
+
+    # reference: partition, sort by the key, frame positionally
+    parts: dict = {}
+    for kmap, n in ref_eval(base, quads).items():
+        d = dict(kmap)
+        pk = _norm_term(d.get(pname)) if pname else ()
+        parts.setdefault(pk, []).extend([d] * n)
+    want: dict = {}  # (pk, key term) -> [Counter(base rows), Counter(results)]
+    for pk, rows in parts.items():
+        inst = sorted(rows, key=lambda d: _ref_sort_key(d[vn]))
+        if not asc:
+            inst.reverse()
+        vals = [float(d[vn][1]) for d in inst]
+        for i, d in enumerate(inst):
+            r = _frame_result(op, vals,
+                              None if fs is None else i + fs,
+                              None if fe is None else i + fe)
+            slot = want.setdefault((pk, _norm_term(d[vn])),
+                                   [Counter(), Counter()])
+            slot[0][_want_key(d, out)] += 1
+            slot[1][_norm_term(r) if r else None] += 1
+
+    got: dict = {}
+    kvi = out.index(vn)
+    pki = out.index(pname) if pname else None
+    for r_ in df.collect():
+        row = _got_key(r_, proj)
+        base_row, result = row[:-1], row[-1]
+        pk = base_row[pki] if pname else ()
+        slot = got.setdefault((pk, base_row[kvi]), [Counter(), Counter()])
+        slot[0][base_row] += 1
+        slot[1][result] += 1
+
+    ctx = f"seed {seed}: alg {alg}\nquads {quads}"
+    assert set(got) == set(want), (
+        f"{ctx}\nclasses got={sorted(got)}\nwant={sorted(want)}")
+    for cls in want:
+        assert got[cls][0] == want[cls][0], (
+            f"{ctx}\nclass {cls} base rows differ:\n"
+            f"got={got[cls][0]}\nwant={want[cls][0]}")
+        assert got[cls][1] == want[cls][1], (
+            f"{ctx}\nclass {cls} frame results differ:\n"
+            f"got={got[cls][1]}\nwant={want[cls][1]}")
+
+
+@pytest.mark.parametrize("seed", range(10))
+def test_framed_window_differential_term_mode(spark, seed):
+    def compile_df(store, q):
+        return select(Compiler(store), q)
+    _run_framed_case(spark, seed, compile_df)
+
+
+@pytest.mark.parametrize("seed,kb", [(s, kb) for s in range(3)
+                                     for kb in (64, 128)])
+def test_framed_window_differential_id_modes(spark, seed, kb):
+    from kineo_spark.dictionary import id_compiler
+
+    def compile_df(store, q):
+        comp = id_compiler(store, key_bits=kb)
+        comp.prepare(q)
+        return select(comp, q)
+    _run_framed_case(spark, seed, compile_df)

@@ -278,6 +278,40 @@ def test_project_of_distinct_order_limit_under_graph_var(spark, many_store,
         (G1, "1"): 1, (G1, "3"): 1, (G2, "1"): 1, (G2, "2"): 1})
 
 
+# --- MINUS under GRAPH ?var (r11 fuzz find) ----------------------------------
+
+@pytest.mark.parametrize("kb", [None, 64, 128])
+def test_minus_disjoint_domains_under_graph_var(store, kb):
+    """GRAPH ?g { <scan> MINUS { VALUES ?z { 1 } } }: §18.1.7 evaluates
+    the MINUS per graph with plain §18.5 semantics — ?g is evaluation
+    scope, NOT a mapping variable, so the sides are dom-disjoint and
+    nothing cancels. The r11 order/slice fuzzer (graph family, seed 10)
+    caught the threaded graph column counting as a shared var: the
+    graph-transparent VALUES row, bound once per named graph, cancelled
+    every row of its graph."""
+    from kineo_spark.model import lit as _lit
+    rhs = A.Table(("z",), ((_lit(1),),))
+    alg = A.NamedGraph(A.Var("g"), A.Minus(SCAN, rhs))
+    got = _run(store, alg, ("g", "s", "val"), kb)
+    assert got == Counter({
+        (G1, EX + "a", "3"): 1, (G1, EX + "b", "1"): 1,
+        (G2, EX + "c", "2"): 1})
+
+
+@pytest.mark.parametrize("kb", [None, 64, 128])
+def test_minus_shared_var_still_cancels_per_graph(store, kb):
+    """MINUS with a genuinely shared var under GRAPH ?g cancels within
+    the graph only: the graph column stays in the COMPATIBILITY
+    condition (a g2 right row must not cancel a g1 left row)."""
+    rhs = A.BGP((A.TriplePattern(A.Var("s"), iri(EX + "p"),
+                                 A.Var("other")),))
+    # rhs matches every (s, val) pair per graph → every lhs row shares
+    # ?s with a compatible rhs row OF ITS OWN GRAPH → all cancelled
+    alg = A.NamedGraph(A.Var("g"), A.Minus(SCAN, rhs))
+    got = _run(store, alg, ("g", "s", "val"), kb)
+    assert got == Counter()
+
+
 # --- id-mode representation through subquery projections (r10) --------------
 
 @pytest.mark.parametrize("kb", [64, 128])

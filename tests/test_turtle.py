@@ -338,16 +338,17 @@ def test_turtle_star_quoted_and_annotation(spark, tmp_path):
     ing1 = [r for r in dist2 if r.g_lex == "http://example.org/g1"]
     assert any(r.s_kind == 3 for r in ing1)
 
-    # r8: the FSM depth bound is _MAX_ANNOT_DEPTH=4 (state count grows
-    # linearly in the bound) — depth-3 and depth-4 multi-line nesting
-    # stay STATEMENT-PARALLEL (fallback patched to raise), only deeper
-    # takes the documented driver fallback.
+    # r11 (r8: 2->4, now 4->8 + configurable): multi-line nesting up to
+    # the depth-8 default stays STATEMENT-PARALLEL (fallback patched to
+    # raise) — machine-generated RDF-star nests deeper than hand-written
+    # files, and the FSM state count grows only linearly in the bound.
+    def _nested(name, depth):
+        opens = " ".join(f"{{| ex:m{i}\n {i}" for i in range(depth))
+        return ('@prefix ex: <http://example.org/> .\n'
+                f'ex:{name} ex:p 0 {opens} ' + "|} " * depth + ".\n")
+
     p3 = tmp_path / "star3.ttl"
-    p3.write_text(
-        '@prefix ex: <http://example.org/> .\n'
-        'ex:a ex:p 1 {| ex:m 2 {| ex:n 3 {| ex:o\n 4 |} |} |} .\n'
-        'ex:b ex:p 1 {| ex:m 2 {| ex:n 3 {| ex:o 4 {| ex:q\n'
-        ' 5 |} |} |} |} .\n')
+    p3.write_text(_nested("a", 3) + _nested("b", 4) + _nested("c", 8))
     T.load_turtle = lambda *a, **k: (_ for _ in ()).throw(
         AssertionError("fell back to driver parser"))
     try:
@@ -357,12 +358,27 @@ def test_turtle_star_quoted_and_annotation(spark, tmp_path):
     drv3 = load_turtle(spark, p3.read_text()).collect()
     assert _canon(dist3) == _canon(drv3)
 
-    # depth-5 exceeds the cap and takes the fallback (correct, serial)
-    p5 = tmp_path / "star5.ttl"
-    p5.write_text(
-        '@prefix ex: <http://example.org/> .\n'
-        'ex:a ex:p 1 {| ex:a 2 {| ex:b 3 {| ex:c 4 {| ex:d 5 {| ex:e\n'
-        ' 6 |} |} |} |} |} .\n')
+    # depth-9 exceeds the cap and takes the fallback (correct, serial)
+    p5 = tmp_path / "star9.ttl"
+    p5.write_text(_nested("d", 9))
     dist5 = T.load_turtle_distributed(spark, str(p5)).collect()
     drv5 = load_turtle(spark, p5.read_text()).collect()
     assert _canon(dist5) == _canon(drv5)
+
+    # the bound is configurable: at k=2 a depth-3 file must STILL parse
+    # correctly via the documented fallback, and at k=12 the depth-9
+    # file goes statement-parallel
+    T.set_annot_depth(2)
+    try:
+        assert _canon(T.load_turtle_distributed(
+            spark, str(p3)).collect()) == _canon(drv3)
+        T.set_annot_depth(12)
+        T.load_turtle = lambda *a, **k: (_ for _ in ()).throw(
+            AssertionError("fell back to driver parser"))
+        try:
+            assert _canon(T.load_turtle_distributed(
+                spark, str(p5)).collect()) == _canon(drv5)
+        finally:
+            T.load_turtle = orig
+    finally:
+        T.set_annot_depth(8)
