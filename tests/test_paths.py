@@ -122,6 +122,29 @@ def test_doubling_converges_on_long_chain(spark):
         Compiler(store, max_path_iterations=32).compile(alg).df.count()
 
 
+def test_closure_rounds_instrumentation(spark):
+    """rounds_out records EXECUTED fixpoint rounds (r11: the diameter
+    stress harness reads measured rounds, not formulas): a diameter-d
+    chain takes d semi-naive rounds and ⌈log2 d⌉+1 doubling rounds —
+    the O(log d) round win paths.py claims, pinned as a number."""
+    from pyspark.sql import functions as F
+
+    from kineo_spark.paths import _closure_pairs
+
+    d = 32
+    edges = spark.range(d).select(F.col("id").alias("__a"),
+                                  (F.col("id") + 1).alias("__b"))
+    sem_rounds, dbl_rounds = [], []
+    sem = _closure_pairs(edges, d + 2, strategy="seminaive",
+                         rounds_out=sem_rounds)
+    dbl = _closure_pairs(edges, d + 2, strategy="doubling",
+                         rounds_out=dbl_rounds)
+    assert sem.count() == dbl.count() == d * (d + 1) // 2
+    assert len(sem_rounds) == d  # one frontier hop per round + empty delta
+    # R_k covers length <= 2^k: 5 growth rounds for d=32, +1 empty delta
+    assert len(dbl_rounds) <= 6
+
+
 def test_nested_closure_in_sequence(path_store):
     """likes/knows* — a closure NESTED inside a sequence (previously
     rejected with 'nested closure paths must go through eval_path')."""

@@ -37,7 +37,8 @@ import urllib.request
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 CHAIN_DIAMS = [int(x) for x in
-               os.environ.get("STRESS_CHAIN_DIAMS", "250,1000").split(",")]
+               os.environ.get("STRESS_CHAIN_DIAMS", "250,1000").split(",")
+               if x]
 FOREST = os.environ.get("STRESS_FOREST", "12x200000")
 
 
@@ -75,7 +76,7 @@ def _forest_edges(spark, depth: int, width: int):
     nid = F.col("layer") * (width * 2) + F.col("i")  # injective node ids
     layers = (spark.range(1, depth)
               .select(F.col("id").alias("layer"))
-              .crossJoin(spark.range(width).select(F.col("i"))))
+              .crossJoin(spark.range(width).select(F.col("id").alias("i"))))
     parent_i = F.pmod(F.xxhash64(nid), F.lit(width))
     parent = (F.col("layer") - 1) * (width * 2) + parent_i
     return layers.select(nid.alias("__a"), parent.alias("__b"))
