@@ -354,6 +354,13 @@ def ref_eval(alg, quads, graph: str = G) -> Counter:
             d = dict(k)
             gk = d.get(gname) if gname else ()
             groups.setdefault(gk, []).append((d, n))
+        if gname is None and not groups:
+            # emit-on-empty (§18.5, reference
+            # MaterializedQueryPlan.swift:2461,2525-2537): an UNGROUPED
+            # aggregate over the empty multiset still emits its one
+            # group — COUNT()=0, SUM()=0 (r11 evaluator fix; the
+            # engine always did this, and per graph since r10)
+            groups[()] = []
         out = Counter()
         for gk, rows in groups.items():
             res = {}
@@ -413,18 +420,30 @@ def _ref_agg(spec: A.AggSpec, rows):
         return (KIND_LITERAL, str(sum(n for _d, n in rows)), "integer")
     var = spec.expr.name  # bare-var aggregates only in the fuzzer
     vals = []
+    unbound = False
     for d, n in rows:
         if var in d:
             vals.extend([d[var]] * n)
+        else:
+            unbound = True  # the operand ERRORS on this row
     if spec.op == "COUNT":
+        # COUNT(expr) counts the NON-ERROR evaluations (error rows are
+        # skipped, they do not error the aggregate)
         if spec.distinct:
             return (KIND_LITERAL, str(len(set(vals))), "integer")
         return (KIND_LITERAL, str(len(vals)), "integer")
     assert spec.op == "SUM"
+    # SUM over the EMPTY multiset is 0; but a NON-EMPTY group whose
+    # operand errors on any row (unbound included) is an error →
+    # unbound (reference AggregationPlan; engine _agg_column has_err).
+    # r11 evaluator fix, caught by the graph-scoped framed-window
+    # family: the old code silently SKIPPED unbound rows, so a group of
+    # {1, unbound} summed to 1 and an all-unbound group to 0.
+    if unbound or any(t[0] != KIND_LITERAL or t[2] not in NUM_DTS
+                      for t in vals):
+        return None  # error → unbound
     if not vals:
         return (KIND_LITERAL, "0", "integer")
-    if any(t[0] != KIND_LITERAL or t[2] not in NUM_DTS for t in vals):
-        return None  # error → unbound
     if spec.distinct:
         vals = list(dict.fromkeys(vals))
     total = sum(_numval(t[1], t[2]) for t in vals)
@@ -1237,7 +1256,11 @@ def rand_framed_window(rng: random.Random, depth: int):
     asc = rng.random() < 0.7
     fs, fe = rng.choice(FRAME_PAIRS)
     op = rng.choice(FRAME_OPS)
-    res = rng.choice(AVARS)
+    # the result var must be FRESH: Window.withColumn would overwrite a
+    # child-bound aggregate var of the same name, and the projection
+    # would carry the name twice
+    free = [a for a in AVARS if a not in all_vars(base)]
+    res = rng.choice(free) if free else "aggw"
     spec = A.WindowSpec(op, expr=None if op == "COUNT*" else v(vn),
                         partition=(v(pname),) if pname else (),
                         order=(A.SortComparator(v(vn), asc),),
@@ -1332,3 +1355,85 @@ def test_framed_window_differential_id_modes(spark, seed, kb):
         comp.prepare(q)
         return select(comp, q)
     _run_framed_case(spark, seed, compile_df)
+
+
+def _run_graph_framed_case(spark, seed: int, compile_df):
+    """Framed aggregate windows under GRAPH ?g: §18.1.7 prepends the
+    active graph to every PARTITION BY, so frames never span graphs —
+    the reference evaluates the window once per graph and gets this for
+    free. Composes the r11 frame evaluator with per-graph scoping the
+    same way the r9/r10 finds were caught."""
+    rng = random.Random(14000 + seed)
+    quads = rand_quads(rng, graphs=GRAPHS)
+    alg, (base, vn, pname, asc, (fs, fe), op, res) = \
+        rand_framed_window(rng, 2)
+    out = tuple(sorted(all_vars(base)))
+    proj = ("g",) + out + (res,)
+    top = A.NamedGraph(A.Var("g"), alg)
+    store = QuadsDataFrameStore.from_rows(spark, _quad_rows(quads))
+    df = compile_df(store, A.SelectQuery(top, proj))
+
+    names = sorted({g for *_rest, g in quads})
+    want: dict = {}
+    for g in names:
+        gkey = _norm_term((KIND_IRI, g, None))
+        parts: dict = {}
+        for kmap, n in ref_eval(base, quads, g).items():
+            d = dict(kmap)
+            pk = _norm_term(d.get(pname)) if pname else ()
+            parts.setdefault(pk, []).extend([d] * n)
+        for pk, rows in parts.items():
+            inst = sorted(rows, key=lambda d: _ref_sort_key(d[vn]))
+            if not asc:
+                inst.reverse()
+            vals = [float(d[vn][1]) for d in inst]
+            for i, d in enumerate(inst):
+                r = _frame_result(op, vals,
+                                  None if fs is None else i + fs,
+                                  None if fe is None else i + fe)
+                slot = want.setdefault((gkey, pk, _norm_term(d[vn])),
+                                       [Counter(), Counter()])
+                slot[0][_want_key(d, out)] += 1
+                slot[1][_norm_term(r) if r else None] += 1
+
+    got: dict = {}
+    kvi = out.index(vn)
+    pki = out.index(pname) if pname else None
+    for r_ in df.collect():
+        row = _got_key(r_, proj)
+        gkey, base_row, result = row[0], row[1:-1], row[-1]
+        pk = base_row[pki] if pname else ()
+        slot = got.setdefault((gkey, pk, base_row[kvi]),
+                              [Counter(), Counter()])
+        slot[0][base_row] += 1
+        slot[1][result] += 1
+
+    ctx = f"seed {seed}: alg {top}\nquads {quads}"
+    assert set(got) == set(want), (
+        f"{ctx}\nclasses got={sorted(got)}\nwant={sorted(want)}")
+    for cls in want:
+        assert got[cls][0] == want[cls][0], (
+            f"{ctx}\nclass {cls} base rows differ:\n"
+            f"got={got[cls][0]}\nwant={want[cls][0]}")
+        assert got[cls][1] == want[cls][1], (
+            f"{ctx}\nclass {cls} frame results differ:\n"
+            f"got={got[cls][1]}\nwant={want[cls][1]}")
+
+
+@pytest.mark.parametrize("seed", range(8))
+def test_framed_window_differential_graph_scoped(spark, seed):
+    def compile_df(store, q):
+        return select(Compiler(store), q)
+    _run_graph_framed_case(spark, seed, compile_df)
+
+
+@pytest.mark.parametrize("seed,kb", [(s, kb) for s in range(2)
+                                     for kb in (64, 128)])
+def test_framed_window_differential_graph_scoped_id_modes(spark, seed, kb):
+    from kineo_spark.dictionary import id_compiler
+
+    def compile_df(store, q):
+        comp = id_compiler(store, key_bits=kb)
+        comp.prepare(q)
+        return select(comp, q)
+    _run_graph_framed_case(spark, seed, compile_df)
