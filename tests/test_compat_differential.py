@@ -1450,3 +1450,143 @@ def test_framed_window_differential_graph_scoped_id_modes(spark, seed, kb):
         comp.prepare(q)
         return select(comp, q)
     _run_graph_framed_case(spark, seed, compile_df)
+
+
+# --- ORDER BY expression comparators (r11) -----------------------------------
+# The engine compiles ARBITRARY expressions as sort keys
+# (sort_key(compile_expr(cmp.expr)) — OrderPlan's expression
+# comparators). Generate ORDER BY <boolean expr> where the SAME
+# expression is also BIND-ed to a fresh var: the engine orders by the
+# raw expression comparator (the path under test), while the bound
+# column lets the order-aware checker identify each row's tie class.
+# Expression ERRORS make the key unbound → the unbound-first rule.
+
+def rand_order_by_expr(rng: random.Random, depth: int):
+    sub = rand_alg(rng, depth - 1)
+    for _ in range(5):
+        if sorted(all_vars(sub) & set(VARS + EVARS + AVARS)):
+            break
+        sub = rand_alg(rng, depth - 1)
+    if not sorted(all_vars(sub) & set(VARS + EVARS + AVARS)):
+        sub = rand_table(rng)
+    e_eng, e_ref = rand_expr(rng, depth=1)
+    ext = A.Extend(sub, e_eng, "ok")
+    object.__setattr__(ext, "_fuzz_expr", e_ref)
+    asc = rng.random() < 0.65
+    ordered = A.Order(ext, (A.SortComparator(e_eng, asc),))
+    off = rng.choice([0, 0, 1])
+    lim = rng.choice([1, 2, 3, None])
+    alg = A.Slice(ordered, offset=off, limit=lim) \
+        if (off or lim is not None) else ordered
+    out = tuple(sorted(all_vars(sub))) + ("ok",)
+    return alg, (ext, ["ok"], [asc], out, off, lim, None)
+
+
+@pytest.mark.parametrize("seed", range(8))
+def test_order_by_expression_differential(spark, seed):
+    rng = random.Random(15000 + seed)
+    quads = rand_quads(rng)
+    alg, (sub, keys, ascs, out, off, lim, distinct) = \
+        rand_order_by_expr(rng, 2)
+    store = QuadsDataFrameStore.from_rows(spark, _quad_rows(quads))
+    df = select(Compiler(store), A.SelectQuery(alg, out))
+    got = [_got_key(r, out) for r in df.collect()]
+    classes = _ordered_classes(ref_eval(sub, quads), keys, ascs, out, None)
+    _assert_ordered_slice(got, out, keys, classes, off, lim, True,
+                          f"seed {seed}: alg {alg}\nquads {quads}")
+
+
+# --- RANK / DENSE_RANK windows (r11) -----------------------------------------
+# Unlike ROW_NUMBER, rank functions are TIE-STABLE: every row of a tie
+# class gets the same value (RANK = 1 + rows in earlier classes,
+# DENSE_RANK = 1 + earlier class count), so the full output bag is
+# deterministic and compares exactly — no per-class machinery needed.
+
+def rand_rank_window(rng: random.Random, depth: int):
+    child = rand_alg(rng, depth - 1)
+    vn = "vn"
+    table = A.Table((vn,), tuple((rng.choice(NUM_LITS),)
+                                 for _ in range(rng.randint(2, 5))))
+    base = A.Join(child, table)
+    cvars = sorted(all_vars(child) & set(VARS))
+    pname = (rng.choice(cvars) if cvars and rng.random() < 0.8 else None)
+    asc = rng.random() < 0.7
+    op = rng.choice(["RANK", "DENSE_RANK"])
+    free = [a for a in AVARS if a not in all_vars(base)]
+    res = rng.choice(free) if free else "aggw"
+    spec = A.WindowSpec(op, partition=(v(pname),) if pname else (),
+                        order=(A.SortComparator(v(vn), asc),))
+    return (A.Window(base, functions=((res, spec),)),
+            (base, vn, pname, asc, op, res))
+
+
+def _run_rank_case(spark, seed: int, compile_df, graph=False):
+    rng = random.Random(16000 + seed)
+    quads = rand_quads(rng, graphs=GRAPHS if graph else (G,))
+    alg, (base, vn, pname, asc, op, res) = rand_rank_window(rng, 2)
+    out = tuple(sorted(all_vars(base)))
+    if graph:
+        top = A.NamedGraph(A.Var("g"), alg)
+        proj = ("g",) + out + (res,)
+    else:
+        top, proj = alg, out + (res,)
+    store = QuadsDataFrameStore.from_rows(spark, _quad_rows(quads))
+    df = compile_df(store, A.SelectQuery(top, proj))
+    got = Counter(_got_key(r, proj) for r in df.collect())
+
+    want = Counter()
+    graphs = sorted({g for *_rest, g in quads}) if graph else [G]
+    for g in graphs:
+        parts: dict = {}
+        for kmap, n in ref_eval(base, quads, g).items():
+            d = dict(kmap)
+            pk = _norm_term(d.get(pname)) if pname else ()
+            parts.setdefault(pk, []).append((d, n))
+        for pk, drows in parts.items():
+            classes: dict = {}
+            for d, n in drows:
+                classes.setdefault(d[vn], []).append((d, n))
+            ordered = sorted(classes,
+                             key=lambda t: _ref_sort_key(t),
+                             reverse=not asc)
+            rank = 1
+            for ci, kt in enumerate(ordered):
+                for d, n in classes[kt]:
+                    val = rank if op == "RANK" else ci + 1
+                    row = d | {res: (KIND_LITERAL, str(val), "integer")}
+                    if graph:
+                        row["g"] = (KIND_IRI, g, None)
+                    want[_want_key(row, proj)] += n
+                rank += sum(n for _d, n in classes[kt])
+
+    assert got == want, (
+        f"seed {seed}: alg {top}\nquads {quads}\n"
+        f"extra={got - want}\nmissing={want - got}")
+
+
+@pytest.mark.parametrize("seed", range(8))
+def test_rank_window_differential_term_mode(spark, seed):
+    def compile_df(store, q):
+        return select(Compiler(store), q)
+    _run_rank_case(spark, seed, compile_df)
+
+
+@pytest.mark.parametrize("seed", range(5))
+def test_rank_window_differential_graph_scoped(spark, seed):
+    """Per-graph ranks: PARTITION BY implicitly includes the active
+    graph, so ranks restart per graph."""
+    def compile_df(store, q):
+        return select(Compiler(store), q)
+    _run_rank_case(spark, seed, compile_df, graph=True)
+
+
+@pytest.mark.parametrize("seed,kb", [(s, kb) for s in range(2)
+                                     for kb in (64, 128)])
+def test_rank_window_differential_id_modes(spark, seed, kb):
+    from kineo_spark.dictionary import id_compiler
+
+    def compile_df(store, q):
+        comp = id_compiler(store, key_bits=kb)
+        comp.prepare(q)
+        return select(comp, q)
+    _run_rank_case(spark, seed, compile_df)
