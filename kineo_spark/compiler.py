@@ -111,7 +111,7 @@ def _all(conds: list[Column]) -> Column:
 
 class Compiler:
     def __init__(self, store: QuadStore, max_path_iterations: int = 64,
-                 path_strategy: str = "seminaive", plans_only: bool = False,
+                 path_strategy: str = "auto", plans_only: bool = False,
                  cs_stats: bool = False):
         self.store = store
         self.spark: SparkSession = store.spark
@@ -127,10 +127,14 @@ class Compiler:
         # accurate, here on explicit opt-in, the ANALYZE TABLE analog).
         self.cs_stats = cs_stats
         # 'seminaive' (frontier⋈edges, work-efficient; seeded BFS for
-        # bound endpoints) or 'doubling' (R∪R∘R recursive squaring:
+        # bound endpoints), 'doubling' (R∪R∘R recursive squaring:
         # ⌈log2 d⌉ rounds — the choice for high-diameter graphs where
-        # per-round stage overhead dominates at cluster scale)
-        assert path_strategy in ("seminaive", "doubling")
+        # per-round stage overhead dominates at cluster scale), or
+        # 'auto' (default): semi-naive that switches to doubling when
+        # the frontier trajectory predicts a high-diameter tail — the
+        # crossover measured in STRESS_PATH_DIAMETER (semi-naive loses
+        # 63× wall at chain d=1000, doubling 1.26× on a wide forest).
+        assert path_strategy in ("auto", "seminaive", "doubling")
         self.path_strategy = path_strategy
 
     # -- public -----------------------------------------------------------
@@ -163,10 +167,20 @@ class Compiler:
         if isinstance(node, A.LeftJoin):
             return self._left_join(self._c(node.lhs, g), self._c(node.rhs, g), node.expr)
         if isinstance(node, A.Minus):
+            gv = g.name if isinstance(g, A.Var) and g.binding else None
+            # The threaded active-graph column only stays OUT of the
+            # dom-disjointness test while ?g is purely evaluation scope.
+            # When the pattern itself can bind ?g on BOTH sides (e.g.
+            # GRAPH ?g { ?s :p ?g MINUS { ?x :q ?g } }) it is a genuine
+            # mapping variable per §18.1.7 — domains overlap and
+            # cancellation applies, so treat it like any shared var
+            # (ADVICE r11; syntactic check on the algebra, not on the
+            # compiled columns, which always carry the threaded ?g).
+            if gv is not None and gv in A.may_bind_vars(node.lhs) \
+                    and gv in A.may_bind_vars(node.rhs):
+                gv = None
             return self._minus(
-                self._c(node.lhs, g), self._c(node.rhs, g),
-                graph_var=(g.name if isinstance(g, A.Var) and g.binding
-                           else None))
+                self._c(node.lhs, g), self._c(node.rhs, g), graph_var=gv)
         if isinstance(node, A.SemiJoin):
             return self._semi(self._c(node.lhs, g), self._c(node.rhs, g), node.anti)
         if isinstance(node, A.Filter):

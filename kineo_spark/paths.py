@@ -105,7 +105,7 @@ def _edges_for(compiler, path: A.Path, graph) -> DataFrame:
     # nested closure is inherently unseeded (its endpoints are interior
     # join columns), so the full inner closure is the correct cost.
     if isinstance(path, (A.PPlus, A.PStar, A.PZeroOrOne)):
-        strategy = getattr(compiler, "path_strategy", "seminaive")
+        strategy = getattr(compiler, "path_strategy", "auto")
         if isinstance(path, A.PZeroOrOne):
             one = _edges_for(compiler, path.path, graph) \
                 .dropDuplicates(["__sk", "__ok"])
@@ -123,7 +123,7 @@ def _edges_for(compiler, path: A.Path, graph) -> DataFrame:
 
 def _closure(compiler, edges: DataFrame, max_iterations: int,
              seed_key: str | None = None, reverse: bool = False,
-             strategy: str = "seminaive", scoped: bool = False) -> DataFrame:
+             strategy: str = "auto", scoped: bool = False) -> DataFrame:
     """Semi-naive transitive closure, iterated in KEY SPACE.
 
     The fixpoint loop moves only (a, b) pairs of 8-byte ``xxhash64``
@@ -180,49 +180,121 @@ def _closure(compiler, edges: DataFrame, max_iterations: int,
                       *(["__g"] if scoped else []))
 
 
+# -- adaptive strategy selection (STRESS_PATH_DIAMETER_r11) -------------------
+# Measured crossover: semi-naive loses 20×/63× wall (and ~10× shuffle) on
+# chain diameters 250/1000 because every round re-anti-joins the GROWING
+# accumulator (O(d·closure) total shuffle), while doubling loses only
+# ~1.26× on a wide shallow forest (d=12, 2.2 M edges) where its
+# closure-squaring join composes more pairs per round than the frontier
+# walk. ``auto`` makes that crossover operational: run semi-naive (the
+# work-efficient choice for the common low-diameter shapes) and switch to
+# doubling over the accumulated relation as soon as the frontier
+# trajectory predicts a long tail. acc after k semi-naive rounds contains
+# every path of length 1..k+1 ⊇ the edges, so doubling on acc still
+# converges to the exact same closure — the switch costs nothing
+# semantically.
+
+_AUTO_K_MIN = 6       # earliest round the tail test may fire (past the
+                      # converge-in-a-few-rounds regime where counting
+                      # frontiers isn't worth a heuristic)
+_AUTO_WINDOW = 4      # frontier samples the shrink estimate averages over
+_AUTO_TAIL_FACTOR = 4  # switch when est. remaining rounds > factor×done
+_AUTO_HARD_CAP = 32   # always switch past this many rounds (flat-frontier
+                      # shapes, e.g. cycles, shrink by ~0 per round and
+                      # would otherwise run to max_iterations)
+
+
+def _auto_should_switch(rounds_done: int, frontier_sizes: list[int]) -> bool:
+    """True when the semi-naive frontier trajectory predicts a
+    high-diameter tail (the regime doubling wins by 20-63×).
+
+    The estimator is the graph-stats heuristic of ADVICE r11 #6 made
+    concrete from per-round measurements instead of static degree stats
+    (which cannot separate a chain from a lineage forest — both have
+    out-degree 1): with the frontier shrinking by Δ per round, the
+    fixpoint has ~frontier/Δ rounds left. A chain of diameter d shrinks
+    by ~1/round with ~d-k left at round k (→ switch at k=6); a lineage
+    forest of depth d shrinks by ~width/round with only d-k left
+    (→ stays semi-naive and converges). A growing or flat frontier
+    (expanding dense component, cycle) stays semi-naive until the hard
+    cap — the forest regime punishes doubling, and the cap bounds the
+    regret on flat shapes at 32 cheap frontier rounds + ⌈log2 d⌉."""
+    if rounds_done >= _AUTO_HARD_CAP:
+        return True
+    if rounds_done < _AUTO_K_MIN or len(frontier_sizes) < _AUTO_WINDOW + 1:
+        return False
+    recent = frontier_sizes[-(_AUTO_WINDOW + 1):]
+    shrink = sum(a - b for a, b in zip(recent, recent[1:])) / _AUTO_WINDOW
+    if shrink <= 0:
+        # Growing: expanding-forest/dense regime — stay semi-naive (a
+        # dense component converges in ~log n rounds on its own, and
+        # doubling's closure-squaring is the expensive move there).
+        # FLAT (a cycle, a constant-width lattice: every round finds
+        # the same trickle of pairs) is a long-tail predictor just like
+        # positive shrink — but demand a longer confirmation so the
+        # momentary plateau at a dense closure's peak doesn't trigger.
+        flat = (max(recent) - min(recent)) <= max(1.0, 0.02 * recent[-1])
+        return flat and rounds_done >= 2 * _AUTO_K_MIN
+    return recent[-1] / shrink > _AUTO_TAIL_FACTOR * rounds_done
+
+
+def _doubling_rounds(acc: DataFrame, budget: int, max_iterations: int,
+                     rounds_out: list | None) -> DataFrame:
+    """Path-doubling (recursive squaring) from an accumulated relation:
+    R_{k+1} = R_k ∪ R_k∘R_k covers every path length ≤ 2·max-covered,
+    so a diameter-d graph converges in ⌈log2 d⌉ rounds instead of d.
+    Each round joins the closure-so-far with itself — more work per
+    round than the semi-naive frontier⋈edges step, but on high-diameter
+    graphs (chains, DAG lineages: d in the hundreds) round count is the
+    bottleneck at cluster scale: every round is a full shuffle stage +
+    driver sync. Same key-space currency (16 B/row). ``acc`` must
+    contain the single edges (any semi-naive prefix does)."""
+    for _round in range(budget):
+        if rounds_out is not None:
+            rounds_out.append(len(rounds_out) + 1)
+        r2 = acc.select(F.col("__a").alias("__ja"), F.col("__b").alias("__jb"))
+        grown = (
+            acc.join(r2, acc["__b"] == r2["__ja"], "inner")
+            .select(acc["__a"], F.col("__jb").alias("__b"))
+            .dropDuplicates(["__a", "__b"])
+        )
+        new = grown.join(acc, ["__a", "__b"], "left_anti").localCheckpoint(eager=True)
+        if new.isEmpty():
+            return acc
+        acc = acc.unionByName(new).localCheckpoint(eager=True)
+    raise RuntimeError(
+        f"path closure did not converge in {max_iterations} iterations")
+
+
 def _closure_pairs(ek: DataFrame, max_iterations: int,
                    seed_col=None, reverse: bool = False,
-                   strategy: str = "seminaive",
+                   strategy: str = "auto",
                    scoped: bool = False,
-                   rounds_out: list | None = None) -> DataFrame:
+                   rounds_out: list | None = None,
+                   switch_out: list | None = None) -> DataFrame:
     """The pure long-pair fixpoint: input and output are (__a, __b)
     8-byte key pairs — shared by the term path (keys = xxhash64 of the
     injective term key) and the ID path (keys = dictionary ids). All
     shuffles inside the loop move 16 B/row at any scale.
 
+    ``strategy``: 'seminaive' (frontier⋈edges, work-efficient),
+    'doubling' (recursive squaring, ⌈log2 d⌉ rounds), or 'auto' (the
+    default: semi-naive with a measured-crossover switch to doubling —
+    see _auto_should_switch). Seeded BFS (bound endpoint) always walks
+    semi-naive: its frontier is the reachable set, never the closure.
+
     ``rounds_out``: optional list the executed fixpoint rounds are
     appended to (one entry per round, including the final empty-delta
     round) — the stress harness records rounds as measured numbers,
-    not formulas (tools/stress_path_diameter.py)."""
+    not formulas (tools/stress_path_diameter.py). ``switch_out``: under
+    'auto', the 1-based round at which doubling took over is appended
+    (nothing when the fixpoint converged semi-naive)."""
     if reverse:
         ek = ek.select(F.col("__b").alias("__a"), F.col("__a").alias("__b"))
     ek = ek.localCheckpoint(eager=True)
+    auto = strategy == "auto" and seed_col is None
     if seed_col is None and strategy == "doubling":
-        # Path-doubling (recursive squaring): R_{k+1} = R_k ∪ R_k∘R_k
-        # covers every path length ≤ 2^(k+1), so a diameter-d graph
-        # converges in ⌈log2 d⌉ rounds instead of d. Each round joins
-        # the closure-so-far with itself — more work per round than the
-        # semi-naive frontier⋈edges step, but on high-diameter graphs
-        # (chains, DAG lineages: d in the hundreds) round count is the
-        # bottleneck at cluster scale: every round is a full shuffle
-        # stage + driver sync. Same key-space currency (16 B/row).
-        acc = ek
-        for _round in range(max_iterations):
-            if rounds_out is not None:
-                rounds_out.append(_round + 1)
-            r2 = acc.select(F.col("__a").alias("__ja"), F.col("__b").alias("__jb"))
-            grown = (
-                acc.join(r2, acc["__b"] == r2["__ja"], "inner")
-                .select(acc["__a"], F.col("__jb").alias("__b"))
-                .dropDuplicates(["__a", "__b"])
-            )
-            new = grown.join(acc, ["__a", "__b"], "left_anti").localCheckpoint(eager=True)
-            if new.isEmpty():
-                break
-            acc = acc.unionByName(new).localCheckpoint(eager=True)
-        else:
-            raise RuntimeError(
-                f"path closure did not converge in {max_iterations} iterations")
+        acc = _doubling_rounds(ek, max_iterations, max_iterations, rounds_out)
     else:
         if seed_col is not None:
             # scoped: match the seed's NODE hash in every graph — the
@@ -234,19 +306,35 @@ def _closure_pairs(ek: DataFrame, max_iterations: int,
         acc = frontier.localCheckpoint(eager=True)
         frontier = acc
         e2 = ek.select(F.col("__a").alias("__ea"), F.col("__b").alias("__eb"))
+        frontier_sizes: list[int] = []
         for _round in range(max_iterations):
             if rounds_out is not None:
-                rounds_out.append(_round + 1)
+                rounds_out.append(len(rounds_out) + 1)
             grown = (
                 frontier.join(e2, frontier["__b"] == e2["__ea"], "inner")
                 .select(frontier["__a"], F.col("__eb").alias("__b"))
                 .dropDuplicates(["__a", "__b"])
             )
             new = grown.join(acc, ["__a", "__b"], "left_anti").localCheckpoint(eager=True)
-            if new.isEmpty():
+            if auto:
+                # the frontier count is a metadata-cheap job over the
+                # just-checkpointed delta (no recompute, no shuffle) —
+                # the price of admission for the crossover estimator
+                n_new = new.count()
+                if n_new == 0:
+                    break
+                frontier_sizes.append(n_new)
+            elif new.isEmpty():
                 break
             acc = acc.unionByName(new).localCheckpoint(eager=True)
             frontier = new
+            if auto and _auto_should_switch(_round + 1, frontier_sizes):
+                if switch_out is not None:
+                    switch_out.append(_round + 1)
+                acc = _doubling_rounds(
+                    acc, max_iterations - (_round + 1), max_iterations,
+                    rounds_out)
+                break
         else:
             raise RuntimeError(
                 f"path closure did not converge in {max_iterations} iterations")
@@ -357,7 +445,7 @@ def _id_edges_for(compiler, path: A.Path, graph) -> DataFrame:
     # nested closures: same composition as the term path (_edges_for) —
     # inner fixpoint on id longs, identity arm from the graph node ids
     if isinstance(path, (A.PPlus, A.PStar, A.PZeroOrOne)):
-        strategy = getattr(compiler, "path_strategy", "seminaive")
+        strategy = getattr(compiler, "path_strategy", "auto")
         if isinstance(path, A.PZeroOrOne):
             one = _id_edges_for(compiler, path.path, graph) \
                 .dropDuplicates(["__a", "__b"])
@@ -460,7 +548,7 @@ def _eval_path_ids(compiler, node: A.PathPattern, graph) -> "Plan":
     elif isinstance(node.object, PyTerm):
         seed_term, seed_rev = node.object, True
     seed_col = _const_id(seed_term) if seed_term is not None else None
-    strategy = getattr(compiler, "path_strategy", "seminaive")
+    strategy = getattr(compiler, "path_strategy", "auto")
 
     def zero_pairs() -> DataFrame:
         if seed_term is not None:
@@ -566,7 +654,7 @@ def eval_path(compiler, node: A.PathPattern, graph) -> "Plan":
     elif isinstance(node.object, PyTerm):
         seed_key, seed_rev = node.object.key(), True
     seed_term = node.subject if not seed_rev else node.object
-    strategy = getattr(compiler, "path_strategy", "seminaive")
+    strategy = getattr(compiler, "path_strategy", "auto")
     if isinstance(path, A.PPlus):
         pairs = _closure(compiler, _edges_for(compiler, path.path, graph),
                          compiler.max_path_iterations, seed_key, seed_rev,

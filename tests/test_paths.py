@@ -119,7 +119,85 @@ def test_doubling_converges_on_long_chain(spark):
 
     # semi-naive needs d rounds and must refuse (not silently truncate)
     with pytest.raises(RuntimeError, match="did not converge"):
-        Compiler(store, max_path_iterations=32).compile(alg).df.count()
+        Compiler(store, max_path_iterations=32,
+                 path_strategy="seminaive").compile(alg).df.count()
+
+    # the default (auto) detects the chain tail and switches to
+    # doubling, converging well inside the same 32-round budget where
+    # pure semi-naive refused (r12: the static default was a measured
+    # 63x loss at chain d=1000, STRESS_PATH_DIAMETER_r11)
+    assert Compiler(store, max_path_iterations=32) \
+        .compile(alg).df.count() == n * (n + 1) // 2
+
+
+# --- auto strategy (measured-crossover switch, r12) --------------------------
+
+def test_auto_switch_heuristic_unit():
+    """The pure-python crossover predictor: chains switch early, lineage
+    forests never switch (they converge first), flat frontiers (cycles)
+    switch after the longer confirmation, growing frontiers stay."""
+    from kineo_spark.paths import (_AUTO_HARD_CAP, _AUTO_K_MIN,
+                                   _auto_should_switch)
+
+    # chain d=1000: frontier shrinks by 1/round, huge remaining tail
+    chain = [1000 - r for r in range(1, 7)]
+    assert _auto_should_switch(6, chain)
+    # too early: never before K_MIN even on a chain profile
+    assert not _auto_should_switch(_AUTO_K_MIN - 1, chain[:5])
+    # forest depth 12 width W at round 6: remaining ~6 rounds << tail
+    W = 200_000
+    forest = [W * (12 - r) for r in range(1, 7)]
+    assert not _auto_should_switch(6, forest)
+    # growing frontier (expanding dense component): stay semi-naive
+    growing = [100, 300, 900, 2700, 8100, 24300]
+    assert not _auto_should_switch(6, growing)
+    # flat frontier (cycle): switches only after the 2*K_MIN confirmation
+    flat = [50] * 12
+    assert not _auto_should_switch(6, flat[:6])
+    assert _auto_should_switch(2 * _AUTO_K_MIN, flat)
+    # hard cap fires regardless of trajectory
+    assert _auto_should_switch(_AUTO_HARD_CAP, growing)
+
+
+def test_auto_closure_identical_and_switches(spark):
+    """End-to-end: auto returns the exact closure on a chain (switching
+    mid-fixpoint), a forest (never switching), and a cycle (flat-
+    frontier switch) — and reports the switch round via switch_out."""
+    from pyspark.sql import functions as F
+
+    from kineo_spark.paths import _closure_pairs
+
+    def run(edges, iters, strategy):
+        rounds, sw = [], []
+        acc = _closure_pairs(edges, iters, strategy=strategy,
+                             rounds_out=rounds, switch_out=sw)
+        return ({(r["__a"], r["__b"]) for r in acc.collect()},
+                len(rounds), sw)
+
+    chain = spark.range(40).select(F.col("id").alias("__a"),
+                                   (F.col("id") + 1).alias("__b"))
+    sem, _, _ = run(chain, 60, "seminaive")
+    aut, rounds, sw = run(chain, 60, "auto")
+    assert aut == sem and len(aut) == 40 * 41 // 2
+    assert sw and sw[0] >= 6 and rounds < 40  # switched, saved rounds
+
+    # shallow forest: 6 layers x 30 wide — converges semi-naive
+    nid = F.col("layer") * 60 + F.col("i")
+    layers = (spark.range(1, 7).select(F.col("id").alias("layer"))
+              .crossJoin(spark.range(30).select(F.col("id").alias("i"))))
+    parent = (F.col("layer") - 1) * 60 + F.pmod(F.xxhash64(nid), F.lit(30))
+    forest = layers.select(nid.alias("__a"), parent.alias("__b"))
+    sem, sem_rounds, _ = run(forest, 20, "seminaive")
+    aut, rounds, sw = run(forest, 20, "auto")
+    assert aut == sem and not sw and rounds == sem_rounds
+
+    cycle = spark.range(30).select(
+        F.col("id").alias("__a"),
+        F.pmod(F.col("id") + 1, F.lit(30)).alias("__b"))
+    sem, _, _ = run(cycle, 40, "seminaive")
+    aut, rounds, sw = run(cycle, 40, "auto")
+    assert aut == sem and len(aut) == 900
+    assert sw and rounds < 30  # flat-frontier switch beat pure semi-naive
 
 
 def test_closure_rounds_instrumentation(spark):

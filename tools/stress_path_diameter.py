@@ -66,15 +66,19 @@ def _chain_edges(spark, d: int):
 
 
 def _forest_edges(spark, depth: int, width: int):
-    """Layered lineage forest: node (l, i) has ONE parent in layer l-1
-    chosen deterministically (xxhash64 of the child id mod width) —
-    depth*width nodes, diameter = depth, every node ≤ depth ancestors,
-    so the closure is ~depth^2/2 * width pairs and composition through
-    any node is bounded by depth (no quadratic blowup for doubling)."""
+    """Layered lineage forest: node (l, i) in layers 1..depth has ONE
+    parent in layer l-1 chosen deterministically (xxhash64 of the child
+    id mod width) — depth*width child nodes (+ ≤width layer-0 roots),
+    depth*width edges, longest ancestor path = depth edges (so the
+    recorded diameter is the measured one — ADVICE r11 fixed the
+    range(1, depth) off-by-one that made it depth-1), every node
+    ≤ depth ancestors, so the closure is ~depth^2/2 * width pairs and
+    composition through any node is bounded by depth (no quadratic
+    blowup for doubling)."""
     from pyspark.sql import functions as F
 
     nid = F.col("layer") * (width * 2) + F.col("i")  # injective node ids
-    layers = (spark.range(1, depth)
+    layers = (spark.range(1, depth + 1)
               .select(F.col("id").alias("layer"))
               .crossJoin(spark.range(width).select(F.col("id").alias("i"))))
     parent_i = F.pmod(F.xxhash64(nid), F.lit(width))
@@ -87,16 +91,18 @@ def _measure(spark, edges, max_iters: int, strategy: str) -> dict:
 
     edges = edges.localCheckpoint(eager=True)  # exclude generation cost
     rounds: list = []
+    switch: list = []
     s0 = _shuffle_write_bytes(spark)
     t0 = time.time()
     acc = _closure_pairs(edges, max_iters, strategy=strategy,
-                         rounds_out=rounds)
+                         rounds_out=rounds, switch_out=switch)
     pairs = acc.count()
     wall = round(time.time() - t0, 2)
     s1 = _shuffle_write_bytes(spark)
     return {
         "strategy": strategy,
         "rounds": len(rounds),
+        "switch_round": switch[0] if switch else None,
         "wall_sec": wall,
         "pairs": pairs,
         "shuffle_mb": (round((s1 - s0) / 1e6, 1)
@@ -112,35 +118,52 @@ def main() -> None:
                       cpus=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
     spark.range(1).count()
 
+    # Strategy sets per shape. Semi-naive on the chains is skippable
+    # (STRESS_SEMINAIVE_CHAINS=1 opts in): r11 measured it at 290 s /
+    # 4784 s for d=250/1000 (STRESS_PATH_DIAMETER_r11.json) and the
+    # point of this round's row is AUTO vs the better strategy.
+    chain_strats = ["doubling", "auto"]
+    if os.environ.get("STRESS_SEMINAIVE_CHAINS"):
+        chain_strats.append("seminaive")
     rows = []
+    hybrid_ok = True
     for d in CHAIN_DIAMS:
         edges = _chain_edges(spark, d)
         per = {}
-        for strategy in ("doubling", "seminaive"):
+        for strategy in chain_strats:
             r = _measure(spark, edges, d + 2, strategy)
             r.update({"shape": "chain", "diameter": d, "edges": d})
             rows.append(r)
             per[strategy] = r
-            print(f"# chain d={d} {strategy}: {r['rounds']} rounds, "
-                  f"{r['wall_sec']}s, {r['pairs']} pairs, "
-                  f"{r['shuffle_mb']} MB shuffle", file=sys.stderr)
-        assert per["doubling"]["pairs"] == per["seminaive"]["pairs"], per
+            print(f"# chain d={d} {strategy}: {r['rounds']} rounds "
+                  f"(switch={r['switch_round']}), {r['wall_sec']}s, "
+                  f"{r['pairs']} pairs, {r['shuffle_mb']} MB shuffle",
+                  file=sys.stderr)
+        assert len({r["pairs"] for r in per.values()}) == 1, per
+        best = min(r["wall_sec"] for s, r in per.items() if s != "auto")
+        per["auto"]["vs_best"] = round(per["auto"]["wall_sec"] / best, 3)
+        hybrid_ok &= per["auto"]["vs_best"] <= 1.3
 
     depth, width = (int(x) for x in FOREST.split("x"))
     edges = _forest_edges(spark, depth, width)
     n_edges = edges.count()
     per = {}
-    for strategy in ("doubling", "seminaive"):
+    for strategy in ("doubling", "seminaive", "auto"):
         r = _measure(spark, edges, depth + 2, strategy)
         r.update({"shape": "forest", "diameter": depth, "edges": n_edges})
         rows.append(r)
         per[strategy] = r
-        print(f"# forest {depth}x{width} {strategy}: {r['rounds']} rounds, "
-              f"{r['wall_sec']}s, {r['pairs']} pairs, "
-              f"{r['shuffle_mb']} MB shuffle", file=sys.stderr)
-    assert per["doubling"]["pairs"] == per["seminaive"]["pairs"], per
+        print(f"# forest {depth}x{width} {strategy}: {r['rounds']} rounds "
+              f"(switch={r['switch_round']}), {r['wall_sec']}s, "
+              f"{r['pairs']} pairs, {r['shuffle_mb']} MB shuffle",
+              file=sys.stderr)
+    assert len({r["pairs"] for r in per.values()}) == 1, per
+    best = min(r["wall_sec"] for s, r in per.items() if s != "auto")
+    per["auto"]["vs_best"] = round(per["auto"]["wall_sec"] / best, 3)
+    hybrid_ok &= per["auto"]["vs_best"] <= 1.3
 
     out = {"metric": "path_closure_diameter_stress", "rows": rows,
+           "hybrid_within_1_3x_of_best": hybrid_ok,
            "cpus": os.environ.get("SPARK_GRAFT_CPUS", "32")}
     line = json.dumps(out)
     print(line)
