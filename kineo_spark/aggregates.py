@@ -41,19 +41,29 @@ def _agg_column(spec: A.AggSpec, value: Column | None) -> Column:
         return num_term(F.count(value).cast("double"), F.lit("integer"))
     if op in ("SUM", "AVG"):
         num = F.when(is_numeric_term(value), value["num"])
-        if spec.exact:
-            acc = num.cast(_DEC)
-            if spec.distinct:
-                total = F.sum_distinct(acc).cast("double")
-                cnt = F.count_distinct(num)
-            else:
-                total = F.sum(acc).cast("double")
-                cnt = F.count(num)
+        acc_t = _DEC if spec.exact else "double"
+        if spec.distinct:
+            # DISTINCT applies to the list of evaluation RESULTS — RDF
+            # TERMS, not numeric values (§18.5.1 Aggregation: Distinct
+            # over ListEval): {"3"^^xsd:integer, "3.0"^^xsd:decimal}
+            # are two distinct terms and SUM(DISTINCT) = 6.0, even
+            # though both have value 3 (r12 fuzz-family find — the old
+            # sum_distinct(num) deduped by VALUE and returned 3).
+            # collect_set over (term key, accumulator) dedups exactly
+            # like COUNT(DISTINCT) below; the set is O(distinct terms)
+            # per group — the same state any distinct agg keeps.
+            pair = F.when(is_numeric_term(value), F.struct(
+                term_key(value).alias("k"), num.cast(acc_t).alias("v")))
+            pairs = F.collect_set(pair)
+            total = F.aggregate(
+                pairs, F.lit(0).cast(acc_t),
+                lambda a, x: (a + x["v"]).cast(acc_t)).cast("double")
+            cnt = F.size(pairs).cast("long")
+        elif spec.exact:
+            total = F.sum(num.cast(_DEC)).cast("double")
+            cnt = F.count(num)
         else:
-            if spec.distinct:
-                total, cnt = F.sum_distinct(num), F.count_distinct(num)
-            else:
-                total, cnt = F.sum(num), F.count(num)
+            total, cnt = F.sum(num), F.count(num)
         # SPARQL semantics (and the reference evaluator,
         # MaterializedQueryPlan.swift:2183-2559): Sum/Avg of the EMPTY
         # multiset is 0 (an xsd:integer); a group containing any
@@ -198,10 +208,13 @@ def compile_aggregate(compiler, node: A.Aggregate, child,
             # compiler's key width) and anti-join in pure id space —
             # the fill rows then carry the id form every downstream
             # consumer expects. (128-bit struct ids compare/union
-            # field-wise; 64-bit repaired ids can in principle diverge
-            # from the hash, but repair only fires on an actual xxhash64
-            # collision — the same currency every star-collapsed scan
-            # already trades in, see dictionary.py:722.)
+            # field-wise. 64-bit collision-repaired ids CANNOT reach
+            # this anti-join: the id_compiler stack is raw-hash-only by
+            # invariant — repaired layouts exist solely behind the
+            # remap-carrying scan_ids/persist_id_layout workflow, see
+            # encode_quads_repaired's INVARIANT note in dictionary.py —
+            # so the freshly hashed graph terms and the plan's ids are
+            # always the same currency.)
             from kineo_spark.dictionary import id_of_term_col
             key_bits = getattr(compiler, "_key_bits", 64)
             gt = gt.select(

@@ -416,4 +416,66 @@ class LoadOp:
     silent: bool = False
 
 
+def may_bind_vars(node) -> frozenset:
+    """Variables that can appear in dom(μ) of this subtree's solutions —
+    SYNTACTIC binding occurrences only (pattern positions, VALUES
+    columns with ≥1 bound row, BIND targets, path endpoints, aggregate
+    and window outputs), never mere FILTER-expression mentions, and
+    restricted by Project/Subquery. Used by the compiler's MINUS
+    dom-disjointness test under ``GRAPH ?var`` (ADVICE r11): the
+    threaded active-graph column makes ?var LOOK shared by both
+    operands, but per §18.1.7 it only counts toward domain overlap when
+    the pattern itself can bind it on both sides. Overapproximation
+    here would wrongly cancel (the threaded column is never null), so
+    each case lists exactly the dom-contributing positions."""
+    def _var(n) -> frozenset:
+        if isinstance(n, Var) and n.binding:
+            return frozenset({n.name})
+        return frozenset()
+
+    if isinstance(node, Quad):
+        return frozenset(node.pattern.variables())
+    if isinstance(node, Triple):
+        p = node.pattern
+        return _var(p.s) | _var(p.p) | _var(p.o)
+    if isinstance(node, BGP):
+        out: frozenset = frozenset()
+        for p in node.patterns:
+            out |= _var(p.s) | _var(p.p) | _var(p.o)
+        return out
+    if isinstance(node, Table):
+        return frozenset(
+            v for i, v in enumerate(node.variables)
+            if any(row[i] is not None for row in node.rows))
+    if isinstance(node, (Join, Union, LeftJoin)):
+        return may_bind_vars(node.lhs) | may_bind_vars(node.rhs)
+    if isinstance(node, (Minus, SemiJoin)):
+        return may_bind_vars(node.lhs)  # rhs never contributes bindings
+    if isinstance(node, (Filter, Distinct, Reduced, Slice, Order)):
+        return may_bind_vars(node.child)
+    if isinstance(node, NamedGraph):
+        return may_bind_vars(node.child) | _var(node.graph)
+    if isinstance(node, Extend):
+        return may_bind_vars(node.child) | {node.name}
+    if isinstance(node, Project):
+        return may_bind_vars(node.child) & frozenset(node.variables)
+    if isinstance(node, PathPattern):
+        out = _var(node.subject) | _var(node.object)
+        if node.graph is not None:
+            out |= _var(node.graph)
+        return out
+    if isinstance(node, Aggregate):
+        return frozenset(node.group_names) | {v for v, _ in node.aggs}
+    if isinstance(node, Window):
+        return may_bind_vars(node.child) | {v for v, _ in node.functions}
+    if isinstance(node, Service):
+        return may_bind_vars(node.child)
+    if isinstance(node, Subquery):
+        q = node.query
+        if q.variables:
+            return frozenset(q.variables)
+        return may_bind_vars(q.algebra)
+    return frozenset()  # JoinIdentity / UnionIdentity / unknown leaves
+
+
 from kineo_spark.expr import Expr  # noqa: E402  (circular-safe: types only)

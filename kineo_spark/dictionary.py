@@ -224,7 +224,18 @@ def encode_quads_repaired(
     Returns (dictionary, id_quads, remap); an empty remap means the
     plain encode was already injective. The remap must be kept with the
     layout: constant-term filters consult it before hashing
-    (``scan_ids(..., remap=...)``)."""
+    (``scan_ids(..., remap=...)``).
+
+    INVARIANT (ADVICE r11): repaired layouts live ONLY behind the
+    explicit scan_ids/persist_id_layout workflow that carries the remap.
+    The id_compiler stack (IdEncodedView, hash-at-scan
+    ``id_of_term_col``, and consumers like the per-graph empty-bag fill
+    in aggregates.py that anti-join freshly hashed graph terms against
+    plan ids) is built on ``id = raw hash`` with NO remap — it never
+    reads a repaired layout, so a repaired id can never meet a raw hash
+    in the same plan. Anyone wiring a repaired layout into a compiler
+    must thread the remap through EVERY ``id_of_term_col`` site
+    (``_remapped_id_fn``), not just the scans."""
     base = id_fn or _id_expr
     dictionary, id_quads = encode_quads(quads_flat, id_fn=base)
     dup = dictionary.groupBy("id").count().filter(F.col("count") > 1)

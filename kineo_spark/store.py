@@ -52,6 +52,15 @@ from kineo_spark.model import (
 RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
 
 
+def _unpersist_quietly(df: DataFrame) -> None:
+    """weakref.finalize target for per-store cached DataFrames — a
+    stopped SparkContext (session teardown) must not raise from GC."""
+    try:
+        df.unpersist()
+    except Exception:
+        pass
+
+
 class QuadStore(ABC):
     spark: SparkSession
 
@@ -95,11 +104,31 @@ class QuadStore(ABC):
         per read), so the memo never serves stale graphs."""
         memo = getattr(self, "_graph_terms_memo", None)
         if memo is None:
+            import weakref
+
             from pyspark import StorageLevel
             memo = self._graph_terms_build().persist(
                 StorageLevel.MEMORY_AND_DISK)
             self._graph_terms_memo = memo
+            # Cache lifetime = store lifetime (ADVICE r11): stores are
+            # cheap wrappers re-created on every mutation (update.
+            # GraphStore builds a fresh one per read), and persisted
+            # DISK blocks are not LRU-evicted — without this an
+            # update-heavy long-lived session accumulates orphaned
+            # cached blocks until the SparkContext stops. The finalizer
+            # unpersists when the store is garbage-collected;
+            # release_cached() does it eagerly.
+            self._graph_terms_finalizer = weakref.finalize(
+                self, _unpersist_quietly, memo)
         return memo
+
+    def release_cached(self) -> None:
+        """Eagerly drop this store's persisted graph_terms memo (also
+        runs automatically when the store is garbage-collected)."""
+        fin = getattr(self, "_graph_terms_finalizer", None)
+        if fin is not None:
+            fin()
+        self._graph_terms_memo = None
 
     def _graph_terms_build(self) -> DataFrame:
         q = self.quads()

@@ -299,6 +299,73 @@ def test_minus_disjoint_domains_under_graph_var(store, kb):
 
 
 @pytest.mark.parametrize("kb", [None, 64, 128])
+def test_minus_graph_var_bound_in_both_operands_cancels(spark, kb):
+    """GRAPH ?g { ?s <p> ?g MINUS { ?x <q> ?g } }: when the pattern
+    itself binds ?g on BOTH sides, ?g is a genuine mapping variable
+    inside the per-graph evaluation (§18.1.7 joins eval(D[g], P) with
+    {?g→g} — an occurrence of ?g in P is just a variable), so domains
+    OVERLAP on ?g and cancellation applies per graph. ADVICE r12: the
+    r11 fix excluded ?g from dom-disjointness purely by name, leaving
+    this query uncancelled. The carve-out is now syntactic
+    (algebra.may_bind_vars over both operand subtrees)."""
+    rows = [
+        # G1: a self-referential p-edge AND a q-edge to the graph term
+        (0, EX + "a", EX + "p", 0, G1, None, None, None, G1),
+        (0, EX + "x", EX + "q", 0, G1, None, None, None, G1),
+        # G1 also has a p-edge to ANOTHER graph's term: ?g pattern
+        # occurrences must restrict to the active graph, so this row
+        # never reaches the MINUS
+        (0, EX + "c", EX + "p", 0, G2, None, None, None, G1),
+        # G2: a p-edge to its own term, NO q-edge → survives
+        (0, EX + "b", EX + "p", 0, G2, None, None, None, G2),
+    ]
+    st = QuadsDataFrameStore.from_rows(spark, rows)
+    lhs = A.BGP((A.TriplePattern(A.Var("s"), iri(EX + "p"), A.Var("g")),))
+    rhs = A.BGP((A.TriplePattern(A.Var("x"), iri(EX + "q"), A.Var("g")),))
+    alg = A.NamedGraph(A.Var("g"), A.Minus(lhs, rhs))
+    got = _run(st, alg, ("g", "s"), kb)
+    assert got == Counter({(G2, EX + "b"): 1})
+
+    # one-sided occurrence: ?g bound only in the LEFT operand — the
+    # sides stay dom-disjoint (right binds only ?x/?y) and nothing
+    # cancels, exactly the r11 behavior
+    rhs1 = A.BGP((A.TriplePattern(A.Var("x"), iri(EX + "q"), A.Var("y")),))
+    alg1 = A.NamedGraph(A.Var("g"), A.Minus(lhs, rhs1))
+    got1 = _run(st, alg1, ("g", "s"), kb)
+    assert got1 == Counter({(G1, EX + "a"): 1, (G2, EX + "b"): 1})
+
+
+def test_may_bind_vars_walker():
+    """algebra.may_bind_vars: dom-contributing positions only —
+    FILTER mentions don't bind, Project restricts, Extend/Aggregate/
+    Window outputs and all-None VALUES columns are handled."""
+    from kineo_spark.algebra import may_bind_vars
+    from kineo_spark.expr import ECall, v
+    from kineo_spark.model import lit as _lit
+
+    tp = A.TriplePattern(A.Var("s"), iri(EX + "p"), A.Var("o"))
+    bgp = A.BGP((tp,))
+    assert may_bind_vars(bgp) == {"s", "o"}
+    # FILTER expression mentions are not bindings
+    assert may_bind_vars(A.Filter(bgp, ECall("=", (v("o"), v("zzz"))))) \
+        == {"s", "o"}
+    assert may_bind_vars(A.Project(bgp, ("s",))) == {"s"}
+    assert may_bind_vars(A.Extend(bgp, v("o"), "o2")) == {"s", "o", "o2"}
+    # VALUES column that is UNDEF in every row never enters dom
+    t = A.Table(("a", "b"), ((_lit(1), None), (_lit(2), None)))
+    assert may_bind_vars(t) == {"a"}
+    # MINUS/SemiJoin rhs never contributes
+    other = A.BGP((A.TriplePattern(A.Var("x"), iri(EX + "q"), A.Var("y")),))
+    assert may_bind_vars(A.Minus(bgp, other)) == {"s", "o"}
+    assert may_bind_vars(A.SemiJoin(bgp, other)) == {"s", "o"}
+    agg = A.Aggregate(bgp, (v("s"),), ("s",),
+                      (("n", A.AggSpec("COUNT")),))
+    assert may_bind_vars(agg) == {"s", "n"}
+    sub = A.Subquery(A.SelectQuery(bgp, ("o",)))
+    assert may_bind_vars(sub) == {"o"}
+
+
+@pytest.mark.parametrize("kb", [None, 64, 128])
 def test_minus_shared_var_still_cancels_per_graph(store, kb):
     """MINUS with a genuinely shared var under GRAPH ?g cancels within
     the graph only: the graph column stays in the COMPATIBILITY
