@@ -106,8 +106,16 @@ def _agg_column(spec: A.AggSpec, value: Column | None) -> Column:
                 .otherwise(F.lit("decimal")))
         return num_term(val, dt)
     if op in ("MIN", "MAX"):
+        # error rows (unbound operand) are SKIPPED, not compared: the
+        # reference accumulators `try?`-skip them (MinimumAggregate,
+        # MaterializedQueryPlan.swift:2197-2242). min_by/max_by skip
+        # rows whose ORDERING value is null — but sort_key over a NULL
+        # term struct is a non-null struct of nulls that sorts SMALLEST,
+        # so MIN over {unbound, "a"} returned unbound (r12 fuzz find,
+        # compat term-mode seed 1). Null the ordering out explicitly;
+        # an all-error group then yields null → unbound, as specified.
         fn = F.min_by if op == "MIN" else F.max_by
-        return fn(value, sort_key(value))
+        return fn(value, F.when(value.isNotNull(), sort_key(value)))
     if op == "SAMPLE":
         return F.first(value, ignorenulls=True)
     if op == "GROUP_CONCAT":

@@ -439,6 +439,41 @@ def sparql_agg_minmax(spark, sf_dir) -> DataFrame:
     })
 
 
+@q("sparql_agg_minmax_optional",
+   "SELECT 'urn:t:nation:' || CAST(c_nationkey AS VARCHAR) AS nation, "
+   "MIN(o_totalprice) AS min_price, MAX(o_totalprice) AS max_price "
+   "FROM customer LEFT JOIN orders ON o_custkey = c_custkey "
+   "GROUP BY c_nationkey")
+def sparql_agg_minmax_optional(spark, sf_dir) -> DataFrame:
+    """MIN/MAX over an OPTIONAL operand: groups mixing bound and
+    UNBOUND rows take the extremum of the bound values — error rows are
+    SKIPPED, not compared (reference MinimumAggregate `try?`-skip,
+    MaterializedQueryPlan.swift:2197-2242; SQL MIN/MAX skip NULLs, so
+    DuckDB is a faithful oracle). Regression for the r12 fuzz find:
+    sort_key over a null term struct is a non-null struct of nulls that
+    sorted smallest, so any nation with an order-less customer got an
+    unbound MIN."""
+    comp = compiler_for(spark, sf_dir)
+    alg = A.Aggregate(
+        A.LeftJoin(
+            A.BGP((tp("cust", fk("customer", "c_nationkey"), "nat"),)),
+            A.BGP((
+                tp("ord", fk("orders", "o_custkey"), "cust"),
+                tp("ord", col("orders", "o_totalprice"), "price"),
+            )),
+        ),
+        groups=(v("nat"),), group_names=("nat",),
+        aggs=(
+            ("min_price", A.AggSpec("MIN", v("price"))),
+            ("max_price", A.AggSpec("MAX", v("price"))),
+        ),
+    )
+    return extract(select(comp, A.SelectQuery(alg)), {
+        "nation": ("nat", "lex"), "min_price": ("min_price", "num"),
+        "max_price": ("max_price", "num"),
+    })
+
+
 @q("sparql_group_concat",
    "SELECT r_name AS region, string_agg(n_name, ',' ORDER BY n_name) AS nations "
    "FROM region JOIN nation ON n_regionkey = r_regionkey GROUP BY r_name")

@@ -147,9 +147,15 @@ def _load_source(spark: SparkSession, op: A.LoadOp, default_graph: str) -> DataF
 
 def apply_op(
     spark: SparkSession, quads: DataFrame, op,
-    default_graph: str = DEFAULT_GRAPH,
+    default_graph: str = DEFAULT_GRAPH, key_bits: int | None = None,
 ) -> DataFrame:
-    """One update operation over the current quads state → new state."""
+    """One update operation over the current quads state → new state.
+
+    ``key_bits``: None evaluates Modify WHERE clauses with the term
+    compiler; 64/128 route them through the dictionary compiler (ids in
+    the joins, terms materialized for the template variables — the same
+    id-mode contract queries get). Template instantiation always sees
+    term structs either way."""
     if isinstance(op, A.InsertData):
         new = spark.createDataFrame(
             _ground_rows(op.quads, default_graph), QUADS_SCHEMA)
@@ -165,7 +171,13 @@ def apply_op(
             from kineo_spark.store import DatasetGraphStore
 
             store = DatasetGraphStore(store, *op.dataset)
-        comp = Compiler(store)
+        if key_bits is None:
+            comp = Compiler(store)
+        else:
+            from kineo_spark.dictionary import id_compiler
+            # no prepare(): the materialization frontier defaults to
+            # "every var" — templates may read any WHERE variable
+            comp = id_compiler(store, key_bits=key_bits)
         bindings = comp.compile(rewrite(op.where), op.with_graph).df
         tmpl_g = op.with_graph.lex if op.with_graph is not None else default_graph
         dels = _instantiate(bindings, op.delete, tmpl_g)
@@ -221,9 +233,11 @@ class GraphStore:
     lineage."""
 
     def __init__(self, spark: SparkSession, quads_df: DataFrame | None = None,
-                 default_graph: str = DEFAULT_GRAPH):
+                 default_graph: str = DEFAULT_GRAPH,
+                 key_bits: int | None = None):
         self.spark = spark
         self.default_graph = default_graph
+        self.key_bits = key_bits  # None = term-mode WHERE, 64/128 = ids
         self._df = (quads_df if quads_df is not None
                     else spark.createDataFrame([], QUADS_SCHEMA))
 
@@ -242,6 +256,7 @@ class GraphStore:
         ops = parse_update(request) if isinstance(request, str) else list(request)
         for op in ops:
             self._df = apply_op(
-                self.spark, self._df, op, self.default_graph
+                self.spark, self._df, op, self.default_graph,
+                key_bits=self.key_bits,
             ).localCheckpoint(eager=True)
         return self

@@ -29,11 +29,12 @@ ENTRIES = (manifest_entries("/root/repo/tests/w3c/manifest.ttl")
            + manifest_entries("/root/repo/tests/w3c/manifest19.ttl")
            + manifest_entries("/root/repo/tests/w3c/manifest20.ttl")
            + manifest_entries("/root/repo/tests/w3c/manifest21.ttl")
-           + manifest_entries("/root/repo/tests/w3c/manifest22.ttl"))
+           + manifest_entries("/root/repo/tests/w3c/manifest22.ttl")
+           + manifest_entries("/root/repo/tests/w3c/manifest23.ttl"))
 
 
 def test_manifest_parsed():
-    assert len(ENTRIES) == 326
+    assert len(ENTRIES) == 328
     assert all(e.query_path for e in ENTRIES)
     # every evaluation entry checks SOMETHING: a result document, or
     # (update entries) expected named-graph post-state
