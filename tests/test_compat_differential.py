@@ -1388,7 +1388,7 @@ FRAME_PAIRS = [(None, 0), (None, 2), (-2, 0), (-1, 1), (0, None),
                (0, 2), (-3, -1), (1, 3), (None, None)]
 NUM_LITS = [lit("0.5", dt="decimal"), lit(1), lit("1.5", dt="decimal"),
             lit(2), lit(3), lit("2.0", dt="double")]
-FRAME_OPS = ["SUM", "SUM", "COUNT*", "MIN", "MAX"]
+FRAME_OPS = ["SUM", "SUM", "COUNT*", "MIN", "MAX", "AVG"]
 
 
 def rand_framed_window(rng: random.Random, depth: int):
@@ -1426,7 +1426,12 @@ def _frame_result(op, vals, lo, hi):
         return (KIND_LITERAL, str(len(window)), "integer")
     if not window:
         return None  # empty frame: null aggregate = unbound
-    r = {"SUM": sum(window), "MIN": min(window), "MAX": max(window)}[op]
+    if op == "AVG":
+        # r12: engine F.avg over the num shadow — dyadic pool makes the
+        # frame sum exact, the division rounds once on both sides
+        r = sum(window) / len(window)
+    else:
+        r = {"SUM": sum(window), "MIN": min(window), "MAX": max(window)}[op]
     return (KIND_LITERAL, str(float(r)), "double")
 
 

@@ -35,7 +35,7 @@ def main() -> int:
         f"/root/repo/tests/w3c/manifest{n}.ttl"
         for n in ("", "2", "3", "4", "5", "6", "7", "8", "9", "10", "11",
                   "12", "13", "14", "15", "16", "17", "18", "19", "20",
-                  "21", "22")
+                  "21", "22", "23")
     ]
     spark = get_spark("w3c", cpus=8)
     try:
