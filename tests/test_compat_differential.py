@@ -327,17 +327,24 @@ BOOL_TRUE = (KIND_LITERAL, "true", "boolean")
 BOOL_FALSE = (KIND_LITERAL, "false", "boolean")
 
 
-def ref_eval(alg, quads, graph: str | None = G) -> Counter:
-    """``graph=None`` = the engine's UNION default graph (a pattern
-    outside GRAPH matches quads in every named graph — the convention
-    the relational mapping is built on; the update fuzzer evaluates
-    Modify WHERE clauses this way)."""
+def ref_eval(alg, quads, graph=G) -> Counter:
+    """``graph``: a single graph lex, ``None`` for the engine's UNION
+    default graph (a pattern outside GRAPH matches quads in every named
+    graph — the convention the relational mapping is built on; the
+    update fuzzer evaluates plain Modify WHERE clauses this way), or a
+    frozenset of lexes (a USING-merged default graph, §3.1.5.3)."""
     if isinstance(alg, A.BGP):
+        if isinstance(graph, (set, frozenset)):
+            in_scope = lambda g: g in graph          # noqa: E731
+        elif graph is None:
+            in_scope = lambda g: True                # noqa: E731
+        else:
+            in_scope = lambda g: g == graph          # noqa: E731
         b = Counter({(): 1})
         for pat in alg.patterns:
             matches = Counter()
             for s, p, o, g in quads:
-                if graph is not None and g != graph:
+                if not in_scope(g):
                     continue
                 m = _unify(pat, s, p, o)
                 if m is not None:

@@ -109,12 +109,22 @@ def _ref_apply(state: set, op, tuples=None) -> set:
         return state - set(tuples)
     if isinstance(op, A.Modify):
         quads = sorted(state)
-        # WHERE over the PRE-state with the engine's UNION default
-        # graph (patterns outside GRAPH match every named graph);
-        # templates without a graph target land in the store default
-        bindings = ref_eval(op.where, quads, None)
-        dels = _ref_instantiate(bindings, op.delete, G)
-        ins = _ref_instantiate(bindings, op.insert, G)
+        # WHERE over the PRE-state: USING merges its graphs into the
+        # WHERE's default graph (§3.1.5.3), WITH scopes WHERE to one
+        # graph AND re-targets default templates (§3.1.3), else the
+        # engine's UNION default graph. The generator never emits
+        # WITH+USING together (spec: USING makes WITH ignored for the
+        # WHERE; engines vary on the combination).
+        if op.dataset:
+            scope = frozenset(op.dataset[0])
+        elif op.with_graph is not None:
+            scope = op.with_graph.lex
+        else:
+            scope = None
+        tmpl_g = op.with_graph.lex if op.with_graph is not None else G
+        bindings = ref_eval(op.where, quads, scope)
+        dels = _ref_instantiate(bindings, op.delete, tmpl_g)
+        ins = _ref_instantiate(bindings, op.insert, tmpl_g)
         return (state - dels) | ins
     if isinstance(op, A.Clear):
         t = op.target
@@ -150,14 +160,31 @@ def _rand_op(rng):
         specs, tuples = _rand_ground_quads(rng, 1, 3)
         return A.DeleteData(specs), tuples
     if r < 0.88:
-        where = rand_bgp(rng)
-        wvars = sorted({n.name for tp in where.patterns
+        bgp = rand_bgp(rng)
+        wvars = sorted({n.name for tp in bgp.patterns
                         for n in (tp.s, tp.p, tp.o) if isinstance(n, A.Var)})
+        where: A.Algebra = bgp
+        if rng.random() < 0.3:
+            # FILTER-ed WHERE: error-drops-row composes with templates
+            from tests.test_compat_differential import rand_expr
+            e_eng, e_ref = rand_expr(rng, ebv_ok=True)
+            where = A.Filter(bgp, e_eng)
+            object.__setattr__(where, "_fuzz_expr", e_ref)
         delete = _rand_templates(rng, wvars)
         insert = _rand_templates(rng, wvars)
         if not delete and not insert:
             delete = _rand_templates(rng, wvars, 1, 1)
-        return A.Modify(delete=delete, insert=insert, where=where), None
+        # WITH <g> (scopes WHERE + default templates) xor USING (merged
+        # WHERE default graph) — never both (§3.1.5.3: USING makes WITH
+        # ignored for the WHERE; engines vary on the combination)
+        wg, dataset = None, ()
+        r2 = rng.random()
+        if r2 < 0.25:
+            wg = iri(rng.choice(GRAPHS))
+        elif r2 < 0.4:
+            dataset = (tuple(rng.sample(GRAPHS, rng.randint(1, 2))), ())
+        return A.Modify(delete=delete, insert=insert, where=where,
+                        with_graph=wg, dataset=dataset), None
     if r < 0.95:
         target = rng.choice(["DEFAULT", "NAMED", "ALL",
                              iri(rng.choice(GRAPHS[1:]))])
@@ -224,6 +251,56 @@ def test_modify_where_union_default_scope(spark):
     # instantiation landed in the DEFAULT graph
     assert (s.lex, q.lex, tt(o_named), G) in got
     assert (s.lex, q.lex, tt(o_def), G) in got
+
+
+def test_modify_with_and_using_scopes(spark):
+    """Deterministic pins for WITH (scopes WHERE to one graph and
+    re-targets default templates there, §3.1.3) and USING (the WHERE's
+    default graph becomes the merge of the USING graphs, §3.1.5.3)."""
+    from kineo_spark.update import GraphStore
+
+    s, p, q = iri(NODES[0]), iri(PREDS[0]), iri(PREDS[1])
+    o1, o2, o3 = iri(NODES[1]), iri(NODES[2]), iri(NODES[3])
+    g1, g2 = "urn:g:g1", "urn:g:g2"
+    seed_ops = [A.InsertData((
+        (A.TriplePattern(s, p, o1), None),          # default graph
+        (A.TriplePattern(s, p, o2), iri(g1)),
+        (A.TriplePattern(s, p, o3), iri(g2)),
+    ))]
+    seed_tuples = [(s.lex, p.lex, tt(o1), G),
+                   (s.lex, p.lex, tt(o2), g1),
+                   (s.lex, p.lex, tt(o3), g2)]
+
+    # WITH g1: WHERE sees only g1's quad; the insert template lands in g1
+    with_op = A.Modify(
+        delete=(), insert=((A.TriplePattern(s, q, A.Var("o")), None),),
+        where=A.BGP((A.TriplePattern(s, p, A.Var("o")),)),
+        with_graph=iri(g1))
+    gs = GraphStore(spark).update(seed_ops + [with_op])
+    state: set = set()
+    state = _ref_apply(state, seed_ops[0], seed_tuples)
+    state = _ref_apply(state, with_op)
+    got = _engine_state(gs)
+    assert got == state
+    assert (s.lex, q.lex, tt(o2), g1) in got     # g1 match, landed in g1
+    assert not any(r[1] == q.lex and r[3] != g1 for r in got)
+
+    # USING g1 + g2: WHERE's default graph is their merge (the plain
+    # default-graph quad is OUT of scope); templates land in the store
+    # default graph
+    using_op = A.Modify(
+        delete=(), insert=((A.TriplePattern(s, q, A.Var("o")), None),),
+        where=A.BGP((A.TriplePattern(s, p, A.Var("o")),)),
+        dataset=((g1, g2), ()))
+    gs2 = GraphStore(spark).update(seed_ops + [using_op])
+    state2: set = set()
+    state2 = _ref_apply(state2, seed_ops[0], seed_tuples)
+    state2 = _ref_apply(state2, using_op)
+    got2 = _engine_state(gs2)
+    assert got2 == state2
+    assert (s.lex, q.lex, tt(o2), G) in got2     # g1 match → default
+    assert (s.lex, q.lex, tt(o3), G) in got2     # g2 match → default
+    assert (s.lex, q.lex, tt(o1), G) not in got2  # default quad not in scope
 
 
 @pytest.mark.parametrize("seed", range(12))
