@@ -78,6 +78,9 @@ _TWINNED = [
     # r11: MINUS under GRAPH ?var — dom-disjointness over the pattern's
     # own vars, the threaded graph column as scope only
     "sparql_graph_minus_disjoint",
+    # r12: MIN/MAX error-skip over an OPTIONAL operand (fuzz find) —
+    # the null-term ordering carve-out must hold on id-mode plans too
+    "sparql_agg_minmax_optional",
 ]
 
 
@@ -147,6 +150,8 @@ _TWINNED_128 = [
     "sparql_graph_subquery_limit",
     # r11: graph-scoped MINUS dom-disjointness at the struct key width
     "sparql_graph_minus_disjoint",
+    # r12: MIN/MAX error-skip at the struct key width
+    "sparql_agg_minmax_optional",
 ]
 
 for _name in _TWINNED_128:

@@ -37,6 +37,32 @@ def _expr(e: Expr) -> str:
     return f"{e.op}({args})"
 
 
+def _has_group_filter(a: A.Algebra) -> bool:
+    """True when ``a``'s serialization emits a FILTER at ITS OWN group
+    level — flattened into an enclosing group, that filter would escape
+    its algebraic scope (SPARQL filters apply to the whole surrounding
+    group). Union arms and OPTIONAL right sides brace themselves;
+    Join/LeftJoin operands flatten, so they must be checked
+    transitively. r12 round-trip-fuzz find: Join(Filter(A, BOUND(?x)),
+    B) shipped flat to a SERVICE endpoint evaluates BOUND against B's
+    bindings too."""
+    if isinstance(a, A.Filter):
+        return True
+    if isinstance(a, A.Join):
+        return _has_group_filter(a.lhs) or _has_group_filter(a.rhs)
+    if isinstance(a, A.LeftJoin):
+        return _has_group_filter(a.lhs)
+    return False
+
+
+def _operand(a: A.Algebra) -> str:
+    """Serialize a Join/LeftJoin-lhs operand, bracing it when flat
+    serialization would leak a group-level FILTER into the parent."""
+    if _has_group_filter(a):
+        return f"{{ {_pattern(a)} }}"
+    return _pattern(a)
+
+
 def _pattern(a: A.Algebra) -> str:
     if isinstance(a, A.BGP):
         return " .\n".join(
@@ -48,12 +74,12 @@ def _pattern(a: A.Algebra) -> str:
     if isinstance(a, A.Filter):
         return f"{_pattern(a.child)}\nFILTER({_expr(a.expr)})"
     if isinstance(a, A.Join):
-        return f"{_pattern(a.lhs)}\n{_pattern(a.rhs)}"
+        return f"{_operand(a.lhs)}\n{_operand(a.rhs)}"
     if isinstance(a, A.Union):
         return f"{{ {_pattern(a.lhs)} }} UNION {{ {_pattern(a.rhs)} }}"
     if isinstance(a, A.LeftJoin):
         f = f" FILTER({_expr(a.expr)})" if a.expr is not None else ""
-        return f"{_pattern(a.lhs)}\nOPTIONAL {{ {_pattern(a.rhs)}{f} }}"
+        return f"{_operand(a.lhs)}\nOPTIONAL {{ {_pattern(a.rhs)}{f} }}"
     if isinstance(a, A.Table):
         header = " ".join(f"?{v}" for v in a.variables)
         rows = " ".join(

@@ -385,6 +385,10 @@ def ref_eval(alg, quads, graph=G) -> Counter:
                 out[_key({alg.subject.name: dec(s_),
                           alg.object.name: dec(o_)})] += n
         return out
+    if isinstance(alg, A.NamedGraph) and isinstance(alg.graph, PyTerm):
+        # GRAPH <iri> { P }: re-scope the child to that one graph
+        # (§13.3; binding-var GRAPH is handled by _run_graph_case)
+        return ref_eval(alg.child, quads, alg.graph.lex)
     if isinstance(alg, A.Join):
         return _join(ref_eval(alg.lhs, quads, graph), ref_eval(alg.rhs, quads, graph))
     if isinstance(alg, A.LeftJoin):

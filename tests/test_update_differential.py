@@ -37,12 +37,23 @@ GRAPHS = [G, "urn:g:g1", "urn:g:g2"]
 
 def _rand_ground_quads(rng, n_lo=1, n_hi=4):
     """Random ground quad specs in the engine's (TriplePattern, graph)
-    form + the interpreter's tuple form."""
+    form + the interpreter's tuple form. Objects include quoted-triple
+    terms (r12: RDF-star flows through INSERT/DELETE DATA and the
+    state compare — subjects stay IRIs so the state tuple's bare
+    s_lex is unambiguous)."""
+    from tests.test_compat_differential import QUOTED
+
     specs, tuples = [], []
     for _ in range(rng.randint(n_lo, n_hi)):
         s = iri(rng.choice(NODES))
         p = iri(rng.choice(PREDS))
-        o = iri(rng.choice(NODES)) if rng.random() < 0.6 else rng.choice(LITS)
+        r = rng.random()
+        if r < 0.55:
+            o = iri(rng.choice(NODES))
+        elif r < 0.85:
+            o = rng.choice(LITS)
+        else:
+            o = rng.choice(QUOTED)
         g = None if rng.random() < 0.6 else iri(rng.choice(GRAPHS[1:]))
         specs.append((A.TriplePattern(s, p, o), g))
         tuples.append((s.lex, p.lex, tt(o), g.lex if g else G))
@@ -164,6 +175,16 @@ def _rand_op(rng):
         wvars = sorted({n.name for tp in bgp.patterns
                         for n in (tp.s, tp.p, tp.o) if isinstance(n, A.Var)})
         where: A.Algebra = bgp
+        graphed = rng.random() < 0.25
+        if graphed:
+            # GRAPH <iri> block joined with a default-scope pattern —
+            # WHERE scopes compose inside one Modify (§3.1.3)
+            gbgp = rand_bgp(rng)
+            wvars = sorted(set(wvars) | {
+                n.name for tp in gbgp.patterns
+                for n in (tp.s, tp.p, tp.o) if isinstance(n, A.Var)})
+            where = A.Join(bgp, A.NamedGraph(iri(rng.choice(GRAPHS[1:])),
+                                             gbgp))
         if rng.random() < 0.3:
             # FILTER-ed WHERE: error-drops-row composes with templates
             from tests.test_compat_differential import rand_expr
@@ -181,7 +202,10 @@ def _rand_op(rng):
         r2 = rng.random()
         if r2 < 0.25:
             wg = iri(rng.choice(GRAPHS))
-        elif r2 < 0.4:
+        elif r2 < 0.4 and not graphed:
+            # USING with no USING NAMED makes GRAPH blocks match
+            # nothing (engine + spec agree) — keep the regimes separate
+            # so GRAPH-block seeds actually exercise the scope switch
             dataset = (tuple(rng.sample(GRAPHS, rng.randint(1, 2))), ())
         return A.Modify(delete=delete, insert=insert, where=where,
                         with_graph=wg, dataset=dataset), None
