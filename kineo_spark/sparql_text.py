@@ -3,7 +3,15 @@
 Used by SERVICE federation to ship a sub-pattern to a remote endpoint
 (reference serializes the subalgebra back to SPARQL,
 QueryPlanner.swift:819-833). Covers the pattern subset that is useful to
-federate: BGPs, FILTER, UNION, OPTIONAL, VALUES.
+federate: BGPs, FILTER, UNION, OPTIONAL, VALUES, MINUS,
+FILTER (NOT) EXISTS, BIND, GRAPH (r12). Scope discipline: operands that
+flatten into an enclosing group are braced whenever their flat form
+would emit a group-level FILTER (r12 round-trip-fuzz find — SPARQL
+filters apply to the whole surrounding group, so an unbraced
+Join(Filter(A, e), B) re-parses with e scoped over B too), and BIND
+children brace their filters because BIND is positional while FILTER
+is group-wide. Pinned by the algebra-to-text-to-parse differential
+(tests/test_text_roundtrip_differential.py).
 """
 
 from __future__ import annotations
@@ -46,13 +54,14 @@ def _has_group_filter(a: A.Algebra) -> bool:
     transitively. r12 round-trip-fuzz find: Join(Filter(A, BOUND(?x)),
     B) shipped flat to a SERVICE endpoint evaluates BOUND against B's
     bindings too."""
-    if isinstance(a, A.Filter):
-        return True
+    if isinstance(a, (A.Filter, A.SemiJoin)):
+        return True  # SemiJoin serializes as FILTER (NOT) EXISTS
     if isinstance(a, A.Join):
         return _has_group_filter(a.lhs) or _has_group_filter(a.rhs)
-    if isinstance(a, A.LeftJoin):
-        return _has_group_filter(a.lhs)
-    return False
+    if isinstance(a, (A.LeftJoin, A.Minus)):
+        return _has_group_filter(a.lhs)  # rhs braces itself
+    return False  # Extend braces its own child (see _pattern); Union/
+    #               NamedGraph/Table/BGP are self-contained
 
 
 def _operand(a: A.Algebra) -> str:
@@ -80,6 +89,18 @@ def _pattern(a: A.Algebra) -> str:
     if isinstance(a, A.LeftJoin):
         f = f" FILTER({_expr(a.expr)})" if a.expr is not None else ""
         return f"{_operand(a.lhs)}\nOPTIONAL {{ {_pattern(a.rhs)}{f} }}"
+    if isinstance(a, A.Minus):
+        return f"{_operand(a.lhs)}\nMINUS {{ {_pattern(a.rhs)} }}"
+    if isinstance(a, A.SemiJoin):
+        kw = "FILTER NOT EXISTS" if a.anti else "FILTER EXISTS"
+        return f"{_operand(a.lhs)}\n{kw} {{ {_pattern(a.rhs)} }}"
+    if isinstance(a, A.Extend):
+        # BIND is POSITIONAL (the group-so-far), unlike FILTER (whole
+        # group): a filter inside the child must stay braced or the
+        # re-parsed filter would see the BIND variable
+        return f"{_operand(a.child)}\nBIND({_expr(a.expr)} AS ?{a.name})"
+    if isinstance(a, A.NamedGraph):
+        return f"GRAPH {_node(a.graph)} {{ {_pattern(a.child)} }}"
     if isinstance(a, A.Table):
         header = " ".join(f"?{v}" for v in a.variables)
         rows = " ".join(

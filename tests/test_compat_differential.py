@@ -799,6 +799,11 @@ def rand_alg(rng: random.Random, depth: int):
 def all_vars(alg) -> set:
     if isinstance(alg, (A.Order, A.Slice, A.Reduced)):
         return all_vars(alg.child)
+    if isinstance(alg, A.NamedGraph):
+        out = all_vars(alg.child)
+        if isinstance(alg.graph, A.Var) and alg.graph.binding:
+            out = out | {alg.graph.name}
+        return out
     if isinstance(alg, A.Project):
         return set(alg.variables)
     if isinstance(alg, A.BGP):

@@ -141,12 +141,30 @@ def _service_vars(alg) -> set:
     return all_vars(alg)
 
 
+def _rand_service_child(rng):
+    """The federated pattern: BGPs plus the compositions the r12
+    serializer ships (Join/VALUES, UNION, MINUS, OPTIONAL) — parsed
+    and spec-evaluated by the mock. (No FILTER inside SERVICE here:
+    the mock's evaluator takes the fuzz expr tuple form, which a
+    re-parsed engine Expr doesn't carry.)"""
+    r = rng.random()
+    if r < 0.45:
+        return rand_bgp(rng)
+    if r < 0.6:
+        return A.Join(rand_bgp(rng), rand_table(rng))
+    if r < 0.75:
+        return A.Union(rand_bgp(rng), rand_bgp(rng))
+    if r < 0.88:
+        return A.Minus(rand_bgp(rng), rand_bgp(rng))
+    return A.LeftJoin(rand_bgp(rng), rand_bgp(rng), None)
+
+
 def _rand_service_tree(rng, endpoint_url):
     """A binary compat node with a SERVICE leaf on one side and a local
     leaf on the other — Join(local, SERVICE) specifically exercises the
     bind-join VALUES shipping path (eval_service_bound probes when the
     rhs is a Service node)."""
-    svc = A.Service(endpoint_url, rand_bgp(rng))
+    svc = A.Service(endpoint_url, _rand_service_child(rng))
     local = rand_bgp(rng) if rng.random() < 0.6 else rand_table(rng)
     op = rng.choice(["join", "join", "left", "leftR", "minus", "minusR",
                      "union", "semi", "anti"])

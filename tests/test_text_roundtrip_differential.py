@@ -3,7 +3,9 @@
 sparql_text.algebra_to_sparql (the SERVICE federation shipper) and
 sparql_parser.parse_query are each example-tested; this family closes
 the loop: a random compat tree over the serializable subset (BGP /
-VALUES / Join / Union / OPTIONAL / FILTER) is evaluated directly AND
+VALUES / Join / Union / OPTIONAL / FILTER / MINUS / FILTER (NOT)
+EXISTS / BIND / GRAPH <iri> — widened in r12 so SERVICE can federate
+them) is evaluated directly AND
 re-parsed from its own serialized text, and the two engine results
 must be bag-identical. Catches scope-changing serialization (a FILTER
 or OPTIONAL losing its group when its parent flattens the text) and
@@ -52,20 +54,37 @@ def rand_text_expr(rng: random.Random, depth: int = 1):
     return v(var) == v(rng.choice(VARS))
 
 
+TGRAPHS = ["urn:g:default", "urn:g:g1"]
+
+
 def rand_text_tree(rng: random.Random, depth: int) -> A.Algebra:
+    from kineo_spark.model import iri
+
     if depth == 0:
         return rand_bgp(rng) if rng.random() < 0.7 else rand_table(rng)
     r = rng.random()
-    if r < 0.25:
+    if r < 0.15:
         return A.Filter(rand_text_tree(rng, depth - 1),
                         rand_text_expr(rng))
+    if r < 0.25:
+        child = rand_text_tree(rng, depth - 1)
+        free = [x for x in ("ex", "ey") if x not in all_vars(child)]
+        if free:
+            return A.Extend(child, rand_text_expr(rng), rng.choice(free))
+    if r < 0.33:
+        return A.NamedGraph(iri(rng.choice(TGRAPHS)),
+                            rand_text_tree(rng, depth - 1))
     lhs = rand_text_tree(rng, depth - 1)
     rhs = rand_text_tree(rng, depth - 1)
     if r < 0.5:
         return A.Join(lhs, rhs)
-    if r < 0.75:
+    if r < 0.65:
         expr = rand_text_expr(rng) if rng.random() < 0.6 else None
         return A.LeftJoin(lhs, rhs, expr)
+    if r < 0.78:
+        return A.Minus(lhs, rhs)
+    if r < 0.9:
+        return A.SemiJoin(lhs, rhs, anti=rng.random() < 0.5)
     return A.Union(lhs, rhs)
 
 
@@ -105,10 +124,10 @@ def test_filter_scope_braced_in_flat_operands(spark):
         assert direct == reparsed == 0, (tree, text, direct, reparsed)
 
 
-@pytest.mark.parametrize("seed", range(10))
+@pytest.mark.parametrize("seed", range(14))
 def test_text_roundtrip_differential(spark, seed):
     rng = random.Random(6000 + seed)
-    quads = rand_quads(rng)
+    quads = rand_quads(rng, graphs=tuple(TGRAPHS))
     tree = rand_text_tree(rng, 2)
     proj = tuple(sorted(all_vars(tree)))
     if not proj:
