@@ -238,8 +238,68 @@ def _auto_should_switch(rounds_done: int, frontier_sizes: list[int]) -> bool:
     return recent[-1] / shrink > _AUTO_TAIL_FACTOR * rounds_done
 
 
+def _pair_bytes(df: DataFrame) -> int:
+    """Conservative per-row bytes of a key pair inside a broadcast hash
+    relation, derived from the actual pair schema (64-bit keys are
+    longs, 128-bit keys {hi, lo} structs, graph-scoped keys {g, n}
+    structs of either): leaf bytes + 8 per struct level + 32 per row of
+    UnsafeRow/hash-table overhead."""
+    from pyspark.sql import types as T
+
+    def sz(dt) -> int:
+        if isinstance(dt, T.StructType):
+            return 8 + sum(sz(f.dataType) for f in dt.fields)
+        return 8
+
+    return 32 + sum(sz(f.dataType) for f in df.schema.fields)
+
+
+def _acc_broadcast_limit(spark) -> int:
+    """Byte budget for broadcasting the fixpoint accumulator into the
+    per-round anti-join (guide §3.1: broadcast replaces the shuffle of
+    the OTHER side — here the re-shuffle of the growing accumulator,
+    the O(d·closure) term STRESS_PATH_DIAMETER measured). Gated by
+    BYTES, not cores: a closure that outgrows the budget falls back to
+    the shuffle anti-join unchanged, so the behavior is scale-adaptive,
+    not tuned to local[32]. Default 64 MB (well under the guide's
+    few-hundred-MB comfort zone and the 8 GB hard cap); override with
+    spark.kineo.path.broadcastAccBytes."""
+    try:
+        v = spark.conf.get("spark.kineo.path.broadcastAccBytes", None)
+        if v:
+            return int(v)
+    except Exception:
+        pass
+    return 64 * 1024 * 1024
+
+
+def _gate(n_pairs: int | None, per_bytes: int, limit: int) -> bool:
+    return n_pairs is not None and n_pairs * per_bytes <= limit
+
+
+def _anti_new(grown: DataFrame, acc: DataFrame, acc_n: int | None,
+              per_bytes: int, limit: int) -> DataFrame:
+    """``grown`` minus ``acc`` as a materialized delta, deduplicated.
+
+    Small accumulator (counted, under the byte gate): broadcast the
+    anti-join build side and run it BEFORE the dedup, so the only
+    exchange of the round moves just the surviving new pairs (plus
+    their path multiplicity) instead of the whole composed relation —
+    3 exchanges/round → 1. Large accumulator: identical shape to the
+    pre-r12 code (dedup first to shrink the shuffle anti-join's input,
+    then SMJ anti) — the regime the doubling switch exists for."""
+    if _gate(acc_n, per_bytes, limit):
+        return (grown.join(F.broadcast(acc), ["__a", "__b"], "left_anti")
+                .dropDuplicates(["__a", "__b"])
+                .localCheckpoint(eager=True))
+    return (grown.dropDuplicates(["__a", "__b"])
+            .join(acc, ["__a", "__b"], "left_anti")
+            .localCheckpoint(eager=True))
+
+
 def _doubling_rounds(acc: DataFrame, budget: int, max_iterations: int,
-                     rounds_out: list | None) -> DataFrame:
+                     rounds_out: list | None, acc_n: int | None = None
+                     ) -> DataFrame:
     """Path-doubling (recursive squaring) from an accumulated relation:
     R_{k+1} = R_k ∪ R_k∘R_k covers every path length ≤ 2·max-covered,
     so a diameter-d graph converges in ⌈log2 d⌉ rounds instead of d.
@@ -248,22 +308,49 @@ def _doubling_rounds(acc: DataFrame, budget: int, max_iterations: int,
     graphs (chains, DAG lineages: d in the hundreds) round count is the
     bottleneck at cluster scale: every round is a full shuffle stage +
     driver sync. Same key-space currency (16 B/row). ``acc`` must
-    contain the single edges (any semi-naive prefix does)."""
+    contain the single edges (any semi-naive prefix does).
+
+    r12: the delta is produced through the same size-gated anti-join as
+    the semi-naive loop (_anti_new), and the delta count it needs
+    anyway doubles as the termination test — on converged rounds the
+    count replaces the separate isEmpty job."""
+    limit = _acc_broadcast_limit(acc.sparkSession)
+    per_bytes = _pair_bytes(acc)
+    lazy_depth = 0
     for _round in range(budget):
         if rounds_out is not None:
             rounds_out.append(len(rounds_out) + 1)
         r2 = acc.select(F.col("__a").alias("__ja"), F.col("__b").alias("__jb"))
+        if _gate(acc_n, per_bytes, limit):
+            r2 = F.broadcast(r2)
         grown = (
             acc.join(r2, acc["__b"] == r2["__ja"], "inner")
             .select(acc["__a"], F.col("__jb").alias("__b"))
-            .dropDuplicates(["__a", "__b"])
         )
-        new = grown.join(acc, ["__a", "__b"], "left_anti").localCheckpoint(eager=True)
-        if new.isEmpty():
+        new = _anti_new(grown, acc, acc_n, per_bytes, limit)
+        n_new = new.count()
+        if n_new == 0:
             return acc
-        acc = acc.unionByName(new).localCheckpoint(eager=True)
+        acc_n = (acc_n + n_new) if acc_n is not None else None
+        acc, lazy_depth = _extend_acc(acc, new, acc_n, per_bytes, limit,
+                                      lazy_depth)
     raise RuntimeError(
         f"path closure did not converge in {max_iterations} iterations")
+
+
+def _extend_acc(acc: DataFrame, new: DataFrame, acc_n: int | None,
+                per_bytes: int, limit: int, lazy_depth: int
+                ) -> tuple[DataFrame, int]:
+    """acc ∪ new. While the accumulator is under the broadcast gate,
+    keep the union LAZY over the already-checkpointed deltas instead of
+    re-materializing the whole accumulator every round (the O(d·closure)
+    copy); compact every 16 rounds so seeded BFS over a long chain never
+    builds an unbounded union plan. Past the gate, materialize per round
+    exactly as before r12 (the shuffle-regime shape STRESS measured)."""
+    acc = acc.unionByName(new)
+    if _gate(acc_n, per_bytes, limit) and lazy_depth < 16:
+        return acc, lazy_depth + 1
+    return acc.localCheckpoint(eager=True), 0
 
 
 def _closure_pairs(ek: DataFrame, max_iterations: int,
@@ -292,48 +379,63 @@ def _closure_pairs(ek: DataFrame, max_iterations: int,
     if reverse:
         ek = ek.select(F.col("__b").alias("__a"), F.col("__a").alias("__b"))
     ek = ek.localCheckpoint(eager=True)
+    limit = _acc_broadcast_limit(ek.sparkSession)
+    per_bytes = _pair_bytes(ek)
     auto = strategy == "auto" and seed_col is None
     if seed_col is None and strategy == "doubling":
-        acc = _doubling_rounds(ek, max_iterations, max_iterations, rounds_out)
+        acc = _doubling_rounds(ek, max_iterations, max_iterations, rounds_out,
+                               acc_n=ek.count())
     else:
+        # one count job over the checkpointed edge relation feeds every
+        # size gate below (and the accumulator running total) — at any
+        # scale it is a narrow scan of in-memory blocks, one per closure
+        ek_n = ek.count()
         if seed_col is not None:
             # scoped: match the seed's NODE hash in every graph — the
             # BFS then runs per graph from that graph's copy of the seed
             frontier = ek.filter(
                 (F.col("__a")["n"] if scoped else F.col("__a")) == seed_col)
+            acc = frontier.localCheckpoint(eager=True)
+            acc_n = acc.count()
         else:
-            frontier = ek
-        acc = frontier.localCheckpoint(eager=True)
+            acc = ek
+            acc_n = ek_n
         frontier = acc
         e2 = ek.select(F.col("__a").alias("__ea"), F.col("__b").alias("__eb"))
+        # small edge relation (same byte gate): broadcast it into the
+        # per-round frontier join — the round's composition then has no
+        # exchange at all and the dedup exchange moves only the delta.
+        # Large edges keep the shuffle join (the 100 TB regime).
+        if _gate(ek_n, per_bytes, limit):
+            e2 = F.broadcast(e2)
         frontier_sizes: list[int] = []
+        lazy_depth = 0
         for _round in range(max_iterations):
             if rounds_out is not None:
                 rounds_out.append(len(rounds_out) + 1)
             grown = (
                 frontier.join(e2, frontier["__b"] == e2["__ea"], "inner")
                 .select(frontier["__a"], F.col("__eb").alias("__b"))
-                .dropDuplicates(["__a", "__b"])
             )
-            new = grown.join(acc, ["__a", "__b"], "left_anti").localCheckpoint(eager=True)
-            if auto:
-                # the frontier count is a metadata-cheap job over the
-                # just-checkpointed delta (no recompute, no shuffle) —
-                # the price of admission for the crossover estimator
-                n_new = new.count()
-                if n_new == 0:
-                    break
-                frontier_sizes.append(n_new)
-            elif new.isEmpty():
+            new = _anti_new(grown, acc, acc_n, per_bytes, limit)
+            # the delta count doubles as termination test, crossover
+            # estimator input, and the size gate's running total — a
+            # metadata-cheap job over the just-checkpointed delta
+            n_new = new.count()
+            if n_new == 0:
                 break
-            acc = acc.unionByName(new).localCheckpoint(eager=True)
+            if auto:
+                frontier_sizes.append(n_new)
+            acc_n += n_new
+            acc, lazy_depth = _extend_acc(acc, new, acc_n, per_bytes, limit,
+                                          lazy_depth)
             frontier = new
             if auto and _auto_should_switch(_round + 1, frontier_sizes):
                 if switch_out is not None:
                     switch_out.append(_round + 1)
                 acc = _doubling_rounds(
                     acc, max_iterations - (_round + 1), max_iterations,
-                    rounds_out)
+                    rounds_out, acc_n=acc_n)
                 break
         else:
             raise RuntimeError(

@@ -81,8 +81,11 @@ def shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame
     text per element access)."""
     from kineo_spark.pipeline.text import ngrams_of, tokens
 
-    toks = df.select(F.col(id_col).alias("id"),
-                     tokens(F.col(text_col)).alias("__w"))
+    from kineo_spark.scale import spread_small_scan
+
+    toks = spread_small_scan(
+        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__t"))
+    ).select("id", tokens(F.col("__t")).alias("__w"))
     return (
         toks.select("id", F.explode(ngrams_of(F.col("__w"), n)).alias("gram"))
         .distinct()
@@ -129,13 +132,19 @@ def ngram_jaccard_pairs(
 
 
 def shingle_bag(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
-    """(id, gram) WITH duplicates — no shuffle at all (the explode stays
-    in the input row's partition). The right feed for MinHash: min() is
-    duplicate-insensitive, so signatures never need the distinct."""
+    """(id, gram) WITH duplicates — no extra shuffle of derived rows
+    (the explode stays in the input row's partition; spread_small_scan
+    only round-robins the narrow (id, text) input when the scan has
+    fewer partitions than cores, so the per-gram hashing downstream
+    isn't serialized on one core — guide §2.5). The right feed for
+    MinHash: min() is duplicate-insensitive, so signatures never need
+    the distinct."""
     from kineo_spark.pipeline.text import ngrams_of, tokens
+    from kineo_spark.scale import spread_small_scan
 
-    toks = df.select(F.col(id_col).alias("id"),
-                     tokens(F.col(text_col)).alias("__w"))
+    toks = spread_small_scan(
+        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__t"))
+    ).select("id", tokens(F.col("__t")).alias("__w"))
     return toks.select("id", F.explode(ngrams_of(F.col("__w"), n)).alias("gram"))
 
 
@@ -325,8 +334,12 @@ def gram_occurrences(
     """
     from kineo_spark.pipeline.text import tokens
 
-    toks = df.select(
-        F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("w")
+    from kineo_spark.scale import spread_small_scan
+
+    toks = spread_small_scan(df.select(
+        F.col(id_col).alias("doc_id"), F.col(text_col).alias("__t")
+    )).select(
+        "doc_id", tokens(F.col("__t")).alias("w")
     ).filter(F.size("w") >= k)
     idx = F.sequence(F.lit(1), F.size("w") - (k - 1))
     gram = F.transform(idx, lambda i: F.array_join(F.slice("w", i, k), " "))

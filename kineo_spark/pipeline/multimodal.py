@@ -628,7 +628,14 @@ def synthetic_media(spark, documents: DataFrame, kind: str = "image") -> DataFra
                 }
             )
 
-    return documents.select("doc_id").mapInPandas(gen, schema=MEDIA_SCHEMA)
+    from kineo_spark.scale import spread_small_scan
+
+    # the per-row Python codec work below is the expensive part — make
+    # sure a one-row-group documents scan doesn't serialize it (guide
+    # §2.5 unsplittable input; no-op when the scan already has >= cores
+    # partitions)
+    ids = spread_small_scan(documents.select("doc_id"))
+    return ids.mapInPandas(gen, schema=MEDIA_SCHEMA)
 
 
 RESIZED_SCHEMA = T.StructType(

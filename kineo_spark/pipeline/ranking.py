@@ -25,6 +25,9 @@ from kineo_spark.pipeline.text import tokens
 def term_counts(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
     """(doc_id, term, tf, dl): per-document lowercase term frequencies
     plus the document token length."""
+    # r12 measured NON-win, for the record: spread_small_scan here
+    # (before the explode) lost ~18% wall at sf0.1 — the groupBy below
+    # already spreads the heavy work, so the extra exchange only costs.
     toks = df.select(
         F.col(id_col).alias("doc_id"),
         tokens(F.lower(F.col(text_col))).alias("w"),
@@ -176,9 +179,12 @@ def kn_bigram_logprob(
 
     Returns (doc_id, n_bigrams, avg_kn_logprob) rounded to 6 decimals.
     """
-    toks = df.select(
-        F.col(id_col).alias("doc_id"),
-        tokens(F.lower(F.col(text_col))).alias("w"),
+    from kineo_spark.scale import spread_small_scan
+
+    toks = spread_small_scan(df.select(
+        F.col(id_col).alias("doc_id"), F.col(text_col).alias("__t"),
+    )).select(
+        "doc_id", tokens(F.lower(F.col("__t"))).alias("w"),
     ).filter(F.size("w") >= 2)
     bi = toks.select(
         "doc_id",

@@ -180,10 +180,14 @@ def dsir_weights(
     # materialize the token array as a real column BEFORE indexing into
     # it: an inlined tokens() expression would re-split the document on
     # every w[i] access inside the bigram lambda (O(len²) per doc)
-    toks = df.select(
+    from kineo_spark.scale import spread_small_scan
+
+    toks = spread_small_scan(df.select(
         F.col(id_col).alias("id"),
         target.alias("is_target"),
-        tokens(F.lower(F.col(text_col))).alias("w"),
+        F.col(text_col).alias("__t"),
+    )).select(
+        "id", "is_target", tokens(F.lower(F.col("__t"))).alias("w"),
     ).filter(F.size("w") >= 2)
     feats = toks.select(
         "id", "is_target",

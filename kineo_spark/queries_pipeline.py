@@ -167,7 +167,11 @@ def pipe_dedup_ngram_jaccard(spark, sf_dir) -> DataFrame:
 
 @q("pipe_dedup_minhash_lsh", _NGRAM_CTE)
 def pipe_dedup_minhash_lsh(spark, sf_dir) -> DataFrame:
-    """Two-phase MinHash-LSH near-dup: banded candidates → exact-Jaccard
+    """r12: shingle feeds spread a below-parallelism scan (re-baselines
+    this entry's invariants — the 64-hash signature aggregation now
+    runs on every core instead of one).
+
+    Two-phase MinHash-LSH near-dup: banded candidates → exact-Jaccard
     verify ≥0.5. The VERIFIED output is oracle-checkable against the
     all-pairs exact-Jaccard SQL (same CTE as pipe_dedup_ngram_jaccard):
     equality holds because every true pair in the driver corpus has
@@ -254,6 +258,8 @@ HAVING MAX(pos_a) - MIN(pos_a) + 8 >= 15
 
 @q("pipe_exact_substring_spans", _EXACT_SUBSTR_CTE)
 def pipe_exact_substring_spans(spark, sf_dir) -> DataFrame:
+    # r12: gram_occurrences spreads a below-parallelism scan before the
+    # positioned k-gram explode (re-baselines this entry's invariants)
     """Maximal >=15-token spans shared verbatim between document pairs
     (ExactSubstr dedup, Lee et al. 2021)."""
     docs = read_table(spark, sf_dir, "documents")
@@ -1492,7 +1498,12 @@ FROM feats JOIN tab USING (b) GROUP BY doc_id
 @q("pipe_dsir_weights", _DSIR_CTE)
 def pipe_dsir_weights(spark, sf_dir) -> DataFrame:
     """DSIR hashed-bigram importance weights toward the lang='en'
-    slice as the target distribution."""
+    slice as the target distribution.
+
+    r12: the underlying operator spreads a below-parallelism scan
+    before the bigram explode (scale.spread_small_scan) — steady-state
+    shuffle gains the narrow (id, is_target, text) repartition, wall
+    drops ~2x; this docstring change re-baselines the entry."""
     from kineo_spark.pipeline import selection
     docs = read_table(spark, sf_dir, "documents")
     return selection.dsir_weights(docs, F.col("lang") == "en")
@@ -1525,7 +1536,10 @@ GROUP BY doc_id
 @q("pipe_kn_logprob", _KN_CTE)
 def pipe_kn_logprob(spark, sf_dir) -> DataFrame:
     """Interpolated Kneser-Ney bigram LM quality score (the smoothing
-    KenLM-based perplexity filters use)."""
+    KenLM-based perplexity filters use).
+
+    r12: the bigram explode spreads a below-parallelism scan
+    (scale.spread_small_scan; re-baselines this entry)."""
     from kineo_spark.pipeline import ranking
     docs = read_table(spark, sf_dir, "documents")
     return ranking.kn_bigram_logprob(docs, "doc_id")

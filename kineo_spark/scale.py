@@ -43,3 +43,25 @@ def repartition_for_join(df: DataFrame, key: str, partitions: int | None = None)
     """Pre-partition on a join key so repeated joins against the same
     key reuse one shuffle (bucketing-by-hand for ephemeral frames)."""
     return df.repartition(partitions or df.sparkSession.conf.get("spark.sql.shuffle.partitions"), key) if partitions else df.repartition(key)
+
+
+def spread_small_scan(df: DataFrame, min_parts: int | None = None) -> DataFrame:
+    """Round-robin repartition a scan whose partition count is below
+    the cluster parallelism — the unsplittable-input fix (optimization
+    guide §2.5: "one huge unsplittable file ... repartition immediately
+    after the read"). A small parquet table is one row group = one scan
+    partition, which serializes every downstream per-row stage (explode,
+    Arrow-batched Python decode, per-gram hashing) on a single core no
+    matter how wide the cluster is. Apply it where heavy per-row work
+    follows a narrow scan; the partition-count check makes it a no-op
+    at scale (a 100 TB input has orders of magnitude more splits than
+    cores, and then the data already spreads).
+
+    The exchange this inserts moves only the narrow projected input
+    (never derived/exploded rows), and only when the input was too
+    concentrated for the cluster in the first place."""
+    spark = df.sparkSession
+    target = min_parts or spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
