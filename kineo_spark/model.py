@@ -92,16 +92,55 @@ QUADS_SCHEMA = T.StructType(
 # Column-side constructors
 # ---------------------------------------------------------------------------
 
+# Constant-Column interning (r12). Every Column operation is a py4j
+# round trip (~0.2-0.5 ms of driver latency); the term constructors
+# below rebuild identical constant expression trees (typed NULLs, kind
+# bytes, datatype literals) hundreds of times per compiled query, so
+# plan CONSTRUCTION was a measured ~30-50% of short-query wall. Column
+# expression trees are immutable and session-independent, so interning
+# them per py4j gateway is safe (the same pattern read_table uses for
+# DataFrames). The cache token lives ON the gateway object, so a torn-
+# down/recreated gateway can never serve stale JVM references through
+# a recycled id().
+_CONST_CACHE: dict = {}
+
+
+def _const(key, build):
+    from pyspark import SparkContext
+
+    gw = SparkContext._gateway
+    if gw is None:  # no JVM yet — don't cache what can't exist
+        return build()
+    tok = getattr(gw, "_kineo_const_token", None)
+    if tok is None:
+        tok = object()
+        gw._kineo_const_token = tok
+        _CONST_CACHE.clear()  # new JVM: old Column refs are dead
+    k = (id(tok), key)
+    col = _CONST_CACHE.get(k)
+    if col is None:
+        col = build()
+        if len(_CONST_CACHE) > 8192:
+            _CONST_CACHE.clear()
+        _CONST_CACHE[k] = col
+    return col
+
+
 def _b(kind: int) -> Column:
-    return F.lit(kind).cast("tinyint")
+    return _const(("b", kind), lambda: F.lit(kind).cast("tinyint"))
 
 
 def _NULL_S() -> Column:
-    return F.lit(None).cast("string")
+    return _const("ns", lambda: F.lit(None).cast("string"))
 
 
 def _NULL_D() -> Column:
-    return F.lit(None).cast("double")
+    return _const("nd", lambda: F.lit(None).cast("double"))
+
+
+def _slit(s: str) -> Column:
+    """Interned string-literal Column (datatype names etc.)."""
+    return _const(("s", s), lambda: F.lit(s))
 
 
 def term_struct(kind: Column, lex: Column, dt: Column, lang: Column, num: Column) -> Column:
@@ -127,14 +166,14 @@ def blank_col(label: Column) -> Column:
 
 
 def lit_string_col(lex: Column, nonnull: bool = False) -> Column:
-    t = term_struct(_b(KIND_LITERAL), lex, F.lit("string"), _NULL_S(), _NULL_D())
+    t = term_struct(_b(KIND_LITERAL), lex, _slit("string"), _NULL_S(), _NULL_D())
     if nonnull:
         return t
     return F.when(lex.isNotNull(), t)
 
 
 def lit_lang_col(lex: Column, lang: Column) -> Column:
-    t = term_struct(_b(KIND_LITERAL), lex, F.lit("langString"), lang, _NULL_D())
+    t = term_struct(_b(KIND_LITERAL), lex, _slit("langString"), lang, _NULL_D())
     return F.when(lex.isNotNull() & lang.isNotNull(), t)
 
 
@@ -147,7 +186,7 @@ def lit_numeric_col(value: Column, dt: str, nonnull: bool = False) -> Column:
     else:
         lex = value.cast("string")
         num = value.cast("double")
-    t = term_struct(_b(KIND_LITERAL), lex, F.lit(dt), _NULL_S(), num)
+    t = term_struct(_b(KIND_LITERAL), lex, _slit(dt), _NULL_S(), num)
     if nonnull:
         return t
     return F.when(value.isNotNull(), t)
@@ -157,7 +196,7 @@ def lit_bool_col(value: Column, nonnull: bool = False) -> Column:
     t = term_struct(
         _b(KIND_LITERAL),
         F.when(value, "true").otherwise("false"),
-        F.lit("boolean"), _NULL_S(),
+        _slit("boolean"), _NULL_S(),
         value.cast("double"),
     )
     if nonnull:
@@ -170,7 +209,7 @@ def lit_datetime_col(ts: Column, nonnull: bool = False) -> Column:
     t = term_struct(
         _b(KIND_LITERAL),
         F.date_format(ts, "yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'"),
-        F.lit("dateTime"), _NULL_S(),
+        _slit("dateTime"), _NULL_S(),
         F.unix_micros(ts).cast("double"),
     )
     if nonnull:
@@ -182,7 +221,7 @@ def lit_date_col(d: Column, nonnull: bool = False) -> Column:
     t = term_struct(
         _b(KIND_LITERAL),
         F.date_format(d, "yyyy-MM-dd"),
-        F.lit("date"), _NULL_S(),
+        _slit("date"), _NULL_S(),
         F.unix_micros(d.cast("timestamp")).cast("double"),
     )
     if nonnull:
@@ -227,8 +266,8 @@ def term_key(term: Column) -> Column:
             _SEP,
             term["kind"].cast("string"),
             term["lex"],
-            F.coalesce(term["dt"], F.lit("")),
-            F.coalesce(term["lang"], F.lit("")),
+            F.coalesce(term["dt"], _slit("")),
+            F.coalesce(term["lang"], _slit("")),
         ),
     )
 
@@ -307,12 +346,18 @@ class PyTerm:
         return lexical_num(self.lex, self.dt)
 
     def as_column(self) -> Column:
-        return term_struct(
-            _b(self.kind),
-            F.lit(self.lex),
-            F.lit(self.dt).cast("string"),
-            F.lit(self.lang).cast("string"),
-            F.lit(self.num).cast("double"),
+        # interned per term value (constant expression tree — see
+        # _const): queries re-create equal PyTerm constants on every
+        # compile, and each uncached build is ~12 py4j round trips
+        return _const(
+            ("term", self.kind, self.lex, self.dt, self.lang),
+            lambda: term_struct(
+                _b(self.kind),
+                F.lit(self.lex),
+                F.lit(self.dt).cast("string"),
+                F.lit(self.lang).cast("string"),
+                F.lit(self.num).cast("double"),
+            ),
         )
 
     def key(self) -> str:

@@ -41,10 +41,17 @@ def knn_bruteforce(
     """Exact top-k cosine neighbors for each query vector (excluding the
     query row itself). Returns (query_id, neighbor_id, sim), ties broken
     by neighbor id."""
+    from kineo_spark.scale import spread_small_scan
+
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
     )
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec"))
+    # r12: a one-row-group corpus scan otherwise serializes the whole
+    # dot-product sweep (|corpus|×|queries| cosines) on one core —
+    # guide §2.5; no-op when the scan is already at cluster parallelism
+    c = spread_small_scan(
+        corpus.select(F.col(id_col).alias("neighbor_id"),
+                      F.col(vec_col).alias("cvec")))
     scored = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("neighbor_id") != F.col("query_id"))

@@ -404,10 +404,13 @@ def sparql_stream_select(spark, sf_dir) -> DataFrame:
       }
     """)
     name = f"t_stream_sel_{uuid.uuid4().hex[:8]}"
-    # 8 state partitions for a 150k-event micro-batch (see
-    # run_available_now: per-store fixed cost dominates small state)
+    # state partitions sized to batch volume (~150k events / ~40k rows
+    # per store — r12 re-measure: 2→1.50s, 4→1.58s, 8→1.79s best-of-3;
+    # per-store open/commit fixed cost dominates small state, so fewer,
+    # fuller stores win; a production stream re-derives this from its
+    # own volume as run_available_now documents)
     out = ss.run_available_now(bindings, name, timeout_s=300,
-                               state_partitions=8)
+                               state_partitions=4)
     return out.select(
         F.col("e")["lex"].alias("e"), F.col("v")["num"].alias("v")
     )
