@@ -75,21 +75,29 @@ def dedup_clusters(
     return cc.select(F.col("node").alias(id_col), F.col("component").alias("canon"))
 
 
-def shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
-    """(id, gram) distinct pairs. Tokens materialize as a column before
-    n-gram indexing (see text.ngrams_of: the inline form re-splits the
-    text per element access)."""
-    from kineo_spark.pipeline.text import ngrams_of, tokens
+def shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3,
+             with_size: bool = False) -> DataFrame:
+    """(id, gram) distinct pairs — optionally with the document's
+    distinct-shingle count riding along as ``sz``. Tokens materialize
+    as a column before n-gram indexing (see text.ngrams_of: the inline
+    form re-splits the text per element access).
 
+    r12 (guide §2.4 remove shuffles outright): per-document
+    ``array_distinct`` BEFORE the explode replaces the corpus-wide
+    ``.distinct()`` — (id, gram) duplicates only ever exist within one
+    document's row, so array-side dedup is equivalent and removes a
+    full shuffle of the gram table; ``sz`` then falls out as an array
+    length instead of a second aggregation pass over the table."""
+    from kineo_spark.pipeline.text import ngrams_of, tokens
     from kineo_spark.scale import spread_small_scan
 
     toks = spread_small_scan(
         df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__t"))
     ).select("id", tokens(F.col("__t")).alias("__w"))
-    return (
-        toks.select("id", F.explode(ngrams_of(F.col("__w"), n)).alias("gram"))
-        .distinct()
-    )
+    grams = toks.select(
+        "id", F.array_distinct(ngrams_of(F.col("__w"), n)).alias("__gs"))
+    cols = ["id"] + ([F.size("__gs").alias("sz")] if with_size else [])
+    return grams.select(*cols, F.explode("__gs").alias("gram"))
 
 
 def ngram_jaccard_pairs(
@@ -101,26 +109,34 @@ def ngram_jaccard_pairs(
     max_gram_freq: int | None = None,
 ) -> DataFrame:
     """Exact all-pairs n-gram Jaccard ≥ threshold via inverted-index
-    self-join. Returns (id_a, id_b, jaccard) with id_a < id_b."""
-    # shingles feed the join twice plus the size table: materialize once
-    sh = shingles(df, id_col, text_col, n).cache()
-    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    self-join. Returns (id_a, id_b, jaccard) with id_a < id_b.
+
+    r12 shuffle-bytes diet (guide §2.3/§2.4): sizes ride the exploded
+    rows (array-length projection, no per-doc aggregation pass), and a
+    SIZE-COMPATIBILITY prune runs before the pair aggregation —
+    J(A,B) = |A∩B|/|A∪B| ≤ min(|A|,|B|)/max(|A|,|B|), so a pair whose
+    size ratio is below the threshold can never verify; pruning it
+    before the groupBy shrinks the pair shuffle. The prune uses a
+    1e-9 slack so float rounding can never drop a pair whose exact
+    ratio equals the threshold (the final exact filter is unchanged
+    and authoritative)."""
+    # shingles feed the join twice: materialize once
+    sh = shingles(df, id_col, text_col, n, with_size=True).cache()
     if max_gram_freq is not None:
         hot = sh.groupBy("gram").agg(F.count(F.lit(1)).alias("f")).filter(F.col("f") > max_gram_freq)
         sh = sh.join(F.broadcast(hot), "gram", "left_anti")
-    a = sh.select(F.col("id").alias("id_a"), "gram")
-    b = sh.select(F.col("id").alias("id_b"), "gram")
+    a = sh.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a"), "gram")
+    b = sh.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b"), "gram")
     inter = (
         a.join(b, "gram")
         .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
+        .filter(F.least("sz_a", "sz_b")
+                >= (threshold - 1e-9) * F.greatest("sz_a", "sz_b"))
+        .groupBy("id_a", "id_b", "sz_a", "sz_b")
         .agg(F.count(F.lit(1)).alias("inter"))
     )
-    sa = sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a"))
-    sb = sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b"))
-    out = (
-        inter.join(F.broadcast(sa), "id_a").join(F.broadcast(sb), "id_b")
-        .withColumn(
+    return (
+        inter.withColumn(
             "jaccard",
             F.col("inter").cast("double")
             / (F.col("sz_a") + F.col("sz_b") - F.col("inter")),
@@ -128,7 +144,6 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
-    return out
 
 
 def shingle_bag(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
