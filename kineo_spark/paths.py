@@ -279,7 +279,12 @@ def _gate(n_pairs: int | None, per_bytes: int, limit: int) -> bool:
 
 def _anti_new(grown: DataFrame, acc: DataFrame, acc_n: int | None,
               per_bytes: int, limit: int) -> DataFrame:
-    """``grown`` minus ``acc`` as a materialized delta, deduplicated.
+    """``grown`` minus ``acc``, deduplicated, marked for LAZY local
+    checkpointing: the caller's immediate ``count()`` materializes the
+    checkpoint AND returns the round's delta size in one job, so each
+    fixpoint round pays one scheduler round trip instead of two
+    (guide §7.3 — at sub-second round times the driver-side gap between
+    jobs is a large share of the closure's wall).
 
     Small accumulator (counted, under the byte gate): broadcast the
     anti-join build side and run it BEFORE the dedup, so the only
@@ -291,10 +296,10 @@ def _anti_new(grown: DataFrame, acc: DataFrame, acc_n: int | None,
     if _gate(acc_n, per_bytes, limit):
         return (grown.join(F.broadcast(acc), ["__a", "__b"], "left_anti")
                 .dropDuplicates(["__a", "__b"])
-                .localCheckpoint(eager=True))
+                .localCheckpoint(eager=False))
     return (grown.dropDuplicates(["__a", "__b"])
             .join(acc, ["__a", "__b"], "left_anti")
-            .localCheckpoint(eager=True))
+            .localCheckpoint(eager=False))
 
 
 def _doubling_rounds(acc: DataFrame, budget: int, max_iterations: int,
@@ -378,24 +383,25 @@ def _closure_pairs(ek: DataFrame, max_iterations: int,
     (nothing when the fixpoint converged semi-naive)."""
     if reverse:
         ek = ek.select(F.col("__b").alias("__a"), F.col("__a").alias("__b"))
-    ek = ek.localCheckpoint(eager=True)
+    # lazy checkpoint + count: ONE job both materializes the edge
+    # relation and feeds every size gate below (guide §7.3 — halves the
+    # closure's fixed driver round trips; at any scale the count is a
+    # narrow scan of the just-checkpointed blocks)
+    ek = ek.localCheckpoint(eager=False)
     limit = _acc_broadcast_limit(ek.sparkSession)
     per_bytes = _pair_bytes(ek)
+    ek_n = ek.count()
     auto = strategy == "auto" and seed_col is None
     if seed_col is None and strategy == "doubling":
         acc = _doubling_rounds(ek, max_iterations, max_iterations, rounds_out,
-                               acc_n=ek.count())
+                               acc_n=ek_n)
     else:
-        # one count job over the checkpointed edge relation feeds every
-        # size gate below (and the accumulator running total) — at any
-        # scale it is a narrow scan of in-memory blocks, one per closure
-        ek_n = ek.count()
         if seed_col is not None:
             # scoped: match the seed's NODE hash in every graph — the
             # BFS then runs per graph from that graph's copy of the seed
             frontier = ek.filter(
                 (F.col("__a")["n"] if scoped else F.col("__a")) == seed_col)
-            acc = frontier.localCheckpoint(eager=True)
+            acc = frontier.localCheckpoint(eager=False)
             acc_n = acc.count()
         else:
             acc = ek
