@@ -172,10 +172,18 @@ def kn_bigram_logprob(
     bigram types. Scored on the training corpus itself every scored
     bigram has c ≥ 1 > D, so the first term stays positive.
 
-    Scale shape: four count aggregations over the one exploded bigram
-    stream (all map-side combinable), then one join back — same shuffle
-    budget as training any count LM; scoring is join + aggregate, no
-    Python.
+    Scale shape (r12, guide §3.1/§2.3): the per-type logprob table is
+    assembled FIRST with type-level joins (bic ⋈ ctx ⋈ cont — all over
+    the bigram-type table, zipf-bounded and orders of magnitude smaller
+    than the occurrence stream), and the exploded bigram stream joins
+    that table exactly ONCE — broadcast/BHJ when the type table fits
+    (AQE decides from actual sizes), a single stream shuffle at corpus
+    scale — versus the previous three successive stream joins (on
+    (w1, w2), then w1, then w2). The per-doc aggregation is unchanged.
+    (Measured non-win, for the record: reducing the stream to
+    per-(doc, bigram-type) counts first added a stream-sized exchange —
+    text bigrams are mostly unique within a document, so the "reduction"
+    didn't reduce; 7.5 → 22 MB shuffle at sf0.1. Reverted.)
 
     Returns (doc_id, n_bigrams, avg_kn_logprob) rounded to 6 decimals.
     """
@@ -207,13 +215,13 @@ def kn_bigram_logprob(
     prob = (F.col("bc") - d) / F.col("c1") + (
         d * F.col("fw") / F.col("c1")
     ) * (F.col("bw") / F.col("nb"))
-    scored = (
-        bi.join(bic, ["w1", "w2"])
-        .join(ctx, "w1")
+    tab = (
+        bic.join(ctx, "w1")
         .join(cont, "w2")
         .crossJoin(F.broadcast(types))
-        .select("doc_id", F.log(prob).alias("lp"))
+        .select("w1", "w2", F.log(prob).alias("lp"))
     )
+    scored = bi.join(tab, ["w1", "w2"]).select("doc_id", "lp")
     return scored.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_bigrams"),
         F.round(F.avg("lp"), 6).alias("avg_kn_logprob"),
