@@ -198,8 +198,16 @@ def minhash_signatures(
 def minhash_lsh_candidates(
     sigs: DataFrame, bands: int = 16, rows: int = 4
 ) -> DataFrame:
-    """LSH banding: equi-join on (band index, hash of the band slice).
-    Returns distinct candidate pairs (id_a, id_b)."""
+    """LSH banding: group signatures by (band index, hash of the band
+    slice) and expand each bucket's id list into ordered pairs map-side.
+    Returns distinct candidate pairs (id_a, id_b).
+
+    r12 (guide §2.4): the bucket groupBy shuffles the banded table ONCE
+    (partial-aggregated id lists); the previous a⋈b self-join exchanged
+    the same table twice and sort-merged it. Pair expansion inside a
+    bucket is the identical m·(m−1)/2 work either way; buckets are
+    collision groups (near-dup families), bounded by the same argument
+    that makes LSH usable at all."""
     # r12: one sql-parsed expression for the whole band array (single
     # py4j round trip; the per-Column form was ~200 driver round trips)
     band_structs = ",".join(
@@ -211,12 +219,22 @@ def minhash_lsh_candidates(
     banded = sigs.select(
         "id", F.explode(F.expr(f"array({band_structs})")).alias("bb"),
     ).select("id", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
-    a = banded.select(F.col("id").alias("id_a"), "band", "bh")
-    b = banded.select(F.col("id").alias("id_b"), "band", "bh")
+    buckets = (
+        banded.groupBy("band", "bh")
+        .agg(F.sort_array(F.collect_list("id")).alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
+    # ordered pairs of a sorted list: (ids[i], ids[j]) for i < j — the
+    # same id_a < id_b set the self-join produced, generated without an
+    # exchange (transform/slice are whole-stage-codegen'd array exprs)
+    pair_expr = F.expr(
+        "flatten(transform(ids, (x, i) -> "
+        "transform(slice(ids, i + 2, size(ids) - i - 1), "
+        "y -> struct(x as id_a, y as id_b))))"
+    )
     return (
-        a.join(b, ["band", "bh"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
+        buckets.select(F.explode(pair_expr).alias("p"))
+        .select("p.id_a", "p.id_b")
         .distinct()
     )
 
@@ -253,20 +271,29 @@ def minhash_dedup_pairs(
         .unionByName(cands.select(F.col("id_b").alias("id")))
         .distinct()
     )
-    shc = bag.join(F.broadcast(cand_docs), "id", "leftsemi") \
-        .dropDuplicates(["id", "gram"]).cache()
-    sizes = shc.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
-    a = shc.select(F.col("id").alias("id_a"), "gram")
-    b = shc.select(F.col("id").alias("id_b"), "gram")
-    inter = (
-        cands.join(a, "id_a").join(b, ["id_b", "gram"])
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("inter"))
+    # r12 (guide §2.4): each candidate doc's distinct grams collect into
+    # ONE set-array row (collect_set dedups in the aggregation buffer),
+    # and the pair join computes |A∩B| with array_intersect map-side —
+    # replacing dropDuplicates + a sizes aggregation + a gram-level
+    # two-sided join + a pair groupBy (5 exchanges over the candidate
+    # slice) with one aggregation + two pair-level joins that AQE turns
+    # into broadcasts when the slice is small and leaves as shuffles at
+    # scale. Candidate docs ≈ docs with near-dups — the slice this runs
+    # on is orders of magnitude smaller than the corpus at any scale.
+    garr = (
+        bag.join(F.broadcast(cand_docs), "id", "leftsemi")
+        .groupBy("id").agg(F.collect_set("gram").alias("gs"))
     )
-    sa = sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a"))
-    sb = sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b"))
+    ga = garr.select(F.col("id").alias("id_a"), F.col("gs").alias("gs_a"))
+    gb = garr.select(F.col("id").alias("id_b"), F.col("gs").alias("gs_b"))
     return (
-        inter.join(sa, "id_a").join(sb, "id_b")
+        cands.join(ga, "id_a").join(gb, "id_b")
+        .select(
+            "id_a", "id_b",
+            F.size(F.array_intersect("gs_a", "gs_b")).alias("inter"),
+            F.size("gs_a").alias("sz_a"), F.size("gs_b").alias("sz_b"),
+        )
+        .filter(F.col("inter") > 0)
         .withColumn(
             "jaccard",
             F.col("inter").cast("double") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")),
