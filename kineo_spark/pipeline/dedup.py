@@ -912,8 +912,13 @@ def fuzzy_pairs(
     """
     from pyspark.sql import Window
 
-    base = df.select(F.col(id_col).alias("id"),
-                     F.col(text_col).alias("__t"))
+    from kineo_spark.scale import spread_small_scan
+
+    # narrow (id, text) input spread before the O(len^k) variant explode
+    # and hashing — a one-row-group scan otherwise runs them on one core
+    # until the cap window's exchange (guide §2.5 unsplittable input)
+    base = spread_small_scan(df.select(F.col(id_col).alias("id"),
+                                       F.col(text_col).alias("__t")))
     var = base.select(
         "id", "__t",
         F.explode(_deletion_variants("__t", max_dist)).alias("__v"),
@@ -943,11 +948,15 @@ def fuzzy_pairs(
     # keys re-verifies once per key — JVM levenshtein on short strings
     # is far cheaper than shuffling the texts (measured 10.5 → ~4 MB
     # steady-state shuffle, identical output).
+    # bounded levenshtein (threshold form, banded O(len·k) DP instead of
+    # the full O(len²) matrix — guide §1.2 per-task work): returns -1
+    # past the bound, and the exact distance ≤ max_dist otherwise, so
+    # surviving rows carry the identical dist value
     return (
         a.join(b, "__vh")
         .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("dist", F.levenshtein("__ta", "__tb"))
-        .filter(F.col("dist") <= max_dist)
+        .withColumn("dist", F.levenshtein("__ta", "__tb", max_dist))
+        .filter((F.col("dist") >= 0) & (F.col("dist") <= max_dist))
         .select("id_a", "id_b", F.col("dist").cast("long").alias("dist"))
         .distinct()
     )
