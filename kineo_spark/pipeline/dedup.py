@@ -532,46 +532,61 @@ def winnow_fingerprints(
     length >= w + k - 1 tokens is guaranteed to share a fingerprint,
     while the sketch is ~2/(w+1) the size of the full gram stream.
 
-    Plan shape: one linear gram pass, one per-doc running-min window
-    (no shuffle beyond the doc partitioning), distinct. At corpus scale
-    the sketch — not the text — feeds the dedup join, cutting candidate
-    generation I/O by the winnowing density factor.
+    Plan shape (r12, guide §2.4 remove shuffles outright): winnowing is
+    a PER-DOCUMENT computation, so the whole selection — k-gram
+    hashing, the w-wide sliding min with rightmost tie-break, and the
+    fingerprint dedup — runs as whole-stage-codegen'd array expressions
+    on each document's row: ZERO exchanges (previously the full gram
+    stream shuffled into a per-doc window — the operator's dominant
+    shuffle, 33 MB at sf0.1). Only the selected sketch (density
+    ~2/(w+1)) is exploded. Documents are assumed unique per ``id_col``
+    (the same per-doc-row assumption every operator in this module
+    makes); the per-doc ``array_distinct`` is then exactly the old
+    global distinct. At corpus scale the sketch — not the text — feeds
+    the dedup join, cutting candidate generation I/O by the winnowing
+    density factor.
 
     Returns (doc_id, pos, gh) distinct selected fingerprints; pos is
     the 1-based token position of the selected gram, gh its md5 hex.
     """
-    from pyspark.sql import Window
     from kineo_spark.pipeline.text import tokens
+    from kineo_spark.scale import spread_small_scan
 
     # md5-hex gram keys (not xxhash64): the winnowing SELECTION depends
     # on hash ordering, so an engine-portable hash keeps the sketch —
     # and therefore the oracle — deterministic across engines. Swap in
     # xxhash64 at corpus scale if the sketch never leaves Spark.
-    toks = df.select(
-        F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("w")
-    ).filter(F.size("w") >= k)
+    # A doc yields fingerprints only when it has >= w full windows'
+    # worth of grams: size(w) - k + 1 >= w (the old "full windows only"
+    # filter); spread_small_scan because with no exchange left, the
+    # per-doc compute otherwise inherits a one-row-group scan's single
+    # partition (guide §2.5).
+    toks = spread_small_scan(df.select(
+        F.col(id_col).alias("doc_id"), F.col(text_col).alias("__t")
+    )).select(
+        "doc_id", tokens(F.col("__t")).alias("w")
+    ).filter(F.size("w") >= k + w - 1)
     idx = F.sequence(F.lit(1), F.size("w") - (k - 1))
-    gram = F.transform(idx, lambda i: F.array_join(F.slice("w", i, k), " "))
-    grams = toks.select(
-        "doc_id", F.posexplode(gram).alias("off", "g")
-    ).select("doc_id", (F.col("off") + 1).alias("pos"), F.md5("g").alias("gh"))
-    n = grams.groupBy("doc_id").agg(F.max("pos").alias("n_grams"))
-    win = (
-        Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, w - 1)
-    )
-    # rightmost-min tie-break: lexicographic min of (gh, -pos)
-    sel = grams.withColumn(
-        "pick", F.min(F.struct(F.col("gh"), (-F.col("pos")).alias("np"))).over(win)
+    gh_arr = F.transform(
+        idx, lambda i: F.md5(F.array_join(F.slice("w", i, k), " ")))
+    g = toks.select("doc_id", gh_arr.alias("gh"))
+    # window starts 1..G-w+1; each picks min (gh, -pos) over its w grams
+    # — lexicographic struct min = smallest hash, rightmost position
+    picks = F.transform(
+        F.sequence(F.lit(1), F.size("gh") - (w - 1)),
+        lambda i: F.array_min(F.transform(
+            F.sequence(i, i + (w - 1)),
+            lambda j: F.struct(
+                F.element_at("gh", j).alias("gh"), (-j).alias("np")),
+        )),
     )
     return (
-        sel.join(F.broadcast(n), "doc_id")
-        .filter(F.col("pos") <= F.col("n_grams") - (w - 1))  # full windows only
+        g.select("doc_id", F.explode(F.array_distinct(picks)).alias("p"))
         .select(
             "doc_id",
-            (-F.col("pick.np")).cast("long").alias("pos"),
-            F.col("pick.gh").alias("gh"),
+            (-F.col("p.np")).cast("long").alias("pos"),
+            F.col("p.gh").alias("gh"),
         )
-        .distinct()
     )
 
 
