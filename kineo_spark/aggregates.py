@@ -8,7 +8,11 @@ free — the reference has a single in-memory hash table.
 
 Design notes for scale & determinism:
 - group keys are canonical term-key strings (flat shuffle keys);
-  representative group terms travel via ``first()``.
+  representative group terms ride as EXTRA GROUP KEYS (functionally
+  dependent on the term key) rather than via ``first()`` — a first()
+  over a struct/string has a non-mutable UnsafeRow buffer, which forces
+  SortAggregate (two full sorts around the exchange) where a
+  HashAggregate should run (r12, guide §2.4).
 - ``AggSpec.exact=True`` routes SUM/AVG through DECIMAL(25,6)
   accumulation: decimal addition is associative, so results are
   independent of partitioning/merge order — required for hash-equality
@@ -162,8 +166,20 @@ def compile_aggregate(compiler, node: A.Aggregate, child,
     graph the child produced NO rows for — exactly what evaluating the
     scalar aggregate per graph yields."""
     from kineo_spark.compiler import Plan, _env, _tmp
+    from kineo_spark.scale import spread_small_scan
 
-    df = child.df
+    # unsplittable-input remedy (guide §2.5): a narrow scan→filter→
+    # project child arrives as ONE partition when the table is a single
+    # parquet row group, which serializes the whole partial aggregation
+    # (term-key construction, decimal casts, hash update) on one core —
+    # measured on sparql_agg_q1 at sf0.1: the 600k-row scan+partial-agg
+    # stage ran as 1 task end to end. Round-robin only when below
+    # cluster parallelism; at real scale the check is a no-op. Results
+    # are unchanged: partial aggregation is order-insensitive here
+    # (decimal accumulation is associative; MIN/MAX pick by total term
+    # order; deterministic round-robin keeps reruns stable) — verified
+    # against the oracle sweep.
+    df = spread_small_scan(child.df)
     env = _env(df)
 
     group_terms = {name: compile_expr(e, env) for name, e in zip(node.group_names, node.groups)}
@@ -182,20 +198,29 @@ def compile_aggregate(compiler, node: A.Aggregate, child,
         *[t.alias(f"__gt_{n}") for n, t in group_terms.items()],
     )
 
-    group_firsts = [F.first(F.col(f"__gt_{name}")).alias(name)
-                    for name in group_terms]
+    # The representative group term is FUNCTIONALLY DEPENDENT on its
+    # term-key string (term_key is injective over kind/lex/dt/lang and
+    # num is derived from lex), so it joins the GROUP BY keys instead of
+    # riding in a first() aggregate: a first() whose buffer is a struct
+    # or string is not UnsafeRow-mutable, which forces SortAggregate —
+    # two extra full sorts of the stream around the exchange (guide
+    # §2.4; measured on sparql_agg_q1: SortAggregate×2 + Sort×2 →
+    # HashAggregate×2, no Sort). Same bytes through the exchange (the
+    # struct travels as key instead of as partial-first state).
+    group_key_sel = [F.col(f"__gt_{name}").alias(name)
+                     for name in group_terms]
     value_aggs = []
     for var, spec in node.aggs:
         value = compile_expr(spec.expr, {v: work[v] for v in df.columns if not v.startswith("__")}) if spec.expr is not None else None
         value_aggs.append(_agg_column(spec, value).alias(var))
-    aggs = group_firsts + value_aggs
 
     out_vars = ([n for n in group_terms if n != graph_var]
                 + ([graph_var] if graph_var else [])
                 + [var for var, _ in node.aggs])
     explicit_groups = len(node.group_names) > 0
     if explicit_groups:
-        out = work.groupBy(*[F.col(k) for k in key_cols.values()]).agg(*aggs)
+        out = work.groupBy(*[F.col(k) for k in key_cols.values()],
+                           *group_key_sel).agg(*value_aggs)
         out = out.select(*out_vars)
     elif graph_var is not None:
         # ungrouped aggregate under GRAPH ?var: group by the graph
@@ -205,7 +230,8 @@ def compile_aggregate(compiler, node: A.Aggregate, child,
         # evaluation of a scalar aggregate emits one row PER NAMED
         # GRAPH (§18.5 over the empty multiset). The fill joins the
         # memoized graph_terms — broadcast-sized.
-        out = work.groupBy(F.col(gkey)).agg(*aggs).select(*out_vars)
+        out = work.groupBy(F.col(gkey), *group_key_sel) \
+            .agg(*value_aggs).select(*out_vars)
         empty = work.limit(0).agg(*value_aggs)
         gt = (compiler.store.graph_terms()
               .withColumnRenamed("__g", graph_var))
@@ -240,7 +266,7 @@ def compile_aggregate(compiler, node: A.Aggregate, child,
         # no GROUP BY: single global group; Spark's global agg emits one
         # row on empty input — matching emitOnEmpty
         # (MaterializedQueryPlan.swift:2461,2525-2537)
-        out = work.agg(*[a for a in aggs])
+        out = work.agg(*value_aggs)
         out = out.select(*[var for var, _ in node.aggs])
     # a group var is certainly bound when its expression is a bare
     # variable that was certainly bound in the child (lets downstream

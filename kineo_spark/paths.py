@@ -108,7 +108,7 @@ def _edges_for(compiler, path: A.Path, graph) -> DataFrame:
         strategy = getattr(compiler, "path_strategy", "auto")
         if isinstance(path, A.PZeroOrOne):
             one = _edges_for(compiler, path.path, graph) \
-                .dropDuplicates(["__sk", "__ok"])
+                .distinct()  # terms dependent on keys; see _closure node-map note
         else:
             one = _closure(compiler, _edges_for(compiler, path.path, graph),
                            compiler.max_path_iterations, strategy=strategy,
@@ -117,7 +117,7 @@ def _edges_for(compiler, path: A.Path, graph) -> DataFrame:
             return one
         # zero-length arm: every graph node relates to itself (§18.4 ALP)
         return one.unionByName(_graph_nodes(compiler, graph)) \
-            .dropDuplicates(["__sk", "__ok"])
+            .distinct()  # terms dependent on keys; see _closure node-map note
     raise NotImplementedError(type(path).__name__)
 
 
@@ -157,14 +157,30 @@ def _closure(compiler, edges: DataFrame, max_iterations: int,
         hkey(key).alias("__k"), F.col(term).alias("__n"),
         F.col(key).alias("__nk"),
     ] + ([F.col("__g").alias("__ng")] if scoped else [])
+    # full-row distinct, not dropDuplicates(["__k"]): every non-key
+    # column is functionally dependent on __k (hash of the injective
+    # term key — the closure's standing no-collision invariant), and a
+    # subset-dedup carries the others through first() aggregates whose
+    # struct/string buffers force SortAggregate; distinct() hash-
+    # aggregates (guide §2.4 — drops two full sorts of the node map).
     nodes = (
         edges.select(*ncols("__sk", "__s"))
         .unionByName(edges.select(*ncols("__ok", "__o")))
-        .dropDuplicates(["__k"])
+        .distinct()
     )
     seed_col = F.xxhash64(F.lit(seed_key)) if seed_key is not None else None
     acc = _closure_pairs(ek, max_iterations, seed_col, reverse, strategy,
                          scoped=scoped)
+    # size-gated broadcast of the node map into the materialize joins
+    # (guide §3.1): the closure is pairs-many rows, the node map only
+    # nodes-many — broadcasting the SMALL side spares the final joins
+    # their shuffle+sort of the whole closure (measured at sf0.1: the
+    # materialize count was 1.9 s / ~8 MB exchange per run, the
+    # dominant exec cost of every path query). Same byte-budget conf as
+    # the accumulator gate; past it the shuffle join is the right call.
+    nodes, n_nodes = _count_checkpointed(nodes)
+    small = _gate(n_nodes, _node_row_bytes(nodes),
+                  _acc_broadcast_limit(edges.sparkSession))
     na_cols = [F.col("__k").alias("__ka"), F.col("__n").alias("__s"),
                F.col("__nk").alias("__sk")]
     if scoped:
@@ -172,6 +188,8 @@ def _closure(compiler, edges: DataFrame, max_iterations: int,
     na = nodes.select(*na_cols)
     nb = nodes.select(F.col("__k").alias("__kb"), F.col("__n").alias("__o"),
                       F.col("__nk").alias("__ok"))
+    if small:
+        na, nb = F.broadcast(na), F.broadcast(nb)
     out = (
         acc.join(na, acc["__a"] == na["__ka"], "inner")
         .join(nb, acc["__b"] == nb["__kb"], "inner")
@@ -252,6 +270,33 @@ def _pair_bytes(df: DataFrame) -> int:
         return 8
 
     return 32 + sum(sz(f.dataType) for f in df.schema.fields)
+
+
+def _node_row_bytes(df: DataFrame) -> int:
+    """Conservative per-row bytes of a node-map row inside a broadcast
+    hash relation. Strings (term lex/dt/lang, key strings) have no
+    static width; charge 56 B each (IRI-sized) so the gate errs toward
+    NOT broadcasting — a wrong 'too big' costs one shuffle join, a
+    wrong 'fits' costs executor memory."""
+    from pyspark.sql import types as T
+
+    def sz(dt) -> int:
+        if isinstance(dt, T.StructType):
+            return 8 + sum(sz(f.dataType) for f in dt.fields)
+        if isinstance(dt, T.StringType):
+            return 56
+        return 8
+
+    return 32 + sum(sz(f.dataType) for f in df.schema.fields)
+
+
+def _count_checkpointed(df: DataFrame) -> tuple[DataFrame, int]:
+    """Lazy-localCheckpoint + count in one job (the fixpoint's standard
+    move, guide §7.3): materializes the frame's blocks AND returns the
+    row count the size gates need; consumers then read the blocks, not
+    the lineage."""
+    df = df.localCheckpoint(eager=False)
+    return df, df.count()
 
 
 def _acc_broadcast_limit(spark) -> int:
@@ -490,13 +535,15 @@ def _graph_nodes(compiler, graph) -> DataFrame:
         nodes = nodes.withColumn(
             "__nk", F.struct(term_key(nodes["__g"]).alias("g"),
                              term_key(nodes["__n"]).alias("n")))
-        nodes = nodes.dropDuplicates(["__nk"])
+        # full-row distinct: __n/__g are functionally dependent on __nk
+        # (term_key is injective) — see _closure's node-map note
+        nodes = nodes.distinct()
         return nodes.select(
             nodes["__n"].alias("__s"), nodes["__n"].alias("__o"),
             nodes["__g"],
             nodes["__nk"].alias("__sk"), nodes["__nk"].alias("__ok"),
         )
-    nodes = nodes.withColumn("__nk", term_key(nodes["__n"])).dropDuplicates(["__nk"])
+    nodes = nodes.withColumn("__nk", term_key(nodes["__n"])).distinct()
     return nodes.select(
         nodes["__n"].alias("__s"), nodes["__n"].alias("__o"),
         nodes["__nk"].alias("__sk"), nodes["__nk"].alias("__ok"),
@@ -627,7 +674,7 @@ def _id_graph_nodes(compiler, graph, scoped: bool = True) -> DataFrame:
                   df["__ps"].alias("__n"))
         .unionByName(df.select(_mk(df, df["__po"]).alias("__k"),
                                df["__po"].alias("__n")))
-        .dropDuplicates(["__k"])
+        .distinct()  # __n functionally dependent on __k; see _closure
     )
 
 
@@ -734,10 +781,17 @@ def _eval_path_ids(compiler, node: A.PathPattern, graph) -> "Plan":
             nodes = nodes.unionByName(g.select(
                 _idc(F.col("__g"), kb).alias("__k"),
                 F.col("__g").alias("__n")))
-        nodes = nodes.dropDuplicates(["__k"])
+        nodes = nodes.distinct()  # __n dependent on __k; see _closure
+        # size-gated broadcast of the id→term map into the materialize
+        # joins — same rationale and budget as the term path (_closure)
+        nodes, n_nodes = _count_checkpointed(nodes)
+        small = _gate(n_nodes, _node_row_bytes(nodes),
+                      _acc_broadcast_limit(spark))
         for v in mat:
             nv = nodes.select(F.col("__k").alias(f"__k_{v}"),
                               F.col("__n").alias(f"__n_{v}"))
+            if small:
+                nv = F.broadcast(nv)
             df = (df.join(nv, df[v] == F.col(f"__k_{v}"), "inner")
                   .drop(v, f"__k_{v}")
                   .withColumnRenamed(f"__n_{v}", v))
@@ -773,12 +827,12 @@ def eval_path(compiler, node: A.PathPattern, graph) -> "Plan":
                         strategy, scoped=scoped)
         zero = (_term_pair(compiler, seed_term, scoped) if seed_key is not None
                 else _graph_nodes(compiler, graph))
-        pairs = plus.unionByName(zero).dropDuplicates(["__sk", "__ok"])
+        pairs = plus.unionByName(zero).distinct()  # terms dependent on keys; see _closure node-map note
     elif isinstance(path, A.PZeroOrOne):
-        one = _edges_for(compiler, path.path, graph).dropDuplicates(["__sk", "__ok"])
+        one = _edges_for(compiler, path.path, graph).distinct()  # terms dependent on keys; see _closure node-map note
         zero = (_term_pair(compiler, seed_term, scoped) if seed_key is not None
                 else _graph_nodes(compiler, graph))
-        pairs = one.unionByName(zero).dropDuplicates(["__sk", "__ok"])
+        pairs = one.unionByName(zero).distinct()  # terms dependent on keys; see _closure node-map note
     else:
         pairs = _edges_for(compiler, path, graph)
 

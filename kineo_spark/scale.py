@@ -60,6 +60,8 @@ def spread_small_scan(df: DataFrame, min_parts: int | None = None) -> DataFrame:
     The exchange this inserts moves only the narrow projected input
     (never derived/exploded rows), and only when the input was too
     concentrated for the cluster in the first place."""
+    if df.isStreaming:  # no static partition count; micro-batches spread
+        return df
     spark = df.sparkSession
     target = min_parts or spark.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < target:

@@ -150,13 +150,19 @@ def continuous_aggregate(
         *[t.alias(f"__gt_{n}") for n, t in group_terms.items()],
     )
     env2 = {v: work[v] for v in df.columns if not v.startswith("__")}
-    aggs = [F.first(F.col(f"__gt_{n}")).alias(n) for n in group_terms]
+    aggs = []
     for var, spec in node.aggs:
         value = compile_expr(spec.expr, env2) if spec.expr is not None else None
         aggs.append(_agg_column(spec, value).alias(var))
+    # group terms ride as extra group keys (functionally dependent on
+    # the term-key string) instead of first() aggregates — same reason
+    # as aggregates.compile_aggregate (non-mutable first() buffers force
+    # SortAggregate), and streaming state then holds no term payload
+    # beyond the key itself.
     out = work.groupBy(
         F.window("__et", window_duration).alias("__w"),
         *[F.col(f"__gk_{n}") for n in group_terms],
+        *[F.col(f"__gt_{n}").alias(n) for n in group_terms],
     ).agg(*aggs)
     return out.select(
         F.col("__w")["start"].alias("window_start"),

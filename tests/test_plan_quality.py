@@ -318,7 +318,17 @@ def test_graph_scoped_aggregate_single_shuffle_shape(spark, queries):
 
     df = queries["sparql_graph_subquery_count"](spark, SF)
     plan = _plan(df)
-    assert plan.count("HashAggregate") == 2  # partial + final, once
+    # r12: group terms ride as extra group keys instead of first()
+    # aggregates, so the main aggregate (and the anti-join's re-derived
+    # key side) are HashAggregate pairs now — the pre-r12 plan ran them
+    # as SortAggregate (first() over a term struct is not UnsafeRow-
+    # mutable) and the ==2 HashAggregate count this test pinned was
+    # only the empty-fill pair. Pin the intent directly: hash partial+
+    # final pairs, ZERO sort aggregates, still at most two exchanges
+    # (no per-graph driver loop).
+    assert plan.count("SortAggregate") == 0
+    n_hash = plan.count("HashAggregate")
+    assert n_hash >= 2 and n_hash % 2 == 0  # partial+final pairs
     assert len(re.findall(r"Exchange hashpartitioning", plan)) <= 2
     assert plan.count("Scan ExistingRDD") == 1  # memoized graph_terms
     assert "CartesianProduct" not in plan
