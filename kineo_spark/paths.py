@@ -169,8 +169,14 @@ def _closure(compiler, edges: DataFrame, max_iterations: int,
         .distinct()
     )
     seed_col = F.xxhash64(F.lit(seed_key)) if seed_key is not None else None
+    # Overlap the node-map materialization with the fixpoint (guide
+    # §2.6): the node map depends only on the edge relation, never on
+    # the closure, and the fixpoint's rounds leave executors idle while
+    # the driver plans the next round — a background thread fills that
+    # idle capacity with the node map's dedup job.
+    wait_nodes, planned = _count_checkpointed_async(nodes)
     acc = _closure_pairs(ek, max_iterations, seed_col, reverse, strategy,
-                         scoped=scoped)
+                         scoped=scoped, conf_hold=planned)
     # size-gated broadcast of the node map into the materialize joins
     # (guide §3.1): the closure is pairs-many rows, the node map only
     # nodes-many — broadcasting the SMALL side spares the final joins
@@ -178,7 +184,7 @@ def _closure(compiler, edges: DataFrame, max_iterations: int,
     # materialize count was 1.9 s / ~8 MB exchange per run, the
     # dominant exec cost of every path query). Same byte-budget conf as
     # the accumulator gate; past it the shuffle join is the right call.
-    nodes, n_nodes = _count_checkpointed(nodes)
+    nodes, n_nodes = wait_nodes()
     small = _gate(n_nodes, _node_row_bytes(nodes),
                   _acc_broadcast_limit(edges.sparkSession))
     na_cols = [F.col("__k").alias("__ka"), F.col("__n").alias("__s"),
@@ -299,6 +305,103 @@ def _count_checkpointed(df: DataFrame) -> tuple[DataFrame, int]:
     return df, df.count()
 
 
+def _count_checkpointed_async(df: DataFrame):
+    """_count_checkpointed moved to a background thread (guide §2.6 —
+    overlap independent jobs): the node map never depends on the
+    closure, so both its plan-pinning lazy checkpoint (driver-side JVM
+    planning, measured ~0.3-0.5 s per path query) and its materializing
+    count run concurrently with the fixpoint's rounds, which otherwise
+    leave executors idle during each round's planning gap. Returns
+    (wait, planned): wait() joins the thread and yields (checkpointed
+    df, count); ``planned`` is an Event set the moment the plan is
+    pinned — _LoopConfs holds off its session-conf mutations until
+    then, so the node plan can never be planned under the loop's
+    paused-AQE/pinned-width confs (which are sized for counted-small
+    deltas, not for real node maps)."""
+    import threading
+
+    from pyspark import InheritableThread
+
+    box: dict = {}
+    planned = threading.Event()
+
+    def _run():
+        try:
+            d = df.localCheckpoint(eager=False)
+            box["df"] = d
+            planned.set()
+            box["n"] = d.count()
+        except BaseException as e:  # surfaced on wait()
+            box["err"] = e
+        finally:
+            planned.set()
+
+    th = InheritableThread(target=_run, daemon=True)
+    th.start()
+
+    def wait() -> tuple[DataFrame, int]:
+        th.join()
+        if "err" in box:
+            raise box["err"]
+        return box["df"], box["n"]
+
+    return wait, planned
+
+
+class _LoopConfs:
+    """Per-round planner tuning for the GATED (counted-small) fixpoint
+    regime — guide §1.2 step 3, applied only after the algorithm is
+    right. Measured (r12, round-shaped micro plans + the bench path
+    queries): with AQE on, every round pays ~0.4 s of re-planning in the
+    lazy-checkpoint toRdd conversion plus AQE stage bookkeeping in the
+    count — pure driver latency, since a gated round's only exchange
+    moves a counted-few-MB delta. While the accumulator is under the
+    byte gate this helper (a) pauses AQE and (b) pins the in-loop
+    shuffle width to a BYTES-DERIVED partition count
+    (ceil(delta_bytes / 8 MB), clamped to defaultParallelism) so the
+    dedup neither runs at a cluster-sized static width (the measured
+    r12-draft failure: tasks 117 → 780) nor needs AQE to coalesce it.
+    Both confs are restored the moment the loop leaves the gated regime
+    (the 100 TB shuffle regime keeps AQE's coalescing/skew handling)
+    and on exit. The width is derived from counted data bytes, never
+    from the local core count, so the behavior is scale-adaptive."""
+
+    _TARGET = 8 * 1024 * 1024  # bytes per in-loop dedup partition
+
+    def __init__(self, spark, hold=None):
+        self.spark = spark
+        self._saved: tuple[str, str] | None = None
+        self._parts: int | None = None
+        self._hold = hold  # Event: don't mutate confs before it's set
+
+    def ensure(self, gated: bool, delta_rows: int, per_bytes: int) -> None:
+        if not gated:
+            self.restore()
+            return
+        if self._hold is not None:
+            self._hold.wait()
+            self._hold = None
+        dp = self.spark.sparkContext.defaultParallelism
+        p = max(1, min(dp, -(-(max(delta_rows, 1) * per_bytes)
+                             // self._TARGET)))
+        if self._saved is None:
+            self._saved = (
+                self.spark.conf.get("spark.sql.adaptive.enabled", "true"),
+                self.spark.conf.get("spark.sql.shuffle.partitions"),
+            )
+            self.spark.conf.set("spark.sql.adaptive.enabled", "false")
+        if p != self._parts:
+            self.spark.conf.set("spark.sql.shuffle.partitions", str(p))
+            self._parts = p
+
+    def restore(self) -> None:
+        if self._saved is not None:
+            self.spark.conf.set("spark.sql.adaptive.enabled", self._saved[0])
+            self.spark.conf.set("spark.sql.shuffle.partitions", self._saved[1])
+            self._saved = None
+            self._parts = None
+
+
 def _acc_broadcast_limit(spark) -> int:
     """Byte budget for broadcasting the fixpoint accumulator into the
     per-round anti-join (guide §3.1: broadcast replaces the shuffle of
@@ -348,8 +451,8 @@ def _anti_new(grown: DataFrame, acc: DataFrame, acc_n: int | None,
 
 
 def _doubling_rounds(acc: DataFrame, budget: int, max_iterations: int,
-                     rounds_out: list | None, acc_n: int | None = None
-                     ) -> DataFrame:
+                     rounds_out: list | None, acc_n: int | None = None,
+                     conf_hold=None) -> DataFrame:
     """Path-doubling (recursive squaring) from an accumulated relation:
     R_{k+1} = R_k ∪ R_k∘R_k covers every path length ≤ 2·max-covered,
     so a diameter-d graph converges in ⌈log2 d⌉ rounds instead of d.
@@ -367,23 +470,30 @@ def _doubling_rounds(acc: DataFrame, budget: int, max_iterations: int,
     limit = _acc_broadcast_limit(acc.sparkSession)
     per_bytes = _pair_bytes(acc)
     lazy_depth = 0
-    for _round in range(budget):
-        if rounds_out is not None:
-            rounds_out.append(len(rounds_out) + 1)
-        r2 = acc.select(F.col("__a").alias("__ja"), F.col("__b").alias("__jb"))
-        if _gate(acc_n, per_bytes, limit):
-            r2 = F.broadcast(r2)
-        grown = (
-            acc.join(r2, acc["__b"] == r2["__ja"], "inner")
-            .select(acc["__a"], F.col("__jb").alias("__b"))
-        )
-        new = _anti_new(grown, acc, acc_n, per_bytes, limit)
-        n_new = new.count()
-        if n_new == 0:
-            return acc
-        acc_n = (acc_n + n_new) if acc_n is not None else None
-        acc, lazy_depth = _extend_acc(acc, new, acc_n, per_bytes, limit,
-                                      lazy_depth)
+    tune = _LoopConfs(acc.sparkSession, hold=conf_hold)
+    try:
+        for _round in range(budget):
+            if rounds_out is not None:
+                rounds_out.append(len(rounds_out) + 1)
+            tune.ensure(_gate(acc_n, per_bytes, limit), acc_n or 1,
+                        per_bytes)
+            r2 = acc.select(F.col("__a").alias("__ja"),
+                            F.col("__b").alias("__jb"))
+            if _gate(acc_n, per_bytes, limit):
+                r2 = F.broadcast(r2)
+            grown = (
+                acc.join(r2, acc["__b"] == r2["__ja"], "inner")
+                .select(acc["__a"], F.col("__jb").alias("__b"))
+            )
+            new = _anti_new(grown, acc, acc_n, per_bytes, limit)
+            n_new = new.count()
+            if n_new == 0:
+                return acc
+            acc_n = (acc_n + n_new) if acc_n is not None else None
+            acc, lazy_depth = _extend_acc(acc, new, acc_n, per_bytes, limit,
+                                          lazy_depth)
+    finally:
+        tune.restore()
     raise RuntimeError(
         f"path closure did not converge in {max_iterations} iterations")
 
@@ -408,7 +518,8 @@ def _closure_pairs(ek: DataFrame, max_iterations: int,
                    strategy: str = "auto",
                    scoped: bool = False,
                    rounds_out: list | None = None,
-                   switch_out: list | None = None) -> DataFrame:
+                   switch_out: list | None = None,
+                   conf_hold=None) -> DataFrame:
     """The pure long-pair fixpoint: input and output are (__a, __b)
     8-byte key pairs — shared by the term path (keys = xxhash64 of the
     injective term key) and the ID path (keys = dictionary ids). All
@@ -439,7 +550,7 @@ def _closure_pairs(ek: DataFrame, max_iterations: int,
     auto = strategy == "auto" and seed_col is None
     if seed_col is None and strategy == "doubling":
         acc = _doubling_rounds(ek, max_iterations, max_iterations, rounds_out,
-                               acc_n=ek_n)
+                               acc_n=ek_n, conf_hold=conf_hold)
     else:
         if seed_col is not None:
             # scoped: match the seed's NODE hash in every graph — the
@@ -461,36 +572,46 @@ def _closure_pairs(ek: DataFrame, max_iterations: int,
             e2 = F.broadcast(e2)
         frontier_sizes: list[int] = []
         lazy_depth = 0
-        for _round in range(max_iterations):
-            if rounds_out is not None:
-                rounds_out.append(len(rounds_out) + 1)
-            grown = (
-                frontier.join(e2, frontier["__b"] == e2["__ea"], "inner")
-                .select(frontier["__a"], F.col("__eb").alias("__b"))
-            )
-            new = _anti_new(grown, acc, acc_n, per_bytes, limit)
-            # the delta count doubles as termination test, crossover
-            # estimator input, and the size gate's running total — a
-            # metadata-cheap job over the just-checkpointed delta
-            n_new = new.count()
-            if n_new == 0:
-                break
-            if auto:
-                frontier_sizes.append(n_new)
-            acc_n += n_new
-            acc, lazy_depth = _extend_acc(acc, new, acc_n, per_bytes, limit,
-                                          lazy_depth)
-            frontier = new
-            if auto and _auto_should_switch(_round + 1, frontier_sizes):
-                if switch_out is not None:
-                    switch_out.append(_round + 1)
-                acc = _doubling_rounds(
-                    acc, max_iterations - (_round + 1), max_iterations,
-                    rounds_out, acc_n=acc_n)
-                break
-        else:
-            raise RuntimeError(
-                f"path closure did not converge in {max_iterations} iterations")
+        frontier_n = acc_n
+        tune = _LoopConfs(ek.sparkSession, hold=conf_hold)
+        try:
+            for _round in range(max_iterations):
+                if rounds_out is not None:
+                    rounds_out.append(len(rounds_out) + 1)
+                tune.ensure(_gate(acc_n, per_bytes, limit),
+                            frontier_n or 1, per_bytes)
+                grown = (
+                    frontier.join(e2, frontier["__b"] == e2["__ea"], "inner")
+                    .select(frontier["__a"], F.col("__eb").alias("__b"))
+                )
+                new = _anti_new(grown, acc, acc_n, per_bytes, limit)
+                # the delta count doubles as termination test, crossover
+                # estimator input, and the size gate's running total — a
+                # metadata-cheap job over the just-checkpointed delta
+                n_new = new.count()
+                if n_new == 0:
+                    break
+                if auto:
+                    frontier_sizes.append(n_new)
+                acc_n += n_new
+                frontier_n = n_new
+                acc, lazy_depth = _extend_acc(acc, new, acc_n, per_bytes,
+                                              limit, lazy_depth)
+                frontier = new
+                if auto and _auto_should_switch(_round + 1, frontier_sizes):
+                    if switch_out is not None:
+                        switch_out.append(_round + 1)
+                    tune.restore()
+                    acc = _doubling_rounds(
+                        acc, max_iterations - (_round + 1), max_iterations,
+                        rounds_out, acc_n=acc_n)
+                    break
+            else:
+                raise RuntimeError(
+                    f"path closure did not converge in "
+                    f"{max_iterations} iterations")
+        finally:
+            tune.restore()
     if reverse:
         acc = acc.select(F.col("__b").alias("__a"), F.col("__a").alias("__b"))
     return acc
@@ -720,18 +841,62 @@ def _eval_path_ids(compiler, node: A.PathPattern, graph) -> "Plan":
         n = _id_graph_nodes(compiler, graph)
         return n.select(F.col("__k").alias("__a"), F.col("__k").alias("__b"))
 
+    def _build_nodes(inner, zero_used) -> DataFrame:
+        """The id→term map for the materialize joins below — factored
+        out so the closure branches can start materializing it on a
+        background thread while the fixpoint runs (guide §2.6: the two
+        are independent; the closure's driver-planning gaps leave
+        executors idle for exactly this job)."""
+        nodes = _id_nodes_for(compiler, inner, graph)
+        if zero_used and seed_term is None:
+            nodes = nodes.unionByName(
+                _id_graph_nodes(compiler, graph, scoped=False))
+        if seed_term is not None:
+            nodes = nodes.unionByName(spark.range(1).select(
+                _const_id(seed_term).alias("__k"),
+                seed_term.as_column().alias("__n")))
+        if scoped:
+            g = compiler.store.graph_terms()
+            nodes = nodes.unionByName(g.select(
+                _idc(F.col("__g"), kb).alias("__k"),
+                F.col("__g").alias("__n")))
+        return nodes.distinct()  # __n dependent on __k; see _closure
+
+    def _will_materialize() -> bool:
+        # mirrors the out_cols/mat computation below (unique BINDING
+        # endpoint vars + the scoped graph var, minus pure-id vars)
+        names: list[str] = []
+        for endpoint in (node.subject, node.object):
+            if not isinstance(endpoint, PyTerm) and endpoint.binding \
+                    and endpoint.name not in names:
+                names.append(endpoint.name)
+        if scoped and gname not in names:
+            names.append(gname)
+        return any(not compiler._is_id_var(v) for v in names)
+
     zero_used = False
+    wait_nodes = None
     if isinstance(path, A.PPlus):
         ek = _id_edges_for(compiler, path.path, graph) \
             .dropDuplicates(["__a", "__b"])
+        hold = None
+        if _will_materialize():
+            wait_nodes, hold = _count_checkpointed_async(
+                _build_nodes(path.path, False))
         pairs = _closure_pairs(ek, compiler.max_path_iterations, seed_col,
-                               seed_rev, strategy, scoped=scoped)
+                               seed_rev, strategy, scoped=scoped,
+                               conf_hold=hold)
         inner = path.path
     elif isinstance(path, A.PStar):
         ek = _id_edges_for(compiler, path.path, graph) \
             .dropDuplicates(["__a", "__b"])
+        hold = None
+        if _will_materialize():
+            wait_nodes, hold = _count_checkpointed_async(
+                _build_nodes(path.path, True))
         plus = _closure_pairs(ek, compiler.max_path_iterations, seed_col,
-                              seed_rev, strategy, scoped=scoped)
+                              seed_rev, strategy, scoped=scoped,
+                              conf_hold=hold)
         pairs = plus.unionByName(zero_pairs()).dropDuplicates(["__a", "__b"])
         inner, zero_used = path.path, True
     elif isinstance(path, A.PZeroOrOne):
@@ -768,23 +933,12 @@ def _eval_path_ids(compiler, node: A.PathPattern, graph) -> "Plan":
 
     mat = [v for v in out_cols if not compiler._is_id_var(v)]
     if mat:
-        nodes = _id_nodes_for(compiler, inner, graph)
-        if zero_used and seed_term is None:
-            nodes = nodes.unionByName(
-                _id_graph_nodes(compiler, graph, scoped=False))
-        if seed_term is not None:
-            nodes = nodes.unionByName(spark.range(1).select(
-                _const_id(seed_term).alias("__k"),
-                seed_term.as_column().alias("__n")))
-        if scoped:
-            g = compiler.store.graph_terms()
-            nodes = nodes.unionByName(g.select(
-                _idc(F.col("__g"), kb).alias("__k"),
-                F.col("__g").alias("__n")))
-        nodes = nodes.distinct()  # __n dependent on __k; see _closure
+        if wait_nodes is None:
+            wait_nodes, _ = _count_checkpointed_async(
+                _build_nodes(inner, zero_used))
         # size-gated broadcast of the id→term map into the materialize
         # joins — same rationale and budget as the term path (_closure)
-        nodes, n_nodes = _count_checkpointed(nodes)
+        nodes, n_nodes = wait_nodes()
         small = _gate(n_nodes, _node_row_bytes(nodes),
                       _acc_broadcast_limit(spark))
         for v in mat:
