@@ -710,7 +710,14 @@ def sparql_path_inverse(spark, sf_dir) -> DataFrame:
    "JOIN nation ON c_nationkey = n_nationkey")
 def sparql_path_alt_plus(spark, sf_dir) -> DataFrame:
     """(fk_orders_cust | fk_customer_nation | fk_nation_region)+ — full
-    transitive closure over the FK graph via the distributed fixpoint."""
+    transitive closure over the FK graph via the distributed fixpoint.
+
+    r12: steady-state shuffle re-baselined 8.73 -> ~11 MB. The node map
+    is now hash-deduped, checkpoint-counted in its own (overlapped) job
+    and BROADCAST into the materialize joins (paths.py r12); an A/B at
+    d265636~1 measured 10.73 MB in the identical harness, so the code
+    delta is ~+0.3 MB, traded for wall 3.6 -> 2.3 s (SortAggregate
+    pairs and the closure-side materialize shuffle removed)."""
     comp = compiler_for(spark, sf_dir)
     alg = A.PathPattern(
         A.Var("src"),
