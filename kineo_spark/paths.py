@@ -227,6 +227,11 @@ _AUTO_HARD_CAP = 32   # always switch past this many rounds (flat-frontier
                       # shapes, e.g. cycles, shrink by ~0 per round and
                       # would otherwise run to max_iterations)
 
+_FUSE_MAX_ROUNDS = 12  # broadcast-regime fused plan: at most this many
+                       # semi-naive rounds compiled into one lazy plan
+                       # (keeps the fused plan's join depth bounded);
+                       # deeper closures stay on the distributed loop
+
 
 def _auto_should_switch(rounds_done: int, frontier_sizes: list[int]) -> bool:
     """True when the semi-naive frontier trajectory predicts a
@@ -402,6 +407,185 @@ class _LoopConfs:
             self._parts = None
 
 
+def _local_closure_limit(spark) -> int:
+    """Byte budget under which the fixpoint runs AT THE COLLECT POINT
+    instead of as per-round Spark jobs (guide §3.1/§8: broadcast-sized
+    relations are collected to the driver anyway). In the gated regime
+    every distributed round already collects the edge relation to the
+    driver to build its broadcast — the bytes crossing the driver are
+    the same, so the only question is where the (tiny) join runs. As
+    numpy array joins it costs ~1 ms/round; as Spark jobs each round
+    pays a full Catalyst re-plan + scheduler round trip (measured r12 +
+    r13 profile: ~0.6 s/round REGARDLESS of data size — pure driver
+    latency). Scale-adaptive by construction: past the budget, or if
+    the closure OUTGROWS it mid-computation, the distributed fixpoint
+    (semi-naive → auto-doubling, STRESS-measured) runs unchanged.
+    Override with spark.kineo.path.localClosureBytes; 0 disables."""
+    try:
+        v = spark.conf.get("spark.kineo.path.localClosureBytes", None)
+        if v is not None and v != "":
+            return int(v)
+    except Exception:
+        pass
+    return 64 * 1024 * 1024
+
+
+def _leaf_paths(dt, prefix=()):
+    """Flatten a (possibly nested) key datatype into leaf field paths.
+    Returns None when any leaf is not a LongType — that key shape has
+    no local-closure support and falls back to the distributed loop."""
+    from pyspark.sql import types as T
+    if isinstance(dt, T.StructType):
+        out = []
+        for f in dt.fields:
+            sub = _leaf_paths(f.dataType, prefix + (f.name,))
+            if sub is None:
+                return None
+            out.extend(sub)
+        return out
+    if isinstance(dt, T.LongType):
+        return [prefix]
+    return None
+
+
+def _local_mirror(ek: DataFrame, ek_n: int, per_bytes: int,
+                  seed_col, scoped: bool, max_iterations: int
+                  ) -> dict | None:
+    """Mirror the distributed 'auto' fixpoint driver-locally over the
+    COLLECTED byte-gated edge relation (see _local_closure_limit: in
+    the gated regime every distributed round collects these same bytes
+    to build its broadcast, so the collect is not a new boundary). The
+    numpy loop replays the exact strategy — semi-naive rounds, the
+    _auto_should_switch crossover, then doubling — so its round/switch
+    bookkeeping and convergence semantics are identical to what the
+    distributed loop would have done.
+
+    Returns a SCRIPT for the caller: the per-round delta sizes of the
+    productive semi-naive rounds, plus the mirrored rounds_out /
+    switch_out entries. The caller re-runs those rounds distributed
+    with every per-round count job elided (the sizes are known) and
+    the terminal empty-delta round dropped (convergence is proven) —
+    per round that removes one scheduler round trip and the terminal
+    round removes a full Catalyst pass, while the checkpointed
+    delta-materialization shape (and so the shuffle-byte invariants)
+    stays exactly the r12 loop's. Measured dead ends, for the record
+    (r13): uploading the locally computed closure re-pays ~1.3 s per
+    action at 480 k rows (a parallelized local relation re-ships
+    through a Python-runner stage on every job); fusing the rounds
+    into one lazy checkpoint-free plan re-executes each delta subplan
+    ~3× (37-66 MB shuffled vs 11-19 MB); a level-based chain-of-hops
+    plan shuffles whole levels instead of deltas (64-124 MB).
+
+    Returns None (no side effects) when the shape is unsupported, the
+    relation is empty, the closure outgrows the byte budget
+    mid-computation, or the mirror switched to doubling (deep/flat
+    shapes) — the caller then runs the distributed fixpoint
+    unchanged."""
+    import numpy as np
+
+    spark = ek.sparkSession
+    limit = _local_closure_limit(spark)
+    if ek_n == 0 or not _gate(ek_n, per_bytes, limit):
+        return None
+    adt = ek.schema["__a"].dataType
+    leaves = _leaf_paths(adt)
+    if leaves is None or (seed_col is not None and len(leaves) != 1):
+        return None  # non-long keys / seeded struct keys: distributed
+
+    def flat(col, tag):
+        out = []
+        for i, path in enumerate(leaves):
+            c = F.col(col)
+            for p in path:
+                c = c[p]
+            out.append(c.alias(f"{tag}{i}"))
+        return out
+
+    k = len(leaves)
+    pdf = ek.select(*flat("__a", "a"), *flat("__b", "b")).toPandas()
+    if pdf.isnull().any().any():
+        return None  # null key parts: leave it to the distributed loop
+    a = pdf.iloc[:, :k].to_numpy(dtype=np.int64)
+    b = pdf.iloc[:, k:].to_numpy(dtype=np.int64)
+    allk = np.ascontiguousarray(np.vstack([a, b]))
+    if k == 1:
+        uniq, inv = np.unique(allk[:, 0], return_inverse=True)
+    else:
+        view = allk.view([(f"f{i}", np.int64) for i in range(k)]).reshape(-1)
+        uniq, inv = np.unique(view, return_inverse=True)
+    n = np.int64(len(uniq))
+    eu, ev = inv[:len(a)].astype(np.int64), inv[len(a):].astype(np.int64)
+
+    def pack(x, z):
+        return x * n + z
+
+    def compose(fk_, ru_sorted, rv_sorted):
+        """(x,y) pairs (packed fk_) ∘ sorted right relation → packed."""
+        fa, fb = fk_ // n, fk_ % n
+        lo = np.searchsorted(ru_sorted, fb, side="left")
+        hi = np.searchsorted(ru_sorted, fb, side="right")
+        deg = hi - lo
+        tot = int(deg.sum())
+        if tot == 0:
+            return np.empty(0, np.int64)
+        offs = (np.repeat(lo, deg)
+                + np.arange(tot) - np.repeat(np.cumsum(deg) - deg, deg))
+        return np.unique(pack(np.repeat(fa, deg), rv_sorted[offs]))
+
+    def absent(sorted_keys, cand):
+        if not len(sorted_keys):
+            return np.ones(len(cand), bool)
+        idx = np.minimum(np.searchsorted(sorted_keys, cand),
+                         len(sorted_keys) - 1)
+        return sorted_keys[idx] != cand
+
+    order = np.argsort(eu, kind="stable")
+    eu_s, ev_s = eu[order], ev[order]
+    if seed_col is not None:
+        sv = spark.range(1).select(seed_col.alias("s")).first()["s"]
+        pos = np.searchsorted(uniq, np.int64(sv))
+        if pos >= len(uniq) or uniq[pos] != sv:
+            acc = np.empty(0, np.int64)  # seed not in the graph
+        else:
+            m = eu == pos
+            acc = np.unique(pack(eu[m], ev[m]))
+    else:
+        acc = np.unique(pack(eu, ev))
+    cap_pairs = max(1, limit // max(per_bytes, 1))
+    auto = seed_col is None  # seeded BFS never switches (see docstring)
+    frontier, frontier_sizes = acc, []
+    base_n = len(acc)
+    deltas: list[int] = []  # productive-round delta sizes, in order
+    lr: list[int] = []
+    lsw: list[int] = []
+    converged = False
+    while len(lr) < max_iterations:  # mirror of the distributed loop
+        lr.append(len(lr) + 1)
+        cand = compose(frontier, eu_s, ev_s)
+        new = cand[absent(acc, cand)]
+        if not len(new):
+            converged = True
+            break
+        acc = np.union1d(acc, new)
+        if len(acc) > cap_pairs:
+            return None  # outgrew the budget: run distributed instead
+        deltas.append(len(new))
+        frontier = new
+        if auto:
+            frontier_sizes.append(len(new))
+            if _auto_should_switch(len(lr), frontier_sizes):
+                # deep/flat shape: the doubling loop is the measured
+                # winner there — leave the whole closure distributed
+                return None
+    if not converged:
+        raise RuntimeError(
+            f"path closure did not converge in {max_iterations} iterations")
+    if len(deltas) >= _FUSE_MAX_ROUNDS:
+        return None  # deeper than a scripted loop should carry
+    return {"deltas": deltas, "rounds": lr, "switches": lsw,
+            "base_n": base_n}
+
+
 def _acc_broadcast_limit(spark) -> int:
     """Byte budget for broadcasting the fixpoint accumulator into the
     per-round anti-join (guide §3.1: broadcast replaces the shuffle of
@@ -547,6 +731,24 @@ def _closure_pairs(ek: DataFrame, max_iterations: int,
     limit = _acc_broadcast_limit(ek.sparkSession)
     per_bytes = _pair_bytes(ek)
     ek_n = ek.count()
+    if strategy == "auto":
+        # broadcast-regime mirror at the collect point (the distributed
+        # gated loop would collect ek for its broadcast every round
+        # anyway); explicit 'seminaive'/'doubling' keep the distributed
+        # strategies pure for the stress harnesses.
+        script = _local_mirror(ek, ek_n, per_bytes, seed_col, scoped,
+                               max_iterations)
+        if script is not None:
+            acc = _scripted_rounds(ek, ek_n, per_bytes, limit, seed_col,
+                                   scoped, script, conf_hold)
+            if rounds_out is not None:
+                rounds_out.extend(script["rounds"])
+            if switch_out is not None:
+                switch_out.extend(script["switches"])
+            if reverse:
+                acc = acc.select(F.col("__b").alias("__a"),
+                                 F.col("__a").alias("__b"))
+            return acc
     auto = strategy == "auto" and seed_col is None
     if seed_col is None and strategy == "doubling":
         acc = _doubling_rounds(ek, max_iterations, max_iterations, rounds_out,
@@ -614,6 +816,60 @@ def _closure_pairs(ek: DataFrame, max_iterations: int,
             tune.restore()
     if reverse:
         acc = acc.select(F.col("__b").alias("__a"), F.col("__a").alias("__b"))
+    return acc
+
+
+def _scripted_rounds(ek: DataFrame, ek_n: int, per_bytes: int, limit: int,
+                     seed_col, scoped: bool, script: dict,
+                     conf_hold) -> DataFrame:
+    """Re-run the mirror's productive semi-naive rounds distributed,
+    with the per-round count jobs and the terminal empty round elided
+    (_local_mirror proved the deltas' sizes and convergence). Identical
+    plan shapes to the un-scripted gated loop — same _anti_new
+    broadcast anti-join, same lazy checkpoints, same _extend_acc
+    accumulation, same _LoopConfs width pinning — so per-round shuffle
+    bytes and delta materialization are byte-for-byte the loop's; only
+    the driver round trips disappear. Each round still pays one
+    Catalyst pass (the lazy checkpoint's toRdd); the deltas materialize
+    inside the first downstream job instead of one count job each."""
+    if seed_col is not None:
+        acc = ek.filter(
+            (F.col("__a")["n"] if scoped else F.col("__a")) == seed_col
+        ).localCheckpoint(eager=False)
+        acc_n = script["base_n"]
+    else:
+        acc, acc_n = ek, ek_n
+    frontier, frontier_n = acc, acc_n
+    e2 = ek.select(F.col("__a").alias("__ea"), F.col("__b").alias("__eb"))
+    if _gate(ek_n, per_bytes, limit):
+        e2 = F.broadcast(e2)
+    lazy_depth = 0
+    tune = _LoopConfs(ek.sparkSession, hold=conf_hold)
+    try:
+        for n_new in script["deltas"]:
+            tune.ensure(_gate(acc_n, per_bytes, limit), frontier_n or 1,
+                        per_bytes)
+            grown = (
+                frontier.join(e2, frontier["__b"] == e2["__ea"], "inner")
+                .select(frontier["__a"], F.col("__eb").alias("__b"))
+            )
+            new = _anti_new(grown, acc, acc_n, per_bytes, limit)
+            acc_n += n_new
+            frontier_n = n_new
+            acc, lazy_depth = _extend_acc(acc, new, acc_n, per_bytes,
+                                          limit, lazy_depth)
+            frontier = new
+        if script["deltas"]:
+            # ONE count over the last delta materializes the whole
+            # checkpoint chain serially (its lineage pulls every earlier
+            # delta through the caches). Without it the downstream
+            # query's concurrent AQE stages race to compute the
+            # un-materialized checkpoints and duplicate the delta work
+            # (measured: 3× the loop's shuffle bytes). One job replaces
+            # the loop's k count jobs + the terminal empty round.
+            frontier.count()
+    finally:
+        tune.restore()
     return acc
 
 
